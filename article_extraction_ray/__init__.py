@@ -1,0 +1,21 @@
+"""article_extraction_ray — a Ray-Data-native main-content extraction engine.
+
+A brand-new engine with the query/data-processing capabilities of the
+reference repo ``opalien/article_extraction`` (studied read-only at
+/root/reference), re-expressed Ray-Data-first:
+
+- input corpora are Lance/Parquet tables of interleaved text+media
+  documents ``(doc_id: string, spans: list<struct<kind, text, media_ref,
+  offset:int32>>)``;
+- every stage is a ``ray.data.Dataset`` transform (``map_batches`` over
+  zero-copy Arrow batches; actor pools for stateful parser stages);
+- per-document span reconstruction uses a salted ``groupby(doc_id)``
+  shuffle for giant documents and a fused no-shuffle path for small ones;
+- output is partitioned Parquet with per-partition lineage manifests for
+  checkpoint/resume.
+
+Nothing here imports from the reference; semantics are re-derived from
+its public behavior (file:line citations live in the docstrings).
+"""
+
+__version__ = "0.1.0"

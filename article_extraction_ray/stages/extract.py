@@ -1,0 +1,252 @@
+"""Extraction stages: fused per-document path and salted-shuffle path.
+
+Both paths share the single-process oracle semantics
+(:mod:`article_extraction_ray.oracle`) so their outputs are identical by
+construction; a property test asserts it.
+
+Fused path (default for normal-size documents)
+    ``map_batches(SpanExtractor, batch_format="pyarrow")`` — each input
+    row already holds the whole document's spans, so extraction + span
+    reconstruction happen in one stage with **no shuffle**.
+
+Salted-shuffle path (giant documents)
+    explode → per-part extraction → two-level reassembly:
+
+    1. ``explode_batch`` flattens each document into per-part rows (a
+       whole span, or a single PDF page), assigning ``salt =
+       cumulative_payload_bytes // salt_byte_budget``.  Salt is monotonic
+       in document order, so partials concatenate back in salt order.
+    2. ``PartExtractor`` (actor pool) maps each part to ≥0 flat output
+       span rows keyed ``(doc_id, salt, span_idx, sub_idx)``.
+    3. ``reassemble()`` groups by ``(doc_id, salt)`` → sorted partials,
+       then by ``doc_id`` → merge partials in salt order, apply the
+       whole-document drop rule, and assign final ``order``.
+
+The skew-mitigation design (salted keys for giant documents, two-level
+reduce) is required by BASELINE.json ``north_rule``; the reference has no
+intra-job parallelism at all (SLURM 1 task, /root/reference/batch.sh:2-13).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..oracle import extract_document_spans, extract_html_paragraphs, extract_pdf_pages
+from ..schema import EXTRACTED_SCHEMA, EXPLODED_SCHEMA, FLAT_SPAN_SCHEMA, SPAN_OUT_STRUCT
+
+#: Documents whose total payload exceeds this go to the salted path.
+DEFAULT_GIANT_BYTES = 1 << 20  # 1 MiB
+#: Cumulative-bytes bucket width for salt assignment within a giant doc.
+DEFAULT_SALT_BYTES = 256 << 10  # 256 KiB
+
+
+class SpanExtractor:
+    """Actor-pool batch fn: whole-document extraction, no shuffle.
+
+    Stateful-parser-stage shape per the north rule: construct once per
+    actor (``__init__``), transform per batch (``__call__``).  The HTML
+    parser contexts themselves are per-feed (html.parser is single-use),
+    but the class shape keeps the stage swappable for heavier parser
+    stacks (lxml/pdfminer contexts) without touching the pipeline.
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_pylist()
+        all_spans = batch["spans"].to_pylist()
+        out_ids: list[str] = []
+        out_spans: list[list[dict]] = []
+        for doc_id, spans in zip(doc_ids, all_spans):
+            extracted = extract_document_spans(spans or [])
+            if not extracted:
+                continue  # whole-document drop rule
+            out_ids.append(doc_id)
+            out_spans.append(
+                [{"kind": s.kind, "text": s.text, "media_ref": s.media_ref, "order": s.order} for s in extracted]
+            )
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_ids, type=pa.string()),
+                pa.array(out_spans, type=pa.list_(SPAN_OUT_STRUCT)),
+            ],
+            schema=EXTRACTED_SCHEMA,
+        )
+
+
+def explode_batch(batch: pa.Table, *, salt_bytes: int = DEFAULT_SALT_BYTES) -> pa.Table:
+    """Flatten documents into per-part rows with salted keys.
+
+    PDF spans are split into per-page parts here (pages are independent
+    units, /root/reference/tables/paper_text_table.py:75-78) so a single
+    giant PDF span parallelizes; HTML spans stay whole because the
+    paragraph state machine spans the full payload.
+    """
+    doc_ids: list[str] = []
+    salts: list[int] = []
+    span_idxs: list[int] = []
+    part_idxs: list[int] = []
+    kinds: list[str] = []
+    texts: list[str] = []
+    media_refs: list[str] = []
+
+    for doc_id, spans in zip(batch["doc_id"].to_pylist(), batch["spans"].to_pylist()):
+        cum = 0
+        ordered = sorted(spans or [], key=lambda s: s.get("offset", 0))
+        for span_idx, span in enumerate(ordered):
+            kind = (span.get("kind") or "").lower()
+            text = span.get("text") or ""
+            if kind == "pdf":
+                parts = [("pdf_page", page, "") for page in extract_pdf_pages(text)]
+            elif kind == "media":
+                parts = [("media", "", span.get("media_ref") or "")]
+            else:
+                parts = [(kind, text, "")]
+            for part_idx, (pkind, ptext, pref) in enumerate(parts):
+                doc_ids.append(doc_id)
+                salts.append(cum // salt_bytes)
+                span_idxs.append(span_idx)
+                part_idxs.append(part_idx)
+                kinds.append(pkind)
+                texts.append(ptext)
+                media_refs.append(pref)
+                cum += len(ptext)
+    return pa.Table.from_arrays(
+        [
+            pa.array(doc_ids, type=pa.string()),
+            pa.array(salts, type=pa.int32()),
+            pa.array(span_idxs, type=pa.int32()),
+            pa.array(part_idxs, type=pa.int32()),
+            pa.array(kinds, type=pa.string()),
+            pa.array(texts, type=pa.string()),
+            pa.array(media_refs, type=pa.string()),
+        ],
+        schema=EXPLODED_SCHEMA,
+    )
+
+
+class PartExtractor:
+    """Actor-pool batch fn: exploded part rows → flat output span rows.
+
+    ``sub_idx`` enumerates output spans *within* an input part; the final
+    document order is the lexicographic sort of (span_idx, part_idx
+    folded into sub_idx for pdf pages, sub_idx).  To keep the key two
+    columns wide, pdf pages carry ``sub_idx = part_idx`` (each page emits
+    exactly one span) and html parts carry ``sub_idx = paragraph index``
+    (html has a single part).
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        o_doc: list[str] = []
+        o_salt: list[int] = []
+        o_span: list[int] = []
+        o_sub: list[int] = []
+        o_kind: list[str] = []
+        o_text: list[str] = []
+        o_ref: list[str] = []
+
+        doc = batch["doc_id"].to_pylist()
+        salt = batch["salt"].to_pylist()
+        span_i = batch["span_idx"].to_pylist()
+        part_i = batch["part_idx"].to_pylist()
+        kind = batch["kind"].to_pylist()
+        text = batch["text"].to_pylist()
+        ref = batch["media_ref"].to_pylist()
+
+        for d, sl, si, pi, k, t, r in zip(doc, salt, span_i, part_i, kind, text, ref):
+            t = t or ""
+            if k == "html":
+                outs = [("text", p, "", j) for j, p in enumerate(extract_html_paragraphs(t))]
+            elif k == "pdf_page":
+                outs = [("text", t, "", pi)]  # one span per page, even when empty
+            elif k == "media":
+                outs = [("media", "", r or "", pi)]
+            elif k in ("text", "txt", "json"):
+                outs = [("text", t, "", pi)] if t != "" else []
+            else:
+                outs = []
+            for ok, ot, orf, sub in outs:
+                o_doc.append(d)
+                o_salt.append(sl)
+                o_span.append(si)
+                o_sub.append(sub)
+                o_kind.append(ok)
+                o_text.append(ot)
+                o_ref.append(orf)
+
+        return pa.Table.from_arrays(
+            [
+                pa.array(o_doc, type=pa.string()),
+                pa.array(o_salt, type=pa.int32()),
+                pa.array(o_span, type=pa.int32()),
+                pa.array(o_sub, type=pa.int32()),
+                pa.array(o_kind, type=pa.string()),
+                pa.array(o_text, type=pa.string()),
+                pa.array(o_ref, type=pa.string()),
+            ],
+            schema=FLAT_SPAN_SCHEMA,
+        )
+
+
+_PARTIAL_STRUCT = pa.struct(
+    [
+        pa.field("kind", pa.string()),
+        pa.field("text", pa.string()),
+        pa.field("media_ref", pa.string()),
+    ]
+)
+
+
+def _combine_salt_group(group: pa.Table) -> pa.Table:
+    """Level-1 combiner: one (doc_id, salt) group → one partial row."""
+    order = pa.compute.sort_indices(
+        group, sort_keys=[("span_idx", "ascending"), ("sub_idx", "ascending")]
+    )
+    g = group.take(order)
+    parts = [
+        {"kind": k, "text": t, "media_ref": m}
+        for k, t, m in zip(
+            g["kind"].to_pylist(), g["text"].to_pylist(), g["media_ref"].to_pylist()
+        )
+    ]
+    has_text = any(p["kind"] == "text" for p in parts)
+    return pa.Table.from_arrays(
+        [
+            pa.array([g["doc_id"][0].as_py()], type=pa.string()),
+            pa.array([g["salt"][0].as_py()], type=pa.int32()),
+            pa.array([parts], type=pa.list_(_PARTIAL_STRUCT)),
+            pa.array([has_text], type=pa.bool_()),
+        ],
+        names=["doc_id", "salt", "parts", "has_text"],
+    )
+
+
+def _merge_doc_group(group: pa.Table) -> pa.Table:
+    """Level-2 merger: salt partials of one doc → final extracted row."""
+    order = pa.compute.sort_indices(group, sort_keys=[("salt", "ascending")])
+    g = group.take(order)
+    if not any(g["has_text"].to_pylist()):
+        return pa.Table.from_arrays(
+            [pa.array([], type=pa.string()), pa.array([], type=pa.list_(SPAN_OUT_STRUCT))],
+            schema=EXTRACTED_SCHEMA,
+        )
+    spans: list[dict] = []
+    for parts in g["parts"].to_pylist():
+        for p in parts:
+            spans.append(
+                {"kind": p["kind"], "text": p["text"], "media_ref": p["media_ref"], "order": len(spans)}
+            )
+    return pa.Table.from_arrays(
+        [
+            pa.array([g["doc_id"][0].as_py()], type=pa.string()),
+            pa.array([spans], type=pa.list_(SPAN_OUT_STRUCT)),
+        ],
+        schema=EXTRACTED_SCHEMA,
+    )
+
+
+def reassemble(flat_ds):
+    """Two-level salted reassembly of flat span rows → extracted documents."""
+    partials = flat_ds.groupby(["doc_id", "salt"]).map_groups(
+        _combine_salt_group, batch_format="pyarrow"
+    )
+    return partials.groupby("doc_id").map_groups(_merge_doc_group, batch_format="pyarrow")
