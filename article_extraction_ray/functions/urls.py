@@ -1,0 +1,64 @@
+"""URL resolution/normalization (reference S2).
+
+Re-derived semantics from /root/reference/tables/other/url_solver.py:
+- arXiv abs/pdf/html links canonicalize to the pdf URL;
+- Wiley ``/doi/full/`` rewrites to ``/doi/pdf/`` (first occurrence);
+- trailing punctuation stripped; multi-line cells take the first line;
+- fallback: first plausible URL found anywhere in the cell;
+- a "plausible" URL is http(s), has a netloc, no whitespace, no commas.
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import urlparse
+
+__all__ = ["resolve_url", "find_urls"]
+
+_ARXIV_ID = re.compile(r"arxiv\.org/(?:abs|pdf|html)/([0-9]{4}\.[0-9]{4,5}(?:v[0-9]{0,2})?)")
+_DIRECT_PDF = re.compile(r"^https?://.+\.pdf(?:$|[?#])", re.IGNORECASE)
+_ANY_URL = re.compile(r"https?://[^\s,;]+", re.IGNORECASE)
+_TRAILING = " \t\r\n).,;:!?]"
+
+
+def _plausible(url: str) -> bool:
+    parsed = urlparse(url)
+    if parsed.scheme.lower() not in ("http", "https") or not parsed.netloc:
+        return False
+    if any(c.isspace() for c in url):
+        return False
+    return "," not in url
+
+
+def find_urls(text: str) -> list[str]:
+    out: list[str] = []
+    for m in _ANY_URL.finditer(text or ""):
+        cand = m.group(0).rstrip(_TRAILING)
+        if _plausible(cand) and cand not in out:
+            out.append(cand)
+    return out
+
+
+def resolve_url(raw: str) -> str | None:
+    """Canonical fetchable URL for a 'Link' cell, or None when no valid
+    URL exists (the reference raises; a batch engine returns a null and
+    lets the caller filter — row-level skip semantics, SURVEY §4)."""
+    cleaned = (raw or "").strip().rstrip(_TRAILING)
+    if not cleaned:
+        return None
+    if "onlinelibrary.wiley.com/doi/full/" in cleaned:
+        cleaned = cleaned.replace("/doi/full/", "/doi/pdf/", 1)
+
+    ids = _ARXIV_ID.findall(cleaned)
+    if ids:
+        aid = ids[0]
+        candidate = f"https://arxiv.org/pdf/{aid}" if aid.lower().endswith(".pdf") else f"https://arxiv.org/pdf/{aid}.pdf"
+    elif _DIRECT_PDF.match(cleaned):
+        candidate = cleaned
+    else:
+        candidate = cleaned.splitlines()[0]
+
+    if candidate and _plausible(candidate):
+        return candidate
+    found = find_urls(cleaned)
+    return found[0] if found else None

@@ -1,0 +1,641 @@
+"""Query registry: each implemented operator as a callable over an sf_dir,
+with (where expressible) a matching ANSI-SQL oracle for DuckDB.
+
+This is the driver-facing correctness surface (see __ray_entry__.py):
+per query the driver runs the Ray pipeline AND the SQL on the same
+parquet tables and compares row count + schema + value hash.  Column
+names are kept identical on both sides.
+
+Float policy: aggregates whose evaluation order differs between engines
+(big sums/averages) are rounded on BOTH sides; arithmetic that is
+bit-identical by construction (same IEEE op sequence) is left raw.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.matching import build_country_index, select_country_id
+from ..functions.numeric import parse_numeric
+from ..functions.physics import DEFAULT_MFU, DEFAULT_PUE, derive_physics_arrays
+from ..functions.urls import resolve_url
+from ..state.broadcast import Broadcast
+from .tabular import (
+    SPLIT_THRESHOLDS,
+    broadcast_join,
+    broadcast_semi_filter,
+    dedup_exact_min,
+    grouped_aggregate,
+    hash_split_batch,
+    latest_per_key,
+    read_table,
+    read_table_arrow,
+)
+
+# ---------------------------------------------------------------------------
+# G4 — grouped aggregation with per-batch partial combining
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-shaped pricing summary (reference G4 stats pattern)."""
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def derive(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        disc = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return batch.append_column("l_discprice", disc)
+
+    ds = ds.filter(expr="l_quantity < 30").map_batches(derive, batch_format="pyarrow")
+    out = grouped_aggregate(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": ("sum", "l_quantity"),
+            "sum_base_price": ("sum", "l_extendedprice"),
+            "sum_disc_price": ("sum", "l_discprice"),
+            "avg_qty": ("mean", "l_quantity"),
+            "count_order": ("count", None),
+        },
+    )
+
+    def rounded(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_base_price"] = df["sum_base_price"].round(2)
+        df["sum_disc_price"] = df["sum_disc_price"].round(2)
+        df["avg_qty"] = df["avg_qty"].round(6)
+        return df
+
+    return out.map_batches(rounded, batch_format="pandas")
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity)                                  AS sum_qty,
+       round(sum(l_extendedprice), 2)                   AS sum_base_price,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6)                        AS avg_qty,
+       count(*)                                         AS count_order
+FROM lineitem WHERE l_quantity < 30
+GROUP BY l_returnflag, l_linestatus
+"""
+
+# ---------------------------------------------------------------------------
+# G1 — latest-per-group with deterministic tiebreak
+# ---------------------------------------------------------------------------
+
+
+def q_latest_event_per_user(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type", "value"])
+    return latest_per_key(ds, "user_id", ["ts", "event_id"], ["event_type", "value"])
+
+
+SQL_LATEST_EVENT = """
+SELECT user_id, ts, event_id, event_type, value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+# ---------------------------------------------------------------------------
+# J1 — broadcast dimension join + aggregate
+# ---------------------------------------------------------------------------
+
+
+def q_region_customer_stats(sf_dir: str):
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
+    nation = read_table_arrow(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"])
+    region = read_table_arrow(sf_dir, "region", columns=["r_regionkey", "r_name"])
+    dim = (
+        nation.to_pandas()
+        .merge(region.to_pandas(), left_on="n_regionkey", right_on="r_regionkey")[
+            ["n_nationkey", "r_name"]
+        ]
+        .rename(columns={"n_nationkey": "c_nationkey"})
+    )
+    joined = broadcast_join(cust, pa.Table.from_pandas(dim), on="c_nationkey")
+    out = grouped_aggregate(
+        joined,
+        ["r_name"],
+        {"n_customers": ("count", None), "avg_acctbal": ("mean", "c_acctbal"), "total_acctbal": ("sum", "c_acctbal")},
+    )
+
+    def rounded(df: pd.DataFrame) -> pd.DataFrame:
+        df["avg_acctbal"] = df["avg_acctbal"].round(4)
+        df["total_acctbal"] = df["total_acctbal"].round(2)
+        return df
+
+    return out.map_batches(rounded, batch_format="pandas")
+
+
+SQL_REGION_CUSTOMER = """
+SELECT r_name,
+       count(*)                   AS n_customers,
+       round(avg(c_acctbal), 4)   AS avg_acctbal,
+       round(sum(c_acctbal), 2)   AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+# ---------------------------------------------------------------------------
+# T3 — deterministic hash split (scale path of the seeded split)
+# ---------------------------------------------------------------------------
+
+
+def q_hash_split_counts(sf_dir: str):
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    ds = ds.map_batches(lambda t: hash_split_batch(t, "o_orderkey"), batch_format="pyarrow")
+    out = grouped_aggregate(
+        ds, ["split"], {"n_rows": ("count", None), "sum_price": ("sum", "o_totalprice")}
+    )
+
+    def rounded(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_price"] = df["sum_price"].round(2)
+        return df
+
+    return out.map_batches(rounded, batch_format="pandas")
+
+
+_T_TRAIN, _T_TEST = SPLIT_THRESHOLDS[0][1], SPLIT_THRESHOLDS[1][1]
+SQL_HASH_SPLIT = f"""
+SELECT CASE WHEN md5(cast(o_orderkey AS varchar)) < '{_T_TRAIN}' THEN 'train'
+            WHEN md5(cast(o_orderkey AS varchar)) < '{_T_TEST}' THEN 'test'
+            ELSE 'dev' END AS split,
+       count(*) AS n_rows,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# M13 — derived physics columns (vectorized; same IEEE op sequence as SQL)
+# ---------------------------------------------------------------------------
+
+
+def q_derived_physics(sf_dir: str):
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"],
+    )
+
+    def derive(batch: pa.Table) -> pa.Table:
+        lo = batch["l_orderkey"].to_numpy().astype(np.int64)
+        ln = batch["l_linenumber"].to_numpy().astype(np.int64)
+        lp = batch["l_partkey"].to_numpy().astype(np.int64)
+        ls = batch["l_suppkey"].to_numpy().astype(np.int64)
+        qty = batch["l_quantity"].to_numpy().astype(np.float64)
+        price = batch["l_extendedprice"].to_numpy().astype(np.float64)
+
+        tc = price * 1e15
+        hc = np.where(lp % 5 == 0, np.nan, (lp % 7 + 1) * 10.0)
+        hn = np.where(ls % 3 == 0, np.nan, (ls % 8 + 1).astype(np.float64))
+        tth = np.where(ln % 4 == 0, qty * 10.0, np.nan)
+        pdraw = np.where(lo % 10 < 3, price / 50.0, np.nan)
+        hp = np.where(lp % 2 == 0, 0.3, np.nan)
+        co2 = np.full_like(tc, np.nan)
+        gco2 = ((ls % 5) * 100).astype(np.float64)
+
+        out = derive_physics_arrays(tc, hc, hn, tth, pdraw, hp, co2, gco2, pue=DEFAULT_PUE, mfu=DEFAULT_MFU)
+        return pa.Table.from_arrays(
+            [
+                pa.array(lo),
+                pa.array(ln.astype(np.int32)),
+                pa.array(out["training_time_hours"]),
+                pa.array(out["energy_kwh"]),
+                pa.array(out["co2eq"]),
+            ],
+            names=["l_orderkey", "l_linenumber", "training_time_hours", "energy_kwh", "co2eq"],
+        )
+
+    return ds.map_batches(derive, batch_format="pyarrow")
+
+
+SQL_PHYSICS = f"""
+WITH inputs AS (
+  SELECT l_orderkey, l_linenumber,
+         l_extendedprice * 1e15 AS tc,
+         CASE WHEN l_partkey % 5 = 0 THEN NULL ELSE (l_partkey % 7 + 1) * 10.0 END AS hc,
+         CASE WHEN l_suppkey % 3 = 0 THEN NULL ELSE CAST(l_suppkey % 8 + 1 AS DOUBLE) END AS hn,
+         CASE WHEN l_linenumber % 4 = 0 THEN l_quantity * 10.0 ELSE NULL END AS tth0,
+         CASE WHEN l_orderkey % 10 < 3 THEN l_extendedprice / 50.0 ELSE NULL END AS pdraw,
+         CASE WHEN l_partkey % 2 = 0 THEN 0.3 ELSE NULL END AS hp,
+         CAST((l_suppkey % 5) * 100 AS DOUBLE) AS gco2
+  FROM lineitem
+), hours AS (
+  SELECT *,
+         CASE WHEN tth0 IS NULL AND tc IS NOT NULL AND tc > 0
+                   AND hc IS NOT NULL AND hc > 0 AND hn IS NOT NULL AND hn > 0
+                   AND (hn * hc * 1e12 * {DEFAULT_MFU}) > 0
+              THEN tc / (hn * hc * 1e12 * {DEFAULT_MFU}) / 3600.0
+              ELSE tth0 END AS tth
+  FROM inputs
+), energy AS (
+  SELECT *,
+         CASE WHEN tth IS NOT NULL AND tth > 0 AND pdraw IS NOT NULL AND pdraw > 0
+              THEN (pdraw / 1000.0) * tth * {DEFAULT_PUE}
+              WHEN tth IS NOT NULL AND tth > 0 AND (pdraw IS NULL OR pdraw <= 0)
+                   AND hp IS NOT NULL AND hp > 0 AND hn IS NOT NULL AND hn > 0
+              THEN (hp * hn) * tth * {DEFAULT_PUE}
+              ELSE NULL END AS energy_kwh
+  FROM hours
+)
+SELECT l_orderkey, l_linenumber,
+       tth AS training_time_hours,
+       energy_kwh,
+       CASE WHEN energy_kwh IS NOT NULL AND gco2 IS NOT NULL AND gco2 >= 0
+            THEN energy_kwh * (gco2 / 1000.0) ELSE NULL END AS co2eq
+FROM energy
+"""
+
+# ---------------------------------------------------------------------------
+# S2 — URL resolution
+# ---------------------------------------------------------------------------
+
+
+def q_url_resolve(sf_dir: str):
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey"])
+
+    def resolve(batch: pa.Table) -> pa.Table:
+        keys = batch["o_orderkey"].to_numpy()
+        links = [f"see https://arxiv.org/abs/2101.{k % 100000:05d} (mirror)" for k in keys]
+        resolved = [resolve_url(link) for link in links]
+        return pa.Table.from_arrays(
+            [pa.array(keys), pa.array(resolved, type=pa.string())],
+            names=["o_orderkey", "resolved_url"],
+        )
+
+    return ds.map_batches(resolve, batch_format="pyarrow")
+
+
+SQL_URL = """
+SELECT o_orderkey,
+       'https://arxiv.org/pdf/2101.' || lpad(cast(o_orderkey % 100000 AS varchar), 5, '0') || '.pdf' AS resolved_url
+FROM orders
+"""
+
+# ---------------------------------------------------------------------------
+# G2 — exact dedupe (hash-partitioned, per-batch combine)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_prefix(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def key(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.append_column("text_key", pc.utf8_slice_codeunits(batch["text"], 0, 20)).select(
+            ["text_key", "doc_id"]
+        )
+
+    return dedup_exact_min(ds.map_batches(key, batch_format="pyarrow"), "text_key", "doc_id")
+
+
+SQL_DEDUP = """
+SELECT substr(text, 1, 20) AS text_key, min(doc_id) AS doc_id
+FROM documents GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# text analysis — token counting (vectorized)
+# ---------------------------------------------------------------------------
+
+
+def q_token_stats(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        toks = pc.count_substring_regex(batch["text"], r"\S+")
+        chars = pc.utf8_length(batch["text"])
+        return pa.Table.from_arrays(
+            [batch["doc_id"], pc.cast(toks, pa.int64()), pc.cast(chars, pa.int64())],
+            names=["doc_id", "n_tokens", "n_chars"],
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+SQL_TOKENS = """
+SELECT doc_id,
+       CAST(coalesce(array_length(regexp_extract_all(text, '\\S+')), 0) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# windowed aggregate — tumbling 1h windows per user over the event log
+# ---------------------------------------------------------------------------
+
+
+def q_event_windows(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df["window_start"] = df["ts"].dt.floor("h")
+        return df[["user_id", "window_start", "value"]]
+
+    ds = ds.map_batches(bucket, batch_format="pandas")
+    out = grouped_aggregate(
+        ds,
+        ["user_id", "window_start"],
+        {"n_events": ("count", None), "sum_value": ("sum", "value"), "max_value": ("max", "value")},
+    )
+
+    def rounded(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_value"] = df["sum_value"].round(2)
+        return df
+
+    return out.map_batches(rounded, batch_format="pandas")
+
+
+SQL_WINDOWS = """
+SELECT user_id, date_trunc('hour', ts) AS window_start,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       max(value) AS max_value
+FROM events GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# T2 — top-k with per-batch prefilter
+# ---------------------------------------------------------------------------
+
+
+def q_top_orders(sf_dir: str):
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    k = 10
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(k)
+
+    return (
+        ds.map_batches(local, batch_format="pandas")
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(k)
+    )
+
+
+SQL_TOP_ORDERS = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+# ---------------------------------------------------------------------------
+# J2 — anti-join against a broadcast done-set
+# ---------------------------------------------------------------------------
+
+
+def q_anti_join_resume(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+    done = [i for i in range(100_000) if i % 7 == 0]
+    return broadcast_semi_filter(ds, done, "doc_id", anti=True)
+
+
+SQL_ANTI_JOIN = """
+SELECT doc_id, lang FROM documents WHERE doc_id % 7 <> 0
+"""
+
+# ---------------------------------------------------------------------------
+# similarity search — brute-force cosine top-k against a broadcast query
+# ---------------------------------------------------------------------------
+
+
+def q_knn_cosine(sf_dir: str):
+    import pyarrow.parquet as pq
+    import os
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qvec = (
+        pq.read_table(emb_path, columns=["vec_id", "embedding"])
+        .filter(pa.compute.equal(pa.compute.field("vec_id"), 0))["embedding"][0]
+        .as_py()
+    )
+    q = np.asarray(qvec, dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    handle = Broadcast(qn)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    k = 10
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        qv = handle.get()
+        ids = batch["vec_id"].to_numpy()
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in batch["embedding"].to_pylist()])
+        norms = np.linalg.norm(mat, axis=1)
+        sims = (mat @ qv) / norms
+        df = pd.DataFrame({"vec_id": ids, "cos_sim": sims})
+        df = df[df["vec_id"] != 0]
+        return df.nlargest(k, "cos_sim")
+
+    top = (
+        ds.map_batches(score, batch_format="pyarrow")
+        .sort(["cos_sim", "vec_id"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    return top[["vec_id", "rank"]]
+
+
+SQL_KNN = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+         list_cosine_similarity(embedding, (SELECT qe FROM q)) AS cos_sim
+  FROM embeddings WHERE vec_id <> 0
+)
+SELECT vec_id, CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+# ---------------------------------------------------------------------------
+# M11 — dimension-frame prep (project/rename/coerce/dedupe/clip)
+# ---------------------------------------------------------------------------
+
+
+def q_hardware_prep(sf_dir: str):
+    ds = read_table(sf_dir, "part", columns=["p_partkey", "p_name", "p_retailprice", "p_size"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "p_partkey": df["p_partkey"],
+                "hardware": df["p_name"].astype(str).str.strip(),
+                "compute": pd.to_numeric(df["p_retailprice"], errors="coerce").clip(lower=0),
+                "power": (pd.to_numeric(df["p_size"], errors="coerce") * 1e-3).clip(lower=0),
+            }
+        )
+        out = out[out["hardware"] != ""].dropna(subset=["hardware"])
+        return out.sort_values("p_partkey").groupby("hardware", as_index=False, sort=False).head(1)
+
+    local = ds.map_batches(prep, batch_format="pandas")
+    # global keep-min-key per name (distributed dedupe, same rule)
+    return latest_per_key(
+        local.map_batches(
+            lambda df: df.assign(neg_key=-df["p_partkey"]), batch_format="pandas"
+        ),
+        "hardware",
+        ["neg_key"],
+        ["compute", "power"],
+    ).map_batches(
+        lambda df: df[["hardware", "compute", "power"]], batch_format="pandas"
+    )
+
+
+SQL_HARDWARE_PREP = """
+SELECT hardware, compute, power FROM (
+  SELECT trim(p_name) AS hardware,
+         greatest(p_retailprice, 0) AS compute,
+         greatest(p_size * 1e-3, 0) AS power,
+         row_number() OVER (PARTITION BY trim(p_name) ORDER BY p_partkey) AS rn
+  FROM part WHERE trim(p_name) <> ''
+) WHERE rn = 1
+"""
+
+# ---------------------------------------------------------------------------
+# M6 — numeric-with-suffix parsing
+# ---------------------------------------------------------------------------
+
+
+def q_numeric_suffix(sf_dir: str):
+    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        qty = batch["l_quantity"].to_numpy()
+        ln = batch["l_linenumber"].to_numpy()
+        suffix = np.where(ln % 3 == 0, "k", np.where(ln % 3 == 1, "m", ""))
+        parsed = [parse_numeric(f"{q}{s}") for q, s in zip(qty, suffix)]
+        return pa.Table.from_arrays(
+            [batch["l_orderkey"], batch["l_linenumber"], pa.array(parsed, type=pa.float64())],
+            names=["l_orderkey", "l_linenumber", "parsed"],
+        )
+
+    return ds.map_batches(parse, batch_format="pyarrow")
+
+
+SQL_SUFFIX = """
+SELECT l_orderkey, l_linenumber,
+       CASE l_linenumber % 3 WHEN 0 THEN l_quantity * 1000.0
+                             WHEN 1 THEN l_quantity * 1000000.0
+                             ELSE l_quantity END AS parsed
+FROM lineitem
+"""
+
+# ---------------------------------------------------------------------------
+# M10 — rename / pad-missing / project
+# ---------------------------------------------------------------------------
+
+
+def q_project_rename(sf_dir: str):
+    ds = read_table(sf_dir, "part", columns=["p_partkey", "p_name", "p_brand"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.Table.from_arrays(
+            [
+                batch["p_partkey"],
+                batch["p_name"],
+                batch["p_brand"],
+                pa.nulls(n, type=pa.string()),
+            ],
+            names=["id_part", "name", "brand", "architecture"],
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+SQL_PROJECT = """
+SELECT p_partkey AS id_part, p_name AS name, p_brand AS brand,
+       CAST(NULL AS VARCHAR) AS architecture
+FROM part
+"""
+
+# ---------------------------------------------------------------------------
+# J3 — fuzzy broadcast country lookup (containment path; JW path is
+# covered by unit goldens since SQL cannot express Jaro-Winkler)
+# ---------------------------------------------------------------------------
+
+
+def q_fuzzy_country(sf_dir: str):
+    nation = read_table_arrow(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    order = pa.compute.sort_indices(nation, sort_keys=[("n_nationkey", "ascending")])
+    nation = nation.take(order)
+    countries = build_country_index(
+        nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()
+    )
+    handle = Broadcast(countries)
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    dim = nation.rename_columns(["c_nationkey", "n_name"])
+    joined = broadcast_join(cust, dim, on="c_nationkey")
+
+    def match(df: pd.DataFrame) -> pd.DataFrame:
+        idx = handle.get()
+        cells = "Unspecified / " + df["n_name"].astype(str)
+        df["id_country"] = [select_country_id(cell, idx) for cell in cells]
+        return df[["c_custkey", "id_country"]]
+
+    return joined.map_batches(match, batch_format="pandas")
+
+
+#: Encodes the reference's containment-first-match quirk: "nation 1" is a
+#: substring of "nation 15", and the argmin updates only on strictly
+#: smaller distance, so the first catalog entry with distance 0 wins
+#: (paper_information_table.py:540-546) — NATION_10..19 → 1, 20..24 → 2.
+SQL_FUZZY_COUNTRY = """
+SELECT c_custkey,
+       CAST(CASE WHEN c_nationkey >= 20 THEN 2
+                 WHEN c_nationkey >= 10 THEN 1
+                 ELSE c_nationkey END AS BIGINT) AS id_country
+FROM customer
+"""
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "latest_event_per_user": q_latest_event_per_user,
+    "region_customer_stats": q_region_customer_stats,
+    "hash_split_counts": q_hash_split_counts,
+    "derived_physics": q_derived_physics,
+    "url_resolve": q_url_resolve,
+    "dedup_exact_prefix": q_dedup_prefix,
+    "token_stats": q_token_stats,
+    "event_windows": q_event_windows,
+    "top_orders": q_top_orders,
+    "anti_join_resume": q_anti_join_resume,
+    "knn_cosine": q_knn_cosine,
+    "hardware_prep": q_hardware_prep,
+    "numeric_suffix": q_numeric_suffix,
+    "project_rename": q_project_rename,
+    "fuzzy_country": q_fuzzy_country,
+}
+
+ORACLE_SQL = {
+    "pricing_summary": SQL_PRICING,
+    "latest_event_per_user": SQL_LATEST_EVENT,
+    "region_customer_stats": SQL_REGION_CUSTOMER,
+    "hash_split_counts": SQL_HASH_SPLIT,
+    "derived_physics": SQL_PHYSICS,
+    "url_resolve": SQL_URL,
+    "dedup_exact_prefix": SQL_DEDUP,
+    "token_stats": SQL_TOKENS,
+    "event_windows": SQL_WINDOWS,
+    "top_orders": SQL_TOP_ORDERS,
+    "anti_join_resume": SQL_ANTI_JOIN,
+    "knn_cosine": SQL_KNN,
+    "hardware_prep": SQL_HARDWARE_PREP,
+    "numeric_suffix": SQL_SUFFIX,
+    "project_rename": SQL_PROJECT,
+    "fuzzy_country": SQL_FUZZY_COUNTRY,
+}

@@ -1,0 +1,240 @@
+"""Composable tabular operators (SURVEY §2 inventory), Ray-Data-first.
+
+Every wide operation here follows the scale rules from SURVEY §4/§7:
+- aggregations pre-combine inside ``map_batches`` (one row per key per
+  batch) before the global ``groupby`` — the shuffle moves partials, not
+  rows;
+- small dimension sides broadcast via :class:`~..state.broadcast.Broadcast`
+  (``ray.put`` once) and join as per-batch pandas merges — no shuffle;
+- top-k prefilters per batch before the global sort;
+- splits are deterministic hash-threshold assignments (the scale-path
+  equivalent of the reference's seeded shuffle+slice,
+  /root/reference/tables/other/split.py:20-47 — see ``seeded_split``
+  in functions for the exact pandas-parity variant).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..state.broadcast import Broadcast
+
+# ---------------------------------------------------------------------------
+# sources
+# ---------------------------------------------------------------------------
+
+
+def read_table(sf_dir: str, name: str, columns: list[str] | None = None):
+    """Read one testdata table, pruning columns at the read."""
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+
+
+def read_table_arrow(sf_dir: str, name: str, columns: list[str] | None = None) -> pa.Table:
+    """Driver-side read of a SMALL dimension table (for broadcasting)."""
+    import pyarrow.parquet as pq
+
+    return pq.read_table(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# grouped aggregation with per-batch partials (G4 pattern)
+# ---------------------------------------------------------------------------
+
+_PARTIALIZABLE = {"sum", "count", "min", "max"}
+
+
+def grouped_aggregate(ds, keys: list[str], specs: dict[str, tuple[str, str | None]]):
+    """groupby(keys) with partial per-batch combining.
+
+    ``specs`` maps output column → (op, input column); op ∈ {sum, count,
+    min, max, mean}.  ``mean`` is computed as sum/count at finalize.
+    Returns a Dataset with columns keys + list(specs).
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    partial_specs: dict[str, tuple[str, str]] = {}  # partial col -> (op, src)
+    for out, (op, src) in specs.items():
+        if op == "mean":
+            partial_specs[f"__sum_{src}"] = ("sum", src)
+            partial_specs["__cnt"] = ("count", keys[0])
+        elif op == "count":
+            partial_specs["__cnt"] = ("count", keys[0])
+        elif op in _PARTIALIZABLE:
+            partial_specs[f"__{op}_{src}"] = (op, src)
+        else:
+            raise ValueError(f"unsupported op {op!r}")
+
+    def combine(batch: pa.Table) -> pa.Table:
+        aggs = []
+        for pcol, (op, src) in partial_specs.items():
+            aggs.append((src, op))
+        grouped = pa.TableGroupBy(batch, keys).aggregate(aggs)
+        renames = {f"{src}_{op}": pcol for pcol, (op, src) in partial_specs.items()}
+        cols = [renames.get(c, c) for c in grouped.column_names]
+        return grouped.rename_columns(cols)
+
+    partials = ds.map_batches(combine, batch_format="pyarrow")
+
+    final_aggs = []
+    for pcol, (op, _src) in partial_specs.items():
+        if op in ("sum", "count"):
+            final_aggs.append(Sum(pcol, alias_name=pcol))
+        elif op == "min":
+            final_aggs.append(Min(pcol, alias_name=pcol))
+        elif op == "max":
+            final_aggs.append(Max(pcol, alias_name=pcol))
+    merged = partials.groupby(keys).aggregate(*final_aggs)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        out_cols: dict[str, pa.Array] = {k: batch[k] for k in keys}
+        for out, (op, src) in specs.items():
+            if op == "mean":
+                s = batch[f"__sum_{src}"].to_numpy(zero_copy_only=False).astype(np.float64)
+                c = batch["__cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+                out_cols[out] = pa.array(s / c)
+            elif op == "count":
+                out_cols[out] = batch["__cnt"]
+            else:
+                out_cols[out] = batch[f"__{op}_{src}"]
+        return pa.Table.from_arrays(list(out_cols.values()), names=list(out_cols.keys()))
+
+    return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# latest-per-group (G1) with per-batch combining
+# ---------------------------------------------------------------------------
+
+
+def latest_per_key(ds, key: str, order_by: list[str], payload: list[str]):
+    """Per key, the row with the lexicographically greatest ``order_by``
+    tuple (reference G1 idxmax semantics with a deterministic tiebreak,
+    /root/reference/tables/country_table.py:61-74)."""
+
+    cols = [key, *order_by, *[c for c in payload if c not in order_by]]
+
+    def local_best(df: pd.DataFrame) -> pd.DataFrame:
+        idx = df.sort_values([key, *order_by]).groupby(key, sort=False).tail(1).index
+        return df.loc[idx, cols]
+
+    partials = ds.map_batches(local_best, batch_format="pandas")
+    return partials.groupby(key).map_groups(local_best, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# broadcast hash join (J1/J3/J4 equi-join flavor)
+# ---------------------------------------------------------------------------
+
+
+def broadcast_join(ds, dim: pa.Table, on: str, *, how: str = "inner"):
+    """Join a big Dataset against a small broadcast dimension table."""
+    handle = Broadcast(dim.to_pandas())
+
+    def join(df: pd.DataFrame) -> pd.DataFrame:
+        return df.merge(handle.get(), on=on, how=how)
+
+    return ds.map_batches(join, batch_format="pandas")
+
+
+def broadcast_semi_filter(ds, keys, column: str, *, anti: bool = False):
+    """Semi/anti join against a broadcast key set (reference J2 resume
+    anti-join, /root/reference/tables/paper_text_table.py:108-110)."""
+    handle = Broadcast(frozenset(keys))
+
+    def flt(batch: pa.Table) -> pa.Table:
+        keyset = handle.get()
+        vals = batch[column].to_numpy(zero_copy_only=False)
+        mask = np.fromiter((v in keyset for v in vals), dtype=bool, count=len(vals))
+        if anti:
+            mask = ~mask
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(flt, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# deterministic hash split (T3, scale path)
+# ---------------------------------------------------------------------------
+
+#: lexicographic md5-hex thresholds ≈ 0.8 / 0.1 / 0.1 — identical logic is
+#: expressible in ANSI SQL (md5(cast(key as varchar)) < 'cc…'), making the
+#: split oracle-checkable; exact pandas-parity seeded splits for small
+#: frames live in ``seeded_split`` below.
+SPLIT_THRESHOLDS = (("train", "cc" * 16), ("test", "e6" * 16))
+
+
+def _md5_hex(value: str) -> str:
+    return hashlib.md5(value.encode("utf-8")).hexdigest()
+
+
+def hash_split_batch(batch: pa.Table, key: str) -> pa.Table:
+    """Append a ``split`` column via md5-threshold assignment."""
+    vals = batch[key].to_numpy(zero_copy_only=False)
+    out = []
+    for v in vals:
+        h = _md5_hex(str(v))
+        for name, thr in SPLIT_THRESHOLDS:
+            if h < thr:
+                out.append(name)
+                break
+        else:
+            out.append("dev")
+    return batch.append_column("split", pa.array(out, type=pa.string()))
+
+
+def seeded_split(df: pd.DataFrame, train: float, test: float, dev: float, *, random_state: int = 42) -> dict[str, pd.DataFrame]:
+    """Exact pandas-parity seeded shuffle + ratio slice (reference T3,
+    /root/reference/tables/other/split.py:20-47): driver-side, for the
+    small catalog frames the reference applies it to."""
+    import math
+
+    if any(r < 0 for r in (train, test, dev)):
+        raise ValueError("ratios must be non-negative")
+    if not math.isclose(train + test + dev, 1.0, rel_tol=1e-6, abs_tol=1e-6):
+        raise ValueError("ratios must sum to 1.0")
+    shuffled = df.sample(frac=1.0, random_state=random_state).reset_index(drop=True)
+    n = len(shuffled)
+    t_end = int(n * train)
+    s_end = t_end + int(n * test)
+    return {
+        "train": shuffled.iloc[:t_end],
+        "test": shuffled.iloc[t_end:s_end],
+        "dev": shuffled.iloc[s_end:],
+    }
+
+
+# ---------------------------------------------------------------------------
+# exact dedupe (G2) and top-k (T2)
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact_min(ds, subset: str, id_col: str):
+    """Exact dedupe on ``subset``, keeping the row with the minimal id.
+
+    Per-batch combine first (one candidate per key per batch), then a
+    small global groupby-min — reference G2 with deterministic keep rule
+    (/root/reference/tables/hardware_table.py:78 keeps first occurrence;
+    a distributed engine needs an order-free rule, so min-id)."""
+    from ray.data.aggregate import Min
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(subset, as_index=False, sort=False)[[id_col]].min()
+
+    partials = ds.map_batches(local, batch_format="pandas")
+    return partials.groupby(subset).aggregate(Min(id_col, alias_name=id_col))
+
+
+def topk(ds, col: str, k: int, *, descending: bool = True):
+    """Global top-k with per-batch prefilter before the sort."""
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        return df.nlargest(k, col) if descending else df.nsmallest(k, col)
+
+    return ds.map_batches(local, batch_format="pandas").sort(col, descending=descending).limit(k)
