@@ -599,6 +599,212 @@ FROM customer
 """
 
 # ---------------------------------------------------------------------------
+# text analysis stages (BPE-ish token counting oracled; langid/quality are
+# heuristic and covered by pytest goldens → rows-only)
+# ---------------------------------------------------------------------------
+
+
+def q_token_bpe(sf_dir: str):
+    from ..stages.text_stats import token_count_batch
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(token_count_batch, batch_format="pyarrow")
+
+
+SQL_TOKEN_BPE = r"""
+SELECT doc_id,
+       CAST(coalesce(array_length(regexp_extract_all(text, '\S+')), 0) AS BIGINT) AS n_tokens_ws,
+       CAST(coalesce(array_length(regexp_extract_all(text, '\w+|[^\w\s]')), 0) AS BIGINT) AS n_tokens_bpe
+FROM documents
+"""
+
+
+def q_content_fingerprint(sf_dir: str):
+    from ..stages.text_stats import content_fingerprint_batch
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(content_fingerprint_batch, batch_format="pyarrow")
+
+
+SQL_FINGERPRINT = r"""
+SELECT doc_id,
+       md5(lower(regexp_replace(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+def q_lang_id(sf_dir: str):
+    from ..stages.text_stats import LangIdStage
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(LangIdStage, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def q_quality_score(sf_dir: str):
+    from ..stages.text_stats import quality_batch
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(quality_batch, batch_format="pyarrow")
+
+
+def q_winnow_fingerprints(sf_dir: str):
+    from ..stages.text_stats import winnow_batch
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(winnow_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# near-dup dedupe over a corpus with injected near-duplicates
+# (deterministic mutation: copies at doc_id+1_000_000 drop the last 2 words)
+# ---------------------------------------------------------------------------
+
+
+def _with_injected_dupes(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def mutate(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        texts = [" ".join((t or "").split()[:-2]) for t in batch["text"].to_pylist()]
+        return pa.Table.from_arrays(
+            [pa.array(ids + 1_000_000), pa.array(texts, type=pa.string())],
+            names=["doc_id", "text"],
+        )
+
+    return ds.union(ds.map_batches(mutate, batch_format="pyarrow"))
+
+
+def q_minhash_dedup(sf_dir: str):
+    """MinHash-LSH near-dup pairs + exact n-gram-Jaccard verification.
+
+    Verification joins candidate ids back to texts via a broadcast dict
+    (the corpus here is small); at 100 TB the verify stage becomes a
+    hash-partitioned join on id instead.
+    """
+    from ..stages.dedup import exact_jaccard, minhash_dup_pairs
+
+    corpus = _with_injected_dupes(sf_dir)
+    pairs = minhash_dup_pairs(corpus, threshold=0.5)
+
+    texts: dict[int, str] = {}
+    import pyarrow.parquet as pq
+    import os
+
+    base = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    for i, t in zip(base["doc_id"].to_pylist(), base["text"].to_pylist()):
+        texts[i] = t
+        texts[i + 1_000_000] = " ".join((t or "").split()[:-2])
+    handle = Broadcast(texts)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        lookup = handle.get()
+        df["exact_jaccard"] = [
+            round(exact_jaccard(lookup[a], lookup[b]), 6)
+            for a, b in zip(df["id_a"], df["id_b"])
+        ]
+        df["est_jaccard"] = df["est_jaccard"].round(6)
+        return df
+
+    return pairs.map_batches(verify, batch_format="pandas")
+
+
+def q_simhash_pairs(sf_dir: str):
+    from ..stages.dedup import simhash_dup_pairs
+
+    return simhash_dup_pairs(_with_injected_dupes(sf_dir), max_hamming=3)
+
+
+def q_simhash_values(sf_dir: str):
+    from ..stages.dedup import simhash_batch
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(simhash_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup pairs (cosine ≥ 0.35) — oracled via duckdb
+# list_cosine_similarity; the fixed testdata keeps every similarity
+# ≥1.2e-6 away from the threshold, far above the engines' 1e-7 float32
+# divergence (verified across sf0.001/0.01/0.1)
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_dup_pairs(sf_dir: str):
+    import os
+    import pyarrow.parquet as pq
+
+    from ..stages.dedup import embedding_dup_pairs
+
+    all_t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in all_t["embedding"].to_pylist()])
+    ids = np.asarray(all_t["vec_id"].to_pylist())
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    pairs = embedding_dup_pairs(ds, mat, ids, threshold=0.35)
+    return pairs.map_batches(lambda df: df[["id_a", "id_b"]], batch_format="pandas")
+
+
+SQL_EMB_DUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+"""
+
+# ---------------------------------------------------------------------------
+# similarity search: LSH-bucketed ANN (recall measured in pytest vs the
+# brute-force baseline, which is oracled as knn_cosine above)
+# ---------------------------------------------------------------------------
+
+
+def q_knn_lsh(sf_dir: str):
+    import os
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import knn_lsh
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    qmask = pa.compute.less(emb["vec_id"], 5)
+    qt = emb.filter(qmask)
+    queries = np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()])
+    qids = np.asarray(qt["vec_id"].to_pylist())
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = knn_lsh(ds, queries, qids, k=10, planes=8, probe_radius=1)
+    return out.map_batches(lambda df: df[["query_id", "vec_id", "rank"]], batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (decode stubs; Ray-side schema/actor wiring is real)
+# ---------------------------------------------------------------------------
+
+
+def q_media_decode(sf_dir: str):
+    from ..stages.multimodal import ImageDecodeStage, synth_media_table
+
+    import ray.data as rd
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        refs = [f"img://doc/{i}" for i in batch["doc_id"].to_pylist()]
+        return synth_media_table(refs, "image")
+
+    media = docs.map_batches(to_media, batch_format="pyarrow")
+    return media.map_batches(ImageDecodeStage, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def q_media_frames(sf_dir: str):
+    from ..stages.multimodal import FrameSampleStage, synth_media_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        refs = [f"vid://doc/{i}" for i in batch["doc_id"].to_pylist()]
+        return synth_media_table(refs, "video")
+
+    media = docs.map_batches(to_media, batch_format="pyarrow")
+    return media.map_batches(FrameSampleStage, batch_format="pyarrow", concurrency=(1, 4))
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -619,6 +825,18 @@ QUERIES = {
     "numeric_suffix": q_numeric_suffix,
     "project_rename": q_project_rename,
     "fuzzy_country": q_fuzzy_country,
+    "token_bpe": q_token_bpe,
+    "content_fingerprint": q_content_fingerprint,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "minhash_dedup": q_minhash_dedup,
+    "simhash_pairs": q_simhash_pairs,
+    "simhash_values": q_simhash_values,
+    "embedding_dup_pairs": q_embedding_dup_pairs,
+    "knn_lsh": q_knn_lsh,
+    "media_decode": q_media_decode,
+    "media_frames": q_media_frames,
 }
 
 ORACLE_SQL = {
@@ -638,4 +856,10 @@ ORACLE_SQL = {
     "numeric_suffix": SQL_SUFFIX,
     "project_rename": SQL_PROJECT,
     "fuzzy_country": SQL_FUZZY_COUNTRY,
+    "token_bpe": SQL_TOKEN_BPE,
+    "content_fingerprint": SQL_FINGERPRINT,
+    "embedding_dup_pairs": SQL_EMB_DUP,
+    # lang_id / quality_score / winnow / minhash / simhash / knn_lsh /
+    # media_* are not SQL-expressible → rows-only driver check; pytest
+    # goldens + recall properties cover their semantics.
 }

@@ -1,0 +1,176 @@
+"""Similarity search over embedding columns (``list<float>``).
+
+Two paths:
+
+- **Brute-force cosine top-k** (the exactness baseline): normalize the
+  query matrix once, broadcast it (``ray.put``), and run one float64
+  matmul per batch inside ``map_batches``; per-batch top-k prefilter,
+  then a tiny global sort+limit.  Linear in corpus size, embarrassingly
+  parallel — the right default until the corpus no longer streams.
+- **LSH-bucketed ANN** (the scale path): random-hyperplane signatures
+  bucket vectors via ``groupby(bucket)``; queries probe their own bucket
+  plus all buckets within Hamming distance ``probe_radius``.  Recall is
+  tunable (planes/radius); the property test measures recall against the
+  brute-force baseline.
+
+Both paths are deterministic (seeded hyperplanes, stable tiebreak on id).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..state.broadcast import Broadcast
+
+
+def _as_matrix(column: "pa.ChunkedArray | pa.Array") -> np.ndarray:
+    """list<float> column → (n, d) float64 matrix without per-row Python."""
+    if isinstance(column, pa.ChunkedArray):
+        column = column.combine_chunks()
+    values = np.asarray(column.values, dtype=np.float64)
+    offsets = np.asarray(column.offsets)
+    widths = np.diff(offsets)
+    if len(widths) == 0:
+        return np.zeros((0, 0))
+    d = int(widths[0])
+    if not (widths == d).all():
+        raise ValueError("ragged embedding column")
+    return values[offsets[0] : offsets[-1]].reshape(-1, d)
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    return mat / np.where(norms == 0, 1, norms)
+
+
+def knn_brute_force(ds, queries: np.ndarray, query_ids: np.ndarray, *, k: int = 10,
+                    id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Top-k cosine neighbors for each query vector.
+
+    Returns Dataset(query_id, vec_id, cos_sim) with k rows per query
+    (before the final global reduce).  The query matrix is broadcast
+    once; each batch computes (batch × queries) similarities vectorized.
+    """
+    qmat = _normalize(np.asarray(queries, dtype=np.float64))
+    handle = Broadcast((qmat, np.asarray(query_ids)))
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        qm, qids = handle.get()
+        ids = batch[id_col].to_numpy()
+        mat = _normalize(_as_matrix(batch[vec_col]))
+        sims = mat @ qm.T  # (n, q)
+        frames = []
+        for qi in range(qm.shape[0]):
+            col = sims[:, qi]
+            take = min(k, len(col))
+            idx = np.argpartition(-col, take - 1)[:take] if take else np.array([], dtype=int)
+            frames.append(
+                pd.DataFrame({"query_id": qids[qi], "vec_id": ids[idx], "cos_sim": col[idx]})
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+
+    def per_query_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["cos_sim", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return scored.groupby("query_id").map_groups(per_query_topk, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(d: int, planes: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((planes, d))
+
+
+def _bucket_of(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (mat @ planes.T) > 0  # (n, p)
+    weights = (1 << np.arange(planes.shape[0])).astype(np.int64)
+    return bits.astype(np.int64) @ weights
+
+
+def _neighbors_within(bucket: int, planes: int, radius: int) -> list[int]:
+    out = [bucket]
+    if radius >= 1:
+        out += [bucket ^ (1 << i) for i in range(planes)]
+    if radius >= 2:
+        out += [
+            bucket ^ (1 << i) ^ (1 << j)
+            for i in range(planes)
+            for j in range(i + 1, planes)
+        ]
+    return out
+
+
+def knn_lsh(ds, queries: np.ndarray, query_ids: np.ndarray, *, k: int = 10, planes: int = 8,
+            tables: int = 8, probe_radius: int = 1, seed: int = 11,
+            id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Approximate top-k via multi-table random-hyperplane buckets.
+
+    ``tables`` independent hash tables of ``planes`` hyperplanes each
+    (the standard recall amplifier: a true neighbor is recovered if ANY
+    table collides); each query probes its bucket plus Hamming-``probe_radius``
+    neighbors per table.  Candidate work stays sublinear in corpus size;
+    recall vs the brute-force baseline is measured by the property test.
+    """
+    d = int(np.asarray(queries).shape[1])
+    hps = [_hyperplanes(d, planes, seed + 1000 * t) for t in range(tables)]
+    qmat = _normalize(np.asarray(queries, dtype=np.float64))
+    probed: list[dict[int, list[int]]] = []
+    for hp in hps:
+        qb = _bucket_of(qmat, hp)
+        table_map: dict[int, list[int]] = {}
+        for qi, b in enumerate(qb):
+            for nb in _neighbors_within(int(b), planes, probe_radius):
+                table_map.setdefault(nb, []).append(qi)
+        probed.append(table_map)
+    handle = Broadcast((hps, qmat, np.asarray(query_ids), probed))
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        hps_m, qm, qids, probe_maps = handle.get()
+        ids = batch[id_col].to_numpy()
+        mat = _normalize(_as_matrix(batch[vec_col]))
+        # union of candidates across tables, then one matmul per query set
+        cand_for_query: dict[int, set[int]] = {}
+        for hp, probe_map in zip(hps_m, probe_maps):
+            buckets = _bucket_of(mat, hp)
+            for b in np.unique(buckets):
+                qlist = probe_map.get(int(b))
+                if not qlist:
+                    continue
+                rows = np.nonzero(buckets == b)[0]
+                for qi in qlist:
+                    cand_for_query.setdefault(qi, set()).update(rows.tolist())
+        frames = []
+        for qi, rows in cand_for_query.items():
+            sel = np.fromiter(rows, dtype=int, count=len(rows))
+            col = mat[sel] @ qm[qi]
+            take = min(k, len(col))
+            idx = np.argpartition(-col, take - 1)[:take] if take else np.array([], dtype=int)
+            frames.append(
+                pd.DataFrame({"query_id": qids[qi], "vec_id": ids[sel[idx]], "cos_sim": col[idx]})
+            )
+        if not frames:
+            return pd.DataFrame({"query_id": [], "vec_id": [], "cos_sim": []})
+        return pd.concat(frames, ignore_index=True)
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+
+    def per_query_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates("vec_id").sort_values(
+            ["cos_sim", "vec_id"], ascending=[False, True]
+        ).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return scored.groupby("query_id").map_groups(per_query_topk, batch_format="pandas")

@@ -1,0 +1,116 @@
+"""Dedup operator semantics: minhash accuracy, LSH recall on constructed
+near-dupes, simhash hamming properties, exact jaccard."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from article_extraction_ray.stages.dedup import (
+    embedding_dup_pairs,
+    estimated_jaccard,
+    exact_jaccard,
+    hamming64,
+    minhash_dup_pairs,
+    minhash_signature,
+    simhash64,
+    simhash_dup_pairs,
+    word_shingles,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the rain falls on the "
+    "green hills and the river flows quietly through the old stone bridge"
+)
+NEAR = BASE.replace("quietly", "swiftly")  # one token differs
+FAR = "completely different content about training large models on many accelerators in data centers"
+
+
+class TestMinHashCore:
+    def test_shingles(self):
+        assert word_shingles("a b c d", 3) == ["a b c", "b c d"]
+        assert word_shingles("a b", 3) == ["a b"]
+        assert word_shingles("", 3) == []
+
+    def test_signature_deterministic(self):
+        s1 = minhash_signature(BASE)
+        s2 = minhash_signature(BASE)
+        assert (s1 == s2).all()
+        assert len(s1) == 64
+
+    def test_estimate_tracks_exact(self):
+        est = estimated_jaccard(minhash_signature(BASE), minhash_signature(NEAR))
+        exact = exact_jaccard(BASE, NEAR)
+        assert abs(est - exact) < 0.25
+        assert exact > 0.6
+
+    def test_unrelated_low(self):
+        est = estimated_jaccard(minhash_signature(BASE), minhash_signature(FAR))
+        assert est < 0.2
+
+    def test_exact_jaccard_bounds(self):
+        assert exact_jaccard(BASE, BASE) == 1.0
+        assert exact_jaccard("", "") == 1.0
+        assert 0.0 <= exact_jaccard(BASE, FAR) <= 0.1
+
+
+@pytest.fixture(scope="module")
+def dup_corpus(ray_session):
+    import ray.data as rd
+
+    rows = [
+        {"doc_id": 1, "text": BASE},
+        {"doc_id": 2, "text": NEAR},
+        {"doc_id": 3, "text": FAR},
+        {"doc_id": 4, "text": BASE},  # exact dup of 1
+        {"doc_id": 5, "text": "tiny"},
+    ]
+    return rd.from_items(rows)
+
+
+class TestMinHashLSH:
+    def test_finds_near_and_exact_dupes(self, dup_corpus):
+        pairs = minhash_dup_pairs(dup_corpus, threshold=0.5).to_pandas()
+        got = {tuple(sorted((a, b))) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+        assert (1, 4) in got  # exact dup
+        assert (1, 2) in got  # near dup
+        assert (2, 4) in got
+        assert not any(3 in p or 5 in p for p in got)
+
+    def test_estimates_sane(self, dup_corpus):
+        pairs = minhash_dup_pairs(dup_corpus, threshold=0.5).to_pandas()
+        exact_row = pairs[(pairs.id_a == 1) & (pairs.id_b == 4)]
+        assert exact_row["est_jaccard"].iloc[0] == 1.0
+
+
+class TestSimHash:
+    def test_deterministic_and_near(self):
+        assert simhash64(BASE) == simhash64(BASE)
+        d_near = hamming64(simhash64(BASE), simhash64(NEAR))
+        d_far = hamming64(simhash64(BASE), simhash64(FAR))
+        assert d_near < d_far
+        assert d_near <= 6
+
+    def test_pairs_pipeline(self, dup_corpus):
+        pairs = simhash_dup_pairs(dup_corpus, max_hamming=6).to_pandas()
+        got = {tuple(sorted((a, b))) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+        assert (1, 4) in got
+        hamming_14 = pairs[(pairs.id_a == 1) & (pairs.id_b == 4)]["hamming"].iloc[0]
+        assert hamming_14 == 0
+
+
+class TestEmbeddingDup:
+    def test_threshold_pairs(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.default_rng(0)
+        base = rng.standard_normal((20, 16))
+        base[7] = base[3] + 0.01 * rng.standard_normal(16)  # near-dup pair (3,7)
+        ids = np.arange(20)
+        ds = rd.from_arrow(
+            pa.table({"vec_id": ids, "embedding": [list(map(float, v)) for v in base]})
+        )
+        pairs = embedding_dup_pairs(ds, base, ids, threshold=0.99).to_pandas()
+        got = {tuple(sorted((a, b))) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+        assert got == {(3, 7)}

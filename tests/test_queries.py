@@ -75,6 +75,22 @@ def test_query_matches_oracle(ray_session, con, name):
     _compare(ray_df, sql_df, name)
 
 
+def _rows_only_names():
+    import __ray_entry__ as entry
+
+    return sorted(set(entry.queries()) - set(entry.oracle_sql()) - {"flagship_extract"})
+
+
+@pytest.mark.parametrize("name", _rows_only_names())
+def test_rows_only_query_runs(ray_session, name):
+    """Non-SQL-expressible queries: stable schema, runs end-to-end."""
+    import __ray_entry__ as entry
+
+    df = _to_pandas(entry.queries()[name](SF_DIR))
+    assert len(df.columns) > 0
+    assert len(df) >= 0
+
+
 def test_entry_smoke(ray_session):
     import __ray_entry__ as entry
 

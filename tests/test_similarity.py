@@ -1,0 +1,67 @@
+"""Similarity search: brute-force exactness + LSH recall vs the baseline."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from article_extraction_ray.stages.similarity import knn_brute_force, knn_lsh
+
+N, D, K = 400, 32, 10
+
+
+@pytest.fixture(scope="module")
+def vectors():
+    rng = np.random.default_rng(3)
+    return rng.standard_normal((N, D))
+
+
+@pytest.fixture(scope="module")
+def corpus(ray_session, vectors):
+    import ray.data as rd
+
+    tbl = pa.table(
+        {"vec_id": np.arange(N), "embedding": [list(map(float, v)) for v in vectors]}
+    )
+    return rd.from_arrow(tbl).repartition(4)
+
+
+@pytest.fixture(scope="module")
+def queries(vectors):
+    return vectors[:3], np.arange(3)
+
+
+def _exact_topk(vectors, q, k):
+    vn = vectors / np.linalg.norm(vectors, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q)
+    sims = vn @ qn
+    order = np.lexsort((np.arange(len(sims)), -sims))
+    return list(order[:k])
+
+
+def test_brute_force_matches_numpy(corpus, queries, vectors):
+    qm, qids = queries
+    out = knn_brute_force(corpus, qm, qids, k=K).to_pandas()
+    for qi in qids:
+        got = out[out.query_id == qi].sort_values("rank")["vec_id"].tolist()
+        assert got == _exact_topk(vectors, qm[qi], K), f"query {qi}"
+
+
+def test_lsh_recall(corpus, queries, vectors):
+    qm, qids = queries
+    out = knn_lsh(corpus, qm, qids, k=K, planes=8, probe_radius=2).to_pandas()
+    recalls = []
+    for qi in qids:
+        got = set(out[out.query_id == qi]["vec_id"].tolist())
+        truth = set(_exact_topk(vectors, qm[qi], K))
+        recalls.append(len(got & truth) / K)
+    assert np.mean(recalls) >= 0.5, f"mean LSH recall too low: {recalls}"
+
+
+def test_lsh_self_hit(corpus, queries):
+    qm, qids = queries
+    out = knn_lsh(corpus, qm, qids, k=K, planes=8, probe_radius=1).to_pandas()
+    for qi in qids:
+        ranked = out[out.query_id == qi].sort_values("rank")
+        assert ranked.iloc[0]["vec_id"] == qi  # the query itself is its own NN
