@@ -663,49 +663,32 @@ def q_winnow_fingerprints(sf_dir: str):
 def _with_injected_dupes(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def mutate(batch: pa.Table) -> pa.Table:
+    def with_mutants(batch: pa.Table) -> pa.Table:
+        # emit original + mutated rows from ONE pass (a union of two
+        # branches would read and decode the parquet twice)
         ids = batch["doc_id"].to_numpy()
-        texts = [" ".join((t or "").split()[:-2]) for t in batch["text"].to_pylist()]
+        texts = batch["text"].to_pylist()
+        mutated = [" ".join((t or "").split()[:-2]) for t in texts]
         return pa.Table.from_arrays(
-            [pa.array(ids + 1_000_000), pa.array(texts, type=pa.string())],
+            [
+                pa.array(np.concatenate([ids, ids + 1_000_000])),
+                pa.array(texts + mutated, type=pa.string()),
+            ],
             names=["doc_id", "text"],
         )
 
-    return ds.union(ds.map_batches(mutate, batch_format="pyarrow"))
+    return ds.map_batches(with_mutants, batch_format="pyarrow")
 
 
 def q_minhash_dedup(sf_dir: str):
-    """MinHash-LSH near-dup pairs + exact n-gram-Jaccard verification.
-
-    Verification joins candidate ids back to texts via a broadcast dict
-    (the corpus here is small); at 100 TB the verify stage becomes a
-    hash-partitioned join on id instead.
-    """
-    from ..stages.dedup import exact_jaccard, minhash_dup_pairs
+    """MinHash-LSH candidate generation + exact n-gram-Jaccard verify
+    over a corpus with injected near-duplicates (see stages.dedup)."""
+    from ..stages.dedup import minhash_dup_pairs
 
     corpus = _with_injected_dupes(sf_dir)
     pairs = minhash_dup_pairs(corpus, threshold=0.5)
-
-    texts: dict[int, str] = {}
-    import pyarrow.parquet as pq
-    import os
-
-    base = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
-    for i, t in zip(base["doc_id"].to_pylist(), base["text"].to_pylist()):
-        texts[i] = t
-        texts[i + 1_000_000] = " ".join((t or "").split()[:-2])
-    handle = Broadcast(texts)
-
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        lookup = handle.get()
-        df["exact_jaccard"] = [
-            round(exact_jaccard(lookup[a], lookup[b]), 6)
-            for a, b in zip(df["id_a"], df["id_b"])
-        ]
-        df["est_jaccard"] = df["est_jaccard"].round(6)
-        return df
-
-    return pairs.map_batches(verify, batch_format="pandas")
+    pairs["exact_jaccard"] = pairs["exact_jaccard"].round(6)
+    return pairs
 
 
 def q_simhash_pairs(sf_dir: str):
@@ -805,6 +788,170 @@ def q_media_frames(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# E2-equivalent information extraction: pluggable extract_fn over token
+# windows with first-hit-wins, per-cell coercion, fuzzy hardware join
+# ---------------------------------------------------------------------------
+
+_INFO_CATALOG = [
+    (1, "nvidia a100 80gb", 312.0, 0.4),
+    (2, "nvidia v100", 125.0, 0.3),
+    (3, "google tpu v4", 275.0, 0.2),
+]
+
+
+def q_information_extraction(sf_dir: str):
+    """Full extraction pipeline over synthetic "articles" built from the
+    documents table (deterministic augmentation so the expected values
+    are SQL-expressible): regex-rule extract_fn (the hermetic stand-in
+    for the reference's LLM, create_tables.py:53-58) + windowing +
+    coercion + fuzzy hardware enrichment."""
+    from ..stages.field_extract import extract_information
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def article(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        texts = batch["text"].to_pylist()
+        aug = [
+            f"{t} describing model M{i} with {i % 90 + 1} million parameters "
+            f"trained in {2000 + i % 25} on {i % 500 + 1} A100 GPUs"
+            for i, t in zip(ids, texts)
+        ]
+        return pa.Table.from_arrays(
+            [pa.array(ids), pa.array(aug, type=pa.string())], names=["id_paper", "text"]
+        )
+
+    articles = ds.map_batches(article, batch_format="pyarrow")
+    return extract_information(articles, hardware_catalog=_INFO_CATALOG)
+
+
+SQL_INFO_EXTRACT = """
+SELECT doc_id AS id_paper,
+       'M' || cast(doc_id AS varchar)              AS model,
+       CAST((doc_id % 90 + 1) * 1000000 AS BIGINT) AS parameters,
+       CAST(doc_id % 500 + 1 AS BIGINT)            AS h_number,
+       CAST(2000 + doc_id % 25 AS BIGINT)          AS year,
+       'A100'                                      AS hardware_text,
+       CAST(1 AS BIGINT)                           AS id_hardware,
+       312.0                                       AS h_compute,
+       0.4                                         AS h_power
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# E3-equivalent eval harness: char metrics oracled via DuckDB's own
+# levenshtein/jaro_winkler (verified bit-identical to the engine's
+# implementations); semantic distance uses the deterministic stand-in
+# encoder → rows-only
+# ---------------------------------------------------------------------------
+
+
+def _eval_pairs(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        texts = batch["text"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        preds = [" ".join((t or "").split()[:-1]) for t in texts]
+        return pa.Table.from_arrays(
+            [
+                pa.array(["m1"] * len(ids), type=pa.string()),
+                pa.array(langs, type=pa.string()),
+                pa.array(ids),
+                pa.array(texts, type=pa.string()),
+                pa.array(preds, type=pa.string()),
+            ],
+            names=["model", "category", "idx", "true", "predicted"],
+        )
+
+    return ds.map_batches(pairs, batch_format="pyarrow")
+
+
+def q_eval_char_metrics(sf_dir: str):
+    from .eval import char_metrics_batch
+
+    out = _eval_pairs(sf_dir).map_batches(char_metrics_batch, batch_format="pyarrow")
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns={"idx": "doc_id"})
+        df["norm_levenshtein"] = df["norm_levenshtein"].round(9)
+        df["jaro_winkler_distance"] = df["jaro_winkler_distance"].round(9)
+        return df[["doc_id", "levenshtein", "norm_levenshtein", "jaro_winkler_distance"]]
+
+    return out.map_batches(project, batch_format="pandas")
+
+
+SQL_EVAL_CHAR = """
+WITH pairs AS (
+  SELECT doc_id, text AS t,
+         CASE WHEN length(text) - length(replace(text, ' ', '')) >= 1
+              THEN regexp_replace(text, ' [^ ]*$', '') ELSE '' END AS p
+  FROM documents
+)
+SELECT doc_id,
+       CAST(levenshtein(t, p) AS BIGINT) AS levenshtein,
+       round(CASE WHEN length(t) = 0 AND length(p) = 0 THEN 0.0
+                  ELSE CAST(levenshtein(t, p) AS DOUBLE) / greatest(length(t), length(p)) END, 9)
+           AS norm_levenshtein,
+       round(1.0 - jaro_winkler_similarity(t, p), 9) AS jaro_winkler_distance
+FROM pairs
+"""
+
+
+def q_eval_summary(sf_dir: str):
+    """Per-(model, category) char-distance stats (G4 definitions:
+    population std, interpolated median)."""
+    from .eval import char_metrics_batch
+
+    scored = _eval_pairs(sf_dir).map_batches(char_metrics_batch, batch_format="pyarrow")
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["levenshtein"].to_numpy(dtype=float)
+        return pd.DataFrame(
+            [
+                {
+                    "model": df["model"].iloc[0],
+                    "category": df["category"].iloc[0],
+                    "lev_count": np.int64(v.size),
+                    "lev_mean": round(float(v.mean()), 6),
+                    "lev_median": float(np.median(v)),
+                    "lev_std": round(float(v.std(ddof=0)), 6),
+                }
+            ]
+        )
+
+    return scored.groupby(["model", "category"]).map_groups(stats, batch_format="pandas")
+
+
+SQL_EVAL_SUMMARY = """
+WITH pairs AS (
+  SELECT lang AS category, text AS t,
+         CASE WHEN length(text) - length(replace(text, ' ', '')) >= 1
+              THEN regexp_replace(text, ' [^ ]*$', '') ELSE '' END AS p
+  FROM documents
+)
+SELECT 'm1' AS model, category,
+       CAST(count(*) AS BIGINT) AS lev_count,
+       round(avg(levenshtein(t, p)), 6) AS lev_mean,
+       median(CAST(levenshtein(t, p) AS DOUBLE)) AS lev_median,
+       round(stddev_pop(levenshtein(t, p)), 6) AS lev_std
+FROM pairs GROUP BY category
+"""
+
+
+def q_eval_semantic(sf_dir: str):
+    from .eval import score_results
+
+    scored = score_results(_eval_pairs(sf_dir))
+    return scored.map_batches(
+        lambda df: df[["idx", "cosine_distance"]].rename(columns={"idx": "doc_id"}),
+        batch_format="pandas",
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -837,6 +984,10 @@ QUERIES = {
     "knn_lsh": q_knn_lsh,
     "media_decode": q_media_decode,
     "media_frames": q_media_frames,
+    "information_extraction": q_information_extraction,
+    "eval_char_metrics": q_eval_char_metrics,
+    "eval_summary": q_eval_summary,
+    "eval_semantic": q_eval_semantic,
 }
 
 ORACLE_SQL = {
@@ -859,6 +1010,9 @@ ORACLE_SQL = {
     "token_bpe": SQL_TOKEN_BPE,
     "content_fingerprint": SQL_FINGERPRINT,
     "embedding_dup_pairs": SQL_EMB_DUP,
+    "information_extraction": SQL_INFO_EXTRACT,
+    "eval_char_metrics": SQL_EVAL_CHAR,
+    "eval_summary": SQL_EVAL_SUMMARY,
     # lang_id / quality_score / winnow / minhash / simhash / knn_lsh /
     # media_* are not SQL-expressible → rows-only driver check; pytest
     # goldens + recall properties cover their semantics.

@@ -113,10 +113,19 @@ def grouped_aggregate(ds, keys: list[str], specs: dict[str, tuple[str, str | Non
 # ---------------------------------------------------------------------------
 
 
+_KEY_BUCKETS = 64
+
+
 def latest_per_key(ds, key: str, order_by: list[str], payload: list[str]):
     """Per key, the row with the lexicographically greatest ``order_by``
     tuple (reference G1 idxmax semantics with a deterministic tiebreak,
-    /root/reference/tables/country_table.py:61-74)."""
+    /root/reference/tables/country_table.py:61-74).
+
+    Two-level reduce: per-batch combine (one candidate per key per
+    batch), then a shuffle on a COARSE key bucket — grouping on the raw
+    key would schedule one map_groups call per key, and per-group
+    overhead dominates when keys are numerous and groups tiny.  The
+    in-bucket reduction is the same vectorized pandas groupby."""
 
     cols = [key, *order_by, *[c for c in payload if c not in order_by]]
 
@@ -124,8 +133,15 @@ def latest_per_key(ds, key: str, order_by: list[str], payload: list[str]):
         idx = df.sort_values([key, *order_by]).groupby(key, sort=False).tail(1).index
         return df.loc[idx, cols]
 
-    partials = ds.map_batches(local_best, batch_format="pandas")
-    return partials.groupby(key).map_groups(local_best, batch_format="pandas")
+    def bucketed_best(df: pd.DataFrame) -> pd.DataFrame:
+        out = local_best(df)
+        out = out.copy()
+        out["__bucket"] = pd.util.hash_array(out[key].to_numpy()) % _KEY_BUCKETS
+        return out
+
+    partials = ds.map_batches(bucketed_best, batch_format="pandas")
+    merged = partials.groupby("__bucket").map_groups(local_best, batch_format="pandas")
+    return merged.map_batches(lambda df: df[cols], batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

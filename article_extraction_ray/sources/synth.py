@@ -46,7 +46,9 @@ _BOILER = [
     "<style>.m{color:red}</style>",
 ]
 
-GIANT_DOC_PROB = 0.005
+GIANT_DOC_PROB = 0.0015
+#: bump when generator output changes — busts the on-disk corpus cache
+GEN_VERSION = 2
 
 
 def _rng(seed: int, idx: int) -> np.random.Generator:
@@ -60,7 +62,7 @@ def _sentence(rng: np.random.Generator, lo: int = 4, hi: int = 14) -> str:
 
 def _html_payload(rng: np.random.Generator, idx: int, giant: bool) -> str:
     """Markup with <p> paragraphs interleaved with boilerplate + edge cases."""
-    n_paras = int(rng.integers(80, 200)) if giant else int(rng.integers(0, 7))
+    n_paras = int(rng.integers(150, 400)) if giant else int(rng.integers(0, 30))
     parts: list[str] = [_BOILER[int(rng.integers(0, len(_BOILER)))]]
     for p in range(n_paras):
         roll = int(rng.integers(0, 10))
@@ -84,13 +86,13 @@ def _html_payload(rng: np.random.Generator, idx: int, giant: bool) -> str:
 
 
 def _pdf_payload(rng: np.random.Generator, giant: bool) -> str:
-    n_pages = int(rng.integers(40, 100)) if giant else int(rng.integers(1, 6))
+    n_pages = int(rng.integers(60, 140)) if giant else int(rng.integers(1, 8))
     pages: list[str] = []
     for _ in range(n_pages):
         if int(rng.integers(0, 12)) == 0:
             pages.append("")  # empty page, preserved by the extractor
         else:
-            n_lines = int(rng.integers(40, 120)) if giant else int(rng.integers(1, 8))
+            n_lines = int(rng.integers(60, 160)) if giant else int(rng.integers(4, 30))
             pages.append("\n".join(_sentence(rng, 5, 12) for _ in range(n_lines)) + "\n")
     return "\f".join(pages)
 
@@ -100,7 +102,7 @@ def make_document(seed: int, idx: int) -> dict:
     rng = _rng(seed, idx)
     doc_id = f"doc-{idx:08d}"
     giant = bool(rng.random() < GIANT_DOC_PROB)
-    n_spans = int(rng.integers(12, 24)) if giant else int(rng.integers(1, 8))
+    n_spans = int(rng.integers(6, 12)) if giant else int(rng.integers(1, 8))
     # ~2% of small docs are media-only (whole doc drops, like the
     # reference's binary docs → "" → skipped)
     media_only = (not giant) and int(rng.integers(0, 50)) == 0
@@ -162,13 +164,13 @@ def ensure_corpus_parquet(
     marker written last (atomic-completion convention shared with the
     lineage writer).
     """
-    out = Path(root) / f"docs-n{num_docs}-s{seed}"
+    out = Path(root) / f"docs-n{num_docs}-s{seed}-v{GEN_VERSION}"
     manifest = out / "_MANIFEST.json"
     if manifest.exists():
         return str(out)
     out.mkdir(parents=True, exist_ok=True)
     if shards is None:
-        shards = max(1, min(64, num_docs // 500))
+        shards = max(1, min(256, num_docs // 500))
     ds = corpus_dataset(num_docs, seed, override_num_blocks=shards)
     ds.write_parquet(str(out))
     digest = hashlib.md5(f"{num_docs}:{seed}".encode()).hexdigest()

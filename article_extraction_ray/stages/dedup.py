@@ -96,8 +96,11 @@ def _band_hash(sig_slice: np.ndarray) -> int:
 class MinHashStage:
     """Actor-pool batch fn: doc rows → LSH band rows.
 
-    Emits one row per (doc, band): (doc_id, band_id, band_hash,
-    signature bytes).  Permutation parameters are built once per actor.
+    Emits one compact row per (doc, band): (doc_id, band_id, band_hash).
+    Signatures are NOT carried through the shuffle — only 24-byte band
+    keys move; candidate pairs are verified afterwards with exact
+    Jaccard, so the shuffle volume is independent of signature width.
+    Permutation parameters are built once per actor (``__init__``).
     """
 
     def __init__(self, *, k: int = _DEFAULT_K, bands: int = _DEFAULT_BANDS, n: int = 3, seed: int = 7,
@@ -111,65 +114,116 @@ class MinHashStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_pylist()
         texts = batch[self.text_col].to_pylist()
-        o_id, o_band, o_hash, o_sig = [], [], [], []
+        o_id, o_band, o_hash = [], [], []
         for doc_id, text in zip(ids, texts):
             sig = minhash_signature(text or "", k=self.k, n=self.n, seed=self.seed)
-            sig_bytes = sig.tobytes()
             for band in range(self.bands):
                 sl = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
                 o_id.append(doc_id)
                 o_band.append(band)
                 o_hash.append(_band_hash(sl))
-                o_sig.append(sig_bytes)
         return pa.Table.from_arrays(
             [
                 pa.array(o_id),
                 pa.array(o_band, type=pa.int32()),
                 pa.array(o_hash, type=pa.int64()),
-                pa.array(o_sig, type=pa.binary()),
             ],
-            names=["doc_id", "band_id", "band_hash", "signature"],
+            names=["doc_id", "band_id", "band_hash"],
         )
 
 
-def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-    """Candidate pairs within one (band_id, band_hash) bucket."""
-    rows = group.sort_values("doc_id").drop_duplicates("doc_id")
-    n = len(rows)
-    if n < 2:
-        return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
-    ids = rows["doc_id"].to_numpy()
-    sigs = [np.frombuffer(s, dtype=np.uint64) for s in rows["signature"]]
-    a_out, b_out, est = [], [], []
-    for i in range(n):
-        for j in range(i + 1, n):
-            a_out.append(ids[i])
-            b_out.append(ids[j])
-            est.append(estimated_jaccard(sigs[i], sigs[j]))
-    return pd.DataFrame({"id_a": a_out, "id_b": b_out, "est_jaccard": est})
+_N_SHUFFLE_BUCKETS = 256
 
 
-def minhash_dup_pairs(ds, *, threshold: float = 0.5, k: int = _DEFAULT_K,
-                      bands: int = _DEFAULT_BANDS, n: int = 3, seed: int = 7,
-                      id_col: str = "doc_id", text_col: str = "text", concurrency=(1, 8)):
-    """Dataset(id, text) → Dataset(id_a, id_b, est_jaccard) near-dup pairs.
+def _bucket_pair_gen(group: pd.DataFrame) -> pd.DataFrame:
+    """Pair generation for one coarse shuffle bucket: vectorized pandas
+    groupby over the (band_id, band_hash) keys inside the bucket.
 
-    Pipeline: MinHashStage (actor pool) → groupby(band, hash) bucket
-    pair-gen → global pair dedupe (max estimate) → threshold filter.
+    Coarse bucketing turns millions of tiny Ray groups into
+    ``_N_SHUFFLE_BUCKETS`` map_groups invocations — the per-group
+    scheduling overhead dominates otherwise.
     """
-    from ray.data.aggregate import Max
+    frames = []
+    for _, g in group.groupby(["band_id", "band_hash"], sort=False):
+        ids = np.unique(g["doc_id"].to_numpy())
+        if len(ids) > 1:
+            ia, ib = np.triu_indices(len(ids), 1)
+            frames.append(pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]}))
+    if not frames:
+        return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")})
+    return pd.concat(frames, ignore_index=True)
 
+
+def minhash_candidates(ds, *, k: int = _DEFAULT_K, bands: int = _DEFAULT_BANDS, n: int = 3,
+                       seed: int = 7, id_col: str = "doc_id", text_col: str = "text",
+                       concurrency=(2, 8)) -> pd.DataFrame:
+    """Dataset(id, text) → pandas DataFrame(id_a, id_b, n_bands) of
+    distinct candidate pairs.
+
+    The distributed part ends at per-bucket pair generation; the pair
+    list is small by construction (near-dup rate × corpus), so the
+    cross-band dedupe (value_counts on pair keys) runs on the driver —
+    a Ray groupby over it would pay a full sort for kilobytes of data.
+    n_bands = number of bands in which the pair collided (the LSH
+    confidence signal)."""
     band_rows = ds.map_batches(
         MinHashStage,
         fn_constructor_kwargs=dict(k=k, bands=bands, n=n, seed=seed, id_col=id_col, text_col=text_col),
         batch_format="pyarrow",
         concurrency=concurrency,
     )
-    pairs = band_rows.groupby(["band_id", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pandas"
+
+    def coarse_bucket(batch: pa.Table) -> pa.Table:
+        b = (batch["band_hash"].to_numpy() % _N_SHUFFLE_BUCKETS).astype(np.int32)
+        return batch.append_column("bucket", pa.array(b))
+
+    bucketed = band_rows.map_batches(coarse_bucket, batch_format="pyarrow")
+    pairs = bucketed.groupby("bucket").map_groups(_bucket_pair_gen, batch_format="pandas").to_pandas()
+    if pairs.empty:
+        return pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+             "n_bands": pd.Series(dtype="int64")}
+        )
+    return (
+        pairs.groupby(["id_a", "id_b"], sort=False).size().rename("n_bands").reset_index()
     )
-    uniq = pairs.groupby(["id_a", "id_b"]).aggregate(Max("est_jaccard", alias_name="est_jaccard"))
-    return uniq.filter(expr=f"est_jaccard >= {threshold}")
+
+
+def minhash_dup_pairs(ds, *, threshold: float = 0.5, k: int = _DEFAULT_K,
+                      bands: int = _DEFAULT_BANDS, n: int = 3, seed: int = 7,
+                      id_col: str = "doc_id", text_col: str = "text", concurrency=(2, 8)):
+    """Dataset(id, text) → pandas DataFrame(id_a, id_b, n_bands,
+    exact_jaccard) of verified near-dup pairs.
+
+    LSH proposes (distributed, see :func:`minhash_candidates`); exact
+    word-shingle Jaccard disposes.  The verify step semi-joins the
+    corpus down to only the docs that appear in candidate pairs (a tiny
+    fraction by construction) and runs on the driver; at 10^12-doc scale
+    the same verify becomes a hash-partitioned join of the candidate
+    list against the corpus — the candidate *pair list* stays the small
+    side either way.
+    """
+    candidates = minhash_candidates(
+        ds, k=k, bands=bands, n=n, seed=seed, id_col=id_col, text_col=text_col,
+        concurrency=concurrency,
+    )
+    if candidates.empty:
+        return pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+             "n_bands": pd.Series(dtype="int64"), "exact_jaccard": pd.Series(dtype="float64")}
+        )
+
+    needed = set(candidates["id_a"]) | set(candidates["id_b"])
+    from ..pipelines.tabular import broadcast_semi_filter
+
+    texts_df = broadcast_semi_filter(ds, needed, id_col).to_pandas()
+    lookup = dict(zip(texts_df[id_col], texts_df[text_col]))
+    candidates["exact_jaccard"] = [
+        exact_jaccard(lookup.get(a, ""), lookup.get(b, ""), n)
+        for a, b in zip(candidates["id_a"], candidates["id_b"])
+    ]
+    out = candidates[candidates["exact_jaccard"] >= threshold].reset_index(drop=True)
+    return out
 
 
 # ---------------------------------------------------------------------------

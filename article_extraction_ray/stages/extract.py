@@ -195,58 +195,181 @@ _PARTIAL_STRUCT = pa.struct(
     ]
 )
 
+#: coarse shuffle buckets for the reassembly levels — grouping on raw
+#: (doc_id, salt) keys would pay per-group scheduling for every tiny
+#: group; a bucket holds many groups and processes them vectorized.
+_REASSEMBLY_BUCKETS = 64
 
-def _combine_salt_group(group: pa.Table) -> pa.Table:
-    """Level-1 combiner: one (doc_id, salt) group → one partial row."""
+
+def _hash_bucket(values: np.ndarray, extra: np.ndarray | None = None) -> np.ndarray:
+    import pandas as pd
+
+    h = pd.util.hash_array(values)
+    if extra is not None:
+        h = h ^ (extra.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+    return (h % _REASSEMBLY_BUCKETS).astype(np.int32)
+
+
+def _group_starts(*keys: np.ndarray) -> np.ndarray:
+    """Indices where the (already sorted) composite key changes."""
+    n = len(keys[0])
+    change = np.zeros(n, dtype=bool)
+    change[0] = True
+    for k in keys:
+        change[1:] |= k[1:] != k[:-1]
+    return np.nonzero(change)[0]
+
+
+def _combine_salt_bucket(group: pa.Table) -> pa.Table:
+    """Level-1 combiner over a BUCKET of (doc_id, salt) groups: sort once,
+    then build every group's partial span list via offsets (zero per-group
+    Python)."""
     order = pa.compute.sort_indices(
-        group, sort_keys=[("span_idx", "ascending"), ("sub_idx", "ascending")]
+        group,
+        sort_keys=[
+            ("doc_id", "ascending"),
+            ("salt", "ascending"),
+            ("span_idx", "ascending"),
+            ("sub_idx", "ascending"),
+        ],
     )
-    g = group.take(order)
-    parts = [
-        {"kind": k, "text": t, "media_ref": m}
-        for k, t, m in zip(
-            g["kind"].to_pylist(), g["text"].to_pylist(), g["media_ref"].to_pylist()
-        )
-    ]
-    has_text = any(p["kind"] == "text" for p in parts)
+    g = group.take(order).combine_chunks()
+    doc = g["doc_id"].to_numpy(zero_copy_only=False)
+    salt = g["salt"].to_numpy()
+    starts = _group_starts(doc, salt)
+    offsets = np.append(starts, len(doc)).astype(np.int32)
+    struct = pa.StructArray.from_arrays(
+        [g["kind"].combine_chunks(), g["text"].combine_chunks(), g["media_ref"].combine_chunks()],
+        ["kind", "text", "media_ref"],
+    )
+    parts = pa.ListArray.from_arrays(pa.array(offsets), struct)
+    is_text = pa.compute.equal(g["kind"], "text").to_numpy(zero_copy_only=False)
+    has_text = np.logical_or.reduceat(is_text, starts) if len(starts) else np.zeros(0, dtype=bool)
     return pa.Table.from_arrays(
         [
-            pa.array([g["doc_id"][0].as_py()], type=pa.string()),
-            pa.array([g["salt"][0].as_py()], type=pa.int32()),
-            pa.array([parts], type=pa.list_(_PARTIAL_STRUCT)),
-            pa.array([has_text], type=pa.bool_()),
+            pa.array(doc[starts], type=pa.string()),
+            pa.array(salt[starts], type=pa.int32()),
+            parts,
+            pa.array(has_text),
         ],
         names=["doc_id", "salt", "parts", "has_text"],
     )
 
 
-def _merge_doc_group(group: pa.Table) -> pa.Table:
-    """Level-2 merger: salt partials of one doc → final extracted row."""
-    order = pa.compute.sort_indices(group, sort_keys=[("salt", "ascending")])
-    g = group.take(order)
-    if not any(g["has_text"].to_pylist()):
-        return pa.Table.from_arrays(
-            [pa.array([], type=pa.string()), pa.array([], type=pa.list_(SPAN_OUT_STRUCT))],
-            schema=EXTRACTED_SCHEMA,
-        )
-    spans: list[dict] = []
-    for parts in g["parts"].to_pylist():
-        for p in parts:
-            spans.append(
-                {"kind": p["kind"], "text": p["text"], "media_ref": p["media_ref"], "order": len(spans)}
-            )
-    return pa.Table.from_arrays(
-        [
-            pa.array([g["doc_id"][0].as_py()], type=pa.string()),
-            pa.array([spans], type=pa.list_(SPAN_OUT_STRUCT)),
-        ],
+def _merge_doc_bucket(group: pa.Table) -> pa.Table:
+    """Level-2 merger over a BUCKET of docs: concatenate each doc's salt
+    partials in salt order, assign final span order, apply the
+    whole-document drop rule — all via offset arithmetic."""
+    order = pa.compute.sort_indices(
+        group, sort_keys=[("doc_id", "ascending"), ("salt", "ascending")]
+    )
+    g = group.take(order).combine_chunks()
+    doc = g["doc_id"].to_numpy(zero_copy_only=False)
+    parts = g["parts"].combine_chunks()
+    counts = pa.compute.list_value_length(parts).to_numpy().astype(np.int64)
+    starts = _group_starts(doc)
+    row_offsets = np.append(starts, len(doc))
+    flat = parts.flatten()
+
+    # element offsets per doc
+    cum = np.concatenate([[0], np.cumsum(counts)])
+    doc_elem_offsets = cum[row_offsets]
+    n_elems = int(cum[-1])
+    # order within doc = global position − doc's first element position
+    elem_doc_first = np.repeat(doc_elem_offsets[:-1], (doc_elem_offsets[1:] - doc_elem_offsets[:-1]))
+    span_order = (np.arange(n_elems) - elem_doc_first).astype(np.int32)
+
+    out_struct = pa.StructArray.from_arrays(
+        [flat.field("kind"), flat.field("text"), flat.field("media_ref"), pa.array(span_order)],
+        ["kind", "text", "media_ref", "order"],
+    )
+    lists = pa.ListArray.from_arrays(pa.array(doc_elem_offsets.astype(np.int32)), out_struct)
+    has_text = g["has_text"].to_numpy(zero_copy_only=False)
+    keep = np.logical_or.reduceat(has_text, starts) if len(starts) else np.zeros(0, dtype=bool)
+    table = pa.Table.from_arrays(
+        [pa.array(doc[starts], type=pa.string()), lists.cast(pa.list_(SPAN_OUT_STRUCT))],
         schema=EXTRACTED_SCHEMA,
     )
+    return table.filter(pa.array(keep))
 
 
-def reassemble(flat_ds):
-    """Two-level salted reassembly of flat span rows → extracted documents."""
-    partials = flat_ds.groupby(["doc_id", "salt"]).map_groups(
-        _combine_salt_group, batch_format="pyarrow"
+def _assemble_bucket(group: pa.Table) -> pa.Table:
+    """Single-level assembler over a bucket of whole docs: sort by
+    (doc_id, span_idx, sub_idx), then build every doc's final span list
+    via offset arithmetic (no per-group Python)."""
+    order = pa.compute.sort_indices(
+        group,
+        sort_keys=[("doc_id", "ascending"), ("span_idx", "ascending"), ("sub_idx", "ascending")],
     )
-    return partials.groupby("doc_id").map_groups(_merge_doc_group, batch_format="pyarrow")
+    g = group.take(order).combine_chunks()
+    doc = g["doc_id"].to_numpy(zero_copy_only=False)
+    starts = _group_starts(doc)
+    offsets = np.append(starts, len(doc)).astype(np.int32)
+    span_order = (np.arange(len(doc)) - np.repeat(starts, np.diff(np.append(starts, len(doc))))).astype(np.int32)
+    struct = pa.StructArray.from_arrays(
+        [
+            g["kind"].combine_chunks(),
+            g["text"].combine_chunks(),
+            g["media_ref"].combine_chunks(),
+            pa.array(span_order),
+        ],
+        ["kind", "text", "media_ref", "order"],
+    )
+    lists = pa.ListArray.from_arrays(pa.array(offsets), struct)
+    is_text = pa.compute.equal(g["kind"], "text").to_numpy(zero_copy_only=False)
+    keep = np.logical_or.reduceat(is_text, starts) if len(starts) else np.zeros(0, dtype=bool)
+    table = pa.Table.from_arrays(
+        [pa.array(doc[starts], type=pa.string()), lists.cast(pa.list_(SPAN_OUT_STRUCT))],
+        schema=EXTRACTED_SCHEMA,
+    )
+    return table.filter(pa.array(keep))
+
+
+def reassemble(flat_ds, *, two_level: bool = False):
+    """Reassembly of flat span rows → extracted documents.
+
+    Default: ONE ``groupby(hash(doc_id) % B)`` shuffle; every bucket
+    assembles its docs in a single vectorized pass, and the coarse
+    bucket bounds per-task bytes (≈ corpus_bytes / B), which is the
+    skew control at this level.
+
+    ``two_level=True`` enables the salted two-level reduce (combine per
+    (doc_id, salt) bucket, then merge per doc bucket) for corpora whose
+    single documents exceed a reducer's memory budget — the salt column
+    is always present in the flat rows, so switching is free.  The extra
+    shuffle costs one more barrier; property tests assert both paths are
+    identical.
+    """
+
+    def add_l1_bucket(batch: pa.Table) -> pa.Table:
+        b = _hash_bucket(
+            batch["doc_id"].to_numpy(zero_copy_only=False), batch["salt"].to_numpy()
+        )
+        return batch.append_column("bucket", pa.array(b))
+
+    def add_doc_bucket(batch: pa.Table) -> pa.Table:
+        b = _hash_bucket(batch["doc_id"].to_numpy(zero_copy_only=False))
+        return batch.append_column("bucket", pa.array(b))
+
+    def drop_bucket(batch: pa.Table) -> pa.Table:
+        return batch.drop_columns(["bucket"])
+
+    if not two_level:
+        return (
+            flat_ds.map_batches(add_doc_bucket, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(lambda t: _assemble_bucket(drop_bucket(t)), batch_format="pyarrow")
+        )
+
+    partials = (
+        flat_ds.map_batches(add_l1_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(
+            lambda t: _combine_salt_bucket(drop_bucket(t)), batch_format="pyarrow"
+        )
+    )
+    return (
+        partials.map_batches(add_doc_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(lambda t: _merge_doc_bucket(drop_bucket(t)), batch_format="pyarrow")
+    )

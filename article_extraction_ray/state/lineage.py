@@ -113,59 +113,85 @@ def skip_done_batch(
     return t
 
 
-def write_partitioned(
+def write_partition_data(
     ds,
     out_dir: str | Path,
     *,
     key: str = "doc_id",
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
-    resume: bool = True,
     done: set[int] | None = None,
-    has_part_id: bool = False,
-) -> dict:
-    """Write a Dataset as resumable partitioned parquet with lineage.
+    tag: str = "x",
+) -> "pd.DataFrame":
+    """Write one phase's data files into the partition layout WITHOUT
+    completion manifests (multi-phase jobs call this per phase, then
+    :func:`write_manifests` once).  Returns per-batch (part_id, rows,
+    bytes) summaries."""
+    import pandas as pd  # local: lineage is import-light
 
-    ``has_part_id=True`` means the Dataset already carries a ``part_id``
-    column (e.g. input-side resume via :func:`skip_done_batch` with no
-    intervening stage that drops it); otherwise partition assignment
-    happens here (deterministic on ``key``, so it agrees with any
-    input-side filter).  Returns a summary dict {partitions_written,
-    partitions_skipped, rows, bytes, wall_sec, rows_per_sec}.
-    """
-    out = Path(out_dir)
-    out.mkdir(parents=True, exist_ok=True)
-    if done is None:
-        done = set()
-        if resume:
-            clean_incomplete(out, num_partitions)
-            done = done_partitions(out)
+    out_str = str(out_dir)
+    Path(out_str).mkdir(parents=True, exist_ok=True)
+    done = done or set()
 
-    start = time.perf_counter()
-
-    if not has_part_id:
-        ds = ds.map_batches(
-            lambda t: skip_done_batch(t, done, key=key, num_partitions=num_partitions),
-            batch_format="pyarrow",
+    def write_batch(batch: pa.Table) -> pa.Table:
+        if "part_id" not in batch.column_names:
+            batch = add_partition_column(batch, key=key, num_partitions=num_partitions)
+            if done:
+                mask = ~np.isin(batch["part_id"].to_numpy(), list(done))
+                batch = batch.filter(pa.array(mask))
+        pids = batch["part_id"].to_numpy()
+        keys_digest = zlib.crc32(("\x00".join(map(str, batch[key].to_pylist()))).encode())
+        o_pid, o_rows, o_bytes = [], [], []
+        for pid in np.unique(pids):
+            sub = batch.filter(pa.array(pids == pid)).drop_columns(["part_id"])
+            d = Path(out_str) / f"part_id={pid}"
+            d.mkdir(parents=True, exist_ok=True)
+            # content-derived name: a retried task overwrites its own
+            # file instead of duplicating rows (idempotent writes
+            # without a commit coordinator)
+            final = d / f"{tag}-{keys_digest:08x}-{sub.num_rows}.parquet"
+            tmp_f = d / f".{final.name}.tmp"
+            pq.write_table(sub, tmp_f)
+            tmp_f.rename(final)  # atomic within the same dir
+            o_pid.append(int(pid))
+            o_rows.append(sub.num_rows)
+            o_bytes.append(final.stat().st_size)
+        return pa.Table.from_arrays(
+            [
+                pa.array(o_pid, type=pa.int32()),
+                pa.array(o_rows, type=pa.int64()),
+                pa.array(o_bytes, type=pa.int64()),
+            ],
+            names=["part_id", "rows", "bytes"],
         )
-    ds.write_parquet(str(out), partition_cols=["part_id"])
-    wall = time.perf_counter() - start
 
-    # Footer-only scan of the freshly written partitions → lineage manifests.
+    summaries = ds.map_batches(write_batch, batch_format="pyarrow", batch_size=4096).to_pandas()
+    if summaries.empty:
+        summaries = pd.DataFrame({"part_id": [], "rows": [], "bytes": []})
+    return summaries
+
+
+def write_manifests(
+    out_dir: str | Path,
+    summaries: "pd.DataFrame",
+    wall: float,
+    *,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    done: set[int] | None = None,
+) -> dict:
+    """Emit per-partition completion manifests from phase summaries."""
+    out = Path(out_dir)
+    done = done or set()
     ldir = _lineage_dir(out)
-    ldir.mkdir(exist_ok=True)
+    ldir.mkdir(parents=True, exist_ok=True)
+    per_pid = summaries.groupby("part_id")[["rows", "bytes"]].sum() if len(summaries) else None
     total_rows = 0
     total_bytes = 0
     written = []
-    for d in sorted(out.glob("part_id=*")):
-        pid = int(d.name.split("=", 1)[1])
+    for pid in range(num_partitions):
         if pid in done:
             continue
-        rows = 0
-        nbytes = 0
-        for f in d.glob("*.parquet"):
-            meta = pq.ParquetFile(f).metadata
-            rows += meta.num_rows
-            nbytes += f.stat().st_size
+        rows = int(per_pid.loc[pid, "rows"]) if per_pid is not None and pid in per_pid.index else 0
+        nbytes = int(per_pid.loc[pid, "bytes"]) if per_pid is not None and pid in per_pid.index else 0
         manifest = {
             "partition": pid,
             "rows": rows,
@@ -180,7 +206,6 @@ def write_partitioned(
         total_rows += rows
         total_bytes += nbytes
         written.append(pid)
-
     return {
         "partitions_written": len(written),
         "partitions_skipped": len(done),
@@ -189,3 +214,36 @@ def write_partitioned(
         "wall_sec": round(wall, 4),
         "rows_per_sec": round((total_rows / wall) if wall > 0 else 0.0, 2),
     }
+
+
+def write_partitioned(
+    ds,
+    out_dir: str | Path,
+    *,
+    key: str = "doc_id",
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    resume: bool = True,
+    done: set[int] | None = None,
+    has_part_id: bool = False,
+) -> dict:
+    """Single-phase resumable partitioned write with lineage.
+
+    Convenience wrapper over :func:`write_partition_data` +
+    :func:`write_manifests` — multi-phase jobs (e.g. the hybrid flagship,
+    which writes giants and smalls in separate executions) call those
+    directly and finalize manifests once.
+    """
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    if done is None:
+        done = set()
+        if resume:
+            clean_incomplete(out, num_partitions)
+            done = done_partitions(out)
+
+    start = time.perf_counter()
+    summaries = write_partition_data(
+        ds, out, key=key, num_partitions=num_partitions, done=done
+    )
+    wall = time.perf_counter() - start
+    return write_manifests(out, summaries, wall, num_partitions=num_partitions, done=done)

@@ -71,17 +71,20 @@ def dup_corpus(ray_session):
 
 class TestMinHashLSH:
     def test_finds_near_and_exact_dupes(self, dup_corpus):
-        pairs = minhash_dup_pairs(dup_corpus, threshold=0.5).to_pandas()
+        pairs = minhash_dup_pairs(dup_corpus, threshold=0.5)
         got = {tuple(sorted((a, b))) for a, b in zip(pairs["id_a"], pairs["id_b"])}
         assert (1, 4) in got  # exact dup
         assert (1, 2) in got  # near dup
         assert (2, 4) in got
         assert not any(3 in p or 5 in p for p in got)
 
-    def test_estimates_sane(self, dup_corpus):
-        pairs = minhash_dup_pairs(dup_corpus, threshold=0.5).to_pandas()
+    def test_verified_jaccard_values(self, dup_corpus):
+        pairs = minhash_dup_pairs(dup_corpus, threshold=0.5)
         exact_row = pairs[(pairs.id_a == 1) & (pairs.id_b == 4)]
-        assert exact_row["est_jaccard"].iloc[0] == 1.0
+        assert exact_row["exact_jaccard"].iloc[0] == 1.0
+        assert (exact_row["n_bands"].iloc[0]) == 16  # all bands collide
+        near_row = pairs[(pairs.id_a == 1) & (pairs.id_b == 2)]
+        assert 0.5 <= near_row["exact_jaccard"].iloc[0] < 1.0
 
 
 class TestSimHash:

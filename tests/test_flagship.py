@@ -59,6 +59,12 @@ def test_shuffle_small_salt_is_noop(corpus, oracle_expected):
     assert got == oracle_expected
 
 
+def test_two_level_reassembly_identical(corpus, oracle_expected):
+    """The salted two-level reduce must equal the single-level path."""
+    got = _ray_result(extract_corpus(corpus, mode="shuffle", salt_bytes=128, two_level=True))
+    assert got == oracle_expected
+
+
 def test_permutation_invariance(ray_session, oracle_expected):
     """Output is invariant to input row order / batching."""
     import ray.data as rd
