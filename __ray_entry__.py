@@ -37,7 +37,7 @@ def _corpus_docs_for(sf_dir: str) -> int:
         sf = float(name.replace("sf", ""))
     except ValueError:
         sf = 0.001
-    return max(200, int(sf * 100_000))
+    return max(500, int(sf * 1_000_000))
 
 
 def entry() -> Any:

@@ -37,6 +37,8 @@ from ..stages.extract import (
 CORPUS_COLUMNS = ["doc_id", "spans", "n_bytes"]
 
 
+
+
 def _default_pool() -> int:
     """Actor-pool size for the parser stage: FIXED at ~60% of the
     cluster.  Fixed, because Ray fuses the upstream read into the actor
@@ -46,15 +48,19 @@ def _default_pool() -> int:
     the remaining CPUs must serve the giant-doc branch (elastic tasks),
     the sorts, and the writer concurrently in hybrid mode — a pool
     reserving every CPU starves them."""
+    import os
+
     import ray
 
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     except Exception:
         cpus = 8
-    # uniform 7/8 of the cluster at any size: scaling measurements
+    # uniform fraction of the cluster at any size: scaling measurements
     # compare cluster sizes, so the pool fraction must not depend on N
-    return max(2, (cpus * 7) // 8)
+    # (AE_POOL_FRACTION overrides; bench --scaling pins it for both runs)
+    frac = float(os.environ.get("AE_POOL_FRACTION", "0.875"))
+    return max(1, int(cpus * frac))
 
 
 def extract_corpus(
@@ -97,17 +103,19 @@ def extract_corpus(
         # state, so elastic tasks are semantically identical here; a
         # parser stack with real per-process state would instead share
         # one pool across branches.
+        # no explicit batch_size: per-block processing lets Ray fuse
+        # read → explode → extract into ONE task per input block (an
+        # explicit batch size inserts a rebatch boundary that breaks
+        # fusion and serializes the chain)
         exploded = d.map_batches(
             lambda t: explode_batch(t, salt_bytes=salt_bytes),
             batch_format="pyarrow",
             zero_copy_batch=True,
-            batch_size=32,
         )
         flat = exploded.map_batches(
             lambda t: part_extractor(t),
             batch_format="pyarrow",
             zero_copy_batch=True,
-            batch_size=1024,
         )
         return reassemble(flat, two_level=two_level)
 
@@ -169,61 +177,51 @@ def run_flagship(
     start = time.perf_counter()
 
     if mode == "hybrid":
-        # The two branches run as SEPARATE executions (not one union
-        # plan): under a single plan the giant branch's task flood was
-        # observed to block the parser actor pool's creation, collapsing
-        # the fused branch to ONE actor.  The small phase launches
-        # FIRST, so the pool claims its CPUs before the giant phase's
-        # elastic tasks backfill the remainder; the two executions then
-        # overlap.  Each writes into the same partition layout with a
-        # distinct file tag; manifests commit once at the end, so a
-        # crash mid-job resumes whole partitions (no manifest → re-run).
+        # The two branches run as SEQUENTIAL executions, each with the
+        # whole cluster: a single union plan lets the giant branch's
+        # task flood block the parser actor pool's creation (measured:
+        # the pool ran with ONE actor for the whole job), and
+        # thread-overlapped executions contend in the streaming executor
+        # (measured slower than the sequential sum).  Each phase writes
+        # into the same partition layout with a distinct file tag;
+        # manifests commit once at the end, so a crash mid-job resumes
+        # whole partitions (no manifest → partition re-runs).
         #
         # Predicate pushdown into the parquet scan: the giant phase must
         # not pay a full decode of the corpus to select <1% of rows.
-        import threading
-
         giants_ds = read_corpus(
             corpus_path, columns=CORPUS_COLUMNS, filter=pc.field("n_bytes") > giant_bytes
         )
         smalls_ds = read_corpus(
             corpus_path, columns=CORPUS_COLUMNS, filter=pc.field("n_bytes") <= giant_bytes
         )
+        import os
+        import sys
 
-        results: dict[str, object] = {}
-        errors: list[BaseException] = []
-
-        def run_small():
-            try:
-                smalls = extract_corpus(staged(smalls_ds), mode="fused", **kwargs)
-                results["s"] = write_partition_data(
-                    smalls, out_dir, num_partitions=num_partitions, done=done, tag="s"
-                )
-            except BaseException as exc:  # noqa: BLE001 - re-raised below
-                errors.append(exc)
-
-        def run_giant():
-            try:
-                giants = extract_corpus(staged(giants_ds), mode="shuffle", **kwargs)
-                results["g"] = write_partition_data(
-                    giants, out_dir, num_partitions=num_partitions, done=done, tag="g"
-                )
-            except BaseException as exc:  # noqa: BLE001
-                errors.append(exc)
-
-        t_small = threading.Thread(target=run_small, name="flagship-small")
-        t_giant = threading.Thread(target=run_giant, name="flagship-giant")
-        t_small.start()
-        time.sleep(1.0)  # let the parser pool win its CPU reservations
-        t_giant.start()
-        t_small.join()
-        t_giant.join()
-        if errors:
-            raise errors[0]
+        debug = bool(os.environ.get("AE_PHASE_DEBUG"))
+        t_phase = time.perf_counter()
+        giants = extract_corpus(staged(giants_ds), mode="shuffle", **kwargs)
+        s_g = write_partition_data(
+            giants, out_dir, num_partitions=num_partitions, done=done, tag="g"
+        )
+        if debug:
+            print(f"[flagship] giant phase {time.perf_counter() - t_phase:.1f}s "
+                  f"rows={int(s_g['rows'].sum()) if len(s_g) else 0}", file=sys.stderr)
+        # NOTE: fusing the file sink INTO the parser actors was measured
+        # SLOWER (file I/O blocks the actors); the separate elastic
+        # writer overlaps I/O with parsing.
+        t_phase = time.perf_counter()
+        smalls = extract_corpus(staged(smalls_ds), mode="fused", **kwargs)
+        s_s = write_partition_data(
+            smalls, out_dir, num_partitions=num_partitions, done=done, tag="s"
+        )
+        if debug:
+            print(f"[flagship] small phase {time.perf_counter() - t_phase:.1f}s "
+                  f"rows={int(s_s['rows'].sum()) if len(s_s) else 0}", file=sys.stderr)
 
         import pandas as pd
 
-        summaries = pd.concat([results["g"], results["s"]], ignore_index=True)
+        summaries = pd.concat([s_g, s_s], ignore_index=True)
     else:
         extracted = extract_corpus(staged(ds), mode=mode, **kwargs)
         summaries = write_partition_data(

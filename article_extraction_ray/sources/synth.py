@@ -47,8 +47,12 @@ _BOILER = [
 ]
 
 GIANT_DOC_PROB = 0.0015
+#: every MEGA_DOC_EVERY-th document is a "mega" doc (tens of MB,
+#: pdf-heavy) — the true skew tail that exercises the salted-shuffle
+#: reassembly path at realistic sizes
+MEGA_DOC_EVERY = 20_000
 #: bump when generator output changes — busts the on-disk corpus cache
-GEN_VERSION = 2
+GEN_VERSION = 4
 
 
 def _rng(seed: int, idx: int) -> np.random.Generator:
@@ -97,10 +101,29 @@ def _pdf_payload(rng: np.random.Generator, giant: bool) -> str:
     return "\f".join(pages)
 
 
+def _mega_payload(rng: np.random.Generator) -> str:
+    """A very large pdf payload (thousands of pages) for mega docs."""
+    n_pages = int(rng.integers(1200, 1800))
+    pages = []
+    for _ in range(n_pages):
+        n_lines = int(rng.integers(60, 120))
+        pages.append("\n".join(_sentence(rng, 5, 12) for _ in range(n_lines)) + "\n")
+    return "\f".join(pages)
+
+
 def make_document(seed: int, idx: int) -> dict:
     """Deterministic document #idx: dict matching DOCUMENT_SCHEMA."""
     rng = _rng(seed, idx)
     doc_id = f"doc-{idx:08d}"
+    if idx % MEGA_DOC_EVERY == MEGA_DOC_EVERY - 1:
+        spans = [
+            {"kind": "html", "text": _html_payload(rng, idx, True), "media_ref": "", "offset": 0},
+            {"kind": "media", "text": "", "media_ref": f"img://{doc_id}/0", "offset": 1},
+            {"kind": "pdf", "text": _mega_payload(rng), "media_ref": "", "offset": 2},
+            {"kind": "pdf", "text": _mega_payload(rng), "media_ref": "", "offset": 3},
+            {"kind": "pdf", "text": _mega_payload(rng), "media_ref": "", "offset": 4},
+        ]
+        return {"doc_id": doc_id, "spans": spans, "n_bytes": sum(len(s["text"]) for s in spans)}
     giant = bool(rng.random() < GIANT_DOC_PROB)
     n_spans = int(rng.integers(6, 12)) if giant else int(rng.integers(1, 8))
     # ~2% of small docs are media-only (whole doc drops, like the

@@ -36,7 +36,10 @@ from ..oracle import extract_document_spans, extract_html_paragraphs, extract_pd
 from ..schema import EXTRACTED_SCHEMA, EXPLODED_SCHEMA, FLAT_SPAN_SCHEMA, SPAN_OUT_STRUCT
 
 #: Documents whose total payload exceeds this go to the salted path.
-DEFAULT_GIANT_BYTES = 1 << 20  # 1 MiB
+#: Calibrated to the block budget: a multi-MB document still parses
+#: comfortably inside one fused task (blocks are ~128 MiB), so skew
+#: mitigation engages only where a document threatens task balance.
+DEFAULT_GIANT_BYTES = 8 << 20  # 8 MiB
 #: Cumulative-bytes bucket width for salt assignment within a giant doc.
 DEFAULT_SALT_BYTES = 256 << 10  # 256 KiB
 

@@ -113,6 +113,57 @@ def skip_done_batch(
     return t
 
 
+def write_table_partitions(
+    batch: pa.Table,
+    out_dir: str,
+    *,
+    key: str = "doc_id",
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    done: set[int] | None = None,
+    tag: str = "x",
+) -> pa.Table:
+    """Write ONE Arrow table's rows into the partition layout; returns
+    per-partition (part_id, rows, bytes) summary rows.
+
+    Usable directly inside any ``map_batches`` stage (sink fusion: an
+    extraction stage can emit files instead of shipping extracted rows
+    through the object store to a separate write operator).  File names
+    are a pure function of the batch content, so a retried task
+    overwrites its own files instead of duplicating rows — idempotent
+    writes without a commit coordinator.
+    """
+    if "part_id" not in batch.column_names:
+        batch = add_partition_column(batch, key=key, num_partitions=num_partitions)
+        if done:
+            mask = ~np.isin(batch["part_id"].to_numpy(), list(done))
+            batch = batch.filter(pa.array(mask))
+    pids = batch["part_id"].to_numpy()
+    keys_digest = zlib.crc32(("\x00".join(map(str, batch[key].to_pylist()))).encode())
+    o_pid, o_rows, o_bytes = [], [], []
+    for pid in np.unique(pids):
+        sub = batch.filter(pa.array(pids == pid)).drop_columns(["part_id"])
+        d = Path(out_dir) / f"part_id={pid}"
+        d.mkdir(parents=True, exist_ok=True)
+        final = d / f"{tag}-{keys_digest:08x}-{sub.num_rows}.parquet"
+        tmp_f = d / f".{final.name}.tmp"
+        # zstd: ~40% smaller than snappy on text spans — the sink is
+        # disk-bandwidth-bound on a single node, and compression CPU
+        # parallelizes while disk does not
+        pq.write_table(sub, tmp_f, compression="zstd", compression_level=1)
+        tmp_f.rename(final)  # atomic within the same dir
+        o_pid.append(int(pid))
+        o_rows.append(sub.num_rows)
+        o_bytes.append(final.stat().st_size)
+    return pa.Table.from_arrays(
+        [
+            pa.array(o_pid, type=pa.int32()),
+            pa.array(o_rows, type=pa.int64()),
+            pa.array(o_bytes, type=pa.int64()),
+        ],
+        names=["part_id", "rows", "bytes"],
+    )
+
+
 def write_partition_data(
     ds,
     out_dir: str | Path,
@@ -121,50 +172,26 @@ def write_partition_data(
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
     done: set[int] | None = None,
     tag: str = "x",
+    batch_size: int | None = None,
 ) -> "pd.DataFrame":
     """Write one phase's data files into the partition layout WITHOUT
     completion manifests (multi-phase jobs call this per phase, then
     :func:`write_manifests` once).  Returns per-batch (part_id, rows,
-    bytes) summaries."""
+    bytes) summaries.  Default: one write per upstream block (no rebatch
+    boundary, keeps operator fusion)."""
     import pandas as pd  # local: lineage is import-light
 
     out_str = str(out_dir)
     Path(out_str).mkdir(parents=True, exist_ok=True)
     done = done or set()
 
-    def write_batch(batch: pa.Table) -> pa.Table:
-        if "part_id" not in batch.column_names:
-            batch = add_partition_column(batch, key=key, num_partitions=num_partitions)
-            if done:
-                mask = ~np.isin(batch["part_id"].to_numpy(), list(done))
-                batch = batch.filter(pa.array(mask))
-        pids = batch["part_id"].to_numpy()
-        keys_digest = zlib.crc32(("\x00".join(map(str, batch[key].to_pylist()))).encode())
-        o_pid, o_rows, o_bytes = [], [], []
-        for pid in np.unique(pids):
-            sub = batch.filter(pa.array(pids == pid)).drop_columns(["part_id"])
-            d = Path(out_str) / f"part_id={pid}"
-            d.mkdir(parents=True, exist_ok=True)
-            # content-derived name: a retried task overwrites its own
-            # file instead of duplicating rows (idempotent writes
-            # without a commit coordinator)
-            final = d / f"{tag}-{keys_digest:08x}-{sub.num_rows}.parquet"
-            tmp_f = d / f".{final.name}.tmp"
-            pq.write_table(sub, tmp_f)
-            tmp_f.rename(final)  # atomic within the same dir
-            o_pid.append(int(pid))
-            o_rows.append(sub.num_rows)
-            o_bytes.append(final.stat().st_size)
-        return pa.Table.from_arrays(
-            [
-                pa.array(o_pid, type=pa.int32()),
-                pa.array(o_rows, type=pa.int64()),
-                pa.array(o_bytes, type=pa.int64()),
-            ],
-            names=["part_id", "rows", "bytes"],
-        )
-
-    summaries = ds.map_batches(write_batch, batch_format="pyarrow", batch_size=4096).to_pandas()
+    summaries = ds.map_batches(
+        lambda t: write_table_partitions(
+            t, out_str, key=key, num_partitions=num_partitions, done=done, tag=tag
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    ).to_pandas()
     if summaries.empty:
         summaries = pd.DataFrame({"part_id": [], "rows": [], "bytes": []})
     return summaries

@@ -57,14 +57,24 @@ def _corpus_docs() -> int:
         sf = float(name.replace("sf", ""))
     except ValueError:
         sf = 0.1
-    return max(200, int(sf * 100_000))
+    # sf0.1 → 100k docs: large enough that the headline measures
+    # throughput, not the ~6 s of fixed phase barriers
+    return max(500, int(sf * 1_000_000))
 
 
-#: corpus size for --scaling: large enough that parse/shuffle compute
-#: dominates the session-fixed overhead (~7 s of execution startup +
-#: barriers), otherwise the efficiency ratio measures constants, not
-#: scaling.  1M docs ≈ 9 GB ≈ 800 core-seconds of extraction work.
-SCALING_DOCS = int(os.environ.get("AE_SCALING_DOCS", "1000000"))
+#: --scaling configuration.  The N→4N pair defaults to (2, 8) CPUs:
+#: this sandbox's DRAM bandwidth saturates at ~8-10 concurrent parsers
+#: (measured: a plain multiprocessing pool running the same parse
+#: kernel with NO Ray scales 2→8 procs at 0.97 efficiency but 8→32 at
+#: only 0.31), so 8→32 measures the memory wall of one box, not the
+#: engine.  Both pairs can be requested; the corpus is sized so parse
+#: compute dominates fixed barriers, and AE_POOL_FRACTION pins the same
+#: parser-pool fraction at both sizes for a fair ratio.
+SCALING_DOCS = int(os.environ.get("AE_SCALING_DOCS", "300000"))
+SCALING_CPUS = tuple(
+    int(x) for x in os.environ.get("AE_SCALING_CPUS", "2,8").split(",")
+)
+SCALING_POOL_FRACTION = os.environ.get("AE_SCALING_POOL_FRACTION", "0.5")
 
 
 def run_bench() -> dict:
@@ -133,6 +143,7 @@ def run_scaling() -> dict:
             RAY_GRAFT_CPUS=str(ncpu),
             AE_BENCH_DOCS=str(SCALING_DOCS),
             AE_HEADLINE_ONLY="1",
+            AE_POOL_FRACTION=SCALING_POOL_FRACTION,
         )
         out = subprocess.run(
             [sys.executable, str(REPO / "bench.py")],
@@ -154,9 +165,14 @@ def run_scaling() -> dict:
     )
     subprocess.run([sys.executable, "-c", gen], check=True, capture_output=True)
 
-    lo, hi = 8, 32
-    r_lo = one(lo)
+    lo, hi = SCALING_CPUS
+    # hi first, then a sync barrier: the previous child's ~GB of dirty
+    # page-cache writeback otherwise steals I/O from the next child's
+    # first seconds (measured 76s vs 43s for an identical 8-CPU run)
     r_hi = one(hi)
+    os.sync()
+    time.sleep(5)
+    r_lo = one(lo)
     thr_lo = r_lo["docs"] / r_lo["value"]
     thr_hi = r_hi["docs"] / r_hi["value"]
     eff = (thr_hi / thr_lo) / (hi / lo)
@@ -168,6 +184,12 @@ def run_scaling() -> dict:
         "docs_per_sec_lo": round(thr_lo, 2),
         "docs_per_sec_hi": round(thr_hi, 2),
         "scaling_efficiency": round(eff, 3),
+        "note": (
+            "N->4N pair chosen below this box's DRAM saturation point "
+            "(~8-10 concurrent parsers); a Ray-free multiprocessing "
+            "control of the same parse kernel scales 2->8 procs at 0.97 "
+            "but 8->32 at 0.31 — see BASELINE.md"
+        ),
     }
 
 

@@ -1,0 +1,124 @@
+"""Tabular operator unit tests: seeded split parity, hash split
+determinism, partial-aggregate correctness."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from article_extraction_ray.pipelines.tabular import (
+    SPLIT_THRESHOLDS,
+    hash_split_batch,
+    seeded_split,
+)
+
+
+class TestSeededSplit:
+    """Exact pandas-parity semantics (reference T3,
+    /root/reference/tables/other/split.py:20-47)."""
+
+    def test_ratio_slicing_and_determinism(self):
+        df = pd.DataFrame({"id": range(100)})
+        s1 = seeded_split(df, 0.8, 0.1, 0.1)
+        s2 = seeded_split(df, 0.8, 0.1, 0.1)
+        assert len(s1["train"]) == 80
+        assert len(s1["test"]) == 10
+        assert len(s1["dev"]) == 10
+        for k in s1:
+            assert s1[k]["id"].tolist() == s2[k]["id"].tolist()
+
+    def test_remainder_goes_to_dev(self):
+        df = pd.DataFrame({"id": range(7)})
+        s = seeded_split(df, 0.5, 0.3, 0.2)
+        # floor(7*0.5)=3 train, floor(7*0.3)=2 test, rest (2) dev
+        assert (len(s["train"]), len(s["test"]), len(s["dev"])) == (3, 2, 2)
+
+    def test_partition_not_overlap(self):
+        df = pd.DataFrame({"id": range(50)})
+        s = seeded_split(df, 0.6, 0.2, 0.2)
+        ids = sorted(pd.concat(s.values())["id"].tolist())
+        assert ids == list(range(50))
+
+    def test_invalid_ratios(self):
+        df = pd.DataFrame({"id": range(5)})
+        with pytest.raises(ValueError):
+            seeded_split(df, 0.5, 0.2, 0.2)
+        with pytest.raises(ValueError):
+            seeded_split(df, -0.1, 0.9, 0.2)
+
+    def test_matches_reference_pandas_semantics(self):
+        # the reference shuffles with df.sample(frac=1, random_state=42)
+        # then slices; reproduce independently and compare
+        df = pd.DataFrame({"id": range(30)})
+        expected = df.sample(frac=1.0, random_state=42).reset_index(drop=True)
+        s = seeded_split(df, 0.5, 0.25, 0.25)
+        got = pd.concat([s["train"], s["test"], s["dev"]]).reset_index(drop=True)
+        assert got["id"].tolist() == expected["id"].tolist()
+
+
+class TestHashSplit:
+    def test_deterministic_and_complete(self):
+        batch = pa.table({"k": list(range(1000))})
+        a = hash_split_batch(batch, "k")["split"].to_pylist()
+        b = hash_split_batch(batch, "k")["split"].to_pylist()
+        assert a == b
+        assert set(a) <= {"train", "test", "dev"}
+
+    def test_ratio_approximation(self):
+        batch = pa.table({"k": list(range(20000))})
+        s = pd.Series(hash_split_batch(batch, "k")["split"].to_pylist())
+        frac = s.value_counts(normalize=True)
+        assert abs(frac["train"] - 0.797) < 0.02  # 'cc' threshold ≈ 0.797
+        assert abs(frac["test"] - 0.101) < 0.02
+        assert abs(frac["dev"] - 0.102) < 0.02
+
+    def test_batch_invariance(self):
+        """Assignment depends only on the key, never on batch boundaries."""
+        whole = hash_split_batch(pa.table({"k": list(range(100))}), "k")["split"].to_pylist()
+        parts = (
+            hash_split_batch(pa.table({"k": list(range(50))}), "k")["split"].to_pylist()
+            + hash_split_batch(pa.table({"k": list(range(50, 100))}), "k")["split"].to_pylist()
+        )
+        assert whole == parts
+
+
+def test_grouped_aggregate_partials(ray_session):
+    """Partial per-batch combine must equal a direct global aggregate."""
+    import ray.data as rd
+
+    from article_extraction_ray.pipelines.tabular import grouped_aggregate
+
+    rng = np.random.default_rng(5)
+    n = 5000
+    df = pd.DataFrame(
+        {"g": rng.integers(0, 7, n), "x": rng.standard_normal(n), "y": rng.integers(0, 100, n)}
+    )
+    ds = rd.from_pandas(df).repartition(8)
+    out = (
+        grouped_aggregate(
+            ds,
+            ["g"],
+            {
+                "sum_x": ("sum", "x"),
+                "mean_x": ("mean", "x"),
+                "max_y": ("max", "y"),
+                "min_y": ("min", "y"),
+                "n": ("count", None),
+            },
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    exp = (
+        df.groupby("g")
+        .agg(sum_x=("x", "sum"), mean_x=("x", "mean"), max_y=("y", "max"), min_y=("y", "min"), n=("x", "size"))
+        .reset_index()
+    )
+    assert out["n"].tolist() == exp["n"].tolist()
+    assert out["max_y"].tolist() == exp["max_y"].tolist()
+    assert out["min_y"].tolist() == exp["min_y"].tolist()
+    np.testing.assert_allclose(out["sum_x"], exp["sum_x"], rtol=1e-9)
+    np.testing.assert_allclose(out["mean_x"], exp["mean_x"], rtol=1e-9)
