@@ -952,6 +952,254 @@ def q_eval_semantic(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# E1-equivalent gold-table build: epoch-shaped rows → cleaned/coerced/
+# fuzzy-joined paper-information rows (pipelines.ingest)
+# ---------------------------------------------------------------------------
+
+
+def q_gold_from_epoch(sf_dir: str):
+    from .ingest import build_gold_information
+
+    nation = read_table_arrow(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    order = pa.compute.sort_indices(nation, sort_keys=[("n_nationkey", "ascending")])
+    nation = nation.take(order)
+
+    part = read_table(
+        sf_dir, "part", columns=["p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"]
+    )
+
+    def epochify(batch: pa.Table) -> pa.Table:
+        pk = batch["p_partkey"].to_numpy()
+        size = batch["p_size"].to_numpy()
+        hw = np.where(pk % 3 == 0, "A100", np.where(pk % 3 == 1, "NVIDIA V100", "TPU v4"))
+        return pa.Table.from_arrays(
+            [
+                pa.array(pk),
+                batch["p_name"],
+                batch["p_type"],
+                batch["p_brand"],
+                pa.array((size * 1_000_000).astype(np.float64)),
+                pa.array(batch["p_retailprice"].to_numpy() * 1e12),
+                pa.array(size * 30.0),
+                pa.array((size % 64 + 1).astype(np.float64)),
+                pa.array([f"20{int(k) % 25:02d}-06-15" for k in pk], type=pa.string()),
+                pa.array([f"Unspecified / NATION_{int(k) % 25}" for k in pk], type=pa.string()),
+                pa.array(hw, type=pa.string()),
+            ],
+            names=[
+                "id_paper", "model", "abstract", "approach", "parameters",
+                "training_compute", "training_power_draw_w", "hardware_quantity",
+                "publication_date", "country_of_organization", "training_hardware",
+            ],
+        )
+
+    epoch = part.map_batches(epochify, batch_format="pyarrow")
+    return build_gold_information(
+        epoch,
+        nation["n_nationkey"].to_pylist(),
+        nation["n_name"].to_pylist(),
+        [(c[0], c[1], c[2], c[3]) for c in _INFO_CATALOG],
+    )
+
+
+SQL_GOLD = """
+SELECT p_partkey AS id_paper,
+       p_name AS model,
+       p_type AS abstract,
+       p_brand AS architecture,
+       CAST(p_size * 1000000 AS BIGINT) AS parameters,
+       p_retailprice * 1e12 AS training_compute,
+       p_size * 30.0 AS power_draw,
+       CAST(p_size % 64 + 1 AS BIGINT) AS h_number,
+       CAST(2000 + p_partkey % 25 AS BIGINT) AS year,
+       CAST(CASE WHEN p_partkey % 25 >= 20 THEN 2
+                 WHEN p_partkey % 25 >= 10 THEN 1
+                 ELSE p_partkey % 25 END AS BIGINT) AS id_country,
+       CAST(CASE p_partkey % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 3 END AS BIGINT) AS id_hardware,
+       CASE p_partkey % 3 WHEN 0 THEN 312.0 WHEN 1 THEN 125.0 ELSE 275.0 END AS h_compute,
+       CASE p_partkey % 3 WHEN 0 THEN 0.4 WHEN 1 THEN 0.3 ELSE 0.2 END AS h_power
+FROM part
+"""
+
+
+# ---------------------------------------------------------------------------
+# diagnosis stats (reference A5/G4, diagnosis/nb_token_papers.py:63-74):
+# token-count distribution — count/mean/p50/p90/p95/max
+# ---------------------------------------------------------------------------
+
+
+def q_token_quantiles(sf_dir: str):
+    """Global token-count stats.  Quantiles here are exact: the engine
+    projects the single int column and reduces on the driver, which is
+    correct for catalog-sized corpora (the reference's diagnosis runs on
+    hundreds of docs); at web scale this stage becomes a mergeable
+    t-digest/KLL sketch emitted per batch and merged in one small
+    reduce."""
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        toks = pc.cast(pc.count_substring_regex(batch["text"], r"\S+"), pa.int64())
+        return pa.Table.from_arrays([toks], names=["n_tokens"])
+
+    vals = ds.map_batches(counts, batch_format="pyarrow").to_pandas()["n_tokens"].to_numpy()
+    return pd.DataFrame(
+        [
+            {
+                "n_docs": np.int64(vals.size),
+                "mean_tokens": round(float(vals.mean()), 6),
+                "p50": float(np.percentile(vals, 50)),
+                "p90": float(np.percentile(vals, 90)),
+                "p95": float(np.percentile(vals, 95)),
+                "max_tokens": np.int64(vals.max()),
+            }
+        ]
+    )
+
+
+SQL_TOKEN_QUANTILES = r"""
+WITH c AS (
+  SELECT coalesce(array_length(regexp_extract_all(text, '\S+')), 0) AS n FROM documents
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(n), 6) AS mean_tokens,
+       CAST(quantile_cont(n, 0.50) AS DOUBLE) AS p50,
+       CAST(quantile_cont(n, 0.90) AS DOUBLE) AS p90,
+       CAST(quantile_cont(n, 0.95) AS DOUBLE) AS p95,
+       CAST(max(n) AS BIGINT) AS max_tokens
+FROM c
+"""
+
+# ---------------------------------------------------------------------------
+# session windows over the event log (gap-based sessionization; the
+# streaming-shaped workload pattern — ordered scan within key groups)
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_SEC = 1800
+
+
+def q_sessionize(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = (batch["user_id"].to_numpy() % 32).astype(np.int32)
+        return batch.append_column("bucket", pa.array(b))
+
+    def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        gap = df.groupby("user_id")["ts"].diff().dt.total_seconds()
+        new_sess = (gap.isna() | (gap > _SESSION_GAP_SEC)).astype(np.int64)
+        df["session_id"] = new_sess.groupby(df["user_id"]).cumsum()
+        out = (
+            df.groupby(["user_id", "session_id"], sort=False)
+            .agg(
+                n_events=("event_id", "size"),
+                sum_value=("value", "sum"),
+                t_start=("ts", "min"),
+                t_end=("ts", "max"),
+            )
+            .reset_index()
+        )
+        out["sum_value"] = out["sum_value"].round(2)
+        return out
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lambda df: sessions(df.drop(columns=["bucket"])), batch_format="pandas")
+    )
+
+
+SQL_SESSIONIZE = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR date_diff('second', lag(ts) OVER w, ts) > {_SESSION_GAP_SEC}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       min(ts) AS t_start, max(ts) AS t_end
+FROM numbered GROUP BY user_id, session_id
+"""
+
+# ---------------------------------------------------------------------------
+# typed-metadata extraction from a JSON props column (vectorized regex
+# on the Ray side, json_extract on the oracle side — identical for the
+# flat props payloads in the events table)
+# ---------------------------------------------------------------------------
+
+
+def q_props_extract(sf_dir: str):
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "props"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        caps = pc.extract_regex(batch["props"], r'"k":\s*(?P<k>\d+)')
+        k = pc.cast(pc.struct_field(caps, "k"), pa.int64())
+        return pa.Table.from_arrays([batch["event_id"], k], names=["event_id", "k"])
+
+    return ds.map_batches(extract, batch_format="pyarrow")
+
+
+SQL_PROPS = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events
+"""
+
+# ---------------------------------------------------------------------------
+# deterministic seeded sampling (hash-threshold, ~10%)
+# ---------------------------------------------------------------------------
+
+
+def q_sample_seeded(sf_dir: str):
+    from .tabular import _md5_hex
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def sample(batch: pa.Table) -> pa.Table:
+        keys = batch["o_orderkey"].to_numpy()
+        mask = np.fromiter(
+            (_md5_hex(str(k)) < "19999999999999999999999999999999" for k in keys),
+            dtype=bool,
+            count=len(keys),
+        )
+        return batch.filter(pa.array(mask))
+
+    out = ds.map_batches(sample, batch_format="pyarrow")
+    agg = grouped_aggregate(
+        out.map_batches(
+            lambda t: t.append_column("g", pa.array(np.zeros(t.num_rows, dtype=np.int64))),
+            batch_format="pyarrow",
+        ),
+        ["g"],
+        {"n_sampled": ("count", None), "sum_price": ("sum", "o_totalprice")},
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_price"] = df["sum_price"].round(2)
+        return df[["n_sampled", "sum_price"]]
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+SQL_SAMPLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_sampled,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders
+WHERE md5(cast(o_orderkey AS varchar)) < '19999999999999999999999999999999'
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -988,6 +1236,11 @@ QUERIES = {
     "eval_char_metrics": q_eval_char_metrics,
     "eval_summary": q_eval_summary,
     "eval_semantic": q_eval_semantic,
+    "gold_from_epoch": q_gold_from_epoch,
+    "token_quantiles": q_token_quantiles,
+    "sessionize": q_sessionize,
+    "props_extract": q_props_extract,
+    "sample_seeded": q_sample_seeded,
 }
 
 ORACLE_SQL = {
@@ -1013,6 +1266,11 @@ ORACLE_SQL = {
     "information_extraction": SQL_INFO_EXTRACT,
     "eval_char_metrics": SQL_EVAL_CHAR,
     "eval_summary": SQL_EVAL_SUMMARY,
+    "gold_from_epoch": SQL_GOLD,
+    "token_quantiles": SQL_TOKEN_QUANTILES,
+    "sessionize": SQL_SESSIONIZE,
+    "props_extract": SQL_PROPS,
+    "sample_seeded": SQL_SAMPLE,
     # lang_id / quality_score / winnow / minhash / simhash / knn_lsh /
     # media_* are not SQL-expressible → rows-only driver check; pytest
     # goldens + recall properties cover their semantics.

@@ -10,7 +10,7 @@ import duckdb
 import pandas as pd
 import pytest
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = os.environ.get("AE_TEST_SF", "/root/testdata/sf0.001")
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
