@@ -187,26 +187,53 @@ def run_flagship(
         # manifests commit once at the end, so a crash mid-job resumes
         # whole partitions (no manifest → partition re-runs).
         #
-        # Predicate pushdown into the parquet scan: the giant phase must
-        # not pay a full decode of the corpus to select <1% of rows.
-        giants_ds = read_corpus(
-            corpus_path, columns=CORPUS_COLUMNS, filter=pc.field("n_bytes") > giant_bytes
-        )
-        smalls_ds = read_corpus(
-            corpus_path, columns=CORPUS_COLUMNS, filter=pc.field("n_bytes") <= giant_bytes
-        )
         import os
         import sys
 
+        import pandas as pd
+
+        from ..sources.io import files_with_giants
+
         debug = bool(os.environ.get("AE_PHASE_DEBUG"))
+
+        # Metadata-only pruning: list the shards whose row-group stats
+        # admit giants; skip the whole phase (and its shuffle barriers)
+        # when none can exist.  Predicate pushdown inside the remaining
+        # shards avoids decoding non-giant rows.
         t_phase = time.perf_counter()
-        giants = extract_corpus(staged(giants_ds), mode="shuffle", **kwargs)
-        s_g = write_partition_data(
-            giants, out_dir, num_partitions=num_partitions, done=done, tag="g"
+        giant_shards = (
+            files_with_giants(corpus_path, giant_bytes)
+            if not str(corpus_path).rstrip("/").endswith(".lance")
+            else None  # lance path: no parquet footers; scan with filter only
         )
-        if debug:
-            print(f"[flagship] giant phase {time.perf_counter() - t_phase:.1f}s "
-                  f"rows={int(s_g['rows'].sum()) if len(s_g) else 0}", file=sys.stderr)
+        if giant_shards is not None and not giant_shards:
+            s_g = pd.DataFrame({"part_id": [], "rows": [], "bytes": []})
+            if debug:
+                print(
+                    f"[flagship] giant phase skipped (no shard can contain giants, "
+                    f"{time.perf_counter() - t_phase:.1f}s metadata scan)",
+                    file=sys.stderr,
+                )
+        else:
+            giants_ds = read_corpus(
+                giant_shards if giant_shards is not None else corpus_path,
+                columns=CORPUS_COLUMNS,
+                filter=pc.field("n_bytes") > giant_bytes,
+            )
+            giants = extract_corpus(staged(giants_ds), mode="shuffle", **kwargs)
+            s_g = write_partition_data(
+                giants, out_dir, num_partitions=num_partitions, done=done, tag="g"
+            )
+            if debug:
+                print(
+                    f"[flagship] giant phase {time.perf_counter() - t_phase:.1f}s "
+                    f"rows={int(s_g['rows'].sum()) if len(s_g) else 0} "
+                    f"shards={'all' if giant_shards is None else len(giant_shards)}",
+                    file=sys.stderr,
+                )
+        smalls_ds = read_corpus(
+            corpus_path, columns=CORPUS_COLUMNS, filter=pc.field("n_bytes") <= giant_bytes
+        )
         # NOTE: fusing the file sink INTO the parser actors was measured
         # SLOWER (file I/O blocks the actors); the separate elastic
         # writer overlaps I/O with parsing.

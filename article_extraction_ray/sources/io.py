@@ -49,6 +49,42 @@ def read_corpus(path: str, *, columns: list[str] | None = None, filter=None):
     return rd.read_parquet(path, columns=columns, override_num_blocks=blocks, filter=filter)
 
 
+def files_with_giants(path: str, giant_bytes: int, *, column: str = "n_bytes") -> list[str]:
+    """Parquet shard files whose row-group statistics admit rows with
+    ``column > giant_bytes`` — a pure metadata scan (footers only, no
+    data decode).  Lets the giant-doc phase read only the shards that
+    can contain giants, and be skipped entirely when none can.  At
+    100 TB this is the standard pruning listing a lakehouse driver does;
+    files lacking statistics are conservatively included."""
+    import pyarrow.dataset as pads
+
+    out: list[str] = []
+    ds = pads.dataset(path, format="parquet")
+    for frag in ds.get_fragments():
+        keep = False
+        try:
+            frag.ensure_complete_metadata()
+            meta = frag.metadata
+            idx = None
+            for i in range(meta.num_columns):
+                if meta.row_group(0).column(i).path_in_schema == column:
+                    idx = i
+                    break
+            if idx is None:
+                keep = True
+            else:
+                for rg in range(meta.num_row_groups):
+                    stats = meta.row_group(rg).column(idx).statistics
+                    if stats is None or stats.max is None or stats.max > giant_bytes:
+                        keep = True
+                        break
+        except Exception:
+            keep = True  # unknown metadata → cannot prune
+        if keep:
+            out.append(frag.path)
+    return out
+
+
 def corpus_files(path: str) -> list[str]:
     """Parquet shard files of a corpus directory (deterministic order)."""
     entries = [
