@@ -1200,6 +1200,96 @@ WHERE md5(cast(o_orderkey AS varchar)) < '19999999999999999999999999999999'
 
 
 # ---------------------------------------------------------------------------
+# G5 — expanding means per (model, category) in idx order (oracled via
+# a running-average window function)
+# ---------------------------------------------------------------------------
+
+
+def q_expanding_mean(sf_dir: str):
+    from .eval import char_metrics_batch, expanding_means
+
+    scored = _eval_pairs(sf_dir).map_batches(char_metrics_batch, batch_format="pyarrow")
+
+    def per_group(df: pd.DataFrame) -> pd.DataFrame:
+        out = expanding_means(df, "levenshtein")
+        out["levenshtein_expanding_mean"] = out["levenshtein_expanding_mean"].round(9)
+        return out[["model", "category", "idx", "levenshtein_expanding_mean"]]
+
+    return scored.groupby(["model", "category"]).map_groups(per_group, batch_format="pandas")
+
+
+SQL_EXPANDING = """
+WITH pairs AS (
+  SELECT 'm1' AS model, lang AS category, doc_id AS idx,
+         levenshtein(text,
+           CASE WHEN length(text) - length(replace(text, ' ', '')) >= 1
+                THEN regexp_replace(text, ' [^ ]*$', '') ELSE '' END) AS lev
+  FROM documents
+)
+SELECT model, category, idx,
+       round(avg(lev) OVER (PARTITION BY model, category ORDER BY idx
+                            ROWS UNBOUNDED PRECEDING), 9) AS levenshtein_expanding_mean
+FROM pairs
+"""
+
+
+# ---------------------------------------------------------------------------
+# A3 — windowed QA extraction with a deterministic hook (the call_qa
+# plugin surface; scores/aggregation semantics oracled in pytest)
+# ---------------------------------------------------------------------------
+
+
+def q_qa_extract(sf_dir: str):
+    from ..stages.field_extract import qa_extract
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def deterministic_qa(question: str, chunk: str) -> list[tuple[str, float]]:
+        # a hermetic "model": answer = first token of the chunk, scored
+        # by chunk length (deterministic; exercises windowing + dedupe
+        # + best-score aggregation end to end)
+        toks = chunk.split()
+        if not toks:
+            return []
+        return [(toks[0], float(len(chunk)))]
+
+    def run(batch: pa.Table) -> pa.Table:
+        answers = [
+            qa_extract(
+                t or "",
+                "model",
+                deterministic_qa,
+                question_map={"model": "what is it?"},
+                window=80,
+                stride=40,
+            )
+            for t in batch["text"].to_pylist()
+        ]
+        return pa.Table.from_arrays(
+            [batch["doc_id"], pa.array(answers, type=pa.string())],
+            names=["doc_id", "answer"],
+        )
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+def q_media_features(sf_dir: str):
+    from ..stages.multimodal import ImageFeatureStage, synth_media_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        refs = [f"img://doc/{i}" for i in batch["doc_id"].to_pylist()]
+        return synth_media_table(refs, "image")
+
+    media = docs.map_batches(to_media, batch_format="pyarrow")
+    return media.map_batches(
+        ImageFeatureStage, fn_constructor_kwargs={"dim": 32}, batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1241,6 +1331,9 @@ QUERIES = {
     "sessionize": q_sessionize,
     "props_extract": q_props_extract,
     "sample_seeded": q_sample_seeded,
+    "expanding_mean": q_expanding_mean,
+    "qa_extract": q_qa_extract,
+    "media_features": q_media_features,
 }
 
 ORACLE_SQL = {
@@ -1271,6 +1364,7 @@ ORACLE_SQL = {
     "sessionize": SQL_SESSIONIZE,
     "props_extract": SQL_PROPS,
     "sample_seeded": SQL_SAMPLE,
+    "expanding_mean": SQL_EXPANDING,
     # lang_id / quality_score / winnow / minhash / simhash / knn_lsh /
     # media_* are not SQL-expressible → rows-only driver check; pytest
     # goldens + recall properties cover their semantics.
