@@ -219,6 +219,7 @@ def run_flagship(
                 giant_shards if giant_shards is not None else corpus_path,
                 columns=CORPUS_COLUMNS,
                 filter=pc.field("n_bytes") > giant_bytes,
+                filter_sql=f"n_bytes > {giant_bytes}",
             )
             giants = extract_corpus(staged(giants_ds), mode="shuffle", **kwargs)
             s_g = write_partition_data(
@@ -232,7 +233,10 @@ def run_flagship(
                     file=sys.stderr,
                 )
         smalls_ds = read_corpus(
-            corpus_path, columns=CORPUS_COLUMNS, filter=pc.field("n_bytes") <= giant_bytes
+            corpus_path,
+            columns=CORPUS_COLUMNS,
+            filter=pc.field("n_bytes") <= giant_bytes,
+            filter_sql=f"n_bytes <= {giant_bytes}",
         )
         # NOTE: fusing the file sink INTO the parser actors was measured
         # SLOWER (file I/O blocks the actors); the separate elastic

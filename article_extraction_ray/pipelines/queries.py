@@ -397,7 +397,23 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 
 def q_anti_join_resume(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
-    done = [i for i in range(100_000) if i % 7 == 0]
+    # Done-set bound derives from the actual table (parquet footer stats,
+    # no data scan) so the query matches the oracle at every scale factor.
+    import pyarrow.parquet as pq
+    import os as _os
+
+    meta = pq.ParquetFile(_os.path.join(sf_dir, "documents.parquet"))
+    max_id = max(
+        meta.metadata.row_group(rg).column(
+            next(
+                i
+                for i in range(meta.metadata.num_columns)
+                if meta.metadata.row_group(0).column(i).path_in_schema == "doc_id"
+            )
+        ).statistics.max
+        for rg in range(meta.metadata.num_row_groups)
+    )
+    done = [i for i in range(0, max_id + 1, 7)]
     return broadcast_semi_filter(ds, done, "doc_id", anti=True)
 
 
@@ -1088,7 +1104,10 @@ def q_sessionize(sf_dir: str):
 
     def sessions(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["user_id", "ts", "event_id"])
-        gap = df.groupby("user_id")["ts"].diff().dt.total_seconds()
+        # Gap counts whole-second boundary crossings (DuckDB date_diff
+        # semantics): floor both timestamps to the second before diffing,
+        # so a 1800.4 s gap between :00.8 and :01.2 counts like the oracle.
+        gap = df["ts"].dt.floor("s").groupby(df["user_id"]).diff().dt.total_seconds()
         new_sess = (gap.isna() | (gap > _SESSION_GAP_SEC)).astype(np.int64)
         df["session_id"] = new_sess.groupby(df["user_id"]).cumsum()
         out = (
@@ -1120,8 +1139,8 @@ WITH flagged AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), numbered AS (
-  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS UNBOUNDED PRECEDING) AS session_id
+  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id,
@@ -1161,17 +1180,12 @@ SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM eve
 
 
 def q_sample_seeded(sf_dir: str):
-    from .tabular import _md5_hex
+    from .tabular import md5_lt_mask
 
     ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
 
     def sample(batch: pa.Table) -> pa.Table:
-        keys = batch["o_orderkey"].to_numpy()
-        mask = np.fromiter(
-            (_md5_hex(str(k)) < "19999999999999999999999999999999" for k in keys),
-            dtype=bool,
-            count=len(keys),
-        )
+        mask = md5_lt_mask(batch["o_orderkey"], "19999999999999999999999999999999")
         return batch.filter(pa.array(mask))
 
     out = ds.map_batches(sample, batch_format="pyarrow")

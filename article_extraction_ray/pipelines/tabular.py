@@ -54,7 +54,10 @@ def grouped_aggregate(ds, keys: list[str], specs: dict[str, tuple[str, str | Non
     """groupby(keys) with partial per-batch combining.
 
     ``specs`` maps output column → (op, input column); op ∈ {sum, count,
-    min, max, mean}.  ``mean`` is computed as sum/count at finalize.
+    min, max, mean}.  ``mean`` is computed as sum(col)/count(col) at
+    finalize — the count is of NON-NULL values of the source column, so
+    it matches SQL avg() on tables with NULLs.  ``count`` means count(*)
+    (rows per group, via the first key, which must be non-null).
     Returns a Dataset with columns keys + list(specs).
     """
     from ray.data.aggregate import Max, Min, Sum
@@ -63,7 +66,7 @@ def grouped_aggregate(ds, keys: list[str], specs: dict[str, tuple[str, str | Non
     for out, (op, src) in specs.items():
         if op == "mean":
             partial_specs[f"__sum_{src}"] = ("sum", src)
-            partial_specs["__cnt"] = ("count", keys[0])
+            partial_specs[f"__cnt_{src}"] = ("count", src)
         elif op == "count":
             partial_specs["__cnt"] = ("count", keys[0])
         elif op in _PARTIALIZABLE:
@@ -97,7 +100,7 @@ def grouped_aggregate(ds, keys: list[str], specs: dict[str, tuple[str, str | Non
         for out, (op, src) in specs.items():
             if op == "mean":
                 s = batch[f"__sum_{src}"].to_numpy(zero_copy_only=False).astype(np.float64)
-                c = batch["__cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+                c = batch[f"__cnt_{src}"].to_numpy(zero_copy_only=False).astype(np.float64)
                 out_cols[out] = pa.array(s / c)
             elif op == "count":
                 out_cols[out] = batch["__cnt"]
@@ -161,16 +164,18 @@ def broadcast_join(ds, dim: pa.Table, on: str, *, how: str = "inner"):
 
 def broadcast_semi_filter(ds, keys, column: str, *, anti: bool = False):
     """Semi/anti join against a broadcast key set (reference J2 resume
-    anti-join, /root/reference/tables/paper_text_table.py:108-110)."""
-    handle = Broadcast(frozenset(keys))
+    anti-join, /root/reference/tables/paper_text_table.py:108-110).
+
+    The key set ships once via ``ray.put`` as an Arrow array; each batch
+    runs the vectorized ``pc.is_in`` kernel (hash-set probe in C++), not
+    a per-row Python membership loop."""
+    handle = Broadcast(pa.array(list(keys)))
 
     def flt(batch: pa.Table) -> pa.Table:
-        keyset = handle.get()
-        vals = batch[column].to_numpy(zero_copy_only=False)
-        mask = np.fromiter((v in keyset for v in vals), dtype=bool, count=len(vals))
+        mask = pa.compute.is_in(batch[column], value_set=handle.get())
         if anti:
-            mask = ~mask
-        return batch.filter(pa.array(mask))
+            mask = pa.compute.invert(mask)
+        return batch.filter(mask)
 
     return ds.map_batches(flt, batch_format="pyarrow")
 
@@ -190,18 +195,47 @@ def _md5_hex(value: str) -> str:
     return hashlib.md5(value.encode("utf-8")).hexdigest()
 
 
+def md5_digest_words(col) -> tuple[np.ndarray, np.ndarray]:
+    """md5 digests of a column's decimal/string form as two big-endian
+    uint64 arrays (hi, lo) — the vectorizable view of the hex string."""
+    vals = col.cast(pa.string()).to_pylist()
+    md5 = hashlib.md5
+    buf = b"".join(md5(s.encode("utf-8")).digest() for s in vals)
+    words = np.frombuffer(buf, dtype=">u8").reshape(-1, 2)
+    return words[:, 0], words[:, 1]
+
+
+def md5_lt_mask(col, hex_thr: str) -> np.ndarray:
+    """Vectorized ``md5(cast(col as varchar)) < hex_thr`` — 128-bit compare
+    of the digest, bit-identical to the SQL lexicographic hex compare."""
+    hi, lo = md5_digest_words(col)
+    thr_hi, thr_lo = _split_thr_u128(hex_thr)
+    return (hi < thr_hi) | ((hi == thr_hi) & (lo < thr_lo))
+
+
+def _split_thr_u128(hex_thr: str) -> tuple[int, int]:
+    v = int(hex_thr, 16)
+    return v >> 64, v & 0xFFFFFFFFFFFFFFFF
+
+
+_THR_U128 = [(name, _split_thr_u128(thr)) for name, thr in SPLIT_THRESHOLDS]
+
+
 def hash_split_batch(batch: pa.Table, key: str) -> pa.Table:
-    """Append a ``split`` column via md5-threshold assignment."""
-    vals = batch[key].to_numpy(zero_copy_only=False)
-    out = []
-    for v in vals:
-        h = _md5_hex(str(v))
-        for name, thr in SPLIT_THRESHOLDS:
-            if h < thr:
-                out.append(name)
-                break
-        else:
-            out.append("dev")
+    """Append a ``split`` column via md5-threshold assignment.
+
+    md5 itself has no Arrow kernel, so digests come from a tight
+    ``hashlib`` loop, but the hex-string threshold comparison (the per-row
+    inner loop in v1) is vectorized: each 16-byte digest is viewed as two
+    big-endian uint64s and compared 128-bit-wise against the thresholds —
+    bit-identical to the SQL ``md5(cast(key as varchar)) < 'cc…'`` rule."""
+    hi, lo = md5_digest_words(batch[key])
+    out = np.full(len(hi), "dev", dtype=object)
+    assigned = np.zeros(len(hi), dtype=bool)
+    for name, (thr_hi, thr_lo) in _THR_U128:
+        lt = (hi < thr_hi) | ((hi == thr_hi) & (lo < thr_lo))
+        out[lt & ~assigned] = name
+        assigned |= lt
     return batch.append_column("split", pa.array(out, type=pa.string()))
 
 

@@ -28,24 +28,43 @@ def _read_blocks() -> int | None:
     return None
 
 
-def read_corpus(path: str, *, columns: list[str] | None = None, filter=None):
+def read_corpus(
+    path: str,
+    *,
+    columns: list[str] | None = None,
+    filter=None,
+    filter_sql: str | None = None,
+):
     """Lazy Dataset over an interleaved-documents table (DOCUMENT_SCHEMA).
 
-    ``filter`` is a pyarrow dataset expression pushed into the scan
+    ``filter`` is a pyarrow dataset expression pushed into the Parquet scan
     (row-group pruning + scan-level filtering) — measured ~3× cheaper
     than a post-read ``Dataset.filter`` for selective predicates.
+    ``filter_sql`` is the same predicate as a SQL string; the Lance branch
+    pushes it into ``read_lance(filter=...)`` (Lance filters are strings).
+    Callers that may hit the Lance path must pass both forms; a pyarrow
+    ``filter`` without ``filter_sql`` raises on the Lance branch rather
+    than silently scanning the full corpus.
     """
     import ray.data as rd
 
     blocks = _read_blocks()
     if str(path).rstrip("/").endswith(".lance"):
+        if filter is not None and filter_sql is None:
+            raise ValueError(
+                "read_corpus on a .lance path needs filter_sql (a SQL predicate "
+                "string) — pyarrow expressions cannot be pushed into a Lance scan"
+            )
         try:
-            return rd.read_lance(path, columns=columns, override_num_blocks=blocks)
+            ds = rd.read_lance(
+                path, columns=columns, filter=filter_sql, override_num_blocks=blocks
+            )
         except ImportError as exc:  # pragma: no cover - no pylance in sandbox
             raise RuntimeError(
                 "reading .lance requires the pylance package; re-materialize the "
                 "corpus as parquet or install pylance"
             ) from exc
+        return ds
     return rd.read_parquet(path, columns=columns, override_num_blocks=blocks, filter=filter)
 
 
