@@ -40,8 +40,9 @@ CORPUS_COLUMNS = ["doc_id", "spans", "n_bytes"]
 
 
 def _default_pool() -> int:
-    """Actor-pool size for the parser stage: FIXED at ~60% of the
-    cluster.  Fixed, because Ray fuses the upstream read into the actor
+    """Actor-pool size for the parser stage: FIXED at a constant fraction
+    of the cluster (AE_POOL_FRACTION, default 0.875).
+    Fixed, because Ray fuses the upstream read into the actor
     operator (ReadParquet->...->MapBatches(SpanExtractor) runs ON the
     pool), which blinds the autoscaler — an autoscaling ``(1, N)`` pool
     was observed to stay at ONE actor for the whole job.  60%, because
@@ -124,13 +125,46 @@ def extract_corpus(
     if mode == "shuffle":
         return shuffled(ds)
     if mode == "hybrid":
-        # n_bytes is a tiny metadata column; the two filters each prune at
-        # the read (predicate over one int column), so the payload column
-        # is scanned once per branch but only for that branch's rows.
+        # Single-plan hybrid, kept for callers that hand in an arbitrary
+        # Dataset.  NOTE: the giant branch's task flood can starve the
+        # fused branch's actor-pool creation in one union plan (measured);
+        # run_flagship routes around this with sequential phases — prefer
+        # run_flagship(corpus_path, mode="hybrid") when reading a corpus.
         small = ds.filter(expr=f"n_bytes <= {giant_bytes}")
         giant = ds.filter(expr=f"n_bytes > {giant_bytes}")
         return fused(small).union(shuffled(giant))
     raise ValueError(f"unknown mode {mode!r}")
+
+
+def _hybrid_sources(corpus_path: str, giant_bytes: int):
+    """(giants_ds | None, smalls_ds) for the two-phase hybrid plan.
+
+    Giant shards come from a metadata-only footer scan (skip the phase
+    when no shard can contain giants); both reads push the n_bytes
+    predicate into the scan."""
+    from ..sources.io import files_with_giants
+
+    giant_shards = (
+        files_with_giants(corpus_path, giant_bytes)
+        if not str(corpus_path).rstrip("/").endswith(".lance")
+        else None  # lance path: no parquet footers; scan with filter only
+    )
+    if giant_shards is not None and not giant_shards:
+        giants_ds = None
+    else:
+        giants_ds = read_corpus(
+            giant_shards if giant_shards is not None else corpus_path,
+            columns=CORPUS_COLUMNS,
+            filter=pc.field("n_bytes") > giant_bytes,
+            filter_sql=f"n_bytes > {giant_bytes}",
+        )
+    smalls_ds = read_corpus(
+        corpus_path,
+        columns=CORPUS_COLUMNS,
+        filter=pc.field("n_bytes") <= giant_bytes,
+        filter_sql=f"n_bytes <= {giant_bytes}",
+    )
+    return giants_ds, smalls_ds
 
 
 def run_flagship(
@@ -149,9 +183,24 @@ def run_flagship(
     """
     import pyarrow.compute as pc
 
-    ds = read_corpus(corpus_path, columns=CORPUS_COLUMNS)
     if out_dir is None:
+        if mode == "hybrid":
+            # Same sequential two-phase shape as the write path: the
+            # giant (shuffle) phase materializes first — its output is
+            # tiny (<1% of docs) and stays distributed in the object
+            # store — then the fused small phase streams on consumption
+            # with the actor pool to itself.  A single union plan was
+            # measured to starve the pool (ONE actor for the whole job).
+            giant_bytes = kwargs.get("giant_bytes", DEFAULT_GIANT_BYTES)
+            giants_ds, smalls_ds = _hybrid_sources(corpus_path, giant_bytes)
+            smalls = extract_corpus(smalls_ds, mode="fused", **kwargs)
+            if giants_ds is None:
+                return smalls
+            giants = extract_corpus(giants_ds, mode="shuffle", **kwargs).materialize()
+            return giants.union(smalls)
+        ds = read_corpus(corpus_path, columns=CORPUS_COLUMNS)
         return extract_corpus(ds, mode=mode, **kwargs)
+    ds = read_corpus(corpus_path, columns=CORPUS_COLUMNS)
 
     import time
 
@@ -192,21 +241,11 @@ def run_flagship(
 
         import pandas as pd
 
-        from ..sources.io import files_with_giants
-
         debug = bool(os.environ.get("AE_PHASE_DEBUG"))
 
-        # Metadata-only pruning: list the shards whose row-group stats
-        # admit giants; skip the whole phase (and its shuffle barriers)
-        # when none can exist.  Predicate pushdown inside the remaining
-        # shards avoids decoding non-giant rows.
         t_phase = time.perf_counter()
-        giant_shards = (
-            files_with_giants(corpus_path, giant_bytes)
-            if not str(corpus_path).rstrip("/").endswith(".lance")
-            else None  # lance path: no parquet footers; scan with filter only
-        )
-        if giant_shards is not None and not giant_shards:
+        giants_ds, smalls_ds = _hybrid_sources(corpus_path, giant_bytes)
+        if giants_ds is None:
             s_g = pd.DataFrame({"part_id": [], "rows": [], "bytes": []})
             if debug:
                 print(
@@ -215,12 +254,6 @@ def run_flagship(
                     file=sys.stderr,
                 )
         else:
-            giants_ds = read_corpus(
-                giant_shards if giant_shards is not None else corpus_path,
-                columns=CORPUS_COLUMNS,
-                filter=pc.field("n_bytes") > giant_bytes,
-                filter_sql=f"n_bytes > {giant_bytes}",
-            )
             giants = extract_corpus(staged(giants_ds), mode="shuffle", **kwargs)
             s_g = write_partition_data(
                 giants, out_dir, num_partitions=num_partitions, done=done, tag="g"
@@ -228,16 +261,9 @@ def run_flagship(
             if debug:
                 print(
                     f"[flagship] giant phase {time.perf_counter() - t_phase:.1f}s "
-                    f"rows={int(s_g['rows'].sum()) if len(s_g) else 0} "
-                    f"shards={'all' if giant_shards is None else len(giant_shards)}",
+                    f"rows={int(s_g['rows'].sum()) if len(s_g) else 0}",
                     file=sys.stderr,
                 )
-        smalls_ds = read_corpus(
-            corpus_path,
-            columns=CORPUS_COLUMNS,
-            filter=pc.field("n_bytes") <= giant_bytes,
-            filter_sql=f"n_bytes <= {giant_bytes}",
-        )
         # NOTE: fusing the file sink INTO the parser actors was measured
         # SLOWER (file I/O blocks the actors); the separate elastic
         # writer overlaps I/O with parsing.

@@ -65,9 +65,20 @@ def shingle_hashes(text: str, n: int = 3) -> np.ndarray:
     )
 
 
-def minhash_signature(text: str, *, k: int = _DEFAULT_K, n: int = 3, seed: int = 7) -> np.ndarray:
-    """k-permutation minhash over word n-shingles; empty text → all-max."""
-    a, b = _rng_params(k, seed)
+def minhash_signature(
+    text: str,
+    *,
+    k: int = _DEFAULT_K,
+    n: int = 3,
+    seed: int = 7,
+    params: tuple[np.ndarray, np.ndarray] | None = None,
+) -> np.ndarray:
+    """k-permutation minhash over word n-shingles; empty text → all-max.
+
+    ``params`` lets a long-lived caller (MinHashStage actors) pass the
+    permutation coefficients built once in ``__init__`` instead of
+    re-deriving them per document."""
+    a, b = params if params is not None else _rng_params(k, seed)
     hashes = shingle_hashes(text, n)
     if hashes.size == 0:
         return np.full(k, np.iinfo(np.uint64).max, dtype=np.uint64)
@@ -89,8 +100,21 @@ def exact_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
     return len(sa & sb) / union if union else 0.0
 
 
-def _band_hash(sig_slice: np.ndarray) -> int:
-    return zlib.crc32(sig_slice.tobytes()) & 0x7FFFFFFF
+def _band_hashes(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """(B, k) signatures → (B, bands) int64 band hashes, fully vectorized.
+
+    xor-multiply mixing in wrapping uint64 (a Fibonacci-hash constant);
+    masked to 63 bits so the value stores as non-negative int64 in Arrow.
+    """
+    n_docs, k = sigs.shape
+    r = k // bands
+    sl = sigs.reshape(n_docs, bands, r)
+    mix = np.uint64(0x9E3779B97F4A7C15)
+    h = np.zeros((n_docs, bands), dtype=np.uint64)
+    for j in range(r):
+        h = (h ^ sl[:, :, j]) * mix
+    h ^= h >> np.uint64(33)
+    return (h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
 
 
 class MinHashStage:
@@ -100,7 +124,9 @@ class MinHashStage:
     Signatures are NOT carried through the shuffle — only 24-byte band
     keys move; candidate pairs are verified afterwards with exact
     Jaccard, so the shuffle volume is independent of signature width.
-    Permutation parameters are built once per actor (``__init__``).
+    Permutation parameters are built once per actor (``__init__``) and
+    threaded into every signature call; banding is one vectorized pass
+    over the whole batch.
     """
 
     def __init__(self, *, k: int = _DEFAULT_K, bands: int = _DEFAULT_BANDS, n: int = 3, seed: int = 7,
@@ -110,23 +136,22 @@ class MinHashStage:
         self.k, self.bands, self.n, self.seed = k, bands, n, seed
         self.rows_per_band = k // bands
         self.id_col, self.text_col = id_col, text_col
+        self.params = _rng_params(k, seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         texts = batch[self.text_col].to_pylist()
-        o_id, o_band, o_hash = [], [], []
-        for doc_id, text in zip(ids, texts):
-            sig = minhash_signature(text or "", k=self.k, n=self.n, seed=self.seed)
-            for band in range(self.bands):
-                sl = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
-                o_id.append(doc_id)
-                o_band.append(band)
-                o_hash.append(_band_hash(sl))
+        sigs = np.empty((len(ids), self.k), dtype=np.uint64)
+        for i, text in enumerate(texts):
+            sigs[i] = minhash_signature(
+                text or "", k=self.k, n=self.n, params=self.params
+            )
+        band_hash = _band_hashes(sigs, self.bands)
         return pa.Table.from_arrays(
             [
-                pa.array(o_id),
-                pa.array(o_band, type=pa.int32()),
-                pa.array(o_hash, type=pa.int64()),
+                pa.array(np.repeat(ids, self.bands)),
+                pa.array(np.tile(np.arange(self.bands, dtype=np.int32), len(ids))),
+                pa.array(band_hash.reshape(-1), type=pa.int64()),
             ],
             names=["doc_id", "band_id", "band_hash"],
         )
@@ -136,42 +161,70 @@ _N_SHUFFLE_BUCKETS = 256
 
 
 def _bucket_pair_gen(group: pd.DataFrame) -> pd.DataFrame:
-    """Pair generation for one coarse shuffle bucket: vectorized pandas
-    groupby over the (band_id, band_hash) keys inside the bucket.
+    """Pair generation for one coarse shuffle bucket: a single vectorized
+    self-merge on (band_id, band_hash) — no Python iteration over the
+    (typically tens of thousands of) tiny key groups, whose per-group
+    pandas overhead dominated the whole minhash query in v1.
 
     Coarse bucketing turns millions of tiny Ray groups into
     ``_N_SHUFFLE_BUCKETS`` map_groups invocations — the per-group
-    scheduling overhead dominates otherwise.
+    scheduling overhead dominates otherwise.  A pathological key group
+    (thousands of identical docs) costs O(g²) pairs by construction —
+    exact-dedupe first on corpora with heavy verbatim duplication.
     """
-    frames = []
-    for _, g in group.groupby(["band_id", "band_hash"], sort=False):
-        ids = np.unique(g["doc_id"].to_numpy())
-        if len(ids) > 1:
-            ia, ib = np.triu_indices(len(ids), 1)
-            frames.append(pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]}))
-    if not frames:
-        return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")})
-    return pd.concat(frames, ignore_index=True)
+    df = group[["band_id", "band_hash", "doc_id"]].drop_duplicates()
+    m = df.merge(df, on=["band_id", "band_hash"])
+    m = m[m["doc_id_x"] < m["doc_id_y"]]
+    return pd.DataFrame(
+        {"id_a": m["doc_id_x"].to_numpy(), "id_b": m["doc_id_y"].to_numpy()}
+    )
+
+
+#: per-worker-process stage cache: the minhash kernel's state (128 perm
+#: coefficients) builds once per (config, worker) and is reused by every
+#: task batch that lands on that worker — the "state once per worker"
+#: property of an actor pool WITHOUT paying pool startup, which dominates
+#: wall time for a kernel this cheap (~0.1 ms/doc).  A stage with genuinely
+#: expensive state (a model, an index) should stay an actor pool.
+_STAGE_CACHE: dict[tuple, "MinHashStage"] = {}
+
+
+def _band_rows_fn(batch: pa.Table, cfg: tuple) -> pa.Table:
+    stage = _STAGE_CACHE.get(cfg)
+    if stage is None:
+        k, bands, n, seed, id_col, text_col = cfg
+        stage = _STAGE_CACHE.setdefault(
+            cfg, MinHashStage(k=k, bands=bands, n=n, seed=seed, id_col=id_col, text_col=text_col)
+        )
+    return stage(batch)
 
 
 def minhash_candidates(ds, *, k: int = _DEFAULT_K, bands: int = _DEFAULT_BANDS, n: int = 3,
                        seed: int = 7, id_col: str = "doc_id", text_col: str = "text",
-                       concurrency=(2, 8)) -> pd.DataFrame:
+                       concurrency=None) -> pd.DataFrame:
     """Dataset(id, text) → pandas DataFrame(id_a, id_b, n_bands) of
     distinct candidate pairs.
 
-    The distributed part ends at per-bucket pair generation; the pair
-    list is small by construction (near-dup rate × corpus), so the
+    Band-row generation runs as elastic stateless tasks (per-worker stage
+    cache, see _STAGE_CACHE); pass ``concurrency`` to force an actor pool
+    instead.  The distributed part ends at per-bucket pair generation; the
+    pair list is small by construction (near-dup rate × corpus), so the
     cross-band dedupe (value_counts on pair keys) runs on the driver —
     a Ray groupby over it would pay a full sort for kilobytes of data.
     n_bands = number of bands in which the pair collided (the LSH
     confidence signal)."""
-    band_rows = ds.map_batches(
-        MinHashStage,
-        fn_constructor_kwargs=dict(k=k, bands=bands, n=n, seed=seed, id_col=id_col, text_col=text_col),
-        batch_format="pyarrow",
-        concurrency=concurrency,
-    )
+    cfg = (k, bands, n, seed, id_col, text_col)
+    if concurrency is None:
+        band_rows = ds.map_batches(
+            lambda b: _band_rows_fn(b, cfg), batch_format="pyarrow"
+        )
+    else:
+        band_rows = ds.map_batches(
+            MinHashStage,
+            fn_constructor_kwargs=dict(k=k, bands=bands, n=n, seed=seed, id_col=id_col, text_col=text_col),
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        )
 
     def coarse_bucket(batch: pa.Table) -> pa.Table:
         b = (batch["band_hash"].to_numpy() % _N_SHUFFLE_BUCKETS).astype(np.int32)
@@ -189,19 +242,93 @@ def minhash_candidates(ds, *, k: int = _DEFAULT_K, bands: int = _DEFAULT_BANDS, 
     )
 
 
+def _key_buckets(vals: np.ndarray, nb: int) -> np.ndarray:
+    """Deterministic bucket per key (int modulo; crc32 for other types)."""
+    if vals.dtype.kind in "iu":
+        return (vals.astype(np.int64) % nb).astype(np.int32)
+    return np.fromiter(
+        (zlib.crc32(str(v).encode()) % nb for v in vals), dtype=np.int32, count=len(vals)
+    )
+
+
+def _verify_pairs_distributed(ds, candidates: pd.DataFrame, *, n: int,
+                              id_col: str, text_col: str) -> pd.DataFrame:
+    """Exact-Jaccard verify of a candidate pair list WITHOUT materializing
+    any document text on the driver.
+
+    The pair list is the small side (near-dup rate × corpus) and ships
+    once via ``ray.put``; candidate documents are semi-filtered out of the
+    corpus (ids-only broadcast) and stay distributed.  Each doc batch
+    resolves the text for pairs whose id_a (resp. id_b) it holds, the two
+    half-resolved pair streams union, co-locate by a coarse id_a bucket,
+    and each bucket zips its halves and scores exact Jaccard.  Only
+    candidate texts shuffle — a tiny fraction of the corpus; the full
+    corpus text never leaves its read tasks and never hits the driver.
+    """
+    from ..pipelines.tabular import broadcast_semi_filter
+    from ..state.broadcast import Broadcast
+
+    needed = pd.unique(pd.concat([candidates["id_a"], candidates["id_b"]], ignore_index=True))
+    docs = broadcast_semi_filter(ds, needed, id_col)
+    pairs_handle = Broadcast(candidates[["id_a", "id_b", "n_bands"]])
+    # few buckets for few pairs — per-group scheduling would otherwise
+    # dominate; one bucket per ~64 pairs, capped at the shuffle width
+    nb = int(max(1, min(_N_SHUFFLE_BUCKETS, len(candidates) // 64)))
+
+    def attach(batch: pa.Table) -> pd.DataFrame:
+        # One pass over candidate docs: each batch emits the half-resolved
+        # pair rows for every pair whose id_a OR id_b it holds, tagged
+        # with a coarse pair bucket.  The same pair's two halves meet in
+        # the groupby below.
+        cand = pairs_handle.get()
+        texts = dict(zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()))
+        halves = []
+        for key, text_col_out in (("id_a", "text_a"), ("id_b", "text_b")):
+            sel = cand[cand[key].isin(list(texts))]
+            half = pd.DataFrame(
+                {
+                    "id_a": sel["id_a"].to_numpy(),
+                    "id_b": sel["id_b"].to_numpy(),
+                    "n_bands": sel["n_bands"].to_numpy(),
+                    "text_a": None,
+                    "text_b": None,
+                }
+            )
+            half[text_col_out] = [texts.get(x) for x in sel[key]]
+            halves.append(half)
+        out = pd.concat(halves, ignore_index=True)
+        out["bucket"] = _key_buckets(out["id_a"].to_numpy(), nb)
+        return out
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            g.groupby(["id_a", "id_b"], sort=False)
+            .agg(n_bands=("n_bands", "first"), text_a=("text_a", "first"), text_b=("text_b", "first"))
+            .reset_index()
+        )
+        agg["exact_jaccard"] = [
+            exact_jaccard(a or "", b or "", n) for a, b in zip(agg["text_a"], agg["text_b"])
+        ]
+        return agg[["id_a", "id_b", "n_bands", "exact_jaccard"]]
+
+    verified = (
+        docs.map_batches(attach, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lambda df: combine(df.drop(columns=["bucket"])), batch_format="pandas")
+    )
+    return verified.to_pandas()
+
+
 def minhash_dup_pairs(ds, *, threshold: float = 0.5, k: int = _DEFAULT_K,
                       bands: int = _DEFAULT_BANDS, n: int = 3, seed: int = 7,
-                      id_col: str = "doc_id", text_col: str = "text", concurrency=(2, 8)):
+                      id_col: str = "doc_id", text_col: str = "text", concurrency=None):
     """Dataset(id, text) → pandas DataFrame(id_a, id_b, n_bands,
     exact_jaccard) of verified near-dup pairs.
 
     LSH proposes (distributed, see :func:`minhash_candidates`); exact
-    word-shingle Jaccard disposes.  The verify step semi-joins the
-    corpus down to only the docs that appear in candidate pairs (a tiny
-    fraction by construction) and runs on the driver; at 10^12-doc scale
-    the same verify becomes a hash-partitioned join of the candidate
-    list against the corpus — the candidate *pair list* stays the small
-    side either way.
+    word-shingle Jaccard disposes via a hash-partitioned join of the
+    candidate pair list against the corpus (:func:`_verify_pairs_distributed`)
+    — document text is never materialized on the driver.
     """
     candidates = minhash_candidates(
         ds, k=k, bands=bands, n=n, seed=seed, id_col=id_col, text_col=text_col,
@@ -212,17 +339,12 @@ def minhash_dup_pairs(ds, *, threshold: float = 0.5, k: int = _DEFAULT_K,
             {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
              "n_bands": pd.Series(dtype="int64"), "exact_jaccard": pd.Series(dtype="float64")}
         )
-
-    needed = set(candidates["id_a"]) | set(candidates["id_b"])
-    from ..pipelines.tabular import broadcast_semi_filter
-
-    texts_df = broadcast_semi_filter(ds, needed, id_col).to_pandas()
-    lookup = dict(zip(texts_df[id_col], texts_df[text_col]))
-    candidates["exact_jaccard"] = [
-        exact_jaccard(lookup.get(a, ""), lookup.get(b, ""), n)
-        for a, b in zip(candidates["id_a"], candidates["id_b"])
-    ]
-    out = candidates[candidates["exact_jaccard"] >= threshold].reset_index(drop=True)
+    verified = _verify_pairs_distributed(ds, candidates, n=n, id_col=id_col, text_col=text_col)
+    out = (
+        verified[verified["exact_jaccard"] >= threshold]
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
     return out
 
 
@@ -231,20 +353,34 @@ def minhash_dup_pairs(ds, *, threshold: float = 0.5, k: int = _DEFAULT_K,
 # ---------------------------------------------------------------------------
 
 
+def _token_hashes(text: str) -> np.ndarray:
+    toks = set((text or "").split())
+    if not toks:
+        return np.zeros(0, dtype=np.uint64)
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
+            for t in toks
+        ),
+        dtype=np.uint64,
+        count=len(toks),
+    )
+
+
 def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens (unweighted)."""
-    acc = np.zeros(64, dtype=np.int64)
-    for tok in set((text or "").split()):
-        h = np.uint64(
-            int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little")
-        )
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits.astype(bool), 1, -1)
-    out = np.uint64(0)
-    for i in range(64):
-        if acc[i] > 0:
-            out |= np.uint64(1) << np.uint64(i)
-    return int(out)
+    """64-bit SimHash over whitespace tokens (unweighted).
+
+    Vectorized: all token hashes unpack to a (t, 64) bit matrix in one
+    ``np.unpackbits`` call and the majority vote is a column sum — no
+    per-token numpy round trips.  Bit i of the result corresponds to
+    ``(token_hash >> i) & 1`` (relies on the little-endian byte view,
+    i.e. every platform this engine targets)."""
+    hs = _token_hashes(text)
+    if hs.size == 0:
+        return 0
+    bits = np.unpackbits(hs[:, None].view(np.uint8), axis=1, bitorder="little")
+    acc = bits.sum(axis=0, dtype=np.int64) * 2 - hs.size
+    return int(np.packbits(acc > 0, bitorder="little").view(np.uint64)[0])
 
 
 def simhash_batch(batch: pa.Table, *, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
@@ -261,45 +397,94 @@ def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (bit matrix column sum)."""
+    return np.unpackbits(x[:, None].view(np.uint8), axis=1).sum(axis=1, dtype=np.int64)
+
+
 def simhash_dup_pairs(ds, *, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text"):
     """Near-dup pairs within Hamming distance via the 4-band pigeonhole
     trick: two hashes within distance ≤3 share at least one exact 16-bit
-    quarter; bucket on (quarter_idx, quarter_value), verify in-bucket."""
+    quarter; co-locate on hash(quarter, qvalue) % _N_SHUFFLE_BUCKETS
+    (coarse buckets — one map_groups call per bucket, not per key, the
+    same shape as minhash's pair-gen) and verify per key inside the
+    bucket with the blocked vectorized Hamming kernel."""
     def to_bands(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        o_id, o_q, o_v, o_h = [], [], [], []
-        for doc_id, text in zip(ids, batch[text_col].to_pylist()):
-            h = simhash64(text or "")
-            for qi in range(4):
-                o_id.append(doc_id)
-                o_q.append(qi)
-                o_v.append((h >> (16 * qi)) & 0xFFFF)
-                o_h.append(h)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        hs = np.fromiter(
+            (simhash64(t or "") for t in batch[text_col].to_pylist()),
+            dtype=np.uint64,
+            count=len(ids),
+        )
+        quarters = np.tile(np.arange(4, dtype=np.uint64), len(ids))
+        qvals = ((np.repeat(hs, 4) >> (np.uint64(16) * quarters)) & np.uint64(0xFFFF)).astype(np.int64)
+        bucket = (
+            ((qvals.astype(np.uint64) << np.uint64(2)) | quarters)
+            * np.uint64(0x9E3779B97F4A7C15)
+            >> np.uint64(40)
+        ).astype(np.int64) % _N_SHUFFLE_BUCKETS
         return pa.Table.from_arrays(
-            [pa.array(o_id), pa.array(o_q, type=pa.int32()), pa.array(o_v, type=pa.int64()),
-             pa.array([f"{x:016x}" for x in o_h], type=pa.string())],
-            names=[id_col, "quarter", "qvalue", "simhash"],
+            [
+                pa.array(np.repeat(ids, 4)),
+                pa.array(quarters.astype(np.int32)),
+                pa.array(qvals, type=pa.int64()),
+                pa.array(np.repeat(hs.view(np.int64), 4), type=pa.int64()),
+                pa.array(bucket.astype(np.int32)),
+            ],
+            names=[id_col, "quarter", "qvalue", "simhash", "bucket"],
         )
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        rows = group.sort_values(id_col).drop_duplicates(id_col)
-        ids = rows[id_col].to_numpy()
-        hs = [int(x, 16) for x in rows["simhash"]]
-        a_out, b_out, d_out = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                d = hamming64(hs[i], hs[j])
-                if d <= max_hamming:
-                    a_out.append(ids[i])
-                    b_out.append(ids[j])
-                    d_out.append(d)
-        return pd.DataFrame({"id_a": a_out, "id_b": b_out, "hamming": d_out})
-
-    from ray.data.aggregate import Min
+        # One vectorized self-merge on (quarter, qvalue) generates every
+        # in-key pair; Hamming distance is a single vectorized popcount
+        # over the xor'd hashes — no Python iteration over key groups.
+        df = group[["quarter", "qvalue", id_col, "simhash"]].drop_duplicates(
+            ["quarter", "qvalue", id_col]
+        )
+        m = df.merge(df, on=["quarter", "qvalue"])
+        m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+        if m.empty:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+                 "hamming": pd.Series(dtype="int64")}
+            )
+        xor = m["simhash_x"].to_numpy().view(np.uint64) ^ m["simhash_y"].to_numpy().view(np.uint64)
+        dist = _popcount64(xor)
+        keep = dist <= max_hamming
+        out = pd.DataFrame(
+            {
+                "id_a": m[f"{id_col}_x"].to_numpy()[keep],
+                "id_b": m[f"{id_col}_y"].to_numpy()[keep],
+                "hamming": dist[keep],
+            }
+        )
+        # early in-bucket dedupe (a pair can collide in several quarters
+        # that share this bucket) shrinks the rebucket shuffle below
+        return out.groupby(["id_a", "id_b"], as_index=False, sort=False)["hamming"].min()
 
     bands = ds.map_batches(to_bands, batch_format="pyarrow")
-    pairs = bands.groupby(["quarter", "qvalue"]).map_groups(bucket_pairs, batch_format="pandas")
-    return pairs.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
+    pairs = bands.groupby("bucket").map_groups(
+        lambda df: bucket_pairs(df.drop(columns=["bucket"])), batch_format="pandas"
+    )
+
+    # Cross-bucket dedupe (the same pair survives in up to 4 quarter
+    # buckets): re-bucket on id_a and take the per-pair min hamming with
+    # a vectorized pandas groupby inside each coarse bucket.  A Ray
+    # aggregate over millions of single-row (id_a, id_b) groups pays
+    # per-group overhead and was measured to stall; this is the same
+    # coarse-bucket pattern as everywhere else in the engine.
+    def rebucket(batch: pa.Table) -> pa.Table:
+        b = _key_buckets(batch["id_a"].to_numpy(zero_copy_only=False), _N_SHUFFLE_BUCKETS)
+        return batch.append_column("bucket", pa.array(b))
+
+    def dedupe_min(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["id_a", "id_b"], as_index=False, sort=False)["hamming"].min()
+
+    return (
+        pairs.map_batches(rebucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lambda df: dedupe_min(df.drop(columns=["bucket"])), batch_format="pandas")
+    )
 
 
 # ---------------------------------------------------------------------------
