@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -33,24 +34,78 @@ from ..functions.matching import (
 from ..functions.numeric import clean_value, to_float, to_int, to_year
 from ..state.broadcast import Broadcast
 
-#: minimal CSV→attribute mapping for the epoch columns this engine's
-#: operators touch (the reference declares 59; the mapping mechanism is
-#: identical — extend the dict to widen, tables/other/columns.py:7-72)
-EPOCH_CSV_TO_ATTR = {
-    "Model": "model",
-    "Abstract": "abstract",
-    "Approach": "approach",
-    "Parameters": "parameters",
-    "Training compute (FLOP)": "training_compute",
-    "Training power draw (W)": "training_power_draw_w",
-    "Hardware quantity": "hardware_quantity",
-    "Publication date": "publication_date",
-    "Country (of organization)": "country_of_organization",
-    "Training hardware": "training_hardware",
-    "Link": "link",
+#: the 59 epoch attributes, in the reference's declared order
+#: (tables/other/columns.py:7-72).  CSV headers derive from the attribute
+#: by rule — underscores→spaces, sentence case — plus the irregular
+#: spellings below, so the whole mapping is the rule + its exceptions
+#: rather than a 59-line restated table.
+EPOCH_ATTRS = [
+    "id_paper", "model", "domain", "task", "organization", "authors",
+    "publication_date", "reference", "link", "citations",
+    "notability_criteria", "notability_criteria_notes", "parameters",
+    "parameters_notes", "training_compute", "training_compute_notes",
+    "training_dataset", "training_dataset_notes",
+    "training_dataset_size_datapoints", "dataset_size_notes",
+    "training_time_hours", "training_time_notes", "training_hardware",
+    "approach", "confidence", "abstract", "epochs", "benchmark_data",
+    "model_accessibility", "country_of_organization", "base_model",
+    "finetune_compute", "finetune_compute_notes", "hardware_quantity",
+    "hardware_utilization_mfu", "last_modified",
+    "training_cloud_compute_vendor", "training_data_center",
+    "archived_links", "batch_size", "batch_size_notes",
+    "organization_categorization", "foundation_model",
+    "training_compute_lower_bound", "training_compute_upper_bound",
+    "training_chip_hours", "training_code_accessibility",
+    "accessibility_notes", "organization_categorization_from_organization",
+    "possibly_over_1e23_flop", "training_compute_cost_2023_usd",
+    "utilization_notes", "numerical_format", "frontier_model",
+    "training_power_draw_w", "training_compute_estimation_method",
+    "hugging_face_developer_id", "post_training_compute_flop",
+    "post_training_compute_notes", "hardware_utilization_hfu",
+]
+
+_EPOCH_CSV_IRREGULAR = {
+    "id_paper": "id_paper",
+    "training_compute": "Training compute (FLOP)",
+    "finetune_compute": "Finetune compute (FLOP)",
+    "training_dataset_size_datapoints": "Training dataset size (datapoints)",
+    "training_time_hours": "Training time (hours)",
+    "hardware_utilization_mfu": "Hardware utilization (MFU)",
+    "hardware_utilization_hfu": "Hardware utilization (HFU)",
+    "country_of_organization": "Country (of organization)",
+    "organization_categorization_from_organization": "Organization categorization (from Organization)",
+    "possibly_over_1e23_flop": "Possibly over 1e23 FLOP",
+    "training_compute_cost_2023_usd": "Training compute cost (2023 USD)",
+    "training_power_draw_w": "Training power draw (W)",
+    "training_chip_hours": "Training chip-hours",
+    "hugging_face_developer_id": "Hugging Face developer id",
+    "post_training_compute_flop": "Post-training compute (FLOP)",
+    "post_training_compute_notes": "Post-training compute notes",
 }
 
-EPOCH_COLUMN_ORDER = ["id_paper", *EPOCH_CSV_TO_ATTR.values()]
+
+def _attr_to_csv(attr: str) -> str:
+    return _EPOCH_CSV_IRREGULAR.get(attr, attr.replace("_", " ").capitalize())
+
+
+EPOCH_CSV_TO_ATTR = {_attr_to_csv(a): a for a in EPOCH_ATTRS}
+EPOCH_COLUMN_ORDER = list(EPOCH_ATTRS)
+
+#: per-class dispatch sets (reference tables/other/columns.py:74-95);
+#: attributes not listed stay strings.
+EPOCH_DATE_COLUMNS = {"publication_date"}
+EPOCH_DATETIME_COLUMNS = {"last_modified"}
+EPOCH_INTEGER_COLUMNS = {"id_paper", "citations"}
+EPOCH_FLOAT_COLUMNS = {
+    "parameters", "training_compute", "training_dataset_size_datapoints",
+    "training_time_hours", "epochs", "finetune_compute",
+    "hardware_quantity", "hardware_utilization_mfu", "batch_size",
+    "training_compute_lower_bound", "training_compute_upper_bound",
+    "training_chip_hours", "training_compute_cost_2023_usd",
+    "training_power_draw_w", "post_training_compute_flop",
+    "hardware_utilization_hfu",
+}
+EPOCH_BOOLEAN_COLUMNS = {"possibly_over_1e23_flop", "frontier_model"}
 
 
 def normalize_epoch_frame(df: pd.DataFrame) -> pd.DataFrame:
@@ -62,6 +117,90 @@ def normalize_epoch_frame(df: pd.DataFrame) -> pd.DataFrame:
         if column not in df.columns:
             df[column] = pd.NA
     return df[EPOCH_COLUMN_ORDER]
+
+
+_BOOL_TRUE = {"true", "1", "yes", "y", "t"}
+_BOOL_FALSE = {"false", "0", "no", "n", "f"}
+
+
+def _coerce_boolean_series(s: pd.Series) -> pd.Series:
+    """Vectorized reference to_boolean (tables/other/convert.py:28-40):
+    real bools pass through, numerics truthy by truncation, strings by
+    the yes/no token sets, anything else → NULL."""
+    if pd.api.types.is_bool_dtype(s):
+        return s.astype("boolean")
+    if pd.api.types.is_numeric_dtype(s):
+        out = pd.Series(pd.NA, index=s.index, dtype="boolean")
+        valid = s.notna()
+        out[valid] = s[valid].astype(float).pipe(lambda v: v.astype("int64") != 0)
+        return out
+    low = s.astype("string").str.strip().str.lower()
+    out = pd.Series(pd.NA, index=s.index, dtype="boolean")
+    out[low.isin(_BOOL_TRUE)] = True
+    out[low.isin(_BOOL_FALSE)] = False
+    return out
+
+
+def _to_datetime_vec(s: pd.Series, *, utc: bool = False) -> pd.Series:
+    """to_date/to_datetime semantics, vectorized: one ISO8601 fast pass,
+    then dateutil only for the non-null leftovers (a per-element dateutil
+    fallback over the whole column is orders of magnitude slower)."""
+    try:
+        parsed = pd.to_datetime(s, errors="coerce", format="ISO8601", utc=utc)
+    except (ValueError, TypeError):
+        return pd.to_datetime(s, errors="coerce", utc=utc)
+    rest = s.notna() & parsed.isna()
+    if rest.any():
+        import warnings
+
+        with warnings.catch_warnings():
+            # the per-element dateutil fallback is deliberate here
+            warnings.simplefilter("ignore")
+            parsed.loc[rest] = pd.to_datetime(s[rest], errors="coerce", utc=utc)
+    return parsed
+
+
+def coerce_epoch_frame(df: pd.DataFrame) -> pd.DataFrame:
+    """Typed coercion of a normalized epoch frame: every column is
+    dispatched on its class set and coerced with the vectorized pandas
+    equivalent of the reference's scalar kernels (epoch_table.py:130-143
+    dispatch; tables/other/convert.py:10-64 semantics — unparseable
+    values become NULL, never raise)."""
+    out = df.copy()
+    for col in out.columns:
+        if col in EPOCH_DATE_COLUMNS:
+            out[col] = _to_datetime_vec(out[col]).dt.normalize()
+        elif col in EPOCH_DATETIME_COLUMNS:
+            out[col] = _to_datetime_vec(out[col], utc=True)
+        elif col in EPOCH_BOOLEAN_COLUMNS:
+            out[col] = _coerce_boolean_series(out[col])
+        elif col in EPOCH_INTEGER_COLUMNS:
+            num = pd.to_numeric(out[col], errors="coerce")
+            out[col] = np.trunc(num.astype("float64")).astype("Int64")
+        elif col in EPOCH_FLOAT_COLUMNS:
+            out[col] = pd.to_numeric(out[col], errors="coerce").astype("float64")
+        else:
+            # string class: strip container types to str, keep NULLs
+            vals = out[col]
+            mask = vals.notna()
+            coerced = vals.astype("object")
+            coerced[mask] = coerced[mask].astype(str)
+            out[col] = coerced
+    return out
+
+
+def coerce_epoch_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """map_batches(pandas) stage: normalize + coerce one epoch batch."""
+    return coerce_epoch_frame(normalize_epoch_frame(df))
+
+
+def read_epoch_csv(path: str):
+    """Epoch CSV → typed Dataset: ray.data.read_csv then the
+    normalize+coerce batch stage (reference EpochTable.load,
+    epoch_table.py:130-166, re-expressed as a streaming transform)."""
+    import ray.data as rd
+
+    return rd.read_csv(path).map_batches(coerce_epoch_batch, batch_format="pandas")
 
 
 def prepare_hardware_frame(df: pd.DataFrame) -> pd.DataFrame:

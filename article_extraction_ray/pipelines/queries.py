@@ -663,6 +663,53 @@ def q_quality_score(sf_dir: str):
     return ds.map_batches(quality_batch, batch_format="pyarrow")
 
 
+#: SQL mirror of stages.text_stats.quality_batch — same split rule
+#: (\S+ runs), same ASCII-alpha predicate, same stopword set, identical
+#: arithmetic order so the composite is bit-comparable.
+def _sql_stops() -> str:
+    from ..stages.text_stats import _STOP_EN
+
+    return ",".join(f"'{w}'" for w in sorted(_STOP_EN))
+
+
+_SQL_STOPS = _sql_stops()
+
+SQL_QUALITY = f"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '\\S+') AS words,
+         length(regexp_replace(text, '\\s', '', 'g')) AS n_chars
+  FROM documents
+), stats AS (
+  SELECT doc_id,
+         CAST(len(words) AS BIGINT) AS n_tokens,
+         CASE WHEN len(words) = 0 THEN 0.0
+              ELSE CAST(n_chars AS DOUBLE) / len(words) END AS mwl,
+         CASE WHEN len(words) = 0 THEN 0.0
+              ELSE CAST(list_sum(list_transform(words,
+                     w -> CASE WHEN regexp_full_match(w, '[A-Za-z]+') THEN 1 ELSE 0 END))
+                   AS DOUBLE) / len(words) END AS alpha,
+         CASE WHEN len(words) = 0 THEN 0.0
+              ELSE CAST(list_sum(list_transform(words,
+                     w -> CASE WHEN lower(w) IN ({_SQL_STOPS}) THEN 1 ELSE 0 END))
+                   AS DOUBLE) / len(words) END AS stop
+  FROM toks
+)
+SELECT doc_id,
+       n_tokens,
+       mwl AS mean_word_len,
+       alpha AS alpha_ratio,
+       stop AS stop_ratio,
+       0.4 * (least(n_tokens / 20.0, 1.0)
+              * least(greatest((5000 - n_tokens) / 5000.0, 0.0), 1.0))
+       + 0.3 * alpha
+       + 0.2 * (least(greatest((mwl - 2) / 4.0, 0.0), 1.0)
+                * least(greatest((12 - mwl) / 6.0, 0.0), 1.0))
+       + 0.1 * least(stop * 5, 1.0) AS quality_score
+FROM stats
+"""
+
+
 def q_winnow_fingerprints(sf_dir: str):
     from ..stages.text_stats import winnow_batch
 
@@ -1304,6 +1351,89 @@ def q_media_features(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# M10+ — full epoch type-coercion layer: messy CSV-like strings through
+# the 59-column normalize + class-dispatch coerce
+# (reference tables/other/columns.py:74-95, convert.py:10-64,
+# epoch_table.py:130-143)
+# ---------------------------------------------------------------------------
+
+
+def q_epoch_coerce(sf_dir: str):
+    from .ingest import coerce_epoch_batch
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def messy(batch: pa.Table) -> pd.DataFrame:
+        # deterministic "dirty CSV" columns exercising each class set
+        df = batch.to_pandas()
+        k = df["o_orderkey"].to_numpy()
+        date_str = df["o_orderdate"].dt.strftime("%Y-%m-%d").to_numpy(dtype=object)
+        out = pd.DataFrame(
+            {
+                "id_paper": k.astype(str),
+                "Publication date": np.where(k % 11 == 0, "unknown", date_str),
+                "Citations": np.where(k % 7 == 0, "N/A", (k % 500).astype(str)),
+                "Training compute (FLOP)": np.where(
+                    k % 13 == 0, "", df["o_totalprice"].map(repr).to_numpy(dtype=object)
+                ),
+                "Frontier model": np.select(
+                    [k % 5 == 0, k % 5 == 1, k % 5 == 2, k % 5 == 3],
+                    ["true", "no", "1", "maybe"],
+                    default="",
+                ),
+            }
+        )
+        return out
+
+    coerced = ds.map_batches(messy, batch_format="pyarrow").map_batches(
+        coerce_epoch_batch, batch_format="pandas"
+    )
+
+    def project(df: pd.DataFrame) -> pa.Table:
+        # explicit output types: nullable ints surface as DOUBLE on the
+        # DuckDB side (fetchdf), so citations compares as float64
+        schema = pa.schema(
+            [
+                ("id_paper", pa.int64()),
+                ("publication_date", pa.timestamp("us")),
+                ("citations", pa.float64()),
+                ("training_compute", pa.float64()),
+                ("frontier_model", pa.bool_()),
+            ]
+        )
+        sel = df[
+            ["id_paper", "publication_date", "citations", "training_compute", "frontier_model"]
+        ].copy()
+        sel["citations"] = sel["citations"].astype("float64")
+        return pa.Table.from_pandas(sel, schema=schema, preserve_index=False)
+
+    return coerced.map_batches(project, batch_format="pandas")
+
+
+SQL_EPOCH_COERCE = """
+WITH messy AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS id_paper,
+         CASE WHEN o_orderkey % 11 = 0 THEN 'unknown'
+              ELSE strftime(o_orderdate, '%Y-%m-%d') END AS pub,
+         CASE WHEN o_orderkey % 7 = 0 THEN 'N/A'
+              ELSE CAST(o_orderkey % 500 AS VARCHAR) END AS cit,
+         CASE WHEN o_orderkey % 13 = 0 THEN ''
+              ELSE CAST(o_totalprice AS VARCHAR) END AS tc,
+         CASE o_orderkey % 5 WHEN 0 THEN 'true' WHEN 1 THEN 'no'
+              WHEN 2 THEN '1' WHEN 3 THEN 'maybe' ELSE '' END AS fm
+  FROM orders)
+SELECT try_cast(id_paper AS BIGINT) AS id_paper,
+       CAST(try_cast(pub AS DATE) AS TIMESTAMP) AS publication_date,
+       CAST(try_cast(cit AS BIGINT) AS DOUBLE) AS citations,
+       try_cast(tc AS DOUBLE) AS training_compute,
+       CASE WHEN lower(trim(fm)) IN ('true','1','yes','y','t') THEN true
+            WHEN lower(trim(fm)) IN ('false','0','no','n','f') THEN false
+            ELSE NULL END AS frontier_model
+FROM messy
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1341,6 +1471,7 @@ QUERIES = {
     "eval_summary": q_eval_summary,
     "eval_semantic": q_eval_semantic,
     "gold_from_epoch": q_gold_from_epoch,
+    "epoch_coerce": q_epoch_coerce,
     "token_quantiles": q_token_quantiles,
     "sessionize": q_sessionize,
     "props_extract": q_props_extract,
@@ -1374,12 +1505,14 @@ ORACLE_SQL = {
     "eval_char_metrics": SQL_EVAL_CHAR,
     "eval_summary": SQL_EVAL_SUMMARY,
     "gold_from_epoch": SQL_GOLD,
+    "epoch_coerce": SQL_EPOCH_COERCE,
     "token_quantiles": SQL_TOKEN_QUANTILES,
     "sessionize": SQL_SESSIONIZE,
     "props_extract": SQL_PROPS,
     "sample_seeded": SQL_SAMPLE,
     "expanding_mean": SQL_EXPANDING,
-    # lang_id / quality_score / winnow / minhash / simhash / knn_lsh /
-    # media_* are not SQL-expressible → rows-only driver check; pytest
-    # goldens + recall properties cover their semantics.
+    "quality_score": SQL_QUALITY,
+    # lang_id / winnow / minhash / simhash / knn_lsh / media_* are not
+    # SQL-expressible → rows-only driver check; pytest goldens + recall
+    # properties cover their semantics.
 }

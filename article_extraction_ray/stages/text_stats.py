@@ -86,14 +86,18 @@ def quality_batch(batch: pa.Table, *, id_col: str = "doc_id", text_col: str = "t
     length_ok = np.clip(n_tokens / 20.0, 0, 1) * np.clip((5000 - n_tokens) / 5000.0, 0, 1)
     word_ok = np.clip((mean_word_len - 2) / 4.0, 0, 1) * np.clip((12 - mean_word_len) / 6.0, 0, 1)
     score = 0.4 * length_ok + 0.3 * alpha_ratio + 0.2 * word_ok + 0.1 * np.clip(stop_ratio * 5, 0, 1)
+    # raw doubles, no rounding: the arithmetic is order-identical to the
+    # SQL oracle, so values compare bit-exact — a round(6) on both sides
+    # was measured to diverge on genuine half-ties (banker's vs
+    # half-away-from-zero)
     return pa.Table.from_arrays(
         [
             ids,
             pa.array(n_tokens),
-            pa.array(np.round(mean_word_len, 6)),
-            pa.array(np.round(alpha_ratio, 6)),
-            pa.array(np.round(stop_ratio, 6)),
-            pa.array(np.round(score, 6)),
+            pa.array(mean_word_len),
+            pa.array(alpha_ratio),
+            pa.array(stop_ratio),
+            pa.array(score),
         ],
         names=[id_col, "n_tokens", "mean_word_len", "alpha_ratio", "stop_ratio", "quality_score"],
     )

@@ -92,3 +92,78 @@ def test_gold_build_pipeline(ray_session):
     assert row["id_hardware"] == 2
     assert row["h_compute"] == 125.0
     assert row["power_draw"] == 1200.0
+
+
+class TestEpochCoercion:
+    """Full 59-column mapping + class-dispatch coercion
+    (reference tables/other/columns.py:7-95, convert.py:10-64)."""
+
+    def test_mapping_shape_and_spot_values(self):
+        from article_extraction_ray.pipelines.ingest import (
+            EPOCH_ATTRS,
+            EPOCH_BOOLEAN_COLUMNS,
+            EPOCH_CSV_TO_ATTR,
+            EPOCH_DATE_COLUMNS,
+            EPOCH_FLOAT_COLUMNS,
+            EPOCH_INTEGER_COLUMNS,
+        )
+
+        assert len(EPOCH_ATTRS) == 60  # 59 CSV columns + id_paper
+        assert len(EPOCH_CSV_TO_ATTR) == 60
+        # rule-derived
+        assert EPOCH_CSV_TO_ATTR["Publication date"] == "publication_date"
+        assert EPOCH_CSV_TO_ATTR["Notability criteria notes"] == "notability_criteria_notes"
+        # irregulars
+        assert EPOCH_CSV_TO_ATTR["Training compute (FLOP)"] == "training_compute"
+        assert EPOCH_CSV_TO_ATTR["Country (of organization)"] == "country_of_organization"
+        assert EPOCH_CSV_TO_ATTR["Possibly over 1e23 FLOP"] == "possibly_over_1e23_flop"
+        assert EPOCH_CSV_TO_ATTR["Training chip-hours"] == "training_chip_hours"
+        assert (
+            EPOCH_CSV_TO_ATTR["Organization categorization (from Organization)"]
+            == "organization_categorization_from_organization"
+        )
+        # class sets match the reference's counts
+        assert EPOCH_DATE_COLUMNS == {"publication_date"}
+        assert EPOCH_INTEGER_COLUMNS == {"id_paper", "citations"}
+        assert len(EPOCH_FLOAT_COLUMNS) == 16
+        assert EPOCH_BOOLEAN_COLUMNS == {"possibly_over_1e23_flop", "frontier_model"}
+
+    def test_class_dispatch_semantics(self):
+        from article_extraction_ray.pipelines.ingest import coerce_epoch_batch
+
+        df = pd.DataFrame(
+            {
+                "id_paper": ["3", "x", "7"],
+                "Publication date": ["2024-05-03", "junk", None],
+                "Last modified": ["2024-05-03T10:11:12", "nope", "2023-01-01 00:00:00"],
+                "Citations": ["12", "N/A", "0"],
+                "Training compute (FLOP)": ["1e21", "", "2.5"],
+                "Frontier model": ["true", "maybe", "NO"],
+                "Possibly over 1e23 FLOP": [1.0, 0.0, None],
+                "Model": ["m", None, 3],
+            }
+        )
+        out = coerce_epoch_batch(df)
+        assert list(out.columns)[0] == "id_paper"
+        assert len(out.columns) == 60
+        assert out["id_paper"].tolist() == [3, pd.NA, 7]
+        assert out["publication_date"].iloc[0] == pd.Timestamp("2024-05-03")
+        assert pd.isna(out["publication_date"].iloc[1])
+        assert out["last_modified"].iloc[2] == pd.Timestamp("2023-01-01", tz="UTC")
+        assert out["citations"].tolist() == [12, pd.NA, 0]
+        assert out["training_compute"].iloc[0] == 1e21
+        assert pd.isna(out["training_compute"].iloc[1])
+        assert out["frontier_model"].tolist() == [True, pd.NA, False]
+        assert out["possibly_over_1e23_flop"].tolist() == [True, False, pd.NA]
+        # string class: non-strings coerced to str, NULLs kept
+        assert out["model"].tolist() == ["m", None, "3"]
+        # padded column exists and is all-NA but correctly typed
+        assert out["batch_size"].isna().all()
+
+    def test_boolean_numeric_truthiness(self):
+        from article_extraction_ray.pipelines.ingest import _coerce_boolean_series
+
+        s = pd.Series([2.7, 0.4, -1.0, None])
+        out = _coerce_boolean_series(s)
+        # reference to_boolean: bool(int(v)) — truncation, not rounding
+        assert out.tolist() == [True, False, True, pd.NA]
