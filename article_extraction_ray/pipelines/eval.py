@@ -162,3 +162,185 @@ def score_results(ds, *, encoder_backend: str = "fake", concurrency=(1, 4)):
 def score_summary(scored_ds):
     """Per-(model, category) stats frame (small group count)."""
     return scored_ds.groupby(["model", "category"]).map_groups(_group_stats, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# metric sinks (reference S8 write side, scores.py:434-668): per-category
+# incremental CSVs, per-model aggregated CSVs, upserted summary CSVs, and
+# an optional histogram PNG behind a matplotlib gate.  The per-group
+# files are written INSIDE map_groups — i.e. on workers, against a shared
+# filesystem at cluster scale — only the tiny stats rows return to the
+# driver for the summary upsert.
+# ---------------------------------------------------------------------------
+
+CHAR_METRICS = ("levenshtein", "norm_levenshtein", "jaro_winkler_distance")
+
+
+def _safe_name(value: str) -> str:
+    return "".join(c if c.isalnum() or c in "-_." else "_" for c in str(value))
+
+
+def _write_category_files(g: pd.DataFrame, out_dir: str, distance_col: str) -> pd.DataFrame:
+    """One (model, category) group → two CSVs + one stats row.
+
+    ``<model>_<category>.csv``: index, distance, rolling_mean
+    (scores.py:434-462); ``<model>_<category>_char.csv``: index, true,
+    predicted, each char metric and its ``_rolling_mean``
+    (scores.py:465-517).  Returns the group's stats row for the driver's
+    summary upsert."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    model, category = g["model"].iloc[0], g["category"].iloc[0]
+    g = g.sort_values("idx")
+    stem = f"{_safe_name(model)}_{_safe_name(category)}"
+
+    if distance_col in g.columns:
+        prog = pd.DataFrame(
+            {
+                "index": np.arange(1, len(g) + 1, dtype=int),
+                "distance": g[distance_col].to_numpy(dtype=float),
+            }
+        )
+        prog["rolling_mean"] = prog["distance"].expanding(min_periods=1).mean()
+        prog.to_csv(os.path.join(out_dir, f"{stem}.csv"), index=False)
+
+    char_cols = [m for m in CHAR_METRICS if m in g.columns]
+    if char_cols:
+        char = pd.DataFrame(
+            {
+                "index": np.arange(1, len(g) + 1, dtype=int),
+                "true": g["true"].to_numpy(),
+                "predicted": g["predicted"].to_numpy(),
+            }
+        )
+        for m in char_cols:
+            char[m] = g[m].to_numpy(dtype=float)
+            char[f"{m}_rolling_mean"] = char[m].expanding(min_periods=1).mean()
+        char.to_csv(os.path.join(out_dir, f"{stem}_char.csv"), index=False)
+
+    return _group_stats(g)
+
+
+def _write_model_csv(g: pd.DataFrame, out_dir: str, distance_col: str) -> pd.DataFrame:
+    """One model group → ``<model>.csv`` with a distance column per
+    category (NaN-padded to the longest category) plus
+    ``<category>_mean`` expanding means (scores.py:518-565)."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    model = g["model"].iloc[0]
+    cats = {
+        cat: sub.sort_values("idx")[distance_col].to_numpy(dtype=float)
+        for cat, sub in g.groupby("category", sort=True)
+        if distance_col in sub.columns
+    }
+    max_len = max((len(v) for v in cats.values()), default=0)
+    data: dict[str, np.ndarray] = {}
+    for cat, arr in cats.items():
+        padded = np.full(max_len, np.nan)
+        padded[: len(arr)] = arr
+        data[cat] = padded
+    df = pd.DataFrame(data)
+    for cat in cats:
+        df[f"{cat}_mean"] = df[cat].expanding(min_periods=1).mean()
+    df.to_csv(os.path.join(out_dir, f"{_safe_name(model)}.csv"), index=False)
+    return pd.DataFrame([{"model": model, "n_categories": len(cats), "rows": max_len}])
+
+
+def upsert_summary_csv(summary_path: str, stats: pd.DataFrame) -> pd.DataFrame:
+    """Upsert per-(model, category) stats rows into a persistent summary
+    CSV, sorted for stability (scores.py:567-607) — re-running an eval
+    updates rows in place instead of appending duplicates."""
+    import os
+
+    os.makedirs(os.path.dirname(summary_path) or ".", exist_ok=True)
+    if os.path.exists(summary_path):
+        try:
+            existing = pd.read_csv(summary_path)
+        except Exception:
+            existing = pd.DataFrame(columns=stats.columns)
+    else:
+        existing = pd.DataFrame(columns=stats.columns)
+    for col in stats.columns:
+        if col not in existing.columns:
+            existing[col] = np.nan
+    keys = existing[["model", "category"]].apply(tuple, axis=1) if len(existing) else pd.Series(dtype=object)
+    new_keys = set(stats[["model", "category"]].apply(tuple, axis=1))
+    kept = existing[~keys.isin(new_keys)] if len(existing) else existing
+    updated = pd.concat([kept, stats], ignore_index=True)
+    updated = updated.sort_values(["model", "category"]).reset_index(drop=True)
+    updated.to_csv(summary_path, index=False)
+    return updated
+
+
+def plot_distribution_png(scored_df: pd.DataFrame, out_path: str, *,
+                          distance_col: str = "cosine_distance") -> bool:
+    """Histogram grid (model rows × category cols) — scores.py:383-431.
+    Returns False (and writes nothing) when matplotlib is unavailable,
+    matching the reference's soft dependency."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return False
+    import os
+
+    models = sorted(scored_df["model"].unique())
+    cats = sorted(scored_df["category"].unique())
+    fig, axes = plt.subplots(
+        len(models), len(cats), figsize=(4 * len(cats), 3.5 * len(models)), squeeze=False
+    )
+    for r, m in enumerate(models):
+        for c, cat in enumerate(cats):
+            ax = axes[r][c]
+            vals = scored_df[(scored_df["model"] == m) & (scored_df["category"] == cat)][
+                distance_col
+            ].to_numpy(dtype=float)
+            if vals.size == 0:
+                ax.set_axis_off()
+                continue
+            ax.hist(vals, bins=40, range=(0.0, 2.0))
+            ax.axvline(float(vals.mean()), linestyle="--", linewidth=1.5)
+            ax.set_title(f"{m}\n{cat}")
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    fig.savefig(out_path, dpi=200)
+    plt.close(fig)
+    return True
+
+
+def write_eval_outputs(scored_ds, out_dir: str, *, distance_col: str = "cosine_distance"):
+    """Scored rows → the reference's full sink layout under ``out_dir``:
+
+    - ``categories/<model>_<category>.csv`` (+ ``_char.csv``) — written
+      distributed, one file per group;
+    - ``models/<model>.csv`` — per-model aggregate, written distributed;
+    - ``summary.csv`` — per-(model, category) stats, upserted driver-side;
+    - ``distributions.png`` — optional, only if matplotlib exists.
+
+    Returns the summary DataFrame."""
+    import os
+
+    cat_dir = os.path.join(out_dir, "categories")
+    model_dir = os.path.join(out_dir, "models")
+    scored_ds = scored_ds.materialize()  # consumed by three sinks below
+    stats = (
+        scored_ds.groupby(["model", "category"])
+        .map_groups(lambda g: _write_category_files(g, cat_dir, distance_col), batch_format="pandas")
+        .to_pandas()
+    )
+    scored_ds.groupby("model").map_groups(
+        lambda g: _write_model_csv(g, model_dir, distance_col), batch_format="pandas"
+    ).to_pandas()
+    summary = upsert_summary_csv(os.path.join(out_dir, "summary.csv"), stats)
+    try:
+        import matplotlib  # noqa: F401  (soft dependency — skip the plot pass entirely without it)
+
+        plot_distribution_png(scored_ds.to_pandas(), os.path.join(out_dir, "distributions.png"),
+                              distance_col=distance_col)
+    except ImportError:
+        pass
+    return summary

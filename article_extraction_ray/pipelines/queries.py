@@ -775,17 +775,34 @@ def q_simhash_values(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+#: rows below which the full normalized matrix broadcasts (one ray.put,
+#: matmul per batch); above it the exact blocked all-pairs path runs —
+#: no driver-side matrix at any scale, same results (both exact).
+_EMB_BROADCAST_ROWS = 50_000
+
+
 def q_embedding_dup_pairs(sf_dir: str):
+    """Exact cosine near-dup pairs.  Router: broadcast matmul while the
+    table fits the broadcast budget (row count from the parquet footer,
+    no scan), else the blocked all-pairs path
+    (stages.dedup.embedding_dup_pairs_blocked) — and
+    embedding_dup_pairs_lsh is the sublinear approximate path for real
+    corpora."""
     import os
     import pyarrow.parquet as pq
 
-    from ..stages.dedup import embedding_dup_pairs
+    from ..stages.dedup import embedding_dup_pairs, embedding_dup_pairs_blocked
 
-    all_t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
-    mat = np.stack([np.asarray(v, dtype=np.float64) for v in all_t["embedding"].to_pylist()])
-    ids = np.asarray(all_t["vec_id"].to_pylist())
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    n_rows = pq.ParquetFile(path).metadata.num_rows
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    pairs = embedding_dup_pairs(ds, mat, ids, threshold=0.35)
+    if n_rows <= _EMB_BROADCAST_ROWS:
+        all_t = pq.read_table(path, columns=["vec_id", "embedding"])
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in all_t["embedding"].to_pylist()])
+        ids = np.asarray(all_t["vec_id"].to_pylist())
+        pairs = embedding_dup_pairs(ds, mat, ids, threshold=0.35)
+    else:
+        pairs = embedding_dup_pairs_blocked(ds, threshold=0.35)
     return pairs.map_batches(lambda df: df[["id_a", "id_b"]], batch_format="pandas")
 
 

@@ -254,47 +254,66 @@ def _key_buckets(vals: np.ndarray, nb: int) -> np.ndarray:
 def _verify_pairs_distributed(ds, candidates: pd.DataFrame, *, n: int,
                               id_col: str, text_col: str) -> pd.DataFrame:
     """Exact-Jaccard verify of a candidate pair list WITHOUT materializing
-    any document text on the driver.
+    any document text on the driver (see _join_score_pairs).
+    """
+    return _join_score_pairs(
+        ds,
+        candidates,
+        value_col=text_col,
+        id_col=id_col,
+        score_name="exact_jaccard",
+        score_fn=lambda a, b: exact_jaccard(a or "", b or "", n),
+    )
+
+
+def _join_score_pairs(ds, candidates: pd.DataFrame, *, value_col: str, id_col: str,
+                      score_name: str, score_fn) -> pd.DataFrame:
+    """Score a candidate pair list against a per-id value column WITHOUT
+    materializing the values on the driver.
 
     The pair list is the small side (near-dup rate × corpus) and ships
-    once via ``ray.put``; candidate documents are semi-filtered out of the
-    corpus (ids-only broadcast) and stay distributed.  Each doc batch
-    resolves the text for pairs whose id_a (resp. id_b) it holds, the two
-    half-resolved pair streams union, co-locate by a coarse id_a bucket,
-    and each bucket zips its halves and scores exact Jaccard.  Only
-    candidate texts shuffle — a tiny fraction of the corpus; the full
-    corpus text never leaves its read tasks and never hits the driver.
+    once via ``ray.put``; candidate rows are semi-filtered out of the
+    corpus (ids-only broadcast) and stay distributed.  Each batch
+    resolves the value for pairs whose id_a (resp. id_b) it holds, the
+    half-resolved pair streams co-locate by a coarse id_a bucket, and
+    each bucket zips its halves and applies ``score_fn(value_a,
+    value_b)``.  Only candidate values shuffle — a tiny fraction of the
+    corpus; the full value column never leaves its read tasks and never
+    hits the driver.  Extra candidate columns (e.g. n_bands) pass
+    through via groupby-first.
     """
     from ..pipelines.tabular import broadcast_semi_filter
     from ..state.broadcast import Broadcast
 
+    extra_cols = [c for c in candidates.columns if c not in ("id_a", "id_b")]
     needed = pd.unique(pd.concat([candidates["id_a"], candidates["id_b"]], ignore_index=True))
     docs = broadcast_semi_filter(ds, needed, id_col)
-    pairs_handle = Broadcast(candidates[["id_a", "id_b", "n_bands"]])
+    pairs_handle = Broadcast(candidates[["id_a", "id_b", *extra_cols]])
     # few buckets for few pairs — per-group scheduling would otherwise
     # dominate; one bucket per ~64 pairs, capped at the shuffle width
     nb = int(max(1, min(_N_SHUFFLE_BUCKETS, len(candidates) // 64)))
 
     def attach(batch: pa.Table) -> pd.DataFrame:
-        # One pass over candidate docs: each batch emits the half-resolved
+        # One pass over candidate rows: each batch emits the half-resolved
         # pair rows for every pair whose id_a OR id_b it holds, tagged
         # with a coarse pair bucket.  The same pair's two halves meet in
         # the groupby below.
         cand = pairs_handle.get()
-        texts = dict(zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()))
+        values = dict(zip(batch[id_col].to_pylist(), batch[value_col].to_pylist()))
         halves = []
-        for key, text_col_out in (("id_a", "text_a"), ("id_b", "text_b")):
-            sel = cand[cand[key].isin(list(texts))]
+        for key, val_out in (("id_a", "__val_a"), ("id_b", "__val_b")):
+            sel = cand[cand[key].isin(list(values))]
             half = pd.DataFrame(
                 {
                     "id_a": sel["id_a"].to_numpy(),
                     "id_b": sel["id_b"].to_numpy(),
-                    "n_bands": sel["n_bands"].to_numpy(),
-                    "text_a": None,
-                    "text_b": None,
+                    "__val_a": None,
+                    "__val_b": None,
                 }
             )
-            half[text_col_out] = [texts.get(x) for x in sel[key]]
+            for c in extra_cols:
+                half[c] = sel[c].to_numpy()
+            half[val_out] = [values.get(x) for x in sel[key]]
             halves.append(half)
         out = pd.concat(halves, ignore_index=True)
         out["bucket"] = _key_buckets(out["id_a"].to_numpy(), nb)
@@ -303,13 +322,15 @@ def _verify_pairs_distributed(ds, candidates: pd.DataFrame, *, n: int,
     def combine(g: pd.DataFrame) -> pd.DataFrame:
         agg = (
             g.groupby(["id_a", "id_b"], sort=False)
-            .agg(n_bands=("n_bands", "first"), text_a=("text_a", "first"), text_b=("text_b", "first"))
+            .agg(
+                **{c: (c, "first") for c in extra_cols},
+                __val_a=("__val_a", "first"),
+                __val_b=("__val_b", "first"),
+            )
             .reset_index()
         )
-        agg["exact_jaccard"] = [
-            exact_jaccard(a or "", b or "", n) for a, b in zip(agg["text_a"], agg["text_b"])
-        ]
-        return agg[["id_a", "id_b", "n_bands", "exact_jaccard"]]
+        agg[score_name] = [score_fn(a, b) for a, b in zip(agg["__val_a"], agg["__val_b"])]
+        return agg[["id_a", "id_b", *extra_cols, score_name]]
 
     verified = (
         docs.map_batches(attach, batch_format="pyarrow")
@@ -492,13 +513,150 @@ def simhash_dup_pairs(ds, *, max_hamming: int = 3, id_col: str = "doc_id", text_
 # ---------------------------------------------------------------------------
 
 
+def _cosine_pair(a, b) -> float:
+    va = np.asarray(a, dtype=np.float64)
+    vb = np.asarray(b, dtype=np.float64)
+    na, nb_ = np.linalg.norm(va), np.linalg.norm(vb)
+    if na == 0 or nb_ == 0:
+        return 0.0
+    return float(va @ vb / (na * nb_))
+
+
+def embedding_dup_pairs_blocked(ds, *, threshold: float = 0.9, n_blocks: int = 8,
+                                id_col: str = "vec_id", vec_col: str = "embedding"):
+    """EXACT all-pairs cosine ≥ threshold with NO driver-side matrix and
+    no broadcast of the corpus: vectors hash into ``n_blocks`` id blocks,
+    every vector is emitted once per block-pair its block participates in
+    (an n_blocks× shuffle amplification — the unavoidable cost of exact
+    all-pairs; pick n_blocks so one block-pair's two matrices fit a
+    worker), and each of the n_blocks·(n_blocks+1)/2 groups runs one
+    vectorized matmul.  For approximate-but-sublinear at corpus scale use
+    :func:`embedding_dup_pairs_lsh`.
+    Returns a Dataset of (id_a, id_b, cos_sim) with id_a < id_b.
+    """
+
+    def expand(batch: pa.Table) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        vecs = batch[vec_col].to_pylist()
+        own = _key_buckets(ids, n_blocks)
+        frames = []
+        for other in range(n_blocks):
+            lo = np.minimum(own, other)
+            hi = np.maximum(own, other)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "pair_id": lo.astype(np.int64) * n_blocks + hi,
+                        "block": own,
+                        "vid": ids,
+                        "vec": vecs,
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True).drop_duplicates(["pair_id", "vid"])
+
+    def block_pair(g: pd.DataFrame) -> pd.DataFrame:
+        pair_id = int(g["pair_id"].iloc[0])
+        lo, hi = divmod(pair_id, n_blocks)
+        g = g.drop_duplicates("vid")
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in g["vec"]])
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.where(norms == 0, 1, norms)
+        ids = g["vid"].to_numpy()
+        if lo == hi:
+            sims = mat @ mat.T
+            rows, cols = np.nonzero(sims >= threshold)
+            keep = ids[rows] < ids[cols]
+            return pd.DataFrame(
+                {"id_a": ids[rows][keep], "id_b": ids[cols][keep],
+                 "cos_sim": sims[rows, cols][keep]}
+            )
+        side = g["block"].to_numpy() == lo
+        ml, il = mat[side], ids[side]
+        mh, ih = mat[~side], ids[~side]
+        if not len(il) or not len(ih):
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype=ids.dtype), "id_b": pd.Series(dtype=ids.dtype),
+                 "cos_sim": pd.Series(dtype="float64")}
+            )
+        sims = ml @ mh.T
+        rows, cols = np.nonzero(sims >= threshold)
+        a, b = il[rows], ih[cols]
+        lo_id, hi_id = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"id_a": lo_id, "id_b": hi_id, "cos_sim": sims[rows, cols]})
+
+    expanded = ds.map_batches(expand, batch_format="pyarrow")
+    return expanded.groupby("pair_id").map_groups(block_pair, batch_format="pandas")
+
+
+def embedding_dup_pairs_lsh(ds, *, threshold: float = 0.9, planes: int = 10, tables: int = 8,
+                            seed: int = 13, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Approximate near-dup pairs at corpus scale: random-hyperplane LSH
+    proposes (multi-table bucket collision — compact (table, bucket, id)
+    rows shuffle, never vectors), exact cosine disposes via the
+    hash-partitioned pair join (:func:`_join_score_pairs`).  Recall
+    against the exact blocked path is property-tested; misses are
+    possible by construction (tune planes/tables per threshold).
+    Returns pandas DataFrame (id_a, id_b, cos_sim).
+    """
+    from .similarity import _hyperplanes
+
+    def propose(batch: pa.Table) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col].to_pylist()])
+        frames = []
+        for t in range(tables):
+            hp = _hyperplanes(mat.shape[1], planes, seed + 1000 * t)
+            bits = (mat @ hp.T) > 0
+            bucket = bits.astype(np.int64) @ (1 << np.arange(planes)).astype(np.int64)
+            key = bucket * tables + t
+            frames.append(
+                pd.DataFrame(
+                    {"tb": key, "vid": ids,
+                     "bucket": _key_buckets(key, _N_SHUFFLE_BUCKETS)}
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    def pair_gen(g: pd.DataFrame) -> pd.DataFrame:
+        df = g[["tb", "vid"]].drop_duplicates()
+        m = df.merge(df, on="tb")
+        m = m[m["vid_x"] < m["vid_y"]]
+        out = pd.DataFrame({"id_a": m["vid_x"].to_numpy(), "id_b": m["vid_y"].to_numpy()})
+        return out.drop_duplicates()
+
+    raw = (
+        ds.map_batches(propose, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lambda df: pair_gen(df.drop(columns=["bucket"])), batch_format="pandas")
+        .to_pandas()
+    )
+    candidates = raw.drop_duplicates(["id_a", "id_b"]).reset_index(drop=True)
+    if candidates.empty:
+        return pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+             "cos_sim": pd.Series(dtype="float64")}
+        )
+    scored = _join_score_pairs(
+        ds, candidates, value_col=vec_col, id_col=id_col,
+        score_name="cos_sim", score_fn=_cosine_pair,
+    )
+    return (
+        scored[scored["cos_sim"] >= threshold]
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+
+
 def embedding_dup_pairs(ds, all_vectors: np.ndarray, all_ids: np.ndarray, *, threshold: float = 0.9,
                         id_col: str = "vec_id", vec_col: str = "embedding"):
     """Pairs (id_a < id_b) with cosine ≥ threshold.
 
     ``all_vectors``/``all_ids`` are the full (small enough to broadcast)
     normalized matrix; each batch does one float64 matmul against it.
-    For two huge sides, LSH-bucket with stages.similarity instead.
+    At corpus scale use :func:`embedding_dup_pairs_blocked` (exact, no
+    broadcast) or :func:`embedding_dup_pairs_lsh` (approximate,
+    sublinear candidate work).
     """
     from ..state.broadcast import Broadcast
 

@@ -117,3 +117,44 @@ class TestEmbeddingDup:
         pairs = embedding_dup_pairs(ds, base, ids, threshold=0.99).to_pandas()
         got = {tuple(sorted((a, b))) for a, b in zip(pairs["id_a"], pairs["id_b"])}
         assert got == {(3, 7)}
+
+
+class TestEmbeddingScalePaths:
+    @pytest.fixture(scope="class")
+    def emb_ds(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.default_rng(3)
+        base = rng.standard_normal((60, 16))
+        # plant near-dup clusters
+        base[11] = base[2] + 0.01 * rng.standard_normal(16)
+        base[37] = base[20] + 0.005 * rng.standard_normal(16)
+        ids = np.arange(60)
+        ds = rd.from_arrow(
+            pa.table({"vec_id": ids, "embedding": [list(map(float, v)) for v in base]})
+        )
+        return ds, base, ids
+
+    def test_blocked_matches_broadcast_exact(self, emb_ds):
+        from article_extraction_ray.stages.dedup import embedding_dup_pairs_blocked
+
+        ds, base, ids = emb_ds
+        blocked = embedding_dup_pairs_blocked(ds, threshold=0.9, n_blocks=4).to_pandas()
+        broadcast = embedding_dup_pairs(ds, base, ids, threshold=0.9).to_pandas()
+        key = lambda df: {tuple(sorted((a, b))) for a, b in zip(df["id_a"], df["id_b"])}
+        assert key(blocked) == key(broadcast) == {(2, 11), (20, 37)}
+        # cosine values agree with the broadcast kernel
+        bl = blocked.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        br = broadcast.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        assert np.allclose(bl["cos_sim"], br["cos_sim"], atol=1e-12)
+
+    def test_lsh_recall_on_planted_dupes(self, emb_ds):
+        from article_extraction_ray.stages.dedup import embedding_dup_pairs_lsh
+
+        ds, _, _ = emb_ds
+        got = embedding_dup_pairs_lsh(ds, threshold=0.9, planes=8, tables=12)
+        pairs = {tuple(sorted((a, b))) for a, b in zip(got["id_a"], got["id_b"])}
+        # planted near-identical pairs collide in ≥1 of 12 tables w.h.p.
+        assert {(2, 11), (20, 37)} <= pairs
+        # verify step is exact: no pair below threshold survives
+        assert (got["cos_sim"] >= 0.9).all()

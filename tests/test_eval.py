@@ -90,3 +90,62 @@ def test_pipeline_and_summary(ray_session):
     assert len(summary) == 1
     assert summary["levenshtein_count"].iloc[0] == 20.0
     assert summary["cosine_distance_min"].iloc[0] >= 0.0
+
+
+class TestEvalSinks:
+    """S8 write side (reference scores.py:434-668): per-category CSVs,
+    per-model aggregates, upserted summary."""
+
+    @pytest.fixture()
+    def scored(self, ray_session):
+        import ray.data as rd
+
+        rows = []
+        for m in ("modelA", "modelB"):
+            for cat, n in (("year", 4), ("params", 2)):
+                for i in range(n):
+                    rows.append(
+                        {"model": m, "category": cat, "idx": i,
+                         "true": f"v{i}", "predicted": f"v{i + (i % 2)}"}
+                    )
+        return score_results(rd.from_items(rows))
+
+    def test_layout_and_rolling_means(self, scored, tmp_path):
+        import os
+        import pandas as pd
+
+        from article_extraction_ray.pipelines.eval import write_eval_outputs
+
+        out = tmp_path / "eval_out"
+        summary = write_eval_outputs(scored, str(out))
+        # layout
+        assert (out / "summary.csv").exists()
+        assert (out / "categories" / "modelA_year.csv").exists()
+        assert (out / "categories" / "modelA_year_char.csv").exists()
+        assert (out / "models" / "modelA.csv").exists()
+        # per-category rolling mean is the expanding mean of the distance
+        cat = pd.read_csv(out / "categories" / "modelA_year.csv")
+        assert cat["rolling_mean"].tolist() == pytest.approx(
+            cat["distance"].expanding().mean().tolist()
+        )
+        # char CSV carries every metric + rolling mean
+        char = pd.read_csv(out / "categories" / "modelA_year_char.csv")
+        for m in ("levenshtein", "norm_levenshtein", "jaro_winkler_distance"):
+            assert m in char.columns and f"{m}_rolling_mean" in char.columns
+        # model aggregate: one column per category, NaN-padded + _mean
+        mod = pd.read_csv(out / "models" / "modelA.csv")
+        assert {"year", "params", "year_mean", "params_mean"} <= set(mod.columns)
+        assert len(mod) == 4  # padded to longest category
+        assert pd.isna(mod["params"].iloc[3])
+        # summary has one row per (model, category)
+        assert len(summary) == 4
+        assert set(summary["model"]) == {"modelA", "modelB"}
+
+    def test_summary_upsert_no_duplicates(self, scored, tmp_path):
+        from article_extraction_ray.pipelines.eval import write_eval_outputs
+
+        out = tmp_path / "eval_out"
+        s1 = write_eval_outputs(scored, str(out))
+        s2 = write_eval_outputs(scored, str(out))  # rerun = update in place
+        assert len(s1) == len(s2) == 4
+        assert s2.duplicated(["model", "category"]).sum() == 0
