@@ -1351,6 +1351,35 @@ def q_qa_extract(sf_dir: str):
     return ds.map_batches(run, batch_format="pyarrow")
 
 
+def q_qa_token_extract(sf_dir: str):
+    """A3 inner contract end-to-end: char windows (qa_extract) around
+    token sub-windows with joint-argmax span selection (qa_window) —
+    the deterministic PatternLogitHead stands in for the HF forward."""
+    from ..stages.field_extract import qa_extract
+    from ..stages.qa_window import make_qa_fn
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    class QATokenStage:
+        def __init__(self):
+            self.call_qa = make_qa_fn(max_length=64, stride=16)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            answers = [
+                qa_extract(
+                    t or "", "value", self.call_qa,
+                    question_map={"value": "what number?"}, window=400, stride=200,
+                )
+                for t in batch["text"].to_pylist()
+            ]
+            return pa.Table.from_arrays(
+                [batch["doc_id"], pa.array(answers, type=pa.string())],
+                names=["doc_id", "answer"],
+            )
+
+    return ds.map_batches(QATokenStage, batch_format="pyarrow", concurrency=(1, 4))
+
+
 def q_media_features(sf_dir: str):
     from ..stages.multimodal import ImageFeatureStage, synth_media_table
 
@@ -1495,6 +1524,7 @@ QUERIES = {
     "sample_seeded": q_sample_seeded,
     "expanding_mean": q_expanding_mean,
     "qa_extract": q_qa_extract,
+    "qa_token_extract": q_qa_token_extract,
     "media_features": q_media_features,
 }
 

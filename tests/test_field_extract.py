@@ -146,3 +146,97 @@ class TestStage:
         out = extract_information(ds, hardware_catalog=CATALOG).to_pandas()
         assert len(out) == 10
         assert (out["parameters"] == 1_500_000_000).all()
+
+
+class TestQATokenWindows:
+    """Inner QA contract (reference models/qa_squad.py:90-161): token
+    sub-windows, joint argmax with the ≤30-token upper-triangular mask,
+    char recovery, cross-chunk dedupe-keep-best."""
+
+    def _parts(self):
+        from article_extraction_ray.stages.qa_window import (
+            PatternLogitHead,
+            WhitespaceTokenizer,
+        )
+
+        return WhitespaceTokenizer(model_max_length=16), PatternLogitHead()
+
+    def test_overflow_windows_geometry(self):
+        tok, _ = self._parts()
+        ctx = " ".join(f"w{i}" for i in range(30))
+        chunks = tok.encode("q1 q2", ctx, max_length=16, stride=4)
+        # head = [CLS] q1 q2 [SEP] (4 tokens) + trailing [SEP] → 11 ctx/chunk
+        assert all(len(c) <= 16 for c in chunks)
+        ctx_counts = [sum(1 for s in c.seq_ids if s == 1) for c in chunks]
+        assert ctx_counts[0] == 11
+        # stride overlap: consecutive chunks share exactly 4 context tokens
+        first = {chunks[0].offsets[t] for t, s in enumerate(chunks[0].seq_ids) if s == 1}
+        second = {chunks[1].offsets[t] for t, s in enumerate(chunks[1].seq_ids) if s == 1}
+        assert len(first & second) == 4
+        # every context token appears in at least one chunk
+        seen = set()
+        for c in chunks:
+            seen |= {c.offsets[t] for t, s in enumerate(c.seq_ids) if s == 1}
+        assert len(seen) == 30
+
+    def test_joint_argmax_upper_triangle_and_lmax(self):
+        import numpy as np
+
+        from article_extraction_ray.stages.qa_window import TokenChunk, best_span_in_chunk
+
+        words = [f"t{i}" for i in range(8)]
+        offs = [(i * 3, i * 3 + 2) for i in range(8)]
+        chunk = TokenChunk(
+            ["[CLS]", *words, "[SEP]"],
+            [None, *([1] * 8), None],
+            [None, *offs, None],
+        )
+        n = 10
+        s = np.zeros(n); e = np.zeros(n)
+        # decoys: huge END at ctx0 and huge START at ctx7 — the only way
+        # to combine them (start ctx7, end ctx0) is inverted, so the
+        # upper-triangular mask must reject the 20.0 pair
+        e[1] = 10.0; s[8] = 10.0
+        # best VALID pair: start@ctx1, end@ctx4 (span of 4 tokens) = 12
+        s[2] = 6.0; e[5] = 6.0
+        st, ed, score = best_span_in_chunk(chunk, s, e, lmax_tok=30)
+        assert (st, ed) == (offs[1][0], offs[4][1])
+        assert score == 12.0
+        # lmax constraint: with lmax=2 the 4-token span is invalid; the
+        # argmax falls to a single-token decoy span (score 10)
+        st2, ed2, score2 = best_span_in_chunk(chunk, s, e, lmax_tok=2)
+        assert score2 == 10.0
+        assert (ed2 - st2) == 2  # one 2-char token
+
+    def test_char_recovery_and_dedupe_keep_best(self):
+        from article_extraction_ray.stages.qa_window import (
+            PatternLogitHead,
+            WhitespaceTokenizer,
+            qa_candidates,
+        )
+
+        tok = WhitespaceTokenizer(model_max_length=12)
+        head = PatternLogitHead()  # rewards digit tokens
+        ctx = "alpha beta 1234 gamma delta " * 4 + "epsilon 1234 end"
+        out = qa_candidates(
+            "find the number?", ctx, tokenizer=tok, logit_fn=head,
+            max_length=12, stride=4, n_best=3,
+        )
+        assert out, "expected at least one candidate"
+        # the digit token wins in several overlapping chunks but dedupes
+        # to ONE answer with the best score
+        answers = [a for a, _ in out]
+        assert answers.count("1234") == 1
+        assert out[0][0] == "1234"
+
+    def test_plugs_into_qa_extract(self):
+        from article_extraction_ray.stages.field_extract import qa_extract
+        from article_extraction_ray.stages.qa_window import make_qa_fn
+
+        call_qa = make_qa_fn(max_length=32, stride=8)
+        text = "the model used 2048 gpus for training on the big cluster"
+        ans = qa_extract(
+            text, "h_number", call_qa,
+            question_map={"h_number": "how many gpus?"}, window=200, stride=100,
+        )
+        assert ans == "2048"
