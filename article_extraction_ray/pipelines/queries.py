@@ -1108,31 +1108,52 @@ FROM part
 # ---------------------------------------------------------------------------
 
 
+def _quantile_from_hist(values: np.ndarray, counts: np.ndarray, q: float) -> float:
+    """Exact linear-interpolated quantile from a (sorted value, count)
+    histogram — numpy 'linear' / DuckDB quantile_cont semantics:
+    ``v_lo + (v_hi - v_lo) * frac`` at position (n-1)·q."""
+    n = int(counts.sum())
+    h = (n - 1) * q
+    lo, hi = int(np.floor(h)), int(np.ceil(h))
+    cum = np.cumsum(counts)
+    v_lo = float(values[np.searchsorted(cum, lo + 1)])
+    v_hi = float(values[np.searchsorted(cum, hi + 1)])
+    return v_lo + (v_hi - v_lo) * (h - lo)
+
+
 def q_token_quantiles(sf_dir: str):
-    """Global token-count stats.  Quantiles here are exact: the engine
-    projects the single int column and reduces on the driver, which is
-    correct for catalog-sized corpora (the reference's diagnosis runs on
-    hundreds of docs); at web scale this stage becomes a mergeable
-    t-digest/KLL sketch emitted per batch and merged in one small
-    reduce."""
+    """Global token-count stats via an EXACT mergeable histogram sketch:
+    each batch emits (value, count) partials — token counts are bounded
+    ints, so the histogram is lossless — and only the tiny partial
+    histograms leave the workers.  Shuffle/driver volume is O(distinct
+    values), independent of corpus row count (the scale form of the
+    t-digest/KLL pattern, exact here because the domain is discrete)."""
     import pyarrow.compute as pc
 
     ds = read_table(sf_dir, "documents", columns=["text"])
 
-    def counts(batch: pa.Table) -> pa.Table:
+    def partial_hist(batch: pa.Table) -> pa.Table:
         toks = pc.cast(pc.count_substring_regex(batch["text"], r"\S+"), pa.int64())
-        return pa.Table.from_arrays([toks], names=["n_tokens"])
+        vc = pa.Table.from_arrays([toks], names=["n_tokens"])
+        return pa.TableGroupBy(vc, "n_tokens").aggregate([("n_tokens", "count")]).rename_columns(
+            ["n_tokens", "cnt"]
+        )
 
-    vals = ds.map_batches(counts, batch_format="pyarrow").to_pandas()["n_tokens"].to_numpy()
+    partials = ds.map_batches(partial_hist, batch_format="pyarrow").to_pandas()
+    hist = partials.groupby("n_tokens", as_index=False)["cnt"].sum().sort_values("n_tokens")
+    values = hist["n_tokens"].to_numpy(dtype=np.float64)
+    counts = hist["cnt"].to_numpy(dtype=np.int64)
+    n = int(counts.sum())
+    total = float(np.dot(values, counts))
     return pd.DataFrame(
         [
             {
-                "n_docs": np.int64(vals.size),
-                "mean_tokens": round(float(vals.mean()), 6),
-                "p50": float(np.percentile(vals, 50)),
-                "p90": float(np.percentile(vals, 90)),
-                "p95": float(np.percentile(vals, 95)),
-                "max_tokens": np.int64(vals.max()),
+                "n_docs": np.int64(n),
+                "mean_tokens": round(total / n, 6),
+                "p50": _quantile_from_hist(values, counts, 0.50),
+                "p90": _quantile_from_hist(values, counts, 0.90),
+                "p95": _quantile_from_hist(values, counts, 0.95),
+                "max_tokens": np.int64(values[-1]),
             }
         ]
     )

@@ -36,13 +36,17 @@ DEFAULT_NUM_PARTITIONS = 64
 _crc32_vec = np.frompyfunc(lambda s: zlib.crc32(s.encode("utf-8")), 1, 1)
 
 
-def partition_ids(doc_ids: "pa.ChunkedArray | pa.Array | list[str]", num_partitions: int) -> np.ndarray:
-    """Vectorized stable partition assignment for a doc_id column."""
+def partition_ids(doc_ids: "pa.ChunkedArray | pa.Array | list", num_partitions: int) -> np.ndarray:
+    """Vectorized stable partition assignment for an id column — crc32 of
+    utf-8 for strings, plain modulo for integer keys (both stable across
+    processes and runs)."""
     if isinstance(doc_ids, (pa.ChunkedArray, pa.Array)):
         arr = doc_ids.to_numpy(zero_copy_only=False)
     else:
-        arr = np.asarray(doc_ids, dtype=object)
-    return (_crc32_vec(arr).astype(np.int64)) % num_partitions
+        arr = np.asarray(doc_ids)
+    if arr.dtype.kind in "iu":
+        return (arr.astype(np.int64) % num_partitions).astype(np.int64)
+    return (_crc32_vec(arr.astype(object)).astype(np.int64)) % num_partitions
 
 
 def add_partition_column(batch: pa.Table, *, key: str = "doc_id", num_partitions: int = DEFAULT_NUM_PARTITIONS) -> pa.Table:
