@@ -154,9 +154,14 @@ def _to_datetime_vec(s: pd.Series, *, utc: bool = False) -> pd.Series:
         import warnings
 
         with warnings.catch_warnings():
-            # the per-element dateutil fallback is deliberate here
+            # deliberate dateutil fallback — once per DISTINCT leftover
+            # value, not per row (junk values repeat heavily)
             warnings.simplefilter("ignore")
-            parsed.loc[rest] = pd.to_datetime(s[rest], errors="coerce", utc=utc)
+            uniq = pd.Index(s[rest].unique())
+            mapped = pd.Series(
+                pd.to_datetime(uniq, errors="coerce", utc=utc), index=uniq
+            )
+            parsed.loc[rest] = s[rest].map(mapped).to_numpy()
     return parsed
 
 

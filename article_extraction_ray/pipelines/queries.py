@@ -341,7 +341,9 @@ def q_event_windows(sf_dir: str):
     ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
 
     def bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df["window_start"] = df["ts"].dt.floor("h")
+        # keep microsecond unit: floor("h") would narrow to [s] while the
+        # DuckDB oracle returns timestamp[us]
+        df["window_start"] = df["ts"].dt.floor("h").astype("datetime64[us]")
         return df[["user_id", "window_start", "value"]]
 
     ds = ds.map_batches(bucket, batch_format="pandas")
@@ -353,6 +355,9 @@ def q_event_windows(sf_dir: str):
 
     def rounded(df: pd.DataFrame) -> pd.DataFrame:
         df["sum_value"] = df["sum_value"].round(2)
+        # Ray's groupby shuffle narrows the timestamp key to [s]; the
+        # DuckDB oracle returns timestamp[us]
+        df["window_start"] = df["window_start"].astype("datetime64[us]")
         return df
 
     return out.map_batches(rounded, batch_format="pandas")
@@ -1428,7 +1433,11 @@ def q_media_features(sf_dir: str):
 def q_epoch_coerce(sf_dir: str):
     from .ingest import coerce_epoch_batch
 
-    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_totalprice"])
+    # the coercion UDF dominates (dateutil fallback); split the read so a
+    # single-row-group file doesn't serialize the whole map chain
+    ds = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_totalprice"], split=True
+    )
 
     def messy(batch: pa.Table) -> pd.DataFrame:
         # deterministic "dirty CSV" columns exercising each class set
@@ -1472,7 +1481,12 @@ def q_epoch_coerce(sf_dir: str):
             ["id_paper", "publication_date", "citations", "training_compute", "frontier_model"]
         ].copy()
         sel["citations"] = sel["citations"].astype("float64")
-        return pa.Table.from_pandas(sel, schema=schema, preserve_index=False)
+        # strip the embedded pandas-dtype metadata: from_pandas records the
+        # nullable Int64/boolean dtypes and to_pandas would restore them,
+        # while the DuckDB oracle side yields plain int64/object — the
+        # driver's value hash is dtype-sensitive (see sessionize, r01)
+        tbl = pa.Table.from_pandas(sel, schema=schema, preserve_index=False)
+        return tbl.replace_schema_metadata(None)
 
     return coerced.map_batches(project, batch_format="pandas")
 

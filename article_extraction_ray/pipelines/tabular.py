@@ -29,11 +29,40 @@ from ..state.broadcast import Broadcast
 # ---------------------------------------------------------------------------
 
 
-def read_table(sf_dir: str, name: str, columns: list[str] | None = None):
-    """Read one testdata table, pruning columns at the read."""
+def read_table(
+    sf_dir: str,
+    name: str,
+    columns: list[str] | None = None,
+    *,
+    split: bool = False,
+):
+    """Read one testdata table, pruning columns at the read.
+
+    ``split=True`` guarantees enough blocks to feed every core when the
+    downstream stage is map-heavy.  Parquet reads can't split below a row
+    group, and a single-file single-row-group table (the testdata shape)
+    yields ONE block — every fused map after it runs serially.  We check
+    the file metadata (footer only, no data read): if the source has
+    fewer row groups than the target parallelism, repartition right after
+    the read.  On a real multi-file corpus the row-group count exceeds
+    the target and this is a no-op — no shuffle is added at scale.
+    """
+    import ray
     import ray.data as rd
 
-    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    ds = rd.read_parquet(path, columns=columns)
+    if split:
+        import pyarrow.parquet as pq
+
+        target = int(ray.cluster_resources().get("CPU", 8)) * 2
+        if os.path.isfile(path):
+            n_rgs = pq.ParquetFile(path).num_row_groups
+        else:  # directory of shards: count files (≥1 row group each)
+            n_rgs = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+        if n_rgs < target:
+            ds = ds.repartition(target)
+    return ds
 
 
 def read_table_arrow(sf_dir: str, name: str, columns: list[str] | None = None) -> pa.Table:

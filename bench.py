@@ -46,6 +46,9 @@ BENCH_QUERIES = [
     "minhash_dedup",
     "embedding_dup_pairs",
     "quality_score",
+    "sessionize",
+    "epoch_coerce",
+    "token_quantiles",
 ]
 
 
