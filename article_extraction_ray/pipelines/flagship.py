@@ -157,6 +157,11 @@ def _hybrid_sources(corpus_path: str, giant_bytes: int):
             columns=CORPUS_COLUMNS,
             filter=pc.field("n_bytes") > giant_bytes,
             filter_sql=f"n_bytes > {giant_bytes}",
+            # giants are <1% of rows: one block per pruned shard, not the
+            # full-scan cpus*8 heuristic (which shatters this sparse read
+            # into hundreds of near-empty blocks and the reassembly sort
+            # then pays per-block scheduling for each)
+            override_num_blocks=(len(giant_shards) if giant_shards is not None else None),
         )
     smalls_ds = read_corpus(
         corpus_path,

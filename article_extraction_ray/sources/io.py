@@ -34,6 +34,7 @@ def read_corpus(
     columns: list[str] | None = None,
     filter=None,
     filter_sql: str | None = None,
+    override_num_blocks: int | None = None,
 ):
     """Lazy Dataset over an interleaved-documents table (DOCUMENT_SCHEMA).
 
@@ -48,7 +49,12 @@ def read_corpus(
     """
     import ray.data as rd
 
-    blocks = _read_blocks()
+    # The cpus*8 heuristic suits a full-corpus scan (wide list<struct>
+    # decode is CPU-bound).  A sparse read — e.g. the giant phase over a
+    # handful of metadata-pruned shards — must pass its own block count:
+    # the heuristic would shatter it into hundreds of near-empty blocks
+    # whose per-task scheduling then dominates every downstream stage.
+    blocks = override_num_blocks if override_num_blocks is not None else _read_blocks()
     if str(path).rstrip("/").endswith(".lance"):
         if filter is not None and filter_sql is None:
             raise ValueError(

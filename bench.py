@@ -172,13 +172,18 @@ def run_scaling() -> dict:
     # hi first, then a sync barrier: the previous child's ~GB of dirty
     # page-cache writeback otherwise steals I/O from the next child's
     # first seconds (measured 76s vs 43s for an identical 8-CPU run)
-    r_hi = one(hi)
+    r_32 = one(32)
+    os.sync()
+    time.sleep(5)
+    r_hi = one(hi) if hi != 32 else r_32
     os.sync()
     time.sleep(5)
     r_lo = one(lo)
     thr_lo = r_lo["docs"] / r_lo["value"]
     thr_hi = r_hi["docs"] / r_hi["value"]
+    thr_32 = r_32["docs"] / r_32["value"]
     eff = (thr_hi / thr_lo) / (hi / lo)
+    eff_sat = (thr_32 / thr_hi) / (32 / hi)
     return {
         "cpus_lo": lo,
         "cpus_hi": hi,
@@ -187,6 +192,17 @@ def run_scaling() -> dict:
         "docs_per_sec_lo": round(thr_lo, 2),
         "docs_per_sec_hi": round(thr_hi, 2),
         "scaling_efficiency": round(eff, 3),
+        # honest disclosure of the saturated pair on this box: parsing is
+        # DRAM-bandwidth-bound past ~8-10 concurrent parsers, so 8->32
+        # efficiency reflects the hardware wall, not the engine (a
+        # Ray-free multiprocessing control of the same kernel shows the
+        # same knee — see BASELINE.md)
+        "saturated_pair": {
+            "cpus": [hi, 32],
+            "sec_32": r_32["value"],
+            "docs_per_sec_32": round(thr_32, 2),
+            "scaling_efficiency": round(eff_sat, 3),
+        },
         "note": (
             "N->4N pair chosen below this box's DRAM saturation point "
             "(~8-10 concurrent parsers); a Ray-free multiprocessing "
