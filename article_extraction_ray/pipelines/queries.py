@@ -1515,6 +1515,214 @@ FROM messy
 
 
 # ---------------------------------------------------------------------------
+# custom joins Ray Data lacks: as-of (backward) join and interval range
+# join.  Both follow the brief's option (a): compositions of map_batches
+# + groupby().map_groups with an explicit partitioning assumption,
+# documented per operator.
+# ---------------------------------------------------------------------------
+
+#: fixed day shift that moves the orders' 1995-2001 date span into the
+#: events table's 2024 window (calendar-free arithmetic on purpose:
+#: year-offsets disagree between engines on leap days, day-counts don't)
+_ASOF_SHIFT_DAYS = 10585
+_ASOF_BUCKETS = 32
+
+
+def q_asof_join(sf_dir: str):
+    """As-of (backward inclusive) join: each event picks the latest
+    order of the same key whose shifted timestamp is <= the event's.
+
+    Shuffle shape: hash-bucket BOTH sides on the join key, union with a
+    side tag, ONE groupby(bucket).map_groups doing a vectorized
+    ``pandas.merge_asof`` per bucket — each table moves once, keyed, and
+    the in-bucket merge is O(n log n) C code.  The right side is
+    pre-shrunk per batch (max price per (key, ts)) before the shuffle so
+    ties never travel twice; the bucket holds every row of a key, so the
+    in-bucket final dedupe is exact.  Skew: coarse buckets (key % 32)
+    bound per-group scheduling; a single hot key still fits one bucket
+    because only that key's rows co-locate — at 100 TB the salting used
+    by span reassembly (stages/extract.py) applies, with a boundary
+    fix-up pass for matches that cross salt edges.
+    """
+    events = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"], split=True)
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"], split=True)
+    shift = np.timedelta64(_ASOF_SHIFT_DAYS, "D").astype("timedelta64[us]")
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy()
+        n = len(batch)
+        return pa.table(
+            {
+                "bucket": pa.array((uid % _ASOF_BUCKETS).astype(np.int32)),
+                "user_id": batch["user_id"],
+                "ts": batch["ts"],
+                "event_id": batch["event_id"],
+                "asof_price": pa.array(np.full(n, np.nan)),
+                "is_left": pa.array(np.ones(n, dtype=bool)),
+            }
+        )
+
+    def tag_right(df: pd.DataFrame) -> pa.Table:
+        # per-batch partial combine: one candidate per (key, ts) leaves
+        # the batch, the in-bucket groupby-max finishes the job exactly
+        eff = df["o_orderdate"].to_numpy(dtype="datetime64[us]") + shift
+        part = (
+            pd.DataFrame(
+                {"user_id": df["o_custkey"], "ts": eff, "asof_price": df["o_totalprice"]}
+            )
+            .groupby(["user_id", "ts"], sort=False)["asof_price"]
+            .max()
+            .reset_index()
+        )
+        n = len(part)
+        return pa.table(
+            {
+                "bucket": pa.array((part["user_id"].to_numpy() % _ASOF_BUCKETS).astype(np.int32)),
+                "user_id": pa.array(part["user_id"].to_numpy()),
+                "ts": pa.array(part["ts"].to_numpy(dtype="datetime64[us]")),
+                "event_id": pa.array(np.full(n, -1, dtype=np.int64)),
+                "asof_price": pa.array(part["asof_price"].to_numpy()),
+                "is_left": pa.array(np.zeros(n, dtype=bool)),
+            }
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df["is_left"]]
+        right = (
+            df[~df["is_left"]]
+            .groupby(["user_id", "ts"], sort=False)["asof_price"]
+            .max()
+            .reset_index()
+            .rename(columns={"ts": "asof_ts"})
+            .sort_values("asof_ts", kind="stable")
+        )
+        out = pd.merge_asof(
+            left[["event_id", "user_id", "ts"]].sort_values("ts", kind="stable"),
+            right,
+            left_on="ts",
+            right_on="asof_ts",
+            by="user_id",
+            direction="backward",  # latest asof_ts <= ts, inclusive
+        )
+        return out[out["asof_price"].notna()]  # inner semantics, like ASOF JOIN
+
+    tagged = events.map_batches(tag_left, batch_format="pyarrow").union(
+        orders.map_batches(tag_right, batch_format="pandas", batch_size=None)
+    )
+    return (
+        tagged.groupby("bucket")
+        .map_groups(lambda df: merge(df.drop(columns=["bucket"])), batch_format="pandas")
+    )
+
+
+SQL_ASOF = f"""
+WITH r AS (
+  SELECT o_custkey AS user_id,
+         o_orderdate + INTERVAL {_ASOF_SHIFT_DAYS} DAY AS asof_ts,
+         max(o_totalprice) AS asof_price
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, e.ts, r.asof_ts, r.asof_price
+FROM events e ASOF JOIN r ON e.user_id = r.user_id AND e.ts >= r.asof_ts
+"""
+
+
+def q_range_join(sf_dir: str):
+    """Interval range join (non-equi, many-to-many): events X the top-50
+    high-price order windows [d0, d0 + 7 days) that overlap the event
+    span.
+
+    The small side (top-k intervals) is computed with the existing
+    distributed top-k then broadcast via ``ray.put`` — read once per
+    task, never re-shipped per batch.  Each events batch tests ts
+    against the sorted interval starts with two vectorized
+    ``np.searchsorted`` calls per interval-batch (intervals here share a
+    fixed width, so containment is a pure binary-search band); output is
+    built with integer repeats, no per-row Python.  Scale path for a
+    BIG interval side: partition time into width-sized chunks,
+    replicate each interval to the chunks it overlaps, equi-join on
+    chunk id — documented, not needed while the interval side is top-k.
+    """
+    from ..state.broadcast import Broadcast
+    from .tabular import topk
+
+    width = np.timedelta64(7, "D").astype("timedelta64[us]")
+    shift = np.timedelta64(_ASOF_SHIFT_DAYS, "D").astype("timedelta64[us]")
+    lo = np.datetime64("2023-12-01", "us")
+    hi = np.datetime64("2024-02-01", "us")
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def windows(batch: pa.Table) -> pa.Table:
+        d0 = batch["o_orderdate"].to_numpy().astype("datetime64[us]") + shift
+        keep = (d0 >= lo) & (d0 < hi)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(batch["o_orderkey"].to_numpy()[keep]),
+                "o_totalprice": pa.array(batch["o_totalprice"].to_numpy()[keep]),
+                "d0": pa.array(d0[keep]),
+            }
+        )
+
+    top = (
+        topk(
+            orders.map_batches(windows, batch_format="pyarrow"),
+            ["o_totalprice", "o_orderkey"],
+            k=50,
+            descending=[True, False],
+        )
+        .to_pandas()
+        .sort_values("d0", kind="stable")
+    )
+    starts = top["d0"].to_numpy(dtype="datetime64[us]")
+    keys = top["o_orderkey"].to_numpy()
+    prices = top["o_totalprice"].to_numpy()
+    bcast = Broadcast((starts, keys, prices))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        s, k, p = bcast.get()
+        ts = batch["ts"].to_numpy().astype("datetime64[us]")
+        eid = batch["event_id"].to_numpy()
+        # interval i matches ts iff s[i] <= ts < s[i] + width; with s
+        # sorted, the matching intervals form the index band
+        # [searchsorted(s, ts - width, 'right'), searchsorted(s, ts, 'right'))
+        hi_idx = np.searchsorted(s, ts, side="right")
+        lo_idx = np.searchsorted(s, ts - width, side="right")
+        counts = hi_idx - lo_idx
+        row_rep = np.repeat(np.arange(len(ts)), counts)
+        # flat interval indices: for each row, lo_idx[row] .. hi_idx[row)-1
+        offs = np.arange(len(row_rep)) - np.repeat(
+            np.concatenate(([0], np.cumsum(counts)[:-1])), counts
+        )
+        iv = np.repeat(lo_idx, counts) + offs
+        return pa.table(
+            {
+                "event_id": pa.array(eid[row_rep]),
+                "o_orderkey": pa.array(k[iv]),
+                "ts": pa.array(ts[row_rep]),
+                "o_totalprice": pa.array(p[iv]),
+            }
+        )
+
+    events = read_table(sf_dir, "events", columns=["event_id", "ts"], split=True)
+    return events.map_batches(probe, batch_format="pyarrow")
+
+
+SQL_RANGE_JOIN = f"""
+WITH t AS (
+  SELECT o_orderkey, o_totalprice,
+         o_orderdate + INTERVAL {_ASOF_SHIFT_DAYS} DAY AS d0
+  FROM orders
+  WHERE o_orderdate + INTERVAL {_ASOF_SHIFT_DAYS} DAY >= TIMESTAMP '2023-12-01'
+    AND o_orderdate + INTERVAL {_ASOF_SHIFT_DAYS} DAY < TIMESTAMP '2024-02-01'
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 50
+)
+SELECT e.event_id, t.o_orderkey, e.ts, t.o_totalprice
+FROM events e JOIN t ON e.ts >= t.d0 AND e.ts < t.d0 + INTERVAL 7 DAY
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1561,6 +1769,8 @@ QUERIES = {
     "qa_extract": q_qa_extract,
     "qa_token_extract": q_qa_token_extract,
     "media_features": q_media_features,
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
 }
 
 ORACLE_SQL = {
@@ -1594,6 +1804,8 @@ ORACLE_SQL = {
     "sample_seeded": SQL_SAMPLE,
     "expanding_mean": SQL_EXPANDING,
     "quality_score": SQL_QUALITY,
+    "asof_join": SQL_ASOF,
+    "range_join": SQL_RANGE_JOIN,
     # lang_id / winnow / minhash / simhash / knn_lsh / media_* are not
     # SQL-expressible → rows-only driver check; pytest goldens + recall
     # properties cover their semantics.

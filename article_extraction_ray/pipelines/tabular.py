@@ -310,10 +310,18 @@ def dedup_exact_min(ds, subset: str, id_col: str):
     return partials.groupby(subset).aggregate(Min(id_col, alias_name=id_col))
 
 
-def topk(ds, col: str, k: int, *, descending: bool = True):
-    """Global top-k with per-batch prefilter before the sort."""
+def topk(ds, col, k: int, *, descending=True):
+    """Global top-k with per-batch prefilter before the sort.
+
+    ``col``/``descending`` accept a single column or a list (mixed
+    directions allowed) — ties broken by the later keys, so a unique
+    trailing key makes the result deterministic.
+    """
+    cols = [col] if isinstance(col, str) else list(col)
+    desc = [descending] * len(cols) if isinstance(descending, bool) else list(descending)
+    asc = [not d for d in desc]
 
     def local(df: pd.DataFrame) -> pd.DataFrame:
-        return df.nlargest(k, col) if descending else df.nsmallest(k, col)
+        return df.sort_values(cols, ascending=asc, kind="stable").head(k)
 
-    return ds.map_batches(local, batch_format="pandas").sort(col, descending=descending).limit(k)
+    return ds.map_batches(local, batch_format="pandas").sort(cols, descending=desc).limit(k)

@@ -122,3 +122,43 @@ def test_grouped_aggregate_partials(ray_session):
     assert out["min_y"].tolist() == exp["min_y"].tolist()
     np.testing.assert_allclose(out["sum_x"], exp["sum_x"], rtol=1e-9)
     np.testing.assert_allclose(out["mean_x"], exp["mean_x"], rtol=1e-9)
+
+
+def test_topk_multi_key_mixed_directions(ray_session):
+    import ray.data as rd
+
+    from article_extraction_ray.pipelines.tabular import topk
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"score": rng.integers(0, 5, 200), "id": rng.permutation(200)})
+    ds = rd.from_pandas(df).repartition(8)
+    out = topk(ds, ["score", "id"], k=10, descending=[True, False]).to_pandas()
+    exp = df.sort_values(["score", "id"], ascending=[False, True]).head(10).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out.reset_index(drop=True), exp)
+
+
+def test_asof_merge_tie_semantics(ray_session):
+    """Duplicate (key, ts) right rows collapse to max price; equality on
+    the timestamp matches (backward inclusive)."""
+    import pandas as pd
+
+    left = pd.DataFrame({"event_id": [1], "user_id": [7], "ts": pd.to_datetime(["2024-01-05"])})
+    right = pd.DataFrame(
+        {
+            "user_id": [7, 7],
+            "asof_ts": pd.to_datetime(["2024-01-05", "2024-01-05"]),
+            "asof_price": [10.0, 20.0],
+        }
+    )
+    collapsed = (
+        right.groupby(["user_id", "asof_ts"], sort=False)["asof_price"].max().reset_index()
+    )
+    out = pd.merge_asof(
+        left.sort_values("ts"),
+        collapsed.sort_values("asof_ts"),
+        left_on="ts",
+        right_on="asof_ts",
+        by="user_id",
+        direction="backward",
+    )
+    assert out["asof_price"].tolist() == [20.0]
