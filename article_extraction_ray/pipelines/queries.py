@@ -1723,6 +1723,109 @@ FROM events e JOIN t ON e.ts >= t.d0 AND e.ts < t.d0 + INTERVAL 7 DAY
 
 
 # ---------------------------------------------------------------------------
+# big-big shuffle join + window functions (rank / lag) over bucketed
+# ordered scans
+# ---------------------------------------------------------------------------
+
+
+def q_shuffle_join(sf_dir: str):
+    """Big-big equi join where NEITHER side is broadcastable: orders X
+    lineitem co-partitioned by order key via ``tabular.shuffle_join``
+    (each table shuffles exactly once; per-bucket merge is pandas' C
+    hash join).  The complement of the J1 broadcast join."""
+    from .tabular import shuffle_join
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"], split=True
+    )
+    lineitem = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+        split=True,
+    ).rename_columns({"l_orderkey": "o_orderkey"})
+    return shuffle_join(orders, lineitem, on="o_orderkey", how="inner")
+
+
+SQL_SHUFFLE_JOIN = """
+SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, l.l_linenumber, l.l_extendedprice
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+"""
+
+
+def q_rank_in_group(sf_dir: str):
+    """row_number per group (top-3 orders per customer by price): coarse
+    key buckets, then ONE vectorized sort + cumcount per bucket — no
+    per-group Python, no global sort."""
+    ds = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"], split=True
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = (batch["o_custkey"].to_numpy() % 32).astype(np.int32)
+        return batch.append_column("bucket", pa.array(b))
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        df["rn"] = df.groupby("o_custkey", sort=False).cumcount() + 1
+        return df[df["rn"] <= 3]
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lambda df: rank(df.drop(columns=["bucket"])), batch_format="pandas")
+    )
+
+
+SQL_RANK = """
+SELECT o_orderkey, o_custkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+def q_window_lag(sf_dir: str):
+    """lag() over a per-key ordered scan: each order's price delta vs
+    the customer's previous order.  Same bucketed shape as sessionize —
+    the scan shuffles once on the key, diffs are one vectorized groupby
+    .diff per bucket."""
+    ds = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"], split=True
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = (batch["o_custkey"].to_numpy() % 32).astype(np.int32)
+        return batch.append_column("bucket", pa.array(b))
+
+    def lag_delta(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"], kind="stable")
+        df["price_delta"] = df.groupby("o_custkey", sort=False)["o_totalprice"].diff()
+        return df[["o_orderkey", "o_custkey", "o_orderdate", "price_delta"]]
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lambda df: lag_delta(df.drop(columns=["bucket"])), batch_format="pandas")
+    )
+
+
+SQL_WINDOW_LAG = """
+SELECT o_orderkey, o_custkey, o_orderdate,
+       o_totalprice - lag(o_totalprice) OVER (PARTITION BY o_custkey
+                                              ORDER BY o_orderdate, o_orderkey) AS price_delta
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1771,6 +1874,9 @@ QUERIES = {
     "media_features": q_media_features,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
+    "shuffle_join": q_shuffle_join,
+    "rank_in_group": q_rank_in_group,
+    "window_lag": q_window_lag,
 }
 
 ORACLE_SQL = {
@@ -1806,6 +1912,9 @@ ORACLE_SQL = {
     "quality_score": SQL_QUALITY,
     "asof_join": SQL_ASOF,
     "range_join": SQL_RANGE_JOIN,
+    "shuffle_join": SQL_SHUFFLE_JOIN,
+    "rank_in_group": SQL_RANK,
+    "window_lag": SQL_WINDOW_LAG,
     # lang_id / winnow / minhash / simhash / knn_lsh / media_* are not
     # SQL-expressible → rows-only driver check; pytest goldens + recall
     # properties cover their semantics.

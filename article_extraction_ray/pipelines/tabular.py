@@ -191,6 +191,104 @@ def broadcast_join(ds, dim: pa.Table, on: str, *, how: str = "inner"):
     return ds.map_batches(join, batch_format="pandas")
 
 
+def shuffle_join(
+    left,
+    right,
+    on: str | list[str],
+    *,
+    how: str = "inner",
+    num_buckets: int = 64,
+):
+    """Big-big equi join: hash-partition BOTH sides on the join key and
+    merge per bucket (the complement of :func:`broadcast_join`, for when
+    neither side fits a broadcast).
+
+    Shape: each side adds a bucket column (int keys: ``key %
+    num_buckets``; otherwise a stable string hash), unions with a side
+    tag over the combined column set, and ONE ``groupby(bucket)
+    .map_groups`` runs a vectorized ``pandas.merge`` per bucket — each
+    table moves across the cluster exactly once, co-partitioned by key.
+    Non-key column names must be disjoint.
+
+    Skew: coarse buckets bound per-group scheduling; a single hot key
+    concentrates in one bucket — at production scale salt the hot keys
+    (replicate the smaller side's hot-key rows across salts, as span
+    reassembly does in stages/extract.py) before this operator.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+
+    def fields(ds) -> dict[str, pa.DataType]:
+        sch = ds.schema()  # metadata-only; works for Arrow AND pandas blocks
+        def to_arrow(t):
+            if isinstance(t, pa.DataType):
+                return t
+            if np.dtype(t).kind == "O":  # pandas object column = strings
+                return pa.string()
+            return pa.from_numpy_dtype(np.dtype(t))
+
+        return {n: to_arrow(t) for n, t in zip(sch.names, sch.types)}
+
+    lfields, rfields = fields(left), fields(right)
+    lcols, rcols = list(lfields), list(rfields)
+    overlap = (set(lcols) & set(rcols)) - set(keys)
+    if overlap:
+        raise ValueError(f"non-key columns must be disjoint, got {sorted(overlap)}")
+    payload_r = [c for c in rcols if c not in keys]
+    payload_l = [c for c in lcols if c not in keys]
+    arrow_types = dict(lfields)
+    arrow_types.update(rfields)
+    # pandas dtypes to restore after the in-bucket split: the union fills
+    # the absent side's payload with nulls, which widens int columns to
+    # float64 in the grouped frame
+    _tmpl = (
+        pa.schema([(c, arrow_types[c]) for c in keys + payload_l + payload_r])
+        .empty_table()
+        .to_pandas()
+        .dtypes
+    )
+
+    def bucket_of(tbl: pa.Table) -> np.ndarray:
+        first = tbl[keys[0]]
+        if pa.types.is_integer(first.type):
+            h = first.to_numpy().astype(np.int64)
+            for k in keys[1:]:
+                h = h * np.int64(1000003) + tbl[k].to_numpy().astype(np.int64)
+            return (h % num_buckets).astype(np.int32)
+        import pyarrow.compute as pc
+
+        joined = tbl[keys[0]].cast(pa.string())
+        for k in keys[1:]:
+            joined = pc.binary_join_element_wise(joined, tbl[k].cast(pa.string()), "\x1f")
+        # pd.util.hash_array: vectorized siphash with a FIXED key — both
+        # sides must bucket identically across worker processes, which
+        # rules out Python's per-process-salted hash()
+        h = pd.util.hash_array(np.asarray(joined.to_pandas(), dtype=object))
+        return (h % num_buckets).astype(np.int32)
+
+    out_order = keys + payload_l + payload_r  # identical schema on both sides
+
+    def tag(tbl: pa.Table, is_left: bool) -> pa.Table:
+        n = len(tbl)
+        cols = {"bucket": pa.array(bucket_of(tbl)), "__side_l": pa.array(np.full(n, is_left))}
+        own = set((payload_l if is_left else payload_r) + keys)
+        for c in out_order:
+            cols[c] = tbl[c] if c in own else pa.nulls(n, type=arrow_types[c])
+        return pa.table(cols)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        is_l = df["__side_l"].to_numpy()
+        lf = df.loc[is_l, keys + payload_l].astype({c: _tmpl[c] for c in keys + payload_l})
+        rf = df.loc[~is_l, keys + payload_r].astype({c: _tmpl[c] for c in keys + payload_r})
+        return lf.merge(rf, on=keys, how=how)
+
+    tagged = left.map_batches(lambda t: tag(t, True), batch_format="pyarrow").union(
+        right.map_batches(lambda t: tag(t, False), batch_format="pyarrow")
+    )
+    return tagged.groupby("bucket").map_groups(
+        lambda df: merge(df.drop(columns=["bucket"])), batch_format="pandas"
+    )
+
+
 def broadcast_semi_filter(ds, keys, column: str, *, anti: bool = False):
     """Semi/anti join against a broadcast key set (reference J2 resume
     anti-join, /root/reference/tables/paper_text_table.py:108-110).

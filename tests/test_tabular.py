@@ -162,3 +162,52 @@ def test_asof_merge_tie_semantics(ray_session):
         direction="backward",
     )
     assert out["asof_price"].tolist() == [20.0]
+
+
+class TestShuffleJoin:
+    def test_matches_pandas_merge(self, ray_session):
+        import ray.data as rd
+
+        from article_extraction_ray.pipelines.tabular import shuffle_join
+
+        rng = np.random.default_rng(11)
+        left = pd.DataFrame({"k": rng.integers(0, 50, 300), "lv": rng.standard_normal(300)})
+        right = pd.DataFrame({"k": rng.integers(0, 50, 200), "rv": rng.integers(0, 9, 200)})
+        out = (
+            shuffle_join(
+                rd.from_pandas(left).repartition(6),
+                rd.from_pandas(right).repartition(4),
+                on="k",
+                num_buckets=8,
+            )
+            .to_pandas()
+            .sort_values(["k", "lv", "rv"])
+            .reset_index(drop=True)
+        )
+        exp = left.merge(right, on="k").sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(out[exp.columns], exp, check_like=True)
+
+    def test_string_keys(self, ray_session):
+        import ray.data as rd
+
+        from article_extraction_ray.pipelines.tabular import shuffle_join
+
+        left = pd.DataFrame({"k": ["a", "b", "c", "a"], "lv": [1, 2, 3, 4]})
+        right = pd.DataFrame({"k": ["a", "c", "d"], "rv": [10.0, 30.0, 40.0]})
+        out = (
+            shuffle_join(rd.from_pandas(left), rd.from_pandas(right), on="k", num_buckets=4)
+            .to_pandas()
+            .sort_values(["k", "lv"])
+            .reset_index(drop=True)
+        )
+        exp = left.merge(right, on="k").sort_values(["k", "lv"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(out[exp.columns], exp, check_like=True)
+
+    def test_overlapping_payload_rejected(self, ray_session):
+        import ray.data as rd
+
+        from article_extraction_ray.pipelines.tabular import shuffle_join
+
+        df = pd.DataFrame({"k": [1], "v": [2]})
+        with pytest.raises(ValueError, match="disjoint"):
+            shuffle_join(rd.from_pandas(df), rd.from_pandas(df), on="k")
