@@ -1826,6 +1826,54 @@ FROM orders
 
 
 # ---------------------------------------------------------------------------
+# distinct counting: exact grouped nunique (partial-dedupe shuffle) and
+# a HyperLogLog sketch (kilobyte-sized merge, corpus never shuffles)
+# ---------------------------------------------------------------------------
+
+
+def q_distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per event_type.  Per-batch partial
+    dedupe shrinks the shuffle to unique (type, user) pairs per batch;
+    the per-type finalize is one vectorized nunique."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"], split=True)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [df["event_type"].iloc[0]],
+                "n_users": np.array([df["user_id"].nunique()], dtype=np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(finalize, batch_format="pandas")
+    )
+
+
+SQL_DISTINCT_USERS = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+def q_hll_distinct(sf_dir: str):
+    """HyperLogLog distinct user_id estimate (p=14, ±~0.8%): one 16 KiB
+    sketch per batch is all that leaves the workers.  Rows-only driver
+    check; the accuracy property is pytest-verified against exact counts
+    (stages/sketch.py)."""
+    from ..stages.sketch import hll_distinct
+
+    ds = read_table(sf_dir, "events", columns=["user_id"], split=True)
+    est = hll_distinct(ds, "user_id", p=14)
+    return pd.DataFrame({"estimate": [round(est, 1)]})
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1877,6 +1925,8 @@ QUERIES = {
     "shuffle_join": q_shuffle_join,
     "rank_in_group": q_rank_in_group,
     "window_lag": q_window_lag,
+    "distinct_users": q_distinct_users,
+    "hll_distinct": q_hll_distinct,
 }
 
 ORACLE_SQL = {
@@ -1915,6 +1965,8 @@ ORACLE_SQL = {
     "shuffle_join": SQL_SHUFFLE_JOIN,
     "rank_in_group": SQL_RANK,
     "window_lag": SQL_WINDOW_LAG,
+    "distinct_users": SQL_DISTINCT_USERS,
+    # hll_distinct is an approximate sketch — rows-only by design
     # lang_id / winnow / minhash / simhash / knn_lsh / media_* are not
     # SQL-expressible → rows-only driver check; pytest goldens + recall
     # properties cover their semantics.
