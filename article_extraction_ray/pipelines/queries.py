@@ -839,6 +839,24 @@ def q_knn_lsh(sf_dir: str):
     return out.map_batches(lambda df: df[["query_id", "vec_id", "rank"]], batch_format="pandas")
 
 
+def q_knn_lsh_shuffle(sf_dir: str):
+    """The big-query-set ANN scale path: queries stay a Dataset, both
+    sides shuffle once to (table, bucket) keys, nothing is broadcast
+    (stages/similarity.knn_lsh_shuffle; recall property-tested)."""
+    from ..stages.similarity import knn_lsh_shuffle
+
+    corpus = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"], split=True)
+    queries = (
+        read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .map_batches(
+            lambda t: t.filter(pa.compute.less(t["vec_id"], 5)), batch_format="pyarrow"
+        )
+        .rename_columns({"vec_id": "query_id"})
+    )
+    out = knn_lsh_shuffle(corpus, queries, k=10, planes=8, tables=8, probe_radius=1)
+    return out.map_batches(lambda df: df[["query_id", "vec_id", "rank"]], batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing (decode stubs; Ray-side schema/actor wiring is real)
 # ---------------------------------------------------------------------------
@@ -1825,6 +1843,72 @@ FROM orders
 """
 
 
+def q_sliding_window(sf_dir: str):
+    """Sliding time-window aggregate: for each event, the count and
+    value sum of the same user's events in the preceding hour
+    (inclusive) — SQL's RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND
+    CURRENT ROW.
+
+    Shape: one shuffle on the user key into coarse buckets, then per
+    bucket a single vectorized pass — sort once, one ``searchsorted``
+    per user segment gives the window start indices, and prefix sums
+    turn [start, i] ranges into O(1) window aggregates.  No per-row
+    Python, no second shuffle.  The sum runs over integer cents so the
+    result is independent of accumulation order (prefix-sum here,
+    rolling sum in the oracle — float would differ in ulps).
+    """
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"], split=True)
+    hour = np.timedelta64(3600, "s").astype("timedelta64[us]")
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = (batch["user_id"].to_numpy() % 32).astype(np.int32)
+        return batch.append_column("bucket", pa.array(b))
+
+    def window(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable").reset_index(drop=True)
+        ts = df["ts"].to_numpy(dtype="datetime64[us]")
+        cents = np.round(df["value"].to_numpy() * 100.0).astype(np.int64)
+        uid = df["user_id"].to_numpy()
+        # per-user segment boundaries in the sorted frame
+        seg = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        seg_end = np.r_[seg[1:], len(uid)]
+        csum = np.r_[np.int64(0), np.cumsum(cents)]
+        n_1h = np.empty(len(uid), dtype=np.int64)
+        sum_cents = np.empty(len(uid), dtype=np.int64)
+        for s, e in zip(seg, seg_end):  # per-USER segment, not per-row
+            # RANGE window: [ts - 1h, ts] inclusive, and peers with the
+            # SAME ts all belong to every peer's window ('right' end)
+            starts = np.searchsorted(ts[s:e], ts[s:e] - hour, side="left") + s
+            ends = np.searchsorted(ts[s:e], ts[s:e], side="right") + s
+            n_1h[s:e] = ends - starts
+            sum_cents[s:e] = csum[ends] - csum[starts]
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"],
+                "user_id": uid,
+                "ts": ts,
+                "n_1h": n_1h,
+                "sum_1h": sum_cents.astype(np.float64) / 100.0,
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lambda df: window(df.drop(columns=["bucket"])), batch_format="pandas")
+    )
+
+
+SQL_SLIDING_WINDOW = """
+SELECT event_id, user_id, ts,
+       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE) / 100 AS sum_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
 # ---------------------------------------------------------------------------
 # distinct counting: exact grouped nunique (partial-dedupe shuffle) and
 # a HyperLogLog sketch (kilobyte-sized merge, corpus never shuffles)
@@ -1927,6 +2011,8 @@ QUERIES = {
     "window_lag": q_window_lag,
     "distinct_users": q_distinct_users,
     "hll_distinct": q_hll_distinct,
+    "sliding_window": q_sliding_window,
+    "knn_lsh_shuffle": q_knn_lsh_shuffle,
 }
 
 ORACLE_SQL = {
@@ -1966,6 +2052,7 @@ ORACLE_SQL = {
     "rank_in_group": SQL_RANK,
     "window_lag": SQL_WINDOW_LAG,
     "distinct_users": SQL_DISTINCT_USERS,
+    "sliding_window": SQL_SLIDING_WINDOW,
     # hll_distinct is an approximate sketch — rows-only by design
     # lang_id / winnow / minhash / simhash / knn_lsh / media_* are not
     # SQL-expressible → rows-only driver check; pytest goldens + recall

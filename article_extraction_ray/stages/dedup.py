@@ -20,12 +20,12 @@ standard near-dup family, each expressed Ray-Data-first:
   for corpora where both sides are huge, LSH-bucket first (see
   stages.similarity).
 
-All hashing is deterministic (no Python ``hash``): crc32/blake2 based.
+All hashing is deterministic across worker processes (no Python
+``hash``): fixed-key siphash (pd.util.hash_array) / crc32 based.
 """
 
 from __future__ import annotations
 
-import hashlib
 import zlib
 
 import numpy as np
@@ -53,16 +53,116 @@ def word_shingles(text: str, n: int = 3) -> list[str]:
     return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
 
 
-def shingle_hashes(text: str, n: int = 3) -> np.ndarray:
-    """Deterministic uint64 hashes of the distinct word n-shingles."""
-    uniq = set(word_shingles(text, n))
-    if not uniq:
+#: FNV-ish odd multiplier for the rolling n-gram mix (wrapping uint64)
+_NGRAM_MIX = np.uint64(0x100000001B3)
+#: column budget per universal-hash grid chunk (k rows × budget cols of
+#: uint64 ≈ 25 MB at k=64) — bounds worker heap regardless of batch size
+_GRID_BUDGET = 50_000
+
+
+def _ngram_mix(th: np.ndarray, n: int) -> np.ndarray:
+    """uint64 token hashes → rolling order-sensitive n-gram hashes.
+
+    Output positions i cover tokens [i, i+n); callers mask positions
+    whose window crosses a document boundary.  Shorter-than-n inputs
+    fold ALL tokens into one hash (the word_shingles short-doc rule).
+    """
+    m = len(th)
+    if m == 0:
         return np.zeros(0, dtype=np.uint64)
-    return np.fromiter(
-        (int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little") for s in uniq),
-        dtype=np.uint64,
-        count=len(uniq),
-    )
+    with np.errstate(over="ignore"):  # wrapping uint64 multiply is the point
+        if m < n:
+            h = th[:1].copy()
+            for j in range(1, m):
+                h = (h * _NGRAM_MIX) ^ th[j : j + 1]
+            return h
+        g = th[: m - n + 1].copy()
+        for j in range(1, n):
+            g = (g * _NGRAM_MIX) ^ th[j : m - n + 1 + j]
+    return g
+
+
+def shingle_hashes(text: str, n: int = 3) -> np.ndarray:
+    """Deterministic uint64 hashes of the word n-shingles (duplicates
+    retained — min-based consumers are unaffected; set-based consumers
+    should np.unique)."""
+    toks = (text or "").split()
+    if not toks:
+        return np.zeros(0, dtype=np.uint64)
+    th = pd.util.hash_array(np.asarray(toks, dtype=object))
+    return _ngram_mix(th, n)
+
+
+def batch_minhash_signatures(
+    texts,
+    *,
+    k: int = _DEFAULT_K,
+    n: int = 3,
+    params: tuple[np.ndarray, np.ndarray],
+) -> np.ndarray:
+    """(B,) texts → (B, k) minhash signatures with NO per-shingle Python.
+
+    One vectorized pass: all tokens of the batch hash in a single
+    ``pd.util.hash_array`` call (fixed-key siphash, deterministic across
+    workers), the rolling n-gram mix runs over the concatenated token
+    array in n-1 vector ops, and per-document minima come from
+    ``np.minimum.reduceat`` over document segments, chunked to a fixed
+    grid budget so worker heap stays bounded.  Duplicate shingles are
+    deliberately kept: a k-permutation min is invariant under them, so
+    the dedupe that used to cost a Python set per document is free.
+    Empty documents get the all-max signature.
+    """
+    n_docs = len(texts)
+    maxv = np.iinfo(np.uint64).max
+    sigs = np.full((n_docs, k), maxv, dtype=np.uint64)
+    if n_docs == 0:
+        return sigs
+    a, b = params
+    toks_per_doc = [(t or "").split() for t in texts]
+    counts = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
+    flat = [tok for toks in toks_per_doc for tok in toks]
+    if not flat:
+        return sigs
+    th_all = pd.util.hash_array(np.asarray(flat, dtype=object))
+    tok_starts = np.r_[0, np.cumsum(counts)]
+
+    # regular docs (>= n tokens): shingle windows never cross a doc
+    # boundary after masking; short docs (1..n-1 tokens) fold all their
+    # tokens into one hash via the scalar path (rare, tiny)
+    g_all = _ngram_mix(th_all, n) if len(th_all) >= n else np.zeros(0, dtype=np.uint64)
+    n_sh = np.maximum(counts - (n - 1), 0)
+    regular = counts >= n
+
+    seg_vals: list[np.ndarray] = []
+    seg_doc: list[int] = []
+    for i in np.flatnonzero(regular):
+        seg_vals.append(g_all[tok_starts[i] : tok_starts[i] + n_sh[i]])
+        seg_doc.append(i)
+    for i in np.flatnonzero((~regular) & (counts > 0)):
+        seg_vals.append(_ngram_mix(th_all[tok_starts[i] : tok_starts[i + 1]], n))
+        seg_doc.append(i)
+    if not seg_vals:
+        return sigs
+
+    lengths = np.array([len(v) for v in seg_vals], dtype=np.int64)
+    # chunk BY DOCUMENT so reduceat segments never span chunks
+    pos = 0
+    while pos < len(seg_vals):
+        end = pos
+        tot = 0
+        while end < len(seg_vals) and (tot + lengths[end] <= _GRID_BUDGET or end == pos):
+            tot += lengths[end]
+            end += 1
+        vals = np.concatenate(seg_vals[pos:end])
+        offs = np.r_[0, np.cumsum(lengths[pos:end])[:-1]]
+        # (k, m) universal-hash grid; modular math in uint64 is exact
+        # because values stay < 2^62 after the mod
+        grid = (a[:, None] * (vals[None, :] % _MERSENNE) + b[:, None]) % _MERSENNE
+        mins = np.minimum.reduceat(grid, offs, axis=1)  # (k, docs_in_chunk)
+        for j, i in enumerate(seg_doc[pos:end]):
+            sigs[i] = mins[:, j]
+        pos = end
+    return sigs
 
 
 def minhash_signature(
@@ -75,17 +175,12 @@ def minhash_signature(
 ) -> np.ndarray:
     """k-permutation minhash over word n-shingles; empty text → all-max.
 
-    ``params`` lets a long-lived caller (MinHashStage actors) pass the
-    permutation coefficients built once in ``__init__`` instead of
-    re-deriving them per document."""
-    a, b = params if params is not None else _rng_params(k, seed)
-    hashes = shingle_hashes(text, n)
-    if hashes.size == 0:
-        return np.full(k, np.iinfo(np.uint64).max, dtype=np.uint64)
-    # (k, m) universal-hash grid; modular math in uint64 is exact because
-    # values stay < 2^63 after the mod.
-    grid = (a[:, None] * (hashes[None, :] % _MERSENNE) + b[:, None]) % _MERSENNE
-    return grid.min(axis=1)
+    Single-document convenience wrapper over
+    :func:`batch_minhash_signatures` (identical values by construction).
+    """
+    if params is None:
+        params = _rng_params(k, seed)
+    return batch_minhash_signatures([text], k=k, n=n, params=params)[0]
 
 
 def estimated_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
@@ -141,11 +236,7 @@ class MinHashStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         texts = batch[self.text_col].to_pylist()
-        sigs = np.empty((len(ids), self.k), dtype=np.uint64)
-        for i, text in enumerate(texts):
-            sigs[i] = minhash_signature(
-                text or "", k=self.k, n=self.n, params=self.params
-            )
+        sigs = batch_minhash_signatures(texts, k=self.k, n=self.n, params=self.params)
         band_hash = _band_hashes(sigs, self.bands)
         return pa.Table.from_arrays(
             [
@@ -375,38 +466,56 @@ def minhash_dup_pairs(ds, *, threshold: float = 0.5, k: int = _DEFAULT_K,
 
 
 def _token_hashes(text: str) -> np.ndarray:
-    toks = set((text or "").split())
+    """uint64 hashes of the DISTINCT whitespace tokens (vectorized
+    fixed-key siphash — deterministic across worker processes)."""
+    toks = (text or "").split()
     if not toks:
         return np.zeros(0, dtype=np.uint64)
-    return np.fromiter(
-        (
-            int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
-            for t in toks
-        ),
-        dtype=np.uint64,
-        count=len(toks),
-    )
+    return pd.util.hash_array(np.unique(np.asarray(toks, dtype=object)))
+
+
+def batch_simhash64(texts) -> np.ndarray:
+    """(B,) texts → (B,) uint64 SimHashes with ONE hash/unpack pass.
+
+    All documents' distinct tokens hash in a single ``hash_array`` call,
+    unpack to one (T, 64) bit matrix, and the per-document majority
+    votes are ``np.add.reduceat`` segments — the only per-document
+    Python is the tokenizer itself.  Empty documents hash to 0.
+    """
+    n_docs = len(texts)
+    out = np.zeros(n_docs, dtype=np.uint64)
+    uniq_lists = []
+    counts = np.zeros(n_docs, dtype=np.int64)
+    for i, t in enumerate(texts):
+        toks = (t or "").split()
+        if toks:
+            u = np.unique(np.asarray(toks, dtype=object))
+            uniq_lists.append(u)
+            counts[i] = len(u)
+    if not uniq_lists:
+        return out
+    hs = pd.util.hash_array(np.concatenate(uniq_lists))
+    bits = np.unpackbits(hs[:, None].view(np.uint8), axis=1, bitorder="little")  # (T, 64)
+    nz = np.flatnonzero(counts)
+    offs = np.r_[0, np.cumsum(counts[nz])[:-1]]
+    sums = np.add.reduceat(bits, offs, axis=0)  # (n_docs_nonempty, 64)
+    maj = (sums.astype(np.int64) * 2) > counts[nz][:, None]
+    out[nz] = np.packbits(maj, axis=1, bitorder="little").view(np.uint64).ravel()
+    return out
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens (unweighted).
+    """64-bit SimHash over distinct whitespace tokens (unweighted).
 
-    Vectorized: all token hashes unpack to a (t, 64) bit matrix in one
-    ``np.unpackbits`` call and the majority vote is a column sum — no
-    per-token numpy round trips.  Bit i of the result corresponds to
-    ``(token_hash >> i) & 1`` (relies on the little-endian byte view,
-    i.e. every platform this engine targets)."""
-    hs = _token_hashes(text)
-    if hs.size == 0:
-        return 0
-    bits = np.unpackbits(hs[:, None].view(np.uint8), axis=1, bitorder="little")
-    acc = bits.sum(axis=0, dtype=np.int64) * 2 - hs.size
-    return int(np.packbits(acc > 0, bitorder="little").view(np.uint64)[0])
+    Single-document wrapper over :func:`batch_simhash64` (identical
+    values by construction).  Bit i of the result corresponds to
+    ``(token_hash >> i) & 1``."""
+    return int(batch_simhash64([text])[0])
 
 
 def simhash_batch(batch: pa.Table, *, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
     ids = batch[id_col]
-    hashes = [simhash64(t or "") for t in batch[text_col].to_pylist()]
+    hashes = batch_simhash64(batch[text_col].to_pylist())
     # store as hex so the value survives every engine's int semantics
     return pa.Table.from_arrays(
         [ids, pa.array([f"{h:016x}" for h in hashes], type=pa.string())],
@@ -432,11 +541,7 @@ def simhash_dup_pairs(ds, *, max_hamming: int = 3, id_col: str = "doc_id", text_
     bucket with the blocked vectorized Hamming kernel."""
     def to_bands(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        hs = np.fromiter(
-            (simhash64(t or "") for t in batch[text_col].to_pylist()),
-            dtype=np.uint64,
-            count=len(ids),
-        )
+        hs = batch_simhash64(batch[text_col].to_pylist())
         quarters = np.tile(np.arange(4, dtype=np.uint64), len(ids))
         qvals = ((np.repeat(hs, 4) >> (np.uint64(16) * quarters)) & np.uint64(0xFFFF)).astype(np.int64)
         bucket = (
@@ -455,30 +560,88 @@ def simhash_dup_pairs(ds, *, max_hamming: int = 3, id_col: str = "doc_id", text_
             names=[id_col, "quarter", "qvalue", "simhash", "bucket"],
         )
 
+    _EMPTY = pd.DataFrame(
+        {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+         "hamming": pd.Series(dtype="int64")}
+    )
+
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        # One vectorized self-merge on (quarter, qvalue) generates every
-        # in-key pair; Hamming distance is a single vectorized popcount
-        # over the xor'd hashes — no Python iteration over key groups.
+        # Skew-proof pair generation: template-heavy corpora put
+        # thousands of IDENTICAL simhashes in one (quarter, qvalue)
+        # group, so a row-level self-merge materializes |group|² rows —
+        # measured 4.4M candidate rows in ONE bucket at sf0.1.  Instead,
+        # collapse to one representative per distinct hash: (a)
+        # intra-cluster pairs are hamming-0 by definition and are
+        # emitted ONCE globally (only in their quarter-0 bucket) by a
+        # vectorized segment-combinations expansion; (b) the self-merge
+        # runs over representatives only (cluster-size² smaller), and
+        # surviving rep pairs expand to member cross products.  Every
+        # step is output-proportional numpy — no per-cluster Python.
         df = group[["quarter", "qvalue", id_col, "simhash"]].drop_duplicates(
             ["quarter", "qvalue", id_col]
         )
-        m = df.merge(df, on=["quarter", "qvalue"])
-        m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
-        if m.empty:
-            return pd.DataFrame(
-                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
-                 "hamming": pd.Series(dtype="int64")}
-            )
-        xor = m["simhash_x"].to_numpy().view(np.uint64) ^ m["simhash_y"].to_numpy().view(np.uint64)
-        dist = _popcount64(xor)
-        keep = dist <= max_hamming
-        out = pd.DataFrame(
-            {
-                "id_a": m[f"{id_col}_x"].to_numpy()[keep],
-                "id_b": m[f"{id_col}_y"].to_numpy()[keep],
-                "hamming": dist[keep],
-            }
+        if df.empty:
+            return _EMPTY
+        d2 = df.sort_values(["quarter", "qvalue", "simhash", id_col], kind="stable")
+        ids = d2[id_col].to_numpy()
+        hs = d2["simhash"].to_numpy()
+        qs = d2["quarter"].to_numpy()
+        qv = d2["qvalue"].to_numpy()
+        key_change = np.r_[
+            True, (qs[1:] != qs[:-1]) | (qv[1:] != qv[:-1]) | (hs[1:] != hs[:-1])
+        ]
+        starts = np.flatnonzero(key_change)
+        sizes = np.diff(np.r_[starts, len(ids)])
+
+        outs = []
+        # (a) intra-cluster (identical simhash ⇒ hamming 0 in every
+        # quarter): emit only from the quarter-0 copy, once globally
+        q0 = qs[starts] == 0
+        c_starts, c_sizes = starts[q0], sizes[q0]
+        multi = c_sizes > 1
+        if multi.any():
+            cs, cz = c_starts[multi], c_sizes[multi]
+            later = np.concatenate([np.arange(c - 1, -1, -1) for c in cz])
+            glob = np.concatenate([np.arange(s, s + c) for s, c in zip(cs, cz)])
+            tot = later.sum()
+            if tot:
+                id_a = np.repeat(ids[glob], later)
+                t_loc = np.arange(tot) - np.repeat(np.r_[0, np.cumsum(later)[:-1]], later)
+                id_b = ids[np.repeat(glob + 1, later) + t_loc]
+                outs.append(pd.DataFrame(
+                    {"id_a": id_a, "id_b": id_b,
+                     "hamming": np.zeros(tot, dtype=np.int64)}
+                ))
+
+        # (b) inter-cluster: self-merge over representatives
+        rep = pd.DataFrame(
+            {"quarter": qs[starts], "qvalue": qv[starts], "simhash": hs[starts],
+             "start": starts, "size": sizes}
         )
+        m = rep.merge(rep, on=["quarter", "qvalue"])
+        m = m[m["simhash_x"] < m["simhash_y"]]
+        if not m.empty:
+            xor = m["simhash_x"].to_numpy().view(np.uint64) ^ m["simhash_y"].to_numpy().view(np.uint64)
+            dist = _popcount64(xor)
+            keep = dist <= max_hamming
+            m, dist = m[keep], dist[keep]
+            if not m.empty:
+                sx = m["size_x"].to_numpy()
+                sy = m["size_y"].to_numpy()
+                tot_pair = sx * sy
+                total = int(tot_pair.sum())
+                t_loc = np.arange(total) - np.repeat(np.r_[0, np.cumsum(tot_pair)[:-1]], tot_pair)
+                sy_rep = np.repeat(sy, tot_pair)
+                ia = ids[np.repeat(m["start_x"].to_numpy(), tot_pair) + t_loc // sy_rep]
+                ib = ids[np.repeat(m["start_y"].to_numpy(), tot_pair) + t_loc % sy_rep]
+                outs.append(pd.DataFrame(
+                    {"id_a": np.minimum(ia, ib), "id_b": np.maximum(ia, ib),
+                     "hamming": np.repeat(dist, tot_pair)}
+                ))
+
+        if not outs:
+            return _EMPTY
+        out = pd.concat(outs, ignore_index=True)
         # early in-bucket dedupe (a pair can collide in several quarters
         # that share this bucket) shrinks the rebucket shuffle below
         return out.groupby(["id_a", "id_b"], as_index=False, sort=False)["hamming"].min()

@@ -111,6 +111,136 @@ def _neighbors_within(bucket: int, planes: int, radius: int) -> list[int]:
     return out
 
 
+def knn_lsh_shuffle(
+    corpus_ds,
+    queries_ds,
+    *,
+    k: int = 10,
+    planes: int = 8,
+    tables: int = 4,
+    probe_radius: int = 1,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    dim: int | None = None,
+):
+    """LSH ANN where the QUERY SET is itself a big Dataset (the scale
+    path past :func:`knn_lsh`'s broadcast-probe, which ships every
+    query's probe map to every corpus task).
+
+    Shape: both sides hash to ``(table, bucket)`` keys inside
+    map_batches — the corpus emits each vector once per table, queries
+    emit once per probed bucket per table — then ONE union +
+    groupby(key) co-locates colliding pairs and a per-bucket matmul
+    scores them; a per-bucket top-k bounds what the final per-query
+    reduce sees.  Nothing is broadcast; both sides shuffle once, and
+    the shuffle volume is ``tables``× (corpus) and
+    ``tables × (1+probes)``× (queries) — the standard distributed-LSH
+    trade of replication for locality.  Skew: hot buckets mean the
+    hyperplane split failed for that region; raise ``planes`` (halves
+    expected bucket size per plane) rather than salting, since ANN
+    correctness is per-bucket-local anyway.
+    """
+    probes_per = 1 + (planes if probe_radius >= 1 else 0) + (
+        planes * (planes - 1) // 2 if probe_radius >= 2 else 0
+    )
+
+    def fields_dim(ds, col):
+        if dim is not None:
+            return dim
+        import pyarrow.types as pt
+
+        sch = ds.schema()
+        t = dict(zip(sch.names, sch.types))[col]
+        return t.list_size if pt.is_fixed_size_list(t) else None
+
+    d0 = fields_dim(corpus_ds, vec_col)
+
+    def emit(batch: pa.Table, *, is_query: bool) -> pa.Table:
+        ids = batch[query_id_col if is_query else id_col].to_numpy()
+        mat = _normalize(_as_matrix(batch[query_vec_col if is_query else vec_col]))
+        n, d = mat.shape if mat.size else (0, d0 or 0)
+        gkeys, row_idx = [], []
+        for t in range(tables):
+            hp = _hyperplanes(d, planes, seed + 1000 * t)
+            buckets = _bucket_of(mat, hp)
+            base = np.int64(t) << np.int64(planes)
+            if not is_query:
+                gkeys.append(base | buckets)
+                row_idx.append(np.arange(n))
+            else:
+                # probe expansion: bucket itself + all radius-1 (and
+                # optionally radius-2) neighbors, vectorized via XOR
+                flips = [np.int64(0)]
+                if probe_radius >= 1:
+                    flips += [np.int64(1) << np.int64(i) for i in range(planes)]
+                if probe_radius >= 2:
+                    flips += [
+                        (np.int64(1) << np.int64(i)) | (np.int64(1) << np.int64(j))
+                        for i in range(planes)
+                        for j in range(i + 1, planes)
+                    ]
+                flips_arr = np.array(flips, dtype=np.int64)
+                gk = base | (buckets[:, None] ^ flips_arr[None, :])  # (n, probes)
+                gkeys.append(gk.ravel())
+                row_idx.append(np.repeat(np.arange(n), len(flips_arr)))
+        gkey = np.concatenate(gkeys) if gkeys else np.array([], dtype=np.int64)
+        rows = np.concatenate(row_idx) if row_idx else np.array([], dtype=np.int64)
+        flat = mat[rows].ravel()
+        return pa.table(
+            {
+                "gkey": pa.array(gkey),
+                "rid": pa.array(ids[rows]),
+                "vec": pa.FixedSizeListArray.from_arrays(pa.array(flat), d or 1),
+                "is_query": pa.array(np.full(len(rows), is_query)),
+            }
+        )
+
+    tagged = corpus_ds.map_batches(
+        lambda b: emit(b, is_query=False), batch_format="pyarrow"
+    ).union(queries_ds.map_batches(lambda b: emit(b, is_query=True), batch_format="pyarrow"))
+
+    def bucket_score(df: pd.DataFrame) -> pd.DataFrame:
+        isq = df["is_query"].to_numpy()
+        if isq.all() or not isq.any():
+            return pd.DataFrame({"query_id": [], "vec_id": [], "cos_sim": []})
+        qdf, cdf = df[isq], df[~isq]
+        # a query may be probed into the same gkey only once and a
+        # corpus row appears once per (table) — dedupe inside the bucket
+        qdf = qdf.drop_duplicates("rid")
+        cdf = cdf.drop_duplicates("rid")
+        qm = np.stack(qdf["vec"].to_numpy())
+        cm = np.stack(cdf["vec"].to_numpy())
+        sims = cm @ qm.T  # (nc, nq)
+        cids = cdf["rid"].to_numpy()
+        qids = qdf["rid"].to_numpy()
+        frames = []
+        for qi in range(qm.shape[0]):
+            col = sims[:, qi]
+            take = min(k, len(col))
+            idx = np.argpartition(-col, take - 1)[:take] if take else np.array([], dtype=int)
+            frames.append(
+                pd.DataFrame({"query_id": qids[qi], "vec_id": cids[idx], "cos_sim": col[idx]})
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    scored = tagged.groupby("gkey").map_groups(
+        lambda df: bucket_score(df.drop(columns=["gkey"])), batch_format="pandas"
+    )
+
+    def per_query_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates("vec_id").sort_values(
+            ["cos_sim", "vec_id"], ascending=[False, True]
+        ).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return scored.groupby("query_id").map_groups(per_query_topk, batch_format="pandas")
+
+
 def knn_lsh(ds, queries: np.ndarray, query_ids: np.ndarray, *, k: int = 10, planes: int = 8,
             tables: int = 8, probe_radius: int = 1, seed: int = 11,
             id_col: str = "vec_id", vec_col: str = "embedding"):

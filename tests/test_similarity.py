@@ -65,3 +65,32 @@ def test_lsh_self_hit(corpus, queries):
     for qi in qids:
         ranked = out[out.query_id == qi].sort_values("rank")
         assert ranked.iloc[0]["vec_id"] == qi  # the query itself is its own NN
+
+
+def test_lsh_shuffle_recall_and_self_hit(ray_session, corpus, queries, vectors):
+    """The bucketed-shuffle LSH path (big query sets, nothing broadcast)
+    reaches the same recall as the broadcast-probe path."""
+    import ray.data as rd
+
+    from article_extraction_ray.stages.similarity import knn_lsh_shuffle
+
+    qm, qids = queries
+    qtbl = pa.table(
+        {"query_id": qids, "embedding": [list(map(float, v)) for v in qm]}
+    )
+    out = knn_lsh_shuffle(
+        corpus,
+        rd.from_arrow(qtbl).repartition(2),
+        k=K,
+        planes=8,
+        tables=8,
+        probe_radius=2,
+    ).to_pandas()
+    recalls = []
+    for qi in qids:
+        ranked = out[out.query_id == qi].sort_values("rank")
+        assert ranked.iloc[0]["vec_id"] == qi  # self-NN always collides
+        got = set(ranked["vec_id"].tolist())
+        truth = set(_exact_topk(vectors, qm[qi], K))
+        recalls.append(len(got & truth) / K)
+    assert np.mean(recalls) >= 0.5, f"mean shuffle-LSH recall too low: {recalls}"
