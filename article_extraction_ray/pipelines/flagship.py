@@ -45,10 +45,12 @@ def _default_pool() -> int:
     Fixed, because Ray fuses the upstream read into the actor
     operator (ReadParquet->...->MapBatches(SpanExtractor) runs ON the
     pool), which blinds the autoscaler — an autoscaling ``(1, N)`` pool
-    was observed to stay at ONE actor for the whole job.  60%, because
-    the remaining CPUs must serve the giant-doc branch (elastic tasks),
-    the sorts, and the writer concurrently in hybrid mode — a pool
-    reserving every CPU starves them."""
+    was observed to stay at ONE actor for the whole job.  A fraction
+    below 1.0, because the remaining CPUs must serve the giant-doc
+    branch (elastic tasks), the sorts, and the writer concurrently in
+    hybrid mode — a pool reserving every CPU starves them (0.875
+    measured best on this box; the two phases run sequentially, so the
+    writer overlap is the only concurrent consumer)."""
     import os
 
     import ray

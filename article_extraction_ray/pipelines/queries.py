@@ -1945,6 +1945,21 @@ FROM events GROUP BY event_type
 """
 
 
+def q_hll_grouped(sf_dir: str):
+    """Grouped HLL distinct-user estimate per event_type: per-batch
+    per-group register partials, per-group elementwise-max merge — the
+    values never shuffle, only 4 KiB sketches (rows-only; accuracy
+    property-tested in tests/test_sketch.py)."""
+    from ..stages.sketch import hll_distinct_grouped
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"], split=True)
+    out = hll_distinct_grouped(ds, "event_type", "user_id", p=12)
+    return out.map_batches(
+        lambda df: df.assign(n_distinct_est=df["n_distinct_est"].round(1)),
+        batch_format="pandas",
+    )
+
+
 def q_hll_distinct(sf_dir: str):
     """HyperLogLog distinct user_id estimate (p=14, ±~0.8%): one 16 KiB
     sketch per batch is all that leaves the workers.  Rows-only driver
@@ -2011,6 +2026,7 @@ QUERIES = {
     "window_lag": q_window_lag,
     "distinct_users": q_distinct_users,
     "hll_distinct": q_hll_distinct,
+    "hll_grouped": q_hll_grouped,
     "sliding_window": q_sliding_window,
     "knn_lsh_shuffle": q_knn_lsh_shuffle,
 }

@@ -89,3 +89,35 @@ def hll_distinct(ds, column: str, p: int = 14) -> float:
     rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
     merged = hll_merge([np.frombuffer(r["sketch"], dtype=np.uint8) for r in rows])
     return hll_estimate(merged)
+
+
+def hll_distinct_grouped(ds, group_col: str, value_col: str, p: int = 12):
+    """Approximate COUNT(DISTINCT value) per group.
+
+    Per batch, every present group folds its values into its own
+    register array (one row per group per batch — the partial-combine
+    shape), then ONE groupby merges each group's sketches with
+    elementwise max and estimates.  Shuffle volume is
+    O(groups × batches × 2**p) bytes and the values themselves never
+    shuffle.  Returns Dataset(group, n_distinct_est).
+    """
+    import pandas as pd
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for g, sub in df.groupby(group_col, sort=False):
+            out.append((g, hll_partial(sub[value_col].to_numpy(), p=p).tobytes()))
+        return pd.DataFrame(out, columns=[group_col, "sketch"])
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        regs = hll_merge([np.frombuffer(s, dtype=np.uint8) for s in df["sketch"]])
+        return pd.DataFrame(
+            {group_col: [df[group_col].iloc[0]],
+             "n_distinct_est": [hll_estimate(regs)]}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(group_col)
+        .map_groups(finalize, batch_format="pandas")
+    )

@@ -54,3 +54,23 @@ def test_distributed_matches_exact_tolerance(ray_session):
     ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(8)
     est = hll_distinct(ds, "v", p=14)
     assert abs(est - exact) / exact < 0.04
+
+
+def test_grouped_hll_close_to_exact(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from article_extraction_ray.stages.sketch import hll_distinct_grouped
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {"g": rng.integers(0, 4, 60_000), "v": rng.integers(0, 2_000, 60_000)}
+    )
+    out = (
+        hll_distinct_grouped(rd.from_pandas(df).repartition(8), "g", "v", p=12)
+        .to_pandas()
+        .set_index("g")["n_distinct_est"]
+    )
+    exact = df.groupby("g")["v"].nunique()
+    for g in exact.index:
+        assert abs(out[g] - exact[g]) / exact[g] < 0.08  # 4 sigma at p=12
