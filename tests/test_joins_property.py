@@ -1,0 +1,125 @@
+"""Property tests: distributed joins vs single-process pandas semantics
+on randomized inputs (keys with ties, unmatched rows, empty sides)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _frames(draw):
+    nl = draw(st.integers(0, 60))
+    nr = draw(st.integers(0, 60))
+    kspace = draw(st.integers(1, 8))
+    rng = np.random.default_rng(draw(st.integers(0, 2**31)))
+    left = pd.DataFrame(
+        {"k": rng.integers(0, kspace, nl), "lv": rng.standard_normal(nl)}
+    )
+    right = pd.DataFrame(
+        {"k": rng.integers(0, kspace, nr), "rv": rng.integers(0, 5, nr).astype(np.int64)}
+    )
+    return left, right
+
+
+@st.composite
+def join_inputs(draw):
+    return _frames(draw)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestShuffleJoinProperty:
+    @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(join_inputs())
+    def test_matches_pandas(self, frames):
+        import ray.data as rd
+
+        from article_extraction_ray.pipelines.tabular import shuffle_join
+
+        left, right = frames
+        out = shuffle_join(
+            rd.from_pandas(left),  # empty frames keep their dtypes
+            rd.from_pandas(right),
+            on="k",
+            num_buckets=4,
+        ).to_pandas()
+        exp = left.merge(right, on="k")
+        assert len(out) == len(exp)
+        if len(exp):
+            a = out.sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+            b = exp.sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+            pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+
+
+@st.composite
+def asof_inputs(draw):
+    nl = draw(st.integers(1, 50))
+    nr = draw(st.integers(1, 50))
+    rng = np.random.default_rng(draw(st.integers(0, 2**31)))
+    base = np.datetime64("2024-01-01", "us")
+    left = pd.DataFrame(
+        {
+            "event_id": np.arange(nl),
+            "user_id": rng.integers(0, 6, nl),
+            "ts": base + rng.integers(0, 10_000, nl).astype("timedelta64[s]").astype("timedelta64[us]"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 6, nr),
+            "asof_ts": base + rng.integers(0, 10_000, nr).astype("timedelta64[s]").astype("timedelta64[us]"),
+            "asof_price": np.round(rng.uniform(1, 100, nr), 2),
+        }
+    )
+    return left, right
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAsofSemantics:
+    @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(asof_inputs())
+    def test_backward_inclusive_with_tie_collapse(self, frames):
+        """The bucketed merge path == single-process merge_asof on the
+        tie-collapsed right side (what the DuckDB oracle computes)."""
+        left, right = frames
+        collapsed = (
+            right.groupby(["user_id", "asof_ts"], sort=False)["asof_price"]
+            .max()
+            .reset_index()
+        )
+        exp = pd.merge_asof(
+            left.sort_values("ts", kind="stable"),
+            collapsed.sort_values("asof_ts", kind="stable"),
+            left_on="ts",
+            right_on="asof_ts",
+            by="user_id",
+            direction="backward",
+        )
+        exp = exp[exp["asof_price"].notna()]
+
+        # replicate the distributed plan: bucket split then per-bucket merge
+        parts = []
+        for b in range(4):
+            lb = left[left["user_id"] % 4 == b]
+            rb = collapsed[collapsed["user_id"] % 4 == b]
+            if len(lb) == 0:
+                continue
+            m = pd.merge_asof(
+                lb.sort_values("ts", kind="stable"),
+                rb.sort_values("asof_ts", kind="stable"),
+                left_on="ts",
+                right_on="asof_ts",
+                by="user_id",
+                direction="backward",
+            )
+            parts.append(m[m["asof_price"].notna()])
+        got = (
+            pd.concat(parts, ignore_index=True)
+            if parts
+            else exp.iloc[0:0]
+        )
+        a = got.sort_values(["event_id"]).reset_index(drop=True)
+        b = exp.sort_values(["event_id"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
