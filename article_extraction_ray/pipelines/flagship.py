@@ -66,6 +66,32 @@ def _default_pool() -> int:
     return max(1, int(cpus * frac))
 
 
+#: docs each parser actor should own before its process-start cost is
+#: amortized (~6 s of parse at the measured ~1.3k docs/s/actor)
+_DOCS_PER_ACTOR = 8_000
+
+
+def _adaptive_pool(n_docs: int | None) -> int:
+    """Actor count sized to the WORK, capped by the cluster fraction.
+
+    A fixed fraction-of-cluster pool is right for long jobs but wrong
+    for short ones: actor process start + scheduling dominates when
+    each actor owns only a few hundred docs (measured on a 100k-doc
+    phase: pool 28 → 18.6 s, pool 8 → 11.5 s; on a 300k-doc run the
+    larger pool wins back — pool 16 → 29.8 s vs pool 10 → 42.4 s).
+    So: one actor per AE_DOCS_PER_ACTOR documents (metadata row count,
+    no data read), clamped to [1, fraction × cluster CPUs].  Unknown
+    size falls back to the fraction pool.
+    """
+    import os
+
+    pool = _default_pool()
+    if n_docs is None:
+        return pool
+    per = int(os.environ.get("AE_DOCS_PER_ACTOR", str(_DOCS_PER_ACTOR)))
+    return max(1, min(pool, -(-n_docs // per)))
+
+
 def extract_corpus(
     ds,
     *,
@@ -200,6 +226,10 @@ def run_flagship(
             # measured to starve the pool (ONE actor for the whole job).
             giant_bytes = kwargs.get("giant_bytes", DEFAULT_GIANT_BYTES)
             giants_ds, smalls_ds = _hybrid_sources(corpus_path, giant_bytes)
+            if "concurrency" not in kwargs:
+                from ..sources.io import corpus_num_rows
+
+                kwargs["concurrency"] = _adaptive_pool(corpus_num_rows(corpus_path))
             smalls = extract_corpus(smalls_ds, mode="fused", **kwargs)
             if giants_ds is None:
                 return smalls
@@ -233,59 +263,85 @@ def run_flagship(
     start = time.perf_counter()
 
     if mode == "hybrid":
-        # The two branches run as SEQUENTIAL executions, each with the
-        # whole cluster: a single union plan lets the giant branch's
-        # task flood block the parser actor pool's creation (measured:
-        # the pool ran with ONE actor for the whole job), and
-        # thread-overlapped executions contend in the streaming executor
-        # (measured slower than the sequential sum).  Each phase writes
-        # into the same partition layout with a distinct file tag;
-        # manifests commit once at the end, so a crash mid-job resumes
-        # whole partitions (no manifest → partition re-runs).
-        #
+        # The two branches run as OVERLAPPED executions in two driver
+        # threads (AE_PHASE_OVERLAP=0 forces sequential): the giant
+        # phase touches <1% of docs and a handful of pruned shards, so
+        # with the parser pool capped below the DRAM wall
+        # (_default_pool) the cluster has idle CPUs to absorb it — its
+        # wall time hides entirely behind the small phase (measured
+        # ~14.7 s sequential vs ~13.6 s overlapped at sf0.1).  A single
+        # UNION plan is still avoided: the giant branch's task flood
+        # blocked the actor pool's creation (measured: ONE actor for
+        # the whole job).  Each phase writes into the same partition
+        # layout with a distinct file tag; manifests commit once at the
+        # end, so a crash mid-job resumes whole partitions.
         import os
         import sys
+        import threading
 
         import pandas as pd
 
         debug = bool(os.environ.get("AE_PHASE_DEBUG"))
+        overlap = os.environ.get("AE_PHASE_OVERLAP", "1") != "0"
 
         t_phase = time.perf_counter()
         giants_ds, smalls_ds = _hybrid_sources(corpus_path, giant_bytes)
-        if giants_ds is None:
-            s_g = pd.DataFrame({"part_id": [], "rows": [], "bytes": []})
-            if debug:
-                print(
-                    f"[flagship] giant phase skipped (no shard can contain giants, "
-                    f"{time.perf_counter() - t_phase:.1f}s metadata scan)",
-                    file=sys.stderr,
+        if "concurrency" not in kwargs:
+            from ..sources.io import corpus_num_rows
+
+            kwargs["concurrency"] = _adaptive_pool(corpus_num_rows(corpus_path))
+
+        giant_result: dict = {}
+
+        def run_giant():
+            try:
+                if giants_ds is None:
+                    giant_result["summary"] = pd.DataFrame(
+                        {"part_id": [], "rows": [], "bytes": []}
+                    )
+                    if debug:
+                        print(
+                            "[flagship] giant phase skipped (no shard can "
+                            "contain giants)",
+                            file=sys.stderr,
+                        )
+                    return
+                giants = extract_corpus(staged(giants_ds), mode="shuffle", **kwargs)
+                giant_result["summary"] = write_partition_data(
+                    giants, out_dir, num_partitions=num_partitions, done=done, tag="g"
                 )
-        else:
-            giants = extract_corpus(staged(giants_ds), mode="shuffle", **kwargs)
-            s_g = write_partition_data(
-                giants, out_dir, num_partitions=num_partitions, done=done, tag="g"
-            )
-            if debug:
-                print(
-                    f"[flagship] giant phase {time.perf_counter() - t_phase:.1f}s "
-                    f"rows={int(s_g['rows'].sum()) if len(s_g) else 0}",
-                    file=sys.stderr,
-                )
+                if debug:
+                    s_g = giant_result["summary"]
+                    print(
+                        f"[flagship] giant phase {time.perf_counter() - t_phase:.1f}s "
+                        f"rows={int(s_g['rows'].sum()) if len(s_g) else 0}",
+                        file=sys.stderr,
+                    )
+            except BaseException as exc:  # propagate into the main thread
+                giant_result["error"] = exc
+
         # NOTE: fusing the file sink INTO the parser actors was measured
         # SLOWER (file I/O blocks the actors); the separate elastic
         # writer overlaps I/O with parsing.
-        t_phase = time.perf_counter()
+        if overlap:
+            tg = threading.Thread(target=run_giant, name="giant-phase")
+            tg.start()
+        else:
+            run_giant()
+
+        t_small = time.perf_counter()
         smalls = extract_corpus(staged(smalls_ds), mode="fused", **kwargs)
         s_s = write_partition_data(
             smalls, out_dir, num_partitions=num_partitions, done=done, tag="s"
         )
         if debug:
-            print(f"[flagship] small phase {time.perf_counter() - t_phase:.1f}s "
+            print(f"[flagship] small phase {time.perf_counter() - t_small:.1f}s "
                   f"rows={int(s_s['rows'].sum()) if len(s_s) else 0}", file=sys.stderr)
-
-        import pandas as pd
-
-        summaries = pd.concat([s_g, s_s], ignore_index=True)
+        if overlap:
+            tg.join()
+        if "error" in giant_result:
+            raise giant_result["error"]
+        summaries = pd.concat([giant_result["summary"], s_s], ignore_index=True)
     else:
         extracted = extract_corpus(staged(ds), mode=mode, **kwargs)
         summaries = write_partition_data(

@@ -74,6 +74,19 @@ def read_corpus(
     return rd.read_parquet(path, columns=columns, override_num_blocks=blocks, filter=filter)
 
 
+def corpus_num_rows(path: str) -> int | None:
+    """Row count from parquet metadata only (no data decode); None when
+    the format can't answer cheaply (e.g. lance without pylance)."""
+    try:
+        import pyarrow.dataset as pads
+
+        if str(path).rstrip("/").endswith(".lance"):
+            return None
+        return pads.dataset(path, format="parquet").count_rows()
+    except Exception:
+        return None
+
+
 def files_with_giants(path: str, giant_bytes: int, *, column: str = "n_bytes") -> list[str]:
     """Parquet shard files whose row-group statistics admit rows with
     ``column > giant_bytes`` — a pure metadata scan (footers only, no
