@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "token_quantiles",
     "asof_join",
     "range_join",
+    "shuffle_join",
+    "sliding_window",
 ]
 
 
@@ -129,12 +131,15 @@ def run_bench() -> dict:
 
         qs = entry.queries()
         for name in BENCH_QUERIES:
-            t0 = time.perf_counter()
-            result = qs[name](SF_DIR)
-            # consume: Dataset → count rows (streams); DataFrame already done
-            if hasattr(result, "count"):
-                result.count()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            best = float("inf")
+            for _ in range(repeats):  # same best-of-N policy as the headline
+                t0 = time.perf_counter()
+                result = qs[name](SF_DIR)
+                # consume: Dataset → count rows (streams); DataFrame done
+                if hasattr(result, "count"):
+                    result.count()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
 
     ray.shutdown()
     return {
