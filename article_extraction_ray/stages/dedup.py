@@ -32,6 +32,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .similarity import _as_matrix
+
 # 2^31-1: keeps a*x+b < 2^62, exact in uint64 (a 61-bit prime would
 # overflow the vectorized product and silently wrap)
 _MERSENNE = (1 << 31) - 1
@@ -766,7 +768,7 @@ def embedding_dup_pairs_lsh(ds, *, threshold: float = 0.9, planes: int = 10, tab
 
     def propose(batch: pa.Table) -> pd.DataFrame:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        mat = np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col].to_pylist()])
+        mat = _as_matrix(batch[vec_col])  # zero-copy list<float> -> (n, d)
         frames = []
         for t in range(tables):
             hp = _hyperplanes(mat.shape[1], planes, seed + 1000 * t)
@@ -830,7 +832,7 @@ def embedding_dup_pairs(ds, all_vectors: np.ndarray, all_ids: np.ndarray, *, thr
     def pairs(batch: pa.Table) -> pd.DataFrame:
         mat_all, ids_all = handle.get()
         ids = batch[id_col].to_numpy()
-        mat = np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col].to_pylist()])
+        mat = _as_matrix(batch[vec_col])  # zero-copy list<float> -> (n, d)
         n = np.linalg.norm(mat, axis=1, keepdims=True)
         mat = mat / np.where(n == 0, 1, n)
         sims = mat @ mat_all.T
