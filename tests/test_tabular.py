@@ -211,3 +211,21 @@ class TestShuffleJoin:
         df = pd.DataFrame({"k": [1], "v": [2]})
         with pytest.raises(ValueError, match="disjoint"):
             shuffle_join(rd.from_pandas(df), rd.from_pandas(df), on="k")
+
+
+def test_shuffle_join_hot_key(ray_session):
+    """A single key holding half of both sides (worst-case skew) still
+    joins correctly — it concentrates in one bucket by design; salting
+    guidance lives in the operator docstring."""
+    import ray.data as rd
+
+    from article_extraction_ray.pipelines.tabular import shuffle_join
+
+    left = pd.DataFrame({"k": [7] * 500 + list(range(500)), "lv": np.arange(1000)})
+    right = pd.DataFrame({"k": [7] * 40 + [1, 2, 3], "rv": np.arange(43)})
+    out = shuffle_join(
+        rd.from_pandas(left).repartition(8), rd.from_pandas(right), on="k", num_buckets=8
+    ).to_pandas()
+    exp = left.merge(right, on="k")
+    assert len(out) == len(exp) == 501 * 40 + 3  # key 7 also occurs in range(500)
+    assert out.groupby("k").size().max() == exp.groupby("k").size().max()
