@@ -1945,6 +1945,31 @@ FROM events GROUP BY event_type
 """
 
 
+def q_training_order(sf_dir: str):
+    """Training consumption surface: first rows of two deterministic
+    shuffled epochs over documents (pipelines/training.py) — same seed
+    → same order, property-tested; rows-only here (iteration order is
+    not SQL-expressible)."""
+    from .training import iter_training_batches
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"], split=True)
+    rows = []
+    for epoch_rows_wanted, epoch in ((100, 0), (100, 1)):
+        got = 0
+        for batch in iter_training_batches(
+            ds, batch_size=50, seed=42 + epoch, epochs=1, shuffle_buffer=500
+        ):
+            ids = batch["doc_id"].to_pylist()
+            for d in ids:
+                if got >= epoch_rows_wanted:
+                    break
+                rows.append((epoch, got, d))
+                got += 1
+            if got >= epoch_rows_wanted:
+                break
+    return pd.DataFrame(rows, columns=["epoch", "position", "doc_id"])
+
+
 def q_hll_grouped(sf_dir: str):
     """Grouped HLL distinct-user estimate per event_type: per-batch
     per-group register partials, per-group elementwise-max merge — the
@@ -2027,6 +2052,7 @@ QUERIES = {
     "distinct_users": q_distinct_users,
     "hll_distinct": q_hll_distinct,
     "hll_grouped": q_hll_grouped,
+    "training_order": q_training_order,
     "sliding_window": q_sliding_window,
     "knn_lsh_shuffle": q_knn_lsh_shuffle,
 }
