@@ -1945,6 +1945,50 @@ FROM events GROUP BY event_type
 """
 
 
+def q_weighted_sample(sf_dir: str):
+    """Distributed weighted sampling without replacement (Efraimidis–
+    Spirakis A-Res): each row draws a deterministic uniform u from its
+    key's md5 (top 52 digest bits → exactly representable float) and a
+    priority u^(1/w); the global top-k by priority IS a weighted sample.
+    Mergeable by construction — per-batch top-k partials, one tiny
+    final reduce; no RNG state, so any worker/batch layout yields the
+    same sample.  Price-weighted 100-order sample, SQL-oracled (DuckDB
+    computes the identical md5-derived u)."""
+    from .tabular import md5_digest_words, topk
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"], split=True)
+
+    def priority(batch: pa.Table) -> pa.Table:
+        hi, _ = md5_digest_words(batch["o_orderkey"])
+        u = (hi >> np.uint64(12)).astype(np.float64) / np.float64(2**52)
+        w = batch["o_totalprice"].to_numpy()
+        return batch.append_column("pri", pa.array(np.power(u, 1.0 / w)))
+
+    top = (
+        topk(ds.map_batches(priority, batch_format="pyarrow"),
+             ["pri", "o_orderkey"], k=100, descending=[True, False])
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    return top[["rank", "o_orderkey", "o_totalprice"]]
+
+
+SQL_WEIGHTED_SAMPLE = """
+WITH u AS (
+  SELECT o_orderkey, o_totalprice,
+         ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 13))::BIGINT
+           / 4503599627370496.0 AS uu
+  FROM orders
+)
+SELECT CAST(row_number() OVER (ORDER BY pow(uu, 1.0 / o_totalprice) DESC,
+                               o_orderkey) AS BIGINT) AS rank,
+       o_orderkey, o_totalprice
+FROM u
+ORDER BY rank LIMIT 100
+"""
+
+
 def q_training_order(sf_dir: str):
     """Training consumption surface: first rows of two deterministic
     shuffled epochs over documents (pipelines/training.py) — same seed
@@ -2053,6 +2097,7 @@ QUERIES = {
     "hll_distinct": q_hll_distinct,
     "hll_grouped": q_hll_grouped,
     "training_order": q_training_order,
+    "weighted_sample": q_weighted_sample,
     "sliding_window": q_sliding_window,
     "knn_lsh_shuffle": q_knn_lsh_shuffle,
 }
@@ -2094,6 +2139,7 @@ ORACLE_SQL = {
     "rank_in_group": SQL_RANK,
     "window_lag": SQL_WINDOW_LAG,
     "distinct_users": SQL_DISTINCT_USERS,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "sliding_window": SQL_SLIDING_WINDOW,
     # hll_distinct is an approximate sketch — rows-only by design
     # lang_id / winnow / minhash / simhash / knn_lsh / media_* are not
