@@ -1989,6 +1989,57 @@ ORDER BY rank LIMIT 100
 """
 
 
+def q_stratified_sample(sf_dir: str):
+    """Stratified sampling: a deterministic 5-order sample per
+    o_orderpriority stratum, ranked by the rows' md5 priorities — no
+    RNG state, so the sample is stable under any partitioning.  Same
+    bucketed shape as rank_in_group: one shuffle on the stratum key,
+    vectorized sort + cumcount per coarse bucket."""
+    from .tabular import md5_digest_words
+
+    ds = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_totalprice"], split=True
+    )
+
+    def add_keys(batch: pa.Table) -> pa.Table:
+        hi, _ = md5_digest_words(batch["o_orderkey"])
+        b = pd.util.hash_array(
+            np.asarray(batch["o_orderpriority"].to_pylist(), dtype=object)
+        ) % 16
+        # top 15 hex chars (60 bits) of the digest: fits DuckDB's BIGINT
+        # '0x…' cast — 16 chars would overflow it (no hex→HUGEINT path)
+        pri = (hi.astype(np.uint64) >> np.uint64(4)).astype(np.int64)
+        return batch.append_column("pri", pa.array(pri)).append_column(
+            "bucket", pa.array(b.astype(np.int32))
+        )
+
+    def take5(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_orderpriority", "pri", "o_orderkey"], kind="stable")
+        df["rn"] = df.groupby("o_orderpriority", sort=False).cumcount() + 1
+        out = df[df["rn"] <= 5]
+        return out[["o_orderpriority", "rn", "o_orderkey", "o_totalprice"]]
+
+    return (
+        ds.map_batches(add_keys, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lambda df: take5(df.drop(columns=["bucket"])), batch_format="pandas")
+    )
+
+
+SQL_STRATIFIED = """
+SELECT o_orderpriority, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice
+FROM (
+  SELECT o_orderkey, o_orderpriority, o_totalprice,
+         row_number() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT,
+                    o_orderkey
+         ) AS rn
+  FROM orders
+) WHERE rn <= 5
+"""
+
+
 def q_training_order(sf_dir: str):
     """Training consumption surface: first rows of two deterministic
     shuffled epochs over documents (pipelines/training.py) — same seed
@@ -2098,6 +2149,7 @@ QUERIES = {
     "hll_grouped": q_hll_grouped,
     "training_order": q_training_order,
     "weighted_sample": q_weighted_sample,
+    "stratified_sample": q_stratified_sample,
     "sliding_window": q_sliding_window,
     "knn_lsh_shuffle": q_knn_lsh_shuffle,
 }
@@ -2140,6 +2192,7 @@ ORACLE_SQL = {
     "window_lag": SQL_WINDOW_LAG,
     "distinct_users": SQL_DISTINCT_USERS,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "stratified_sample": SQL_STRATIFIED,
     "sliding_window": SQL_SLIDING_WINDOW,
     # hll_distinct is an approximate sketch — rows-only by design
     # lang_id / winnow / minhash / simhash / knn_lsh / media_* are not
