@@ -2092,6 +2092,63 @@ def q_hll_distinct(sf_dir: str):
     return pd.DataFrame({"estimate": [round(est, 1)]})
 
 
+def q_grouped_quantiles(sf_dir: str):
+    """EXACT per-group continuous quantiles (quantile_cont semantics:
+    linear interpolation at rank h=(n-1)q).  Exactness requires each
+    group's values to co-locate once — a single shuffle on the group
+    key; group count is small (event types), value volume per group is
+    the per-worker bound.  For quantiles over unbounded-cardinality
+    groups or where one group exceeds a worker, use the mergeable
+    t-digest (stages/tdigest.py, q_price_quantiles_tdigest) — centroids
+    shuffle instead of values."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def quantiles(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(dtype=np.float64)
+        p25, p50, p90 = np.quantile(v, [0.25, 0.5, 0.9], method="linear")
+        return pd.DataFrame(
+            {
+                "event_type": [df["event_type"].iloc[0]],
+                "n": np.array([len(v)], dtype=np.int64),
+                "p25": [round(float(p25), 6)],
+                "p50": [round(float(p50), 6)],
+                "p90": [round(float(p90), 6)],
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(quantiles, batch_format="pandas")
+
+
+SQL_GROUPED_QUANTILES = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(quantile_cont(value, 0.25) AS DOUBLE), 6) AS p25,
+       round(CAST(quantile_cont(value, 0.50) AS DOUBLE), 6) AS p50,
+       round(CAST(quantile_cont(value, 0.90) AS DOUBLE), 6) AS p90
+FROM events GROUP BY event_type
+"""
+
+
+def q_price_quantiles_tdigest(sf_dir: str):
+    """Approximate per-group price quantiles via the mergeable t-digest
+    (stages/tdigest.py): each batch ships ≤ δ+1 centroids per present
+    group, one groupby merges digests — order totals never shuffle.
+    Rows-only driver check (a sketch is approximate by construction);
+    the ≤1% rank-error property is pytest-verified.  Values are bucketed
+    to rank-stable 2-decimal grid for a deterministic driver hash."""
+    from ..stages.tdigest import tdigest_grouped
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"], split=True)
+    out = tdigest_grouped(ds, "o_orderpriority", "o_totalprice", [0.5, 0.9, 0.99])
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        for c in ("q_50", "q_90", "q_99"):
+            df[c] = df[c].round(2)
+        return df.sort_values("o_orderpriority").reset_index(drop=True)
+
+    return out.map_batches(finalize, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2152,6 +2209,8 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "sliding_window": q_sliding_window,
     "knn_lsh_shuffle": q_knn_lsh_shuffle,
+    "grouped_quantiles": q_grouped_quantiles,
+    "price_quantiles_tdigest": q_price_quantiles_tdigest,
 }
 
 ORACLE_SQL = {
@@ -2194,7 +2253,9 @@ ORACLE_SQL = {
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "stratified_sample": SQL_STRATIFIED,
     "sliding_window": SQL_SLIDING_WINDOW,
-    # hll_distinct is an approximate sketch — rows-only by design
+    "grouped_quantiles": SQL_GROUPED_QUANTILES,
+    # hll_distinct / price_quantiles_tdigest are approximate sketches —
+    # rows-only by design (accuracy pytest-verified)
     # lang_id / winnow / minhash / simhash / knn_lsh / media_* are not
     # SQL-expressible → rows-only driver check; pytest goldens + recall
     # properties cover their semantics.

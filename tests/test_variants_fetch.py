@@ -83,12 +83,17 @@ class TestFetchStage:
         ds = rd.from_items([{"url": u} for u in urls])
         out = ds.map_batches(FetchStage, batch_format="pyarrow", concurrency=1).to_pandas()
         assert len(out) == 4
-        assert out["doc_type"].tolist() == ["pdf", "html", "json", "bin"]
+        # the streaming executor does not guarantee block order — compare
+        # per-url, not positionally
+        by_url = out.set_index("url")
+        assert by_url.loc[urls, "doc_type"].tolist() == ["pdf", "html", "json", "bin"]
         assert (out["status"] == "ok").all()
         # deterministic payloads
         stage = FetchStage()
         again = stage(pa.table({"url": urls}))
-        assert again["payload"].to_pylist() == [bytes(b) for b in out["payload"]]
+        assert again["payload"].to_pylist() == [
+            bytes(b) for b in by_url.loc[urls, "payload"]
+        ]
         assert again.schema.equals(FETCHED_SCHEMA)
 
     def test_real_backend_gated(self):
