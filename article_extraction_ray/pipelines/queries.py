@@ -1218,17 +1218,23 @@ def q_sessionize(sf_dir: str):
         gap = df["ts"].dt.floor("s").groupby(df["user_id"]).diff().dt.total_seconds()
         new_sess = (gap.isna() | (gap > _SESSION_GAP_SEC)).astype(np.int64)
         df["session_id"] = new_sess.groupby(df["user_id"]).cumsum()
+        # Sum in integer cents: values are exact 2-decimal doubles, so the
+        # int64 sum is exact and order-independent, and cents/100 is bit-equal
+        # to DuckDB's round(sum(value), 2) regardless of its accumulation
+        # order or its half-away-from-zero rule (pandas .round is banker's —
+        # that mismatch was the r01 red oracle).
+        df["__cents"] = np.round(df["value"].to_numpy() * 100.0).astype(np.int64)
         out = (
             df.groupby(["user_id", "session_id"], sort=False)
             .agg(
                 n_events=("event_id", "size"),
-                sum_value=("value", "sum"),
+                sum_value=("__cents", "sum"),
                 t_start=("ts", "min"),
                 t_end=("ts", "max"),
             )
             .reset_index()
         )
-        out["sum_value"] = out["sum_value"].round(2)
+        out["sum_value"] = out["sum_value"].to_numpy(dtype=np.float64) / 100.0
         return out
 
     return (
