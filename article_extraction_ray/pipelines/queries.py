@@ -2155,6 +2155,61 @@ def q_price_quantiles_tdigest(sf_dir: str):
     return out.map_batches(finalize, batch_format="pandas")
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Connected components over a doc-pair graph (stages/graph.py) —
+    the cluster step that turns near-dup PAIRS into dedupe GROUPS.
+
+    The edge list here is SQL-derivable so the whole transitive closure
+    is value-oracled: edge (i, i+1) iff md5(i) < '8' in its first hex
+    digit — a deterministic ~50% coin per consecutive pair, standing in
+    for a near-dup pair list (real LSH pair lists aren't
+    SQL-expressible).  Chain lengths are geometric, so components need
+    true multi-hop propagation (unlike exact-dup cliques, which
+    converge in one round).  Edge generation is embarrassingly parallel
+    (the coin depends only on the left endpoint); the last doc_id is
+    excluded so no edge dangles.  Output: (doc_id, component = min
+    reachable doc_id).
+    """
+    from ..stages.graph import connected_components
+    from .tabular import md5_lt_mask
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"], split=True)
+    n_docs = read_table_arrow(sf_dir, "documents", columns=["doc_id"]).num_rows
+
+    def coin_edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = md5_lt_mask(batch["doc_id"], "8" + "0" * 31) & (ids + 1 < n_docs)
+        return pa.table({"src": pa.array(ids[keep]), "dst": pa.array(ids[keep] + 1)})
+
+    edges = ds.map_batches(coin_edges, batch_format="pyarrow")
+    nodes = ds.map_batches(
+        lambda t: pa.table({"node": t["doc_id"]}), batch_format="pyarrow"
+    )
+    comp = connected_components(edges, nodes=nodes)
+    return comp.map_batches(
+        lambda t: t.rename_columns(["doc_id", "component"]), batch_format="pyarrow"
+    )
+
+
+SQL_DEDUP_CLUSTERS = """
+WITH RECURSIVE
+e0 AS (
+  SELECT a.doc_id AS src, a.doc_id + 1 AS dst
+  FROM documents a
+  WHERE md5(CAST(a.doc_id AS VARCHAR)) < '8'
+    AND a.doc_id + 1 < (SELECT count(*) FROM documents)
+),
+edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+cc(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, c.lbl FROM cc c JOIN edges e ON e.src = c.node
+)
+SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS component
+FROM cc GROUP BY node
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2217,6 +2272,7 @@ QUERIES = {
     "knn_lsh_shuffle": q_knn_lsh_shuffle,
     "grouped_quantiles": q_grouped_quantiles,
     "price_quantiles_tdigest": q_price_quantiles_tdigest,
+    "dedup_clusters": q_dedup_clusters,
 }
 
 ORACLE_SQL = {
@@ -2260,6 +2316,7 @@ ORACLE_SQL = {
     "stratified_sample": SQL_STRATIFIED,
     "sliding_window": SQL_SLIDING_WINDOW,
     "grouped_quantiles": SQL_GROUPED_QUANTILES,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     # hll_distinct / price_quantiles_tdigest are approximate sketches —
     # rows-only by design (accuracy pytest-verified)
     # lang_id / winnow / minhash / simhash / knn_lsh / media_* are not

@@ -1,0 +1,130 @@
+"""Connected components: numpy kernel, driver path, distributed path."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from article_extraction_ray.stages.graph import _cc_numpy
+
+
+def _cc_reference(src, dst, all_nodes):
+    """Pure-Python union-find ground truth."""
+    parent = {n: n for n in all_nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(src, dst):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # compress to component minimum
+    comp = {}
+    for n in all_nodes:
+        r = find(n)
+        comp.setdefault(r, []).append(n)
+    out = {}
+    for members in comp.values():
+        m = min(members)
+        for n in members:
+            out[n] = m
+    return out
+
+
+class TestNumpyKernel:
+    def test_chain(self):
+        src = np.array([1, 2, 3, 10, 11], dtype=np.int64)
+        dst = np.array([2, 3, 4, 11, 12], dtype=np.int64)
+        nodes, comp = _cc_numpy(src, dst)
+        got = dict(zip(nodes.tolist(), comp.tolist()))
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+
+    def test_long_path_and_cliques_random(self):
+        rng = np.random.default_rng(3)
+        # one long path (stresses pointer jumping) + random clutter
+        path = np.arange(5000, dtype=np.int64) + 100_000
+        src = [path[:-1]]
+        dst = [path[1:]]
+        src.append(rng.integers(0, 2000, 4000))
+        dst.append(rng.integers(0, 2000, 4000))
+        s, d = np.concatenate(src), np.concatenate(dst)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        nodes, comp = _cc_numpy(s, d)
+        expect = _cc_reference(s.tolist(), d.tolist(), nodes.tolist())
+        assert dict(zip(nodes.tolist(), comp.tolist())) == expect
+
+    def test_direction_invariance(self):
+        src = np.array([5, 3, 9], dtype=np.int64)
+        dst = np.array([3, 1, 5], dtype=np.int64)
+        n1, c1 = _cc_numpy(src, dst)
+        n2, c2 = _cc_numpy(dst, src)
+        assert np.array_equal(n1, n2) and np.array_equal(c1, c2)
+
+
+@pytest.fixture()
+def edge_frames():
+    rng = np.random.default_rng(7)
+    src = rng.integers(0, 3000, 5000).astype(np.int64)
+    dst = rng.integers(0, 3000, 5000).astype(np.int64)
+    keep = src != dst
+    return pd.DataFrame({"src": src[keep], "dst": dst[keep]})
+
+
+class TestDatasetPaths:
+    def _expect(self, df, all_nodes):
+        return _cc_reference(df["src"].tolist(), df["dst"].tolist(), all_nodes)
+
+    def test_driver_path_with_isolated_nodes(self, ray_session, edge_frames):
+        import ray.data as rd
+
+        from article_extraction_ray.stages.graph import connected_components
+
+        nodes = rd.from_pandas(pd.DataFrame({"node": np.arange(3100, dtype=np.int64)}))
+        out = (
+            connected_components(rd.from_pandas(edge_frames).repartition(4), nodes=nodes)
+            .to_pandas()
+            .set_index("node")["component"]
+            .to_dict()
+        )
+        expect = self._expect(edge_frames, list(range(3100)))
+        assert out == expect  # isolated nodes are singletons labeled by self
+
+    def test_distributed_path_matches_driver(self, ray_session, edge_frames):
+        import ray.data as rd
+
+        from article_extraction_ray.stages.graph import connected_components
+
+        ds = rd.from_pandas(edge_frames).repartition(4)
+        # force the distributed iterative path with a zero budget
+        dist = (
+            connected_components(ds, driver_edge_budget=0)
+            .to_pandas()
+            .set_index("node")["component"]
+            .to_dict()
+        )
+        nodes = sorted(set(edge_frames["src"]) | set(edge_frames["dst"]))
+        assert dist == self._expect(edge_frames, nodes)
+
+    def test_distributed_multi_hop_chain(self, ray_session):
+        import ray.data as rd
+
+        # a 40-node path forces >1 propagation round
+        df = pd.DataFrame({"src": np.arange(40, dtype=np.int64),
+                           "dst": np.arange(1, 41, dtype=np.int64)})
+        dist = (
+            connected_components_import()(rd.from_pandas(df), driver_edge_budget=0)
+            .to_pandas()
+        )
+        assert (dist["component"] == 0).all() and len(dist) == 41
+
+
+def connected_components_import():
+    from article_extraction_ray.stages.graph import connected_components
+
+    return connected_components
