@@ -2210,6 +2210,62 @@ FROM cc GROUP BY node
 """
 
 
+def q_kmeans_clusters(sf_dir: str):
+    """Distributed Lloyd's k-means over the embeddings table
+    (stages/clustering.py): centroids broadcast per sweep, each batch
+    emits one (k×d sums, counts) partial, nothing shuffles.  Output is
+    the deterministic per-cluster summary (size + round(inertia)) —
+    rows-only driver check (an iterative algorithm has no SQL oracle);
+    convergence/determinism are pytest-verified."""
+    from ..stages.clustering import kmeans_assign, kmeans_fit
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"], split=True)
+    cents = kmeans_fit(ds, 8, iters=8, seed=17)
+    assigned = kmeans_assign(ds, cents)
+    handle = Broadcast(cents)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        from ..stages.similarity import _as_matrix
+
+        c = handle.get()
+        mat = _as_matrix(batch["embedding"])
+        cl = batch["cluster"].to_numpy(zero_copy_only=False)
+        n = np.bincount(cl, minlength=len(c)).astype(np.int64)
+        sq = ((mat - c[cl]) ** 2).sum(axis=1)
+        inertia = np.bincount(cl, weights=sq, minlength=len(c))
+        return pd.DataFrame({"cluster": np.arange(len(c), dtype=np.int64),
+                             "n": n, "inertia": inertia})
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("cluster", as_index=False).agg(n=("n", "sum"), inertia=("inertia", "sum"))
+        out["inertia"] = out["inertia"].round(4)
+        return out.sort_values("cluster").reset_index(drop=True)
+
+    parts = assigned.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return finalize(parts)
+
+
+def q_knn_ivf(sf_dir: str):
+    """IVF ANN: k-means coarse quantizer + nprobe inverted-list probe
+    (stages/clustering.knn_ivf).  Approximate by construction — recall
+    vs brute force is property-tested; rows-only driver check."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..stages.clustering import knn_ivf
+
+    emb = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    qt = emb.filter(pa.compute.less(emb["vec_id"], 5))
+    queries = np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()])
+    qids = np.asarray(qt["vec_id"].to_pylist())
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"], split=True)
+    out = knn_ivf(ds, queries, qids, k=10, nlist=16, nprobe=6, kmeans_iters=4, seed=17)
+    return out.map_batches(lambda df: df[["query_id", "vec_id", "rank"]], batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2273,6 +2329,8 @@ QUERIES = {
     "grouped_quantiles": q_grouped_quantiles,
     "price_quantiles_tdigest": q_price_quantiles_tdigest,
     "dedup_clusters": q_dedup_clusters,
+    "kmeans_clusters": q_kmeans_clusters,
+    "knn_ivf": q_knn_ivf,
 }
 
 ORACLE_SQL = {

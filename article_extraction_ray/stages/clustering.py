@@ -1,0 +1,229 @@
+"""Distributed k-means and IVF approximate nearest-neighbor search.
+
+The scale path for similarity search that :mod:`stages.similarity`'s
+LSH variants approximate differently: IVF (inverted-file) ANN first
+learns ``nlist`` coarse centroids with distributed Lloyd's k-means,
+then each query scores only the vectors assigned to its ``nprobe``
+nearest centroids — candidate work is ``nprobe/nlist`` of brute force.
+
+Ray-Data shapes:
+
+- **k-means fit** — classic mirror of the parallel Lloyd's step: the
+  centroid matrix (k×d, small by construction) broadcasts via
+  ``ray.put``; every batch computes nearest-centroid assignments with
+  one matmul and emits ONE partial row of per-cluster (sum, count)
+  accumulators; the driver folds the ~num_batches partials (k×d floats
+  each — bounded, independent of corpus size) and re-broadcasts.  The
+  corpus streams from the object store every sweep; nothing
+  materializes, no shuffle at all.
+- **IVF search** — queries (small side) broadcast with their probe
+  sets; each corpus batch groups its rows by assigned centroid and
+  runs one matmul per (cluster-present × queries-probing) slice;
+  per-batch top-k prefilter bounds the final per-query reduce exactly
+  like :func:`stages.similarity.knn_brute_force`.
+
+Determinism: seeded hash-priority init (smallest blake2-derived
+priority per vec id — a seeded spread sample, reproducible across
+cluster layouts), float64 accumulation in fixed per-batch order, empty
+clusters keep their previous centroid.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..state.broadcast import Broadcast
+from .similarity import _as_matrix, _normalize
+
+
+def _hash_priorities(ids: np.ndarray, seed: int) -> np.ndarray:
+    """Deterministic pseudo-uniform priority per id — one vectorized
+    fixed-key siphash call (``pd.util.hash_array``), seed mixed in by a
+    Fibonacci-constant XOR; no per-row Python."""
+    with np.errstate(over="ignore"):  # wrapping uint64 mix is intended
+        mixed = ids.astype(np.uint64) ^ (np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15))
+    return pd.util.hash_array(mixed)
+
+
+_INIT_OVERSAMPLE = 16
+
+
+def _init_centroids(ds, k: int, *, id_col: str, vec_col: str, seed: int) -> np.ndarray:
+    """Deterministic spread init: oversample, then greedy k-center.
+
+    One streaming pass pre-filters each batch to its local m smallest
+    hash priorities (m = 16k candidates — a seeded uniform sample,
+    independent of block layout, the same A-Res trick as
+    ``q_weighted_sample``); the driver then picks k of the m candidates
+    by greedy farthest-point selection (start at the min-priority
+    candidate, repeatedly add the candidate farthest from the chosen
+    set).  The oversample + k-center combination is the cheap
+    deterministic cousin of k-means‖ (Bahmani et al., VLDB 2012): pure
+    priority sampling routinely seeds two centroids in one dense blob
+    and strands another — Lloyd's can't recover from that.
+    O(m·k·d) driver work on m = 16k rows, corpus-size-independent.
+    """
+    m = _INIT_OVERSAMPLE * k
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        mat = _as_matrix(batch[vec_col])
+        pri = _hash_priorities(ids, seed)
+        take = min(m, len(ids))
+        idx = np.argpartition(pri, take - 1)[:take] if take else np.array([], dtype=int)
+        return pd.DataFrame({"pri": pri[idx], "vec": list(mat[idx])})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    top = parts.nsmallest(min(m, len(parts)), "pri")
+    cand = np.stack(top["vec"].to_numpy()).astype(np.float64)
+    if len(cand) <= k:
+        return cand
+    chosen = [0]  # candidates arrive priority-sorted: start at the min
+    d2 = ((cand - cand[0]) ** 2).sum(axis=1)
+    for _ in range(k - 1):
+        nxt = int(np.argmax(d2))
+        chosen.append(nxt)
+        d2 = np.minimum(d2, ((cand - cand[nxt]) ** 2).sum(axis=1))
+    return cand[chosen]
+
+
+def kmeans_fit(
+    ds,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 10,
+    seed: int = 17,
+    tol: float = 1e-6,
+) -> np.ndarray:
+    """Distributed Lloyd's: returns the (k, d) centroid matrix.
+
+    Squared-L2 assignment (argmin ‖x−c‖² = argmax c·x − ‖c‖²/2, one
+    matmul per batch).  Stops on ``iters`` or when the max centroid
+    shift drops below ``tol``.
+    """
+    cents = _init_centroids(ds, k, id_col=id_col, vec_col=vec_col, seed=seed)
+    d = cents.shape[1]
+
+    for _ in range(iters):
+        handle = Broadcast(cents)
+
+        def partial(batch: pa.Table) -> pd.DataFrame:
+            c = handle.get()
+            mat = _as_matrix(batch[vec_col])
+            if not mat.size:
+                return pd.DataFrame({"sums": [], "counts": []})
+            assign = np.argmax(mat @ c.T - 0.5 * (c * c).sum(axis=1), axis=1)
+            sums = np.zeros((k, d))
+            np.add.at(sums, assign, mat)
+            counts = np.bincount(assign, minlength=k).astype(np.int64)
+            return pd.DataFrame({"sums": [sums.ravel()], "counts": [counts]})
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        if not len(parts):
+            break
+        sums = np.sum(np.stack(parts["sums"].to_numpy()), axis=0).reshape(k, d)
+        counts = np.sum(np.stack(parts["counts"].to_numpy()), axis=0)
+        new = cents.copy()  # empty clusters keep their previous centroid
+        nz = counts > 0
+        new[nz] = sums[nz] / counts[nz, None]
+        shift = float(np.max(np.linalg.norm(new - cents, axis=1)))
+        cents = new
+        if shift < tol:
+            break
+    return cents
+
+
+def kmeans_assign(ds, centroids: np.ndarray, *, vec_col: str = "embedding",
+                  out_col: str = "cluster"):
+    """Append the nearest-centroid index (int32) to every row."""
+    handle = Broadcast(np.asarray(centroids, dtype=np.float64))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = handle.get()
+        mat = _as_matrix(batch[vec_col])
+        if not mat.size:
+            return batch.append_column(out_col, pa.array([], type=pa.int32()))
+        a = np.argmax(mat @ c.T - 0.5 * (c * c).sum(axis=1), axis=1).astype(np.int32)
+        return batch.append_column(out_col, pa.array(a))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def knn_ivf(
+    ds,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    *,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    kmeans_iters: int = 5,
+    seed: int = 17,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+):
+    """IVF cosine top-k: Dataset(query_id, vec_id, cos_sim, rank).
+
+    Pass ``centroids`` to reuse a prefitted index (the production shape:
+    fit once, search many).  Approximate — a true neighbor assigned to
+    an unprobed cluster is missed; recall vs brute force is
+    property-tested and tunable via ``nprobe``.
+    """
+    if centroids is None:
+        centroids = kmeans_fit(
+            ds, nlist, id_col=id_col, vec_col=vec_col, iters=kmeans_iters, seed=seed
+        )
+    qmat = _normalize(np.asarray(queries, dtype=np.float64))
+    c = np.asarray(centroids, dtype=np.float64)
+    # probe sets: nprobe nearest centroids per query (L2 on the raw
+    # query — same metric the corpus assignment uses)
+    qraw = np.asarray(queries, dtype=np.float64)
+    qd = qraw @ c.T - 0.5 * (c * c).sum(axis=1)
+    order = np.argsort(-qd, axis=1)[:, :nprobe]  # (q, nprobe)
+    probe = np.zeros((len(c), len(qmat)), dtype=bool)  # (nlist, q)
+    for qi in range(len(qmat)):
+        probe[order[qi], qi] = True
+    handle = Broadcast((c, qmat, np.asarray(query_ids), probe))
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        cents, qm, qids, probe_m = handle.get()
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        raw = _as_matrix(batch[vec_col])
+        if not raw.size:
+            return pd.DataFrame({"query_id": [], "vec_id": [], "cos_sim": []})
+        mat = _normalize(raw)
+        assign = np.argmax(raw @ cents.T - 0.5 * (cents * cents).sum(axis=1), axis=1)
+        frames = []
+        for cl in np.unique(assign):
+            q_sel = np.flatnonzero(probe_m[cl])
+            if not len(q_sel):
+                continue
+            rows = np.flatnonzero(assign == cl)
+            sims = mat[rows] @ qm[q_sel].T  # (rows, probing queries)
+            for j, qi in enumerate(q_sel):
+                col = sims[:, j]
+                take = min(k, len(col))
+                idx = np.argpartition(-col, take - 1)[:take] if take else np.array([], dtype=int)
+                frames.append(
+                    pd.DataFrame(
+                        {"query_id": qids[qi], "vec_id": ids[rows[idx]], "cos_sim": col[idx]}
+                    )
+                )
+        if not frames:
+            return pd.DataFrame({"query_id": [], "vec_id": [], "cos_sim": []})
+        return pd.concat(frames, ignore_index=True)
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+
+    def per_query_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["cos_sim", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return scored.groupby("query_id").map_groups(per_query_topk, batch_format="pandas")

@@ -26,9 +26,18 @@ from ..state.broadcast import Broadcast
 
 
 def _as_matrix(column: "pa.ChunkedArray | pa.Array") -> np.ndarray:
-    """list<float> column → (n, d) float64 matrix without per-row Python."""
+    """list<float> column → (n, d) float64 matrix without per-row Python.
+
+    Also accepts Ray's Arrow tensor extension arrays (what
+    ``from_pandas`` produces for ndarray cells) and fixed-size lists.
+    """
     if isinstance(column, pa.ChunkedArray):
         column = column.combine_chunks()
+    if isinstance(column, pa.ExtensionArray):  # ray.data tensor extension
+        return np.asarray(column.to_numpy(zero_copy_only=False), dtype=np.float64)
+    if pa.types.is_fixed_size_list(column.type):
+        d = column.type.list_size
+        return np.asarray(column.values, dtype=np.float64).reshape(-1, d)
     values = np.asarray(column.values, dtype=np.float64)
     offsets = np.asarray(column.offsets)
     widths = np.diff(offsets)

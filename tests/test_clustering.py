@@ -1,0 +1,100 @@
+"""k-means + IVF ANN: determinism, convergence, assignment, recall."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _blob_frame(n_per: int = 400, n_blobs: int = 6, d: int = 16, seed: int = 5):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(0, 10, (n_blobs, d))
+    vecs = np.concatenate(
+        [centers[i] + rng.normal(0, 0.5, (n_per, d)) for i in range(n_blobs)]
+    )
+    ids = np.arange(len(vecs), dtype=np.int64)
+    return pd.DataFrame({"vec_id": ids, "embedding": list(vecs.astype(np.float32))}), centers
+
+
+@pytest.fixture(scope="module")
+def blob_ds(ray_session):
+    import ray.data as rd
+
+    df, centers = _blob_frame()
+    return rd.from_pandas(df).repartition(8), df, centers
+
+
+class TestKMeans:
+    def test_recovers_blob_centers(self, blob_ds):
+        from article_extraction_ray.stages.clustering import kmeans_fit
+
+        ds, df, centers = blob_ds
+        cents = kmeans_fit(ds, 6, iters=15, seed=3)
+        # every true center has a fitted centroid within blob radius
+        d2 = np.linalg.norm(centers[:, None, :] - cents[None, :, :], axis=2)
+        assert (d2.min(axis=1) < 1.0).all()
+
+    def test_deterministic_across_layouts(self, blob_ds, ray_session):
+        import ray.data as rd
+
+        from article_extraction_ray.stages.clustering import kmeans_fit
+
+        ds, df, _ = blob_ds
+        c1 = kmeans_fit(ds, 4, iters=5, seed=9)
+        # different block layout, same data → same centroids (init uses
+        # hash priorities, accumulation folds per-cluster sums)
+        ds2 = rd.from_pandas(df).repartition(3)
+        c2 = kmeans_fit(ds2, 4, iters=5, seed=9)
+        assert np.allclose(c1, c2, atol=1e-9)
+
+    def test_assign_matches_numpy(self, blob_ds):
+        from article_extraction_ray.stages.clustering import kmeans_assign, kmeans_fit
+
+        ds, df, _ = blob_ds
+        cents = kmeans_fit(ds, 5, iters=5, seed=1)
+        out = kmeans_assign(ds, cents).to_pandas().sort_values("vec_id")
+        mat = np.stack(df.sort_values("vec_id")["embedding"].to_numpy()).astype(np.float64)
+        expect = np.argmax(mat @ cents.T - 0.5 * (cents * cents).sum(axis=1), axis=1)
+        assert np.array_equal(out["cluster"].to_numpy(), expect)
+
+
+class TestIVF:
+    def test_recall_vs_brute_force(self, blob_ds):
+        from article_extraction_ray.stages.clustering import knn_ivf
+        from article_extraction_ray.stages.similarity import knn_brute_force
+
+        ds, df, _ = blob_ds
+        rng = np.random.default_rng(2)
+        q_idx = rng.choice(len(df), 8, replace=False)
+        queries = np.stack(df["embedding"].iloc[q_idx].to_numpy()).astype(np.float64)
+        qids = df["vec_id"].iloc[q_idx].to_numpy()
+
+        exact = knn_brute_force(ds, queries, qids, k=10).to_pandas()
+        approx = knn_ivf(ds, queries, qids, k=10, nlist=12, nprobe=4,
+                         kmeans_iters=5, seed=17).to_pandas()
+        recalls = []
+        for qid in qids:
+            e = set(exact[exact["query_id"] == qid]["vec_id"])
+            a = set(approx[approx["query_id"] == qid]["vec_id"])
+            recalls.append(len(e & a) / len(e))
+        assert np.mean(recalls) >= 0.9, recalls
+
+    def test_prefit_centroids_reused(self, blob_ds):
+        from article_extraction_ray.stages.clustering import kmeans_fit, knn_ivf
+
+        ds, df, _ = blob_ds
+        cents = kmeans_fit(ds, 6, iters=5, seed=17)
+        queries = np.stack(df["embedding"].iloc[:2].to_numpy()).astype(np.float64)
+        qids = df["vec_id"].iloc[:2].to_numpy()
+        out1 = knn_ivf(ds, queries, qids, k=5, nprobe=3, centroids=cents).to_pandas()
+        out2 = knn_ivf(ds, queries, qids, k=5, nprobe=3, centroids=cents).to_pandas()
+        key = ["query_id", "rank"]
+        pd.testing.assert_frame_equal(
+            out1.sort_values(key).reset_index(drop=True),
+            out2.sort_values(key).reset_index(drop=True),
+        )
+        assert set(out1["query_id"]) == set(qids)
+        # self-hit: each query's own vector ranks first
+        first = out1[out1["rank"] == 1]
+        assert set(first["vec_id"]) == set(qids)
