@@ -2267,6 +2267,179 @@ def q_knn_ivf(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# corpus curation: redaction / decontamination / repetition / caps / packing
+# ---------------------------------------------------------------------------
+
+# Demo entity patterns so the redaction path rewrites real testdata text
+# (the PII patterns themselves can't match the synthetic corpus); the
+# operator under test is the same chained-RE2 rewrite either way.
+_REDACT_DEMO: list[tuple[str, str]] = [
+    (r"\bcustomer\b", "<ENT>"),
+    (r"\b(spark|vector)\b", "<TOOL>"),
+]
+
+
+def q_pii_redact(sf_dir: str):
+    """PII-shaped pattern redaction (stages/curation.redact_patterns):
+    chained RE2 rewrites over the contiguous Arrow string buffer, no
+    per-row Python.  DuckDB compiles the same RE2 patterns, so the
+    oracle is chained regexp_replace(..., 'g')."""
+    from ..stages.curation import PII_PATTERNS, redact_patterns
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+    return redact_patterns(ds, PII_PATTERNS + _REDACT_DEMO)
+
+
+def _sql_redact_expr() -> str:
+    from ..stages.curation import PII_PATTERNS
+
+    expr = "text"
+    for pat, repl in PII_PATTERNS + _REDACT_DEMO:
+        sql_pat = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{sql_pat}', '{repl}', 'g')"
+    return expr
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: flag corpus docs sharing any 8-gram
+    with the benchmark subset (doc_id % 97 == 0 stands in for the eval
+    suite).  Benchmark gram hashes broadcast once; the corpus streams
+    through one searchsorted probe per batch — no shuffle
+    (stages/curation.mark_contaminated)."""
+    from ..stages.curation import benchmark_gram_set, mark_contaminated
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+
+    def bench_only(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(t["doc_id"].to_numpy(zero_copy_only=False) % 97 == 0))
+
+    def corpus_only(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(t["doc_id"].to_numpy(zero_copy_only=False) % 97 != 0))
+
+    grams = benchmark_gram_set(ds.map_batches(bench_only, batch_format="pyarrow"), n=8)
+    corpus = ds.map_batches(corpus_only, batch_format="pyarrow")
+    return mark_contaminated(corpus, grams, n=8)
+
+
+SQL_DECONTAM = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+ng AS (
+  SELECT doc_id, array_to_string(ts[i:i+7], ' ') AS gram
+  FROM toks CROSS JOIN UNNEST(range(1, len(ts) - 6)) AS t(i)
+),
+bench AS (SELECT DISTINCT gram FROM ng WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT DISTINCT n.doc_id FROM ng n JOIN bench b USING (gram)
+  WHERE n.doc_id % 97 <> 0
+)
+SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 97 <> 0
+"""
+
+
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition metrics (stages/curation.repetition_stats):
+    distinct-token ratio + top-bigram token fraction, batch-vectorized
+    via one lexsort over the flat token-hash buffer.  Ratios are single
+    IEEE divisions of exact ints — bit-identical to SQL, no rounding."""
+    from ..stages.curation import repetition_stats
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+    return repetition_stats(ds)
+
+
+SQL_REPETITION = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+base AS (
+  SELECT doc_id, len(ts) AS n_tok, len(list_distinct(ts)) AS n_distinct FROM toks
+),
+bg AS (
+  SELECT doc_id, ts[i] || ' ' || ts[i+1] AS bigram
+  FROM toks CROSS JOIN UNNEST(range(1, len(ts))) AS t(i)
+),
+topc AS (
+  SELECT doc_id, max(c) AS top
+  FROM (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1
+)
+SELECT b.doc_id, b.n_tok, b.n_distinct,
+       CAST(b.n_distinct AS DOUBLE) / greatest(b.n_tok, 1) AS distinct_ratio,
+       CAST(coalesce(t.top, 0) * 2 AS DOUBLE) / greatest(b.n_tok, 1) AS top_bigram_frac
+FROM base b LEFT JOIN topc t USING (doc_id)
+"""
+
+
+def q_domain_cap(sf_dir: str):
+    """Per-domain document cap (pipelines/tabular.top_k_per_group):
+    keep the 20 lowest doc_ids per source — the per-host cap of crawl
+    curation.  Two-level reduce: ≤k rows per group per batch shuffle."""
+    from .tabular import top_k_per_group
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"], split=True)
+    capped = top_k_per_group(ds, "source", "doc_id", 20)
+    return capped.map_batches(lambda df: df[["doc_id", "source"]], batch_format="pandas")
+
+
+SQL_DOMAIN_CAP = """
+SELECT doc_id, source FROM documents
+QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 20
+"""
+
+
+_PACK_BUDGET = 512
+
+
+def q_pack_sequences(sf_dir: str):
+    """Concatenation packing via a distributed two-pass prefix scan
+    (stages/scan.pack_sequences): per source, token counts stream in
+    doc_id order into 512-token sequences.  Bucket sums fold on the
+    driver (buckets × sources ints), offsets broadcast back — the only
+    shuffle is the coarse range-bucket groupby."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..stages.scan import pack_sequences
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source", "text"], split=True)
+
+    def tokcount(batch: pa.Table) -> pa.Table:
+        n = pa.compute.cast(
+            pa.compute.list_value_length(pa.compute.split_pattern(batch["text"], " ")),
+            pa.int64(),
+        )
+        return pa.Table.from_arrays(
+            [batch["doc_id"], batch["source"], n], names=["doc_id", "source", "n_tok"]
+        )
+
+    counted = ds.map_batches(tokcount, batch_format="pyarrow")
+    # order-key max from the parquet footer (no data read) sizes the buckets
+    meta = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata
+    max_id = max(
+        meta.row_group(i).column(0).statistics.max for i in range(meta.num_row_groups)
+    )
+    return pack_sequences(counted, _PACK_BUDGET, max_order=int(max_id))
+
+
+SQL_PACK = f"""
+WITH t AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tok,
+         CAST(COALESCE(SUM(n_tok) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+  FROM t
+)
+SELECT doc_id, source, n_tok, cum_before,
+       cum_before // {_PACK_BUDGET} AS seq_id,
+       cum_before % {_PACK_BUDGET} AS seq_offset
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2331,6 +2504,11 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "kmeans_clusters": q_kmeans_clusters,
     "knn_ivf": q_knn_ivf,
+    "pii_redact": q_pii_redact,
+    "decontaminate": q_decontaminate,
+    "repetition_stats": q_repetition_stats,
+    "domain_cap": q_domain_cap,
+    "pack_sequences": q_pack_sequences,
 }
 
 ORACLE_SQL = {
@@ -2375,6 +2553,11 @@ ORACLE_SQL = {
     "sliding_window": SQL_SLIDING_WINDOW,
     "grouped_quantiles": SQL_GROUPED_QUANTILES,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "pii_redact": f"SELECT doc_id, {_sql_redact_expr()} AS text FROM documents",
+    "decontaminate": SQL_DECONTAM,
+    "repetition_stats": SQL_REPETITION,
+    "domain_cap": SQL_DOMAIN_CAP,
+    "pack_sequences": SQL_PACK,
     # hll_distinct / price_quantiles_tdigest are approximate sketches —
     # rows-only by design (accuracy pytest-verified)
     # lang_id / winnow / minhash / simhash / knn_lsh / media_* are not

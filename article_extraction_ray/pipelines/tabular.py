@@ -408,6 +408,34 @@ def dedup_exact_min(ds, subset: str, id_col: str):
     return partials.groupby(subset).aggregate(Min(id_col, alias_name=id_col))
 
 
+def top_k_per_group(ds, group: str, order_by: str, k: int, *, descending: bool = False):
+    """Per group, the k rows with the smallest (or largest) ``order_by``
+    — the per-domain document cap of crawl curation (keep k per host)
+    and SQL ``QUALIFY row_number() OVER (PARTITION BY g ORDER BY o) <= k``.
+
+    Same two-level shape as :func:`latest_per_key` generalized to k:
+    each batch keeps its local k per group (shuffle volume ≤ k rows per
+    group per batch), then a coarse-bucket reduce re-applies the rule.
+    ``order_by`` must be unique within a group for determinism.
+    """
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values([group, order_by], ascending=[True, not descending])
+            .groupby(group, sort=False)
+            .head(k)
+        )
+
+    def bucketed(df: pd.DataFrame) -> pd.DataFrame:
+        out = local(df).copy()
+        out["__bucket"] = pd.util.hash_array(out[group].to_numpy()) % _KEY_BUCKETS
+        return out
+
+    partials = ds.map_batches(bucketed, batch_format="pandas")
+    merged = partials.groupby("__bucket").map_groups(local, batch_format="pandas")
+    return merged.map_batches(lambda df: df.drop(columns="__bucket"), batch_format="pandas")
+
+
 def topk(ds, col, k: int, *, descending=True):
     """Global top-k with per-batch prefilter before the sort.
 
