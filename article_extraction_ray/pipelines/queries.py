@@ -2386,6 +2386,106 @@ QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 20
 """
 
 
+def _flat_token_array(batch: pa.Table, column: str = "text") -> np.ndarray:
+    col = batch[column]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return np.asarray(pa.compute.split_pattern(col, " ").values)
+
+
+def q_heavy_tokens(sf_dir: str):
+    """Exact global token frequencies, top 20: per-batch value_counts is
+    the combiner (shuffle moves ≤ vocab rows per batch, never tokens),
+    then one small groupby-sum and a deterministic (cnt desc, token)
+    top-k."""
+    from .tabular import topk
+
+    ds = read_table(sf_dir, "documents", columns=["text"], split=True)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        vc = pd.Series(_flat_token_array(batch)).value_counts()
+        return pd.DataFrame({"token": vc.index, "cnt": vc.to_numpy()})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    summed = grouped_aggregate(partials, ["token"], {"cnt": ("sum", "cnt")})
+    return topk(summed, ["cnt", "token"], 20, descending=[True, False])
+
+
+def q_heavy_tokens_sketch(sf_dir: str):
+    """Same top-20, via sketch-propose / exact-confirm: a Misra-Gries
+    summary (stages/sketch.heavy_hitters_mg, m=4096) proposes every key
+    that COULD be frequent (no false negatives above total/(m+1)), then
+    one counting pass restricted to the ≤m broadcast candidates makes
+    the counts exact — so the result is bit-identical to the exact
+    oracle while per-batch state stays bounded at any corpus size."""
+    from ..stages.sketch import heavy_hitters_mg
+
+    ds = read_table(sf_dir, "documents", columns=["text"], split=True)
+    summ, _total = heavy_hitters_mg(ds, 4096, _flat_token_array)
+    cand = Broadcast(np.sort(summ.index.to_numpy().astype(str)))
+
+    def exact_count(batch: pa.Table) -> pd.DataFrame:
+        keys = cand.get()
+        flat = _flat_token_array(batch)
+        hit = flat[np.isin(flat, keys)]
+        vc = pd.Series(hit).value_counts()
+        return pd.DataFrame({"token": vc.index, "cnt": vc.to_numpy()})
+
+    parts = ds.map_batches(exact_count, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("token", as_index=False)["cnt"].sum()
+    out = out.sort_values(["cnt", "token"], ascending=[False, True]).head(20)
+    return out.reset_index(drop=True)
+
+
+SQL_HEAVY_TOKENS = """
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+SELECT token, count(*) AS cnt FROM toks GROUP BY token
+ORDER BY cnt DESC, token LIMIT 20
+"""
+
+
+def q_anti_join_bloom(sf_dir: str):
+    """Anti-join resume with a bloom prefilter (stages/sketch.BloomFilter):
+    "definitely not done" rows pass with one bitmap probe; only bloom
+    positives (~1% FP + true members) hit the exact confirm, so the
+    done-set never broadcasts raw at scale — result is EXACT (no false
+    negatives), same oracle as anti_join_resume."""
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    from ..stages.sketch import BloomFilter
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+    meta = pq.ParquetFile(_os.path.join(sf_dir, "documents.parquet")).metadata
+    col_idx = next(
+        i for i in range(meta.num_columns)
+        if meta.row_group(0).column(i).path_in_schema == "doc_id"
+    )
+    max_id = max(
+        meta.row_group(rg).column(col_idx).statistics.max
+        for rg in range(meta.num_row_groups)
+    )
+    done = np.arange(0, max_id + 1, 7, dtype=np.int64)
+    handle = Broadcast((BloomFilter.from_keys(done, fpp=0.01), done))
+
+    def flt(batch: pa.Table) -> pa.Table:
+        bf, done_sorted = handle.get()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        maybe = bf.might_contain(ids)
+        keep = ~maybe
+        if maybe.any():  # exact confirm on the small positive stream
+            cand = ids[maybe]
+            pos = np.searchsorted(done_sorted, cand)
+            in_range = pos < len(done_sorted)
+            is_done = np.zeros(len(cand), dtype=bool)
+            is_done[in_range] = done_sorted[pos[in_range]] == cand[in_range]
+            keep[np.flatnonzero(maybe)[~is_done]] = True
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(flt, batch_format="pyarrow")
+
+
 _PACK_BUDGET = 512
 
 
@@ -2509,6 +2609,9 @@ QUERIES = {
     "repetition_stats": q_repetition_stats,
     "domain_cap": q_domain_cap,
     "pack_sequences": q_pack_sequences,
+    "heavy_tokens": q_heavy_tokens,
+    "heavy_tokens_sketch": q_heavy_tokens_sketch,
+    "anti_join_bloom": q_anti_join_bloom,
 }
 
 ORACLE_SQL = {
@@ -2558,6 +2661,9 @@ ORACLE_SQL = {
     "repetition_stats": SQL_REPETITION,
     "domain_cap": SQL_DOMAIN_CAP,
     "pack_sequences": SQL_PACK,
+    "heavy_tokens": SQL_HEAVY_TOKENS,
+    "heavy_tokens_sketch": SQL_HEAVY_TOKENS,
+    "anti_join_bloom": SQL_ANTI_JOIN,
     # hll_distinct / price_quantiles_tdigest are approximate sketches —
     # rows-only by design (accuracy pytest-verified)
     # lang_id / winnow / minhash / simhash / knn_lsh / media_* are not

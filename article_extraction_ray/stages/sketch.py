@@ -1,4 +1,4 @@
-"""Mergeable cardinality sketches (HyperLogLog).
+"""Mergeable sketches: HyperLogLog, Misra-Gries heavy hitters, Bloom.
 
 Scale shape: every batch folds into a fixed-size register array
 (2**p bytes), map_batches emits ONE sketch row per batch, and the
@@ -121,3 +121,114 @@ def hll_distinct_grouped(ds, group_col: str, value_col: str, p: int = 12):
         .groupby(group_col)
         .map_groups(finalize, batch_format="pandas")
     )
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (mergeable summaries)
+# ---------------------------------------------------------------------------
+#
+# Misra & Gries, "Finding repeated elements" (Sci. Comput. Program. 1982);
+# mergeability per Agarwal et al., "Mergeable summaries" (PODS 2012):
+# union-sum two summaries, subtract the (m+1)-th largest count, keep
+# positives.  Guarantee after any merge tree over a stream of N items:
+# true_count - N/(m+1) <= estimate <= true_count, so every key with
+# frequency > N/(m+1) survives.  The summary is <= m (key, count) rows —
+# per-batch partials stay tiny and the corpus never shuffles.
+
+
+def mg_reduce(counts: pd.Series, m: int) -> pd.Series:
+    """Cut an exact (or merged) count series down to an MG summary of
+    at most ``m`` keys by decrementing the (m+1)-th largest count."""
+    if len(counts) <= m:
+        return counts[counts > 0]
+    vals = np.sort(counts.to_numpy())[::-1]
+    out = counts - vals[m]
+    return out[out > 0]
+
+
+def mg_merge(summaries, m: int) -> pd.Series:
+    """Associative merge: union-sum, then one reduction."""
+    total = pd.concat(list(summaries)).groupby(level=0).sum()
+    return mg_reduce(total, m)
+
+
+def heavy_hitters_mg(ds, m: int, values_of, *, batch_format: str = "pyarrow"):
+    """Approximate heavy hitters over ``values_of(batch) -> np.ndarray``.
+
+    Per batch: exact local counts (vectorized value_counts — the batch
+    is the combiner), reduced to an m-row MG summary; the driver folds
+    the ``num_batches`` summaries with :func:`mg_merge`.  Returns
+    ``(summary: pd.Series est counts, total: int)`` — the error bound is
+    ``total/(m+1)``.
+    """
+
+    def partial(batch) -> pd.DataFrame:
+        vals = values_of(batch)
+        local = pd.Series(vals).value_counts()  # exact, vectorized
+        summ = mg_reduce(local, m)
+        if not len(summ) and len(local):
+            # degenerate cut (every count tied): a zero-count row still
+            # carries the batch total without biasing the merge
+            summ = local.iloc[:1] * 0
+        total = np.zeros(len(summ), dtype=np.int64)
+        if len(total):
+            total[0] = len(vals)  # batch total carried once, on row 0
+        return pd.DataFrame({"key": summ.index, "cnt": summ.to_numpy(), "total": total})
+
+    parts = ds.map_batches(partial, batch_format=batch_format).to_pandas()
+    if not len(parts):
+        return pd.Series(dtype=np.int64), 0
+    # one union-sum over all partial summaries, then a single reduction —
+    # correct (merge is associative) and tighter than pairwise folding
+    merged = mg_merge([parts.set_index("key")["cnt"]], m)
+    return merged, int(parts["total"].sum())
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (broadcast membership prefilter)
+# ---------------------------------------------------------------------------
+#
+# Bloom, "Space/time trade-offs in hash coding with allowable errors"
+# (CACM 1970); double hashing per Kirsch & Mitzenmacher (ESA 2006):
+# idx_i = h1 + i*h2 mod m preserves the FP bound with two base hashes.
+# Role at scale: the done-set of a resumable run (or any semi-join small
+# side) can outgrow a raw broadcast keyset; the bloom is a fixed ~1.2
+# bytes/key bitmap with NO false negatives, so "definitely not done"
+# rows stream through with zero shuffle and only the FP-rate-sized
+# remainder needs the exact confirm (a semi-join on a tiny stream).
+
+
+class BloomFilter:
+    """Vectorized bloom over arbitrary key arrays (fixed-key siphash)."""
+
+    def __init__(self, n_bits: int, n_hashes: int):
+        self.m = int(n_bits)
+        self.k = int(n_hashes)
+        self.bits = np.zeros(self.m, dtype=bool)
+
+    @classmethod
+    def from_keys(cls, keys, fpp: float = 0.01) -> "BloomFilter":
+        """Size for a target false-positive rate: m = -n ln p / ln2²."""
+        n = max(len(keys), 1)
+        m = max(int(np.ceil(-n * np.log(fpp) / (np.log(2) ** 2))), 8)
+        k = max(int(round(m / n * np.log(2))), 1)
+        bf = cls(m, k)
+        bf.add(keys)
+        return bf
+
+    def _indices(self, keys) -> np.ndarray:
+        h1 = pd.util.hash_array(np.asarray(keys))
+        with np.errstate(over="ignore"):
+            h2 = (h1 * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+            steps = np.arange(self.k, dtype=np.uint64)[:, None]
+            idx = (h1[None, :] + steps * h2[None, :]) % np.uint64(self.m)
+        return idx.astype(np.int64)  # (k, n)
+
+    def add(self, keys) -> None:
+        if len(keys):
+            self.bits[self._indices(keys).ravel()] = True
+
+    def might_contain(self, keys) -> np.ndarray:
+        """Per-key bool: False is definitive, True needs exact confirm."""
+        if not len(keys):
+            return np.zeros(0, dtype=bool)
+        return self.bits[self._indices(keys)].all(axis=0)

@@ -74,3 +74,95 @@ def test_grouped_hll_close_to_exact(ray_session):
     exact = df.groupby("g")["v"].nunique()
     for g in exact.index:
         assert abs(out[g] - exact[g]) / exact[g] < 0.08  # 4 sigma at p=12
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+
+class TestMisraGries:
+    def _zipf_stream(self, n=50_000, seed=9):
+        rng = np.random.default_rng(seed)
+        return rng.zipf(1.5, n).astype(np.int64) % 1000
+
+    def test_bound_holds_through_merges(self):
+        import pandas as pd
+
+        from article_extraction_ray.stages.sketch import mg_merge, mg_reduce
+
+        vals = self._zipf_stream()
+        m = 64
+        chunks = np.array_split(vals, 17)
+        summaries = [mg_reduce(pd.Series(c).value_counts(), m) for c in chunks]
+        merged = mg_merge(summaries, m)
+        true = pd.Series(vals).value_counts()
+        bound = len(vals) / (m + 1)
+        for key, est in merged.items():
+            assert est <= true[key]
+            assert true[key] - est <= bound
+        # every key more frequent than the bound must survive
+        for key, cnt in true.items():
+            if cnt > bound:
+                assert key in merged.index, (key, cnt, bound)
+
+    def test_distributed_matches_semantics(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from article_extraction_ray.stages.sketch import heavy_hitters_mg
+
+        vals = self._zipf_stream(20_000, seed=3)
+        df = pd.DataFrame({"v": vals})
+        ds = rd.from_pandas(df).repartition(6)
+        summ, total = heavy_hitters_mg(
+            ds, 64, lambda b: b["v"].to_numpy(zero_copy_only=False)
+        )
+        assert total == len(vals)
+        true = pd.Series(vals).value_counts()
+        bound = total / 65
+        for key, est in summ.items():
+            assert est <= true[key] and true[key] - est <= bound
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+
+class TestBloom:
+    def test_no_false_negatives(self):
+        from article_extraction_ray.stages.sketch import BloomFilter
+
+        rng = np.random.default_rng(1)
+        for trial in range(20):
+            keys = rng.choice(10**9, 2000, replace=False)
+            bf = BloomFilter.from_keys(keys, fpp=0.01)
+            assert bf.might_contain(keys).all()
+
+    def test_fp_rate_near_target(self):
+        from article_extraction_ray.stages.sketch import BloomFilter
+
+        rng = np.random.default_rng(2)
+        keys = rng.choice(10**9, 10_000, replace=False)
+        bf = BloomFilter.from_keys(keys, fpp=0.01)
+        probe = rng.choice(10**9, 50_000, replace=False)
+        probe = probe[~np.isin(probe, keys)]
+        fp = bf.might_contain(probe).mean()
+        assert fp < 0.03, fp
+
+    def test_string_keys(self):
+        from article_extraction_ray.stages.sketch import BloomFilter
+
+        keys = np.array([f"url-{i}" for i in range(500)])
+        bf = BloomFilter.from_keys(keys, fpp=0.01)
+        assert bf.might_contain(keys).all()
+        other = np.array([f"other-{i}" for i in range(5000)])
+        assert bf.might_contain(other).mean() < 0.03
+
+    def test_empty(self):
+        from article_extraction_ray.stages.sketch import BloomFilter
+
+        bf = BloomFilter.from_keys(np.array([], dtype=np.int64))
+        assert bf.might_contain(np.array([1, 2, 3])).sum() == 0
+        assert len(bf.might_contain(np.array([], dtype=np.int64))) == 0
