@@ -2386,6 +2386,132 @@ QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 20
 """
 
 
+_CURATE_MIN_DR = 0.35
+_CURATE_MAX_TBF = 0.2
+_CURATE_CAP = 50
+
+
+def q_curate_corpus(sf_dir: str):
+    """End-to-end curation pipeline — the composition a training-data
+    run actually executes, every stage oracled as ONE SQL statement:
+
+      1. drop benchmark docs + repetition-rule failures (streaming
+         map_batches, no shuffle),
+      2. drop docs sharing an 8-gram with the benchmark (broadcast
+         probe, no shuffle),
+      3. exact-dedup on text keeping min doc_id (two-level reduce),
+      4. cap 50 docs per source (two-level reduce),
+      5. concat-pack survivors into 512-token sequences per source
+         (distributed prefix scan).
+
+    Stages 1-2 stream; 3-4 shuffle ≤k candidate rows per group per
+    batch; 5 shuffles only the coarse range buckets.
+    """
+    from ..stages.curation import (
+        benchmark_gram_set,
+        filter_by_repetition,
+        mark_contaminated,
+    )
+    from ..stages.scan import pack_sequences
+    from .tabular import top_k_per_group
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source", "text"], split=True)
+
+    def bench_only(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(t["doc_id"].to_numpy(zero_copy_only=False) % 97 == 0))
+
+    def corpus_only(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(t["doc_id"].to_numpy(zero_copy_only=False) % 97 != 0))
+
+    grams = benchmark_gram_set(ds.map_batches(bench_only, batch_format="pyarrow"), n=8)
+    corpus = ds.map_batches(corpus_only, batch_format="pyarrow")
+    quality = filter_by_repetition(
+        corpus, min_distinct_ratio=_CURATE_MIN_DR, max_top_bigram_frac=_CURATE_MAX_TBF
+    )
+    clean = mark_contaminated(quality, grams, n=8, keep_clean=True)
+    deduped = top_k_per_group(clean, "text", "doc_id", 1)
+    capped = top_k_per_group(deduped, "source", "doc_id", _CURATE_CAP)
+
+    def tokcount(batch: pa.Table) -> pa.Table:
+        n = pa.compute.cast(
+            pa.compute.list_value_length(pa.compute.split_pattern(batch["text"], " ")),
+            pa.int64(),
+        )
+        return pa.Table.from_arrays(
+            [batch["doc_id"], batch["source"], n], names=["doc_id", "source", "n_tok"]
+        )
+
+    counted = capped.map_batches(tokcount, batch_format="pyarrow")
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(_os.path.join(sf_dir, "documents.parquet")).metadata
+    max_id = max(
+        meta.row_group(i).column(0).statistics.max for i in range(meta.num_row_groups)
+    )
+    return pack_sequences(counted, _PACK_BUDGET, max_order=int(max_id))
+
+
+SQL_CURATE = """
+WITH t AS (
+  SELECT doc_id, source, text, string_split(text, ' ') AS ts
+  FROM documents WHERE doc_id % 97 <> 0
+),
+m AS (
+  SELECT doc_id, source, text, len(ts) AS n_tok,
+         CAST(len(list_distinct(ts)) AS DOUBLE) / greatest(len(ts), 1) AS dr
+  FROM t
+),
+bgt AS (
+  SELECT doc_id, ts[i] || ' ' || ts[i+1] AS b
+  FROM t CROSS JOIN UNNEST(range(1, len(ts))) x(i)
+),
+topb AS (
+  SELECT doc_id, max(c) AS top
+  FROM (SELECT doc_id, b, count(*) AS c FROM bgt GROUP BY 1, 2) GROUP BY 1
+),
+q AS (
+  SELECT m.*, CAST(coalesce(tb.top, 0) * 2 AS DOUBLE) / greatest(m.n_tok, 1) AS tbf
+  FROM m LEFT JOIN topb tb USING (doc_id)
+),
+filtered AS (SELECT * FROM q WHERE dr >= {MIN_DR} AND tbf <= {MAX_TBF}),
+allt AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+ng AS (
+  SELECT doc_id, array_to_string(ts[i:i+7], ' ') AS gram
+  FROM allt CROSS JOIN UNNEST(range(1, len(ts) - 6)) x(i)
+),
+bench AS (SELECT DISTINCT gram FROM ng WHERE doc_id % 97 = 0),
+contaminated AS (
+  SELECT DISTINCT n.doc_id FROM ng n JOIN bench b USING (gram)
+  WHERE n.doc_id % 97 <> 0
+),
+clean AS (
+  SELECT * FROM filtered WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+deduped AS (
+  SELECT * FROM clean
+  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+),
+capped AS (
+  SELECT * FROM deduped
+  QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= {CAP}
+),
+packed AS (
+  SELECT doc_id, source, n_tok,
+         CAST(COALESCE(SUM(n_tok) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+  FROM capped
+)
+SELECT doc_id, source, n_tok, cum_before,
+       cum_before // 512 AS seq_id, cum_before % 512 AS seq_offset
+FROM packed
+""".replace("{MIN_DR}", str(_CURATE_MIN_DR)).replace(
+    "{MAX_TBF}", str(_CURATE_MAX_TBF)
+).replace("{CAP}", str(_CURATE_CAP))
+
+
 def _flat_token_array(batch: pa.Table, column: str = "text") -> np.ndarray:
     col = batch[column]
     if isinstance(col, pa.ChunkedArray):
@@ -2612,6 +2738,7 @@ QUERIES = {
     "heavy_tokens": q_heavy_tokens,
     "heavy_tokens_sketch": q_heavy_tokens_sketch,
     "anti_join_bloom": q_anti_join_bloom,
+    "curate_corpus": q_curate_corpus,
 }
 
 ORACLE_SQL = {
@@ -2664,6 +2791,7 @@ ORACLE_SQL = {
     "heavy_tokens": SQL_HEAVY_TOKENS,
     "heavy_tokens_sketch": SQL_HEAVY_TOKENS,
     "anti_join_bloom": SQL_ANTI_JOIN,
+    "curate_corpus": SQL_CURATE,
     # hll_distinct / price_quantiles_tdigest are approximate sketches —
     # rows-only by design (accuracy pytest-verified)
     # lang_id / winnow / minhash / simhash / knn_lsh / media_* are not

@@ -136,6 +136,7 @@ def mark_contaminated(
     n: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    keep_clean: bool = False,
 ):
     """Flag every corpus document sharing ≥1 n-gram with the benchmark.
 
@@ -144,11 +145,13 @@ def mark_contaminated(
     set broadcasts once via ``ray.put``; each corpus batch computes its
     gram hashes and probes with one ``np.searchsorted`` — no shuffle,
     the corpus streams through untouched.
-    Output: (id_col, contaminated bool) per input row.
+    Output: (id_col, contaminated bool) per input row — or, with
+    ``keep_clean=True``, the input rows (full schema) minus the
+    contaminated ones (the pipeline-filter form).
     """
     handle = Broadcast(np.asarray(bench_grams, dtype=np.uint64))
 
-    def flag(batch: pa.Table) -> pa.Table:
+    def contaminated_mask(batch: pa.Table) -> np.ndarray:
         bench = handle.get()
         th, off = _flat_tokens(batch[text_col])
         grams, row_of = _ngram_hashes(th, off, n)
@@ -159,16 +162,78 @@ def mark_contaminated(
             is_hit = np.zeros(len(grams), dtype=bool)
             is_hit[in_range] = bench[pos[in_range]] == grams[in_range]
             np.logical_or.at(hit, row_of[is_hit], True)
+        return hit
+
+    def flag(batch: pa.Table) -> pa.Table:
+        hit = contaminated_mask(batch)
         return pa.Table.from_arrays(
             [batch[id_col], pa.array(hit)], names=[id_col, "contaminated"]
         )
 
-    return ds.map_batches(flag, batch_format="pyarrow")
+    def drop(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(~contaminated_mask(batch)))
+
+    return ds.map_batches(drop if keep_clean else flag, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
 # repetition statistics (Gopher-style quality rules)
 # ---------------------------------------------------------------------------
+
+
+def _repetition_metrics(
+    col: "pa.ChunkedArray | pa.Array", n_rows: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(n_tok, n_distinct, top_bigram_count) per row, whole-batch
+    vectorized: one lexsort of (row, token_hash) pairs for distinct
+    counts, one of (row, bigram_hash) with run-length encoding +
+    ``np.maximum.at`` for the top-bigram count."""
+    th, off = _flat_tokens(col)
+    n_tok = np.diff(off)
+    row_of_tok = np.repeat(np.arange(n_rows, dtype=np.int64), n_tok)
+
+    # distinct tokens per row: sort (row, hash), count group starts
+    order = np.lexsort((th, row_of_tok))
+    r_s, h_s = row_of_tok[order], th[order]
+    new = np.ones(len(h_s), dtype=bool)
+    if len(h_s) > 1:
+        new[1:] = (r_s[1:] != r_s[:-1]) | (h_s[1:] != h_s[:-1])
+    n_distinct = np.bincount(r_s[new], minlength=n_rows).astype(np.int64)
+
+    # top bigram count per row
+    grams, row_of_g = _ngram_hashes(th, off, 2)
+    top = np.zeros(n_rows, dtype=np.int64)
+    if len(grams):
+        order = np.lexsort((grams, row_of_g))
+        r_s, g_s = row_of_g[order], grams[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], (r_s[1:] != r_s[:-1]) | (g_s[1:] != g_s[:-1])))
+        )
+        run_len = np.diff(np.append(starts, len(g_s)))
+        np.maximum.at(top, r_s[starts], run_len)
+    return n_tok, n_distinct, top
+
+
+def filter_by_repetition(
+    ds,
+    *,
+    min_distinct_ratio: float = 0.0,
+    max_top_bigram_frac: float = 1.0,
+    text_col: str = "text",
+):
+    """Drop rows failing the repetition quality rules (pipeline-filter
+    form of :func:`repetition_stats`; ratios are the same single IEEE
+    divisions, so thresholds cut identically to the SQL oracle)."""
+
+    def flt(batch: pa.Table) -> pa.Table:
+        n_tok, n_distinct, top = _repetition_metrics(batch[text_col], batch.num_rows)
+        safe = np.maximum(n_tok, 1).astype(np.float64)
+        keep = (n_distinct.astype(np.float64) / safe >= min_distinct_ratio) & (
+            (top * 2).astype(np.float64) / safe <= max_top_bigram_frac
+        )
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(flt, batch_format="pyarrow")
 
 
 def repetition_stats(ds, *, id_col: str = "doc_id", text_col: str = "text"):
@@ -184,31 +249,7 @@ def repetition_stats(ds, *, id_col: str = "doc_id", text_col: str = "text"):
     """
 
     def stats(batch: pa.Table) -> pa.Table:
-        th, off = _flat_tokens(batch[text_col])
-        n_rows = batch.num_rows
-        n_tok = np.diff(off)
-        row_of_tok = np.repeat(np.arange(n_rows, dtype=np.int64), n_tok)
-
-        # distinct tokens per row: sort (row, hash), count group starts
-        order = np.lexsort((th, row_of_tok))
-        r_s, h_s = row_of_tok[order], th[order]
-        new = np.ones(len(h_s), dtype=bool)
-        if len(h_s) > 1:
-            new[1:] = (r_s[1:] != r_s[:-1]) | (h_s[1:] != h_s[:-1])
-        n_distinct = np.bincount(r_s[new], minlength=n_rows).astype(np.int64)
-
-        # top bigram count per row
-        grams, row_of_g = _ngram_hashes(th, off, 2)
-        top = np.zeros(n_rows, dtype=np.int64)
-        if len(grams):
-            order = np.lexsort((grams, row_of_g))
-            r_s, g_s = row_of_g[order], grams[order]
-            starts = np.flatnonzero(
-                np.concatenate(([True], (r_s[1:] != r_s[:-1]) | (g_s[1:] != g_s[:-1])))
-            )
-            run_len = np.diff(np.append(starts, len(g_s)))
-            np.maximum.at(top, r_s[starts], run_len)
-
+        n_tok, n_distinct, top = _repetition_metrics(batch[text_col], batch.num_rows)
         safe = np.maximum(n_tok, 1).astype(np.float64)
         return pa.Table.from_arrays(
             [

@@ -53,6 +53,15 @@ BENCH_QUERIES = [
     "range_join",
     "shuffle_join",
     "sliding_window",
+    "dedup_clusters",
+    "kmeans_clusters",
+    "pii_redact",
+    "decontaminate",
+    "repetition_stats",
+    "heavy_tokens",
+    "domain_cap",
+    "pack_sequences",
+    "curate_corpus",
 ]
 
 
