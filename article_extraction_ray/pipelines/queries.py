@@ -2220,7 +2220,8 @@ def q_kmeans_clusters(sf_dir: str):
     from ..stages.clustering import kmeans_assign, kmeans_fit
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"], split=True)
-    cents = kmeans_fit(ds, 8, iters=8, seed=17)
+    ds = ds.materialize()  # 8 sweeps + assign + summary share blocks
+    cents = kmeans_fit(ds, 8, iters=8, seed=17, cache=False)
     assigned = kmeans_assign(ds, cents)
     handle = Broadcast(cents)
 
