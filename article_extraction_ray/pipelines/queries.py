@@ -2667,6 +2667,182 @@ FROM c
 
 
 # ---------------------------------------------------------------------------
+# reshaping + distribution ops: histogram, ordered collect, outlier
+# filter, unpivot/pivot
+# ---------------------------------------------------------------------------
+
+
+def q_value_histogram(sf_dir: str):
+    """Fixed-width histogram of order totals: per-batch (bin, count)
+    partials — the combiner — then a tiny groupby-sum; shuffle volume
+    is O(bins × batches), never rows."""
+    ds = read_table(sf_dir, "orders", columns=["o_totalprice"], split=True)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        price = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        bins = np.floor(price / 10000.0).astype(np.int64)
+        vc = pd.Series(bins).value_counts()
+        return pd.DataFrame({"bin": vc.index, "cnt": vc.to_numpy()})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_aggregate(partials, ["bin"], {"cnt": ("sum", "cnt")})
+
+
+SQL_HISTOGRAM = """
+SELECT CAST(floor(o_totalprice / 10000) AS BIGINT) AS bin, count(*) AS cnt
+FROM orders GROUP BY bin
+"""
+
+
+def q_event_sequences(sf_dir: str):
+    """Ordered collect per key (the behavioral-sequence builder):
+    per user, event types concatenated in (ts, event_id) order.  Same
+    coarse-bucket scan shape as sessionize — users co-locate by hash
+    bucket, in-bucket work is one vectorized sort + groupby join; a
+    pathological single user is bounded by per-user activity, not the
+    corpus."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column("__bucket", pa.array((uid % 64).astype(np.int64)))
+
+    def build(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        out = df.groupby("user_id", sort=True)["event_type"].agg(" ".join)
+        return pd.DataFrame({"user_id": out.index, "seq": out.to_numpy()})
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(build, batch_format="pandas")
+    )
+
+
+SQL_EVENT_SEQ = """
+SELECT user_id, array_to_string(list(event_type ORDER BY ts, event_id), ' ') AS seq
+FROM events GROUP BY user_id
+"""
+
+
+def q_outlier_filter(sf_dir: str):
+    """Percentile-threshold filter: exact p95 of token counts from the
+    mergeable histogram sketch (only (value, count) partials leave the
+    workers), threshold broadcast back, second streaming pass keeps the
+    tail.  quantile_cont interpolation is reproduced bit-exactly from
+    the histogram, so the float threshold comparison matches SQL."""
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+
+    def counts(batch: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(batch["text"], r"\S+"), pa.int64())
+        return pa.Table.from_arrays([batch["doc_id"], n], names=["doc_id", "n_tokens"])
+
+    counted = ds.map_batches(counts, batch_format="pyarrow")
+
+    def partial_hist(batch: pa.Table) -> pd.DataFrame:
+        vc = pd.Series(batch["n_tokens"].to_numpy(zero_copy_only=False)).value_counts()
+        return pd.DataFrame({"n": vc.index, "cnt": vc.to_numpy()})
+
+    hist = (
+        counted.map_batches(partial_hist, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("n", as_index=False)["cnt"]
+        .sum()
+        .sort_values("n")
+    )
+    thr = _quantile_from_hist(
+        hist["n"].to_numpy(dtype=np.float64), hist["cnt"].to_numpy(dtype=np.int64), 0.95
+    )
+
+    def keep_tail(batch: pa.Table) -> pa.Table:
+        n = batch["n_tokens"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(n > thr))
+
+    return counted.map_batches(keep_tail, batch_format="pyarrow")
+
+
+SQL_OUTLIER = r"""
+WITH c AS (
+  SELECT doc_id,
+         CAST(coalesce(array_length(regexp_extract_all(text, '\S+')), 0) AS BIGINT) AS n_tokens
+  FROM documents
+),
+thr AS (SELECT quantile_cont(n_tokens, 0.95) AS q FROM c)
+SELECT doc_id, n_tokens FROM c, thr WHERE n_tokens > q
+"""
+
+
+_MELT_MEASURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_melt_measures(sf_dir: str):
+    """Unpivot (wide→long): each batch emits its four measure slices
+    stacked — pure Arrow column selection plus a literal measure tag,
+    no shuffle, output streams at 4× input rows."""
+    cols = ["l_orderkey", "l_linenumber", *_MELT_MEASURES]
+    ds = read_table(sf_dir, "lineitem", columns=cols, split=True)
+
+    def melt(batch: pa.Table) -> pa.Table:
+        parts = []
+        for m in _MELT_MEASURES:
+            parts.append(
+                pa.Table.from_arrays(
+                    [
+                        batch["l_orderkey"],
+                        batch["l_linenumber"],
+                        pa.array([m] * batch.num_rows, type=pa.string()),
+                        pa.compute.cast(batch[m], pa.float64()),
+                    ],
+                    names=["l_orderkey", "l_linenumber", "measure", "value"],
+                )
+            )
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(melt, batch_format="pyarrow")
+
+
+SQL_MELT = " UNION ALL ".join(
+    f"SELECT l_orderkey, l_linenumber, '{m}' AS measure, "
+    f"CAST({m} AS DOUBLE) AS value FROM lineitem"
+    for m in _MELT_MEASURES
+)
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_events(sf_dir: str):
+    """Pivot (long→wide): per-user event-type counts as five columns.
+    Per-batch crosstab is the combiner (≤ users-per-batch rows shuffle,
+    with 5 small int columns), then one groupby-sum."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"], split=True)
+
+    def crosstab(df: pd.DataFrame) -> pd.DataFrame:
+        ct = pd.crosstab(df["user_id"], df["event_type"])
+        ct = ct.reindex(columns=_EVENT_TYPES, fill_value=0).astype(np.int64)
+        ct.index.name = "user_id"
+        return ct.reset_index()
+
+    partials = ds.map_batches(crosstab, batch_format="pandas")
+    return grouped_aggregate(
+        partials, ["user_id"], {t: ("sum", t) for t in _EVENT_TYPES}
+    )
+
+
+SQL_PIVOT = """
+SELECT user_id,
+       coalesce(count(*) FILTER (WHERE event_type = 'click'), 0) AS click,
+       coalesce(count(*) FILTER (WHERE event_type = 'error'), 0) AS error,
+       coalesce(count(*) FILTER (WHERE event_type = 'purchase'), 0) AS purchase,
+       coalesce(count(*) FILTER (WHERE event_type = 'signup'), 0) AS signup,
+       coalesce(count(*) FILTER (WHERE event_type = 'view'), 0) AS view
+FROM events GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2740,6 +2916,11 @@ QUERIES = {
     "heavy_tokens_sketch": q_heavy_tokens_sketch,
     "anti_join_bloom": q_anti_join_bloom,
     "curate_corpus": q_curate_corpus,
+    "value_histogram": q_value_histogram,
+    "event_sequences": q_event_sequences,
+    "outlier_filter": q_outlier_filter,
+    "melt_measures": q_melt_measures,
+    "pivot_events": q_pivot_events,
 }
 
 ORACLE_SQL = {
@@ -2793,6 +2974,11 @@ ORACLE_SQL = {
     "heavy_tokens_sketch": SQL_HEAVY_TOKENS,
     "anti_join_bloom": SQL_ANTI_JOIN,
     "curate_corpus": SQL_CURATE,
+    "value_histogram": SQL_HISTOGRAM,
+    "event_sequences": SQL_EVENT_SEQ,
+    "outlier_filter": SQL_OUTLIER,
+    "melt_measures": SQL_MELT,
+    "pivot_events": SQL_PIVOT,
     # hll_distinct / price_quantiles_tdigest are approximate sketches —
     # rows-only by design (accuracy pytest-verified)
     # lang_id / winnow / minhash / simhash / knn_lsh / media_* are not
