@@ -2842,6 +2842,44 @@ FROM events GROUP BY user_id
 """
 
 
+def q_bucketed_join(sf_dir: str):
+    """Bucket-aligned join (sources/bucketed.py): both tables are
+    written hash-bucketed on the join key ONCE (the only shuffle this
+    layout ever pays), then the join runs one task per bucket reading
+    its aligned files from both sides — zero exchange.  The production
+    pattern for fact-table families sharing a key at 100 TB; this query
+    exercises write + verify-spec + aligned join end-to-end."""
+    import os
+    import shutil
+
+    from ..sources.bucketed import bucketed_join, write_bucketed
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = f"/tmp/ae_buckets_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"], split=True)
+    items = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity"], split=True
+    )
+    items = items.map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "l_linenumber", "l_quantity"]),
+        batch_format="pyarrow",
+    )
+    write_bucketed(orders, f"{base}/orders", "o_orderkey", 32)
+    write_bucketed(items, f"{base}/lineitem", "o_orderkey", 32)
+    joined = bucketed_join(f"{base}/orders", f"{base}/lineitem", "o_orderkey")
+    return joined.map_batches(
+        lambda df: df[["o_orderkey", "o_totalprice", "l_linenumber", "l_quantity"]],
+        batch_format="pandas",
+    )
+
+
+SQL_BUCKETED_JOIN = """
+SELECT o.o_orderkey, o.o_totalprice, l.l_linenumber, l.l_quantity
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2921,6 +2959,7 @@ QUERIES = {
     "outlier_filter": q_outlier_filter,
     "melt_measures": q_melt_measures,
     "pivot_events": q_pivot_events,
+    "bucketed_join": q_bucketed_join,
 }
 
 ORACLE_SQL = {
@@ -2979,6 +3018,7 @@ ORACLE_SQL = {
     "outlier_filter": SQL_OUTLIER,
     "melt_measures": SQL_MELT,
     "pivot_events": SQL_PIVOT,
+    "bucketed_join": SQL_BUCKETED_JOIN,
     # hll_distinct / price_quantiles_tdigest are approximate sketches —
     # rows-only by design (accuracy pytest-verified)
     # lang_id / winnow / minhash / simhash / knn_lsh / media_* are not
