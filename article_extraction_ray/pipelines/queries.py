@@ -2880,6 +2880,144 @@ FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 """
 
 
+def q_set_intersect(sf_dir: str):
+    """Distinct INTERSECT (tabular.set_op): users who both clicked and
+    purchased.  Each side partially dedupes per batch before the one
+    distinct-key shuffle — the raw events never move."""
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type"], split=True)
+    from .tabular import set_op
+
+    clicks = ev.filter(expr="event_type == 'click'")
+    buys = ev.filter(expr="event_type == 'purchase'")
+    return set_op(clicks, buys, "user_id", "intersect")
+
+
+SQL_SET_INTERSECT = """
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
+def q_set_except(sf_dir: str):
+    """Distinct EXCEPT: users with a high-value purchase but no
+    high-value error."""
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type", "value"], split=True)
+    from .tabular import set_op
+
+    hi = ev.filter(expr="value > 90")
+    buys = hi.filter(expr="event_type == 'purchase'")
+    errs = hi.filter(expr="event_type == 'error'")
+    return set_op(buys, errs, "user_id", "except")
+
+
+SQL_SET_EXCEPT = """
+SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 90
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'error' AND value > 90
+"""
+
+
+def q_rollup_orders(sf_dir: str):
+    """GROUP BY ROLLUP(status, priority): the finest level is ONE
+    partial-combined distributed aggregate; the coarser levels are
+    re-aggregated from that already-tiny result (|statuses×priorities|
+    rows) in a single final task — never a second pass over the fact
+    table.  ``grp`` is the SQL GROUPING() id (bit0 = priority rolled)."""
+    ds = read_table(
+        sf_dir, "orders", columns=["o_orderstatus", "o_orderpriority", "o_totalprice"], split=True
+    )
+    fine = grouped_aggregate(
+        ds,
+        ["o_orderstatus", "o_orderpriority"],
+        {"n_orders": ("count", None), "sum_price": ("sum", "o_totalprice")},
+    )
+
+    def rollup(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["grp"] = 0
+        sub = (
+            df.groupby("o_orderstatus", as_index=False)
+            .agg(n_orders=("n_orders", "sum"), sum_price=("sum_price", "sum"))
+            .assign(o_orderpriority=None, grp=1)
+        )
+        total = pd.DataFrame(
+            {
+                "o_orderstatus": [None],
+                "o_orderpriority": [None],
+                "n_orders": [df["n_orders"].sum()],
+                "sum_price": [df["sum_price"].sum()],
+                "grp": [3],
+            }
+        )
+        out = pd.concat([df, sub, total], ignore_index=True)
+        out["sum_price"] = out["sum_price"].round(2)
+        return out[["o_orderstatus", "o_orderpriority", "n_orders", "sum_price", "grp"]]
+
+    return fine.repartition(1).map_batches(rollup, batch_format="pandas")
+
+
+SQL_ROLLUP = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price,
+       CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS grp
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+
+def q_ntile_orders(sf_dir: str):
+    """ntile(4) + percent_rank() over account balance within market
+    segment — the missing rank-family windows.  Needs each partition's
+    row COUNT before a rank can become a quartile, so the per-bucket
+    scan computes (rn, cnt) in one vectorized pass; ntile reproduces
+    SQL's earlier-buckets-get-the-remainder rule exactly."""
+    ds = read_table(
+        sf_dir, "customer", columns=["c_custkey", "c_mktsegment", "c_acctbal"], split=True
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        seg = batch["c_mktsegment"].to_numpy(zero_copy_only=False)
+        b = pd.util.hash_array(seg.astype(object)) % np.uint64(16)
+        return batch.append_column("bucket", pa.array(b.astype(np.int32)))
+
+    def windows(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["bucket"]).sort_values(
+            ["c_mktsegment", "c_acctbal", "c_custkey"], kind="stable"
+        )
+        g = df.groupby("c_mktsegment", sort=False)
+        rn = g.cumcount().to_numpy()  # 0-based rank (order is unique)
+        cnt = g["c_custkey"].transform("size").to_numpy()
+        n = 4
+        base, rem = cnt // n, cnt % n
+        big = base + 1
+        cutoff = rem * big
+        in_big = rn < cutoff
+        tile = np.where(
+            in_big, rn // np.maximum(big, 1), rem + (rn - cutoff) // np.maximum(base, 1)
+        ) + 1
+        df["quartile"] = tile.astype(np.int64)
+        pr = np.where(cnt > 1, rn / np.maximum(cnt - 1, 1), 0.0)
+        df["pct_rank"] = np.round(pr, 9)
+        return df
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(windows, batch_format="pandas")
+    )
+
+
+SQL_NTILE = """
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       round(percent_rank() OVER w, 9) AS pct_rank
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2960,6 +3098,10 @@ QUERIES = {
     "melt_measures": q_melt_measures,
     "pivot_events": q_pivot_events,
     "bucketed_join": q_bucketed_join,
+    "set_intersect": q_set_intersect,
+    "set_except": q_set_except,
+    "rollup_orders": q_rollup_orders,
+    "ntile_orders": q_ntile_orders,
 }
 
 ORACLE_SQL = {
@@ -3019,6 +3161,10 @@ ORACLE_SQL = {
     "melt_measures": SQL_MELT,
     "pivot_events": SQL_PIVOT,
     "bucketed_join": SQL_BUCKETED_JOIN,
+    "set_intersect": SQL_SET_INTERSECT,
+    "set_except": SQL_SET_EXCEPT,
+    "rollup_orders": SQL_ROLLUP,
+    "ntile_orders": SQL_NTILE,
     # hll_distinct / price_quantiles_tdigest are approximate sketches —
     # rows-only by design (accuracy pytest-verified)
     # lang_id / winnow / minhash / simhash / knn_lsh / media_* are not

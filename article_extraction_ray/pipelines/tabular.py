@@ -451,3 +451,49 @@ def topk(ds, col, k: int, *, descending=True):
         return df.sort_values(cols, ascending=asc, kind="stable").head(k)
 
     return ds.map_batches(local, batch_format="pandas").sort(cols, descending=desc).limit(k)
+
+
+def set_op(left, right, column: str, op: str):
+    """Distributed distinct INTERSECT / EXCEPT on one key column
+    (SURVEY §2g — the reference has no set ops; these complete the
+    relational surface).
+
+    Plan: each side's batches partially dedupe to (key, side-flag)
+    rows — so at most one row per distinct key per batch crosses the
+    wire, never the raw table — the union groups by key with max()
+    side flags, and a final filter applies the membership rule.  One
+    shuffle of distinct keys; both inputs stream.
+    """
+    if op not in ("intersect", "except"):
+        raise ValueError(f"op must be intersect|except, got {op!r}")
+    from ray.data.aggregate import Max
+
+    def tag(l_flag: int, r_flag: int):
+        def f(batch: pa.Table) -> pa.Table:
+            t = pa.table(
+                {
+                    column: batch[column],
+                    "__l": pa.array(np.full(len(batch), l_flag, dtype=np.int8)),
+                    "__r": pa.array(np.full(len(batch), r_flag, dtype=np.int8)),
+                }
+            )
+            g = pa.TableGroupBy(t, [column]).aggregate([("__l", "max"), ("__r", "max")])
+            return g.rename_columns([column, "__l", "__r"])
+
+        return f
+
+    tagged = left.map_batches(tag(1, 0), batch_format="pyarrow").union(
+        right.map_batches(tag(0, 1), batch_format="pyarrow")
+    )
+    merged = tagged.groupby(column).aggregate(
+        Max("__l", alias_name="__l"), Max("__r", alias_name="__r")
+    )
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        in_l = pc.equal(batch["__l"], 1)
+        in_r = pc.equal(batch["__r"], 1)
+        mask = pc.and_(in_l, in_r) if op == "intersect" else pc.and_(in_l, pc.invert(in_r))
+        return batch.filter(mask).select([column])
+
+    return merged.map_batches(keep, batch_format="pyarrow")
