@@ -3018,6 +3018,131 @@ WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
 """
 
 
+def _doc_token_pairs(batch: pa.Table) -> pd.DataFrame:
+    """Explode (doc_id, token) pairs vectorized — list lengths repeat the
+    doc ids, no Python loop over rows or tokens."""
+    import pyarrow.compute as pc
+
+    col = batch["text"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    toks = pc.split_pattern(col, " ")
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    flat = np.asarray(toks.values)
+    docs = np.repeat(batch["doc_id"].to_numpy(zero_copy_only=False), lens)
+    return pd.DataFrame({"doc_id": docs, "token": flat})
+
+
+def q_tfidf_top_terms(sf_dir: str):
+    """TF-IDF top-3 terms per document.  tf needs NO shuffle (a doc's
+    text lives in one row, so per-batch groupby is complete); df is one
+    partial-combined token aggregate whose result (≤ vocab rows) is
+    broadcast back as the idf map.  Ranking is integer-deterministic
+    (tf desc, df asc, token) — tfidf is reported, never compared as a
+    sort key, so float ties can't flip rows vs the oracle.  At web
+    scale swap the idf broadcast for a bucketed join on token when the
+    vocab outgrows the object store (same propose/confirm shape as
+    heavy_tokens_sketch)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+    n_docs = ds.count()
+
+    def df_partial(batch: pa.Table) -> pd.DataFrame:
+        pairs = _doc_token_pairs(batch).drop_duplicates()
+        vc = pairs["token"].value_counts()
+        return pd.DataFrame({"token": vc.index, "dfc": vc.to_numpy()})
+
+    df_tbl = (
+        grouped_aggregate(
+            ds.map_batches(df_partial, batch_format="pyarrow"), ["token"], {"dfc": ("sum", "dfc")}
+        )
+        .to_pandas()
+    )
+    idf = Broadcast(dict(zip(df_tbl["token"], df_tbl["dfc"].astype(np.int64))))
+
+    def tfidf(batch: pa.Table) -> pd.DataFrame:
+        dfm = idf.get()
+        tf = (
+            _doc_token_pairs(batch)
+            .groupby(["doc_id", "token"], as_index=False)
+            .size()
+            .rename(columns={"size": "tf"})
+        )
+        tf["df"] = tf["token"].map(dfm).astype(np.int64)
+        tf["tfidf"] = (tf["tf"] * np.log(n_docs / tf["df"])).round(6)
+        tf = tf.sort_values(
+            ["doc_id", "tf", "df", "token"], ascending=[True, False, True, True], kind="stable"
+        )
+        return tf.groupby("doc_id", sort=False).head(3)
+
+    return ds.map_batches(tfidf, batch_format="pyarrow")
+
+
+SQL_TFIDF = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY token),
+n AS (SELECT count(*) AS n FROM documents)
+SELECT doc_id, token, tf, df, round(tf * ln(n / df), 6) AS tfidf
+FROM tf JOIN df USING (token) CROSS JOIN n
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, df, token) <= 3
+"""
+
+
+def q_vocab_build(sf_dir: str):
+    """Frequency-ranked vocabulary: token → contiguous id by (count
+    desc, token).  Global rank WITHOUT a global sort: counts bucket into
+    ORDER-ALIGNED log2(cnt) ranges (every count in a higher bucket
+    outranks every count in a lower one by construction), per-bucket
+    sizes fold to exclusive offsets on the driver (≤64 ints), and each
+    bucket sorts locally adding its offset — the same two-pass rank
+    shape as stages/scan.grouped_prefix_sum."""
+    ds = read_table(sf_dir, "documents", columns=["text"], split=True)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = np.asarray(pa.compute.split_pattern(col, " ").values)
+        vc = pd.Series(flat).value_counts()
+        return pd.DataFrame({"token": vc.index, "cnt": vc.to_numpy()})
+
+    counts = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"), ["token"], {"cnt": ("sum", "cnt")}
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        cnt = batch["cnt"].to_numpy(zero_copy_only=False)
+        bucket = np.log2(np.maximum(cnt, 1)).astype(np.int64)
+        return batch.append_column("__bucket", pa.array(bucket))
+
+    tagged = counts.map_batches(tag, batch_format="pyarrow")
+    sizes = (
+        grouped_aggregate(tagged, ["__bucket"], {"sz": ("count", None)})
+        .to_pandas()
+        .sort_values("__bucket", ascending=False)
+    )
+    sizes["off"] = sizes["sz"].cumsum() - sizes["sz"]
+    offsets = Broadcast(dict(zip(sizes["__bucket"].astype(int), sizes["off"].astype(int))))
+
+    def rank_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        off = offsets.get()[int(df["__bucket"].iloc[0])]
+        df = df.drop(columns="__bucket").sort_values(
+            ["cnt", "token"], ascending=[False, True], kind="stable"
+        )
+        df["token_id"] = np.arange(off, off + len(df), dtype=np.int64)
+        return df
+
+    return tagged.groupby("__bucket").map_groups(rank_bucket, batch_format="pandas")
+
+
+SQL_VOCAB = """
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token)
+SELECT token, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, token) - 1 AS BIGINT) AS token_id
+FROM counts
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3102,6 +3227,8 @@ QUERIES = {
     "set_except": q_set_except,
     "rollup_orders": q_rollup_orders,
     "ntile_orders": q_ntile_orders,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "vocab_build": q_vocab_build,
 }
 
 ORACLE_SQL = {
@@ -3165,6 +3292,8 @@ ORACLE_SQL = {
     "set_except": SQL_SET_EXCEPT,
     "rollup_orders": SQL_ROLLUP,
     "ntile_orders": SQL_NTILE,
+    "tfidf_top_terms": SQL_TFIDF,
+    "vocab_build": SQL_VOCAB,
     # hll_distinct / price_quantiles_tdigest are approximate sketches —
     # rows-only by design (accuracy pytest-verified)
     # lang_id / winnow / minhash / simhash / knn_lsh / media_* are not
