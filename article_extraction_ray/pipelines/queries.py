@@ -3143,6 +3143,216 @@ FROM counts
 """
 
 
+def q_inverted_index(sf_dir: str):
+    """token → (df, sorted posting list).  A doc's text is row-local, so
+    (doc_id, token) pairs are already distinct after a per-batch dedupe —
+    no cross-batch combine needed; postings then co-locate by a coarse
+    token-hash bucket (the ordered-collect shape of q_event_sequences)
+    and each bucket emits its tokens' sorted lists.  Postings are
+    comma-joined strings so the value hash is representation-stable.
+    At web scale the posting list of a stopword is the hot key — cap or
+    tier those tokens (df above a threshold → store df only), which is
+    what real engines do with stopword postings anyway."""
+    import zlib
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+
+    def pairs(batch: pa.Table) -> pd.DataFrame:
+        df = _doc_token_pairs(batch).drop_duplicates()
+        tok = df["token"].to_numpy()
+        df["bucket"] = np.fromiter(
+            (zlib.crc32(t.encode()) % 64 for t in tok), dtype=np.int32, count=len(tok)
+        )
+        return df
+
+    def collect(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["token", "doc_id"], kind="stable")
+        agg = g.groupby("token", sort=False)["doc_id"].agg(
+            df="size", postings=lambda s: ",".join(map(str, s))
+        )
+        out = agg.reset_index()
+        out["df"] = out["df"].astype(np.int64)
+        return out[["token", "df", "postings"]]
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lambda df: collect(df.drop(columns="bucket")), batch_format="pandas")
+    )
+
+
+SQL_INVERTED_INDEX = """
+WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+SELECT token, CAST(count(*) AS BIGINT) AS df,
+       array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+FROM toks GROUP BY token
+"""
+
+
+def _doc_bigrams(batch: pa.Table) -> pd.DataFrame:
+    """Explode (doc_id, w1, w2) consecutive-token pairs vectorized: flat
+    token array + per-doc lengths → boolean masks select all-but-last
+    (w1) and all-but-first (w2) positions per doc.  No Python loop."""
+    import pyarrow.compute as pc
+
+    col = batch["text"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    toks = pc.split_pattern(col, " ")
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = np.asarray(toks.values)
+    ends = np.cumsum(lens)  # one past each doc's last flat index
+    not_last = np.ones(len(flat), dtype=bool)
+    not_last[ends - 1] = False  # drop each doc's final token from w1
+    w1 = flat[not_last]
+    not_first = np.ones(len(flat), dtype=bool)
+    not_first[ends[:-1]] = False  # drop each doc's first token from w2
+    not_first[0] = False
+    w2 = flat[not_first]
+    docs = np.repeat(
+        batch["doc_id"].to_numpy(zero_copy_only=False), np.maximum(lens - 1, 0)
+    )
+    return pd.DataFrame({"doc_id": docs, "w1": w1, "w2": w2})
+
+
+def q_bigram_lm_score(sf_dir: str):
+    """CCNet-style LM quality signal: train a bigram MLE model on the
+    corpus itself (one partial-combined (w1,w2) count aggregate; unigram
+    context counts fold from it), broadcast the model, and score each
+    document's mean log P(w2|w1) in a second streaming pass.  Every
+    bigram was seen ≥1 (trained on the same corpus) so MLE needs no
+    smoothing and the score is exact.  At web scale the model table
+    outgrows the object store → shard the counts by hash(w1) and score
+    via a bucketed join on w1 (same propose/confirm shape as
+    heavy_tokens_sketch); the two-pass train-then-score structure is
+    unchanged."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        vc = _doc_bigrams(batch).groupby(["w1", "w2"], as_index=False).size()
+        return vc.rename(columns={"size": "c12"})
+
+    cnt = (
+        grouped_aggregate(
+            ds.map_batches(partial, batch_format="pyarrow"), ["w1", "w2"], {"c12": ("sum", "c12")}
+        )
+        .to_pandas()
+    )
+    uni = cnt.groupby("w1")["c12"].sum()
+    logp = dict(
+        zip(
+            zip(cnt["w1"], cnt["w2"]),
+            np.log(cnt["c12"].to_numpy(dtype=np.float64) / uni[cnt["w1"]].to_numpy(dtype=np.float64)),
+        )
+    )
+    model = Broadcast(logp)
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        m = model.get()
+        big = _doc_bigrams(batch)
+        if big.empty:
+            return pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"), "n_bigrams": pd.Series(dtype="int64"),
+                 "avg_logp": pd.Series(dtype="float64")}
+            )
+        big["lp"] = [m[(a, b)] for a, b in zip(big["w1"], big["w2"])]
+        out = big.groupby("doc_id", as_index=False).agg(
+            n_bigrams=("lp", "size"), avg_logp=("lp", "mean")
+        )
+        out["n_bigrams"] = out["n_bigrams"].astype(np.int64)
+        out["avg_logp"] = out["avg_logp"].round(6)
+        return out
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+SQL_BIGRAM_LM = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+big AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+        FROM toks, unnest(range(1, len(ts))) AS u(i)),
+cnt AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2),
+uni AS (SELECT w1, sum(c12) AS c1 FROM cnt GROUP BY w1),
+scored AS (SELECT b.doc_id, ln(cnt.c12 / uni.c1) AS lp
+           FROM big b JOIN cnt USING (w1, w2) JOIN uni USING (w1))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, round(avg(lp), 6) AS avg_logp
+FROM scored GROUP BY doc_id
+"""
+
+
+def q_domain_mixture(sf_dir: str):
+    """Temperature-scaled domain resampling (multilingual-mixing style,
+    α=0.5, target = half the corpus): per-domain keep rate r_d =
+    min(1, T·(n_d^α/Σn^α)/n_d), membership decided per doc by a
+    Knuth multiplicative hash ((doc_id·2654435761) mod 2^32) against
+    floor(r_d·2^32) — pure int64 arithmetic, bit-identical in numpy and
+    SQL, no md5 loop.  One tiny count aggregate trains the rates; the
+    keep decision is a stateless vectorized filter, so the full corpus
+    streams once and only per-domain counts shuffle.  The float rate
+    math is written in the same operation order as the oracle SQL so
+    float64 determinism carries the equality."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"], split=True)
+    d = grouped_aggregate(ds, ["source"], {"n_in": ("count", None)}).to_pandas()
+    n = d["n_in"].to_numpy(dtype=np.float64)
+    denom = np.power(n, 0.5).sum()
+    target = 0.5 * n.sum()
+    rate = np.minimum(1.0, target * (np.power(n, 0.5) / denom) / n)
+    thr = np.floor(rate * 4294967296.0).astype(np.int64)
+    rates = Broadcast(
+        {s: (t, r) for s, t, r in zip(d["source"], thr, rate)}
+    )
+
+    def keep_counts(batch: pa.Table) -> pd.DataFrame:
+        rm = rates.get()
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        h = (batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64) * 2654435761) % 4294967296
+        t = np.fromiter((rm[s][0] for s in src), dtype=np.int64, count=len(src))
+        df = pd.DataFrame({"source": src, "kept": (h < t).astype(np.int64)})
+        out = df.groupby("source", as_index=False).agg(n_kept=("kept", "sum"), n=("kept", "size"))
+        return out
+
+    agg = grouped_aggregate(
+        ds.map_batches(keep_counts, batch_format="pyarrow"),
+        ["source"],
+        {"n_kept": ("sum", "n_kept")},
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        rm = rates.get()
+        df["n_in"] = df["source"].map({s: int(v) for s, v in zip(d["source"], d["n_in"])}).astype(np.int64)
+        df["rate"] = df["source"].map({s: rm[s][1] for s in df["source"]}).round(6)
+        df["n_kept"] = df["n_kept"].astype(np.int64)
+        return df[["source", "n_in", "n_kept", "rate"]]
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+SQL_DOMAIN_MIXTURE = """
+WITH d AS (SELECT source, CAST(count(*) AS BIGINT) AS n_in FROM documents GROUP BY source),
+tot AS (SELECT sum(pow(n_in, 0.5)) AS denom, 0.5 * sum(n_in) AS target FROM d),
+rates AS (SELECT source, n_in,
+                 least(1.0, target * (pow(n_in, 0.5) / denom) / n_in) AS rate
+          FROM d CROSS JOIN tot)
+SELECT r.source, r.n_in,
+       CAST(count(*) FILTER (((doc_id * 2654435761) % 4294967296)
+            < CAST(floor(r.rate * 4294967296) AS BIGINT)) AS BIGINT) AS n_kept,
+       round(r.rate, 6) AS rate
+FROM documents JOIN rates r USING (source)
+GROUP BY r.source, r.n_in, r.rate
+"""
+
+
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup (cluster-then-prune embedding dedup) over the embeddings
+    table — k-means routes the O(N²) cosine work into bounded
+    per-cluster blocks; see stages/clustering.semantic_dedup.  Iterative
+    fit → rows-only driver check; determinism + planted-duplicate
+    recall are pytest-verified (tests/test_clustering.py)."""
+    from ..stages.clustering import semantic_dedup
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"], split=True)
+    return semantic_dedup(ds, k=8, threshold=0.97, iters=8, seed=17)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3229,6 +3439,10 @@ QUERIES = {
     "ntile_orders": q_ntile_orders,
     "tfidf_top_terms": q_tfidf_top_terms,
     "vocab_build": q_vocab_build,
+    "inverted_index": q_inverted_index,
+    "bigram_lm_score": q_bigram_lm_score,
+    "domain_mixture": q_domain_mixture,
+    "semantic_dedup": q_semantic_dedup,
 }
 
 ORACLE_SQL = {
@@ -3294,6 +3508,9 @@ ORACLE_SQL = {
     "ntile_orders": SQL_NTILE,
     "tfidf_top_terms": SQL_TFIDF,
     "vocab_build": SQL_VOCAB,
+    "inverted_index": SQL_INVERTED_INDEX,
+    "bigram_lm_score": SQL_BIGRAM_LM,
+    "domain_mixture": SQL_DOMAIN_MIXTURE,
     # hll_distinct / price_quantiles_tdigest are approximate sketches —
     # rows-only by design (accuracy pytest-verified)
     # lang_id / winnow / minhash / simhash / knn_lsh / media_* are not

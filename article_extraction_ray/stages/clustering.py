@@ -240,3 +240,57 @@ def knn_ivf(
         return g
 
     return scored.groupby("query_id").map_groups(per_query_topk, batch_format="pandas")
+
+
+def semantic_dedup(
+    ds,
+    *,
+    k: int = 16,
+    threshold: float = 0.92,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 10,
+    seed: int = 17,
+):
+    """SemDeDup-style embedding dedup (Abbas et al. 2023, arXiv
+    2303.09540): cluster the corpus with distributed k-means, then prune
+    WITHIN each cluster only — greedy by ascending id, a row is dropped
+    when its cosine to any already-kept row of the same cluster exceeds
+    ``threshold``.  Pairwise work is O(Σ n_c²) instead of O(N²); at web
+    scale k grows with N so per-cluster size (and per-group memory)
+    stays constant, and the only shuffle is the groupby(cluster) —
+    vectors never all-pairs across clusters.
+
+    Returns Dataset(id, cluster, keep, max_sim) where max_sim is the
+    max cosine to a kept earlier row (0 for the cluster's first row).
+    Deterministic: seeded k-means + id-ordered greedy.
+    """
+    cents = kmeans_fit(ds, k, id_col=id_col, vec_col=vec_col, iters=iters, seed=seed)
+    assigned = kmeans_assign(ds, cents, vec_col=vec_col, out_col="cluster")
+
+    def prune(t: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        t = t.take(pc.sort_indices(t, sort_keys=[(id_col, "ascending")]))
+        mat = _normalize(_as_matrix(t[vec_col]))  # zero-copy list<float> → matrix
+        n = len(t)
+        sims = mat @ mat.T  # cluster-local, bounded by design
+        keep = np.zeros(n, dtype=bool)
+        max_sim = np.zeros(n, dtype=np.float64)
+        kept_idx: list[int] = []
+        for i in range(n):  # greedy order is inherently sequential,
+            if kept_idx:    # but all similarity math is the one matmul above
+                max_sim[i] = sims[i, kept_idx].max()
+            keep[i] = max_sim[i] <= threshold
+            if keep[i]:
+                kept_idx.append(i)
+        return pd.DataFrame(
+            {
+                id_col: t[id_col].to_numpy(zero_copy_only=False),
+                "cluster": t["cluster"].to_numpy(zero_copy_only=False),
+                "keep": keep,
+                "max_sim": np.round(max_sim, 6),
+            }
+        )
+
+    return assigned.groupby("cluster").map_groups(prune, batch_format="pyarrow")

@@ -98,3 +98,45 @@ class TestIVF:
         # self-hit: each query's own vector ranks first
         first = out1[out1["rank"] == 1]
         assert set(first["vec_id"]) == set(qids)
+
+
+class TestSemanticDedup:
+    """SemDeDup: planted near-duplicates are pruned, originals kept."""
+
+    def _planted_ds(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.default_rng(11)
+        base = rng.normal(0, 1, (300, 16))
+        # ids 1000+ are near-copies of ids 0..99 (tiny perturbation)
+        dups = base[:100] + rng.normal(0, 1e-4, (100, 16))
+        vecs = np.concatenate([base, dups]).astype(np.float32)
+        ids = np.concatenate([np.arange(300), np.arange(1000, 1100)]).astype(np.int64)
+        df = pd.DataFrame({"vec_id": ids, "embedding": list(vecs)})
+        return rd.from_pandas(df).repartition(6), df
+
+    def test_planted_dups_pruned_originals_kept(self, ray_session):
+        from article_extraction_ray.stages.clustering import semantic_dedup
+
+        ds, df = self._planted_ds(ray_session)
+        out = semantic_dedup(ds, k=12, threshold=0.99, iters=12, seed=3).to_pandas()
+        assert len(out) == 400
+        by_id = out.set_index("vec_id")
+        # identical-direction copies always share a cluster with their
+        # original (same argmax), so every planted dup must be dropped
+        assert not by_id.loc[np.arange(1000, 1100), "keep"].any()
+        # originals are greedy-first (smaller id) -> kept
+        assert by_id.loc[np.arange(100), "keep"].all()
+        # unrelated random vectors are far apart -> kept
+        assert by_id.loc[np.arange(100, 300), "keep"].all()
+
+    def test_deterministic_across_layouts(self, ray_session):
+        import ray.data as rd
+        from article_extraction_ray.stages.clustering import semantic_dedup
+
+        _, df = self._planted_ds(ray_session)
+        a = semantic_dedup(rd.from_pandas(df).repartition(3), k=12, threshold=0.99, seed=3).to_pandas()
+        b = semantic_dedup(rd.from_pandas(df).repartition(13), k=12, threshold=0.99, seed=3).to_pandas()
+        a = a.sort_values("vec_id").reset_index(drop=True)
+        b = b.sort_values("vec_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
