@@ -3341,6 +3341,119 @@ GROUP BY r.source, r.n_in, r.rate
 """
 
 
+def q_passage_dedup(sf_dir: str):
+    """MassiveText-style repeated-passage removal: docs split into
+    non-overlapping 8-token windows; a window survives only at its
+    globally FIRST occurrence (min (doc_id, widx)); each doc is then
+    rebuilt from its surviving windows in order.  Two shuffles, both
+    necessary: windows co-locate by a coarse text-hash bucket to elect
+    winners (per-batch partial min first, so one candidate per window
+    text per batch moves), winners co-locate by doc bucket to
+    reassemble.  Docs whose every window is a duplicate disappear —
+    same as the oracle's GROUP BY over kept rows.  At web scale shuffle
+    a 128-bit fingerprint instead of the window text in phase 1 and
+    semi-join the winners back against a re-explode (text then moves
+    zero times); the two-phase elect/reassemble shape is unchanged."""
+    import zlib
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        pairs = _doc_token_pairs(batch)
+        doc = pairs["doc_id"].to_numpy()
+        # within-doc token position without any per-row Python:
+        # boundaries where doc changes -> segment starts
+        n = len(doc)
+        if not n:
+            return pd.DataFrame({"doc_id": [], "widx": [], "wtext": []})
+        starts = np.flatnonzero(np.r_[True, doc[1:] != doc[:-1]])
+        seg_of = np.repeat(np.arange(len(starts)), np.diff(np.r_[starts, n]))
+        pos = np.arange(n) - starts[seg_of]
+        pairs["widx"] = (pos // 8).astype(np.int64)
+        w = (
+            pairs.groupby(["doc_id", "widx"], sort=False)["token"]
+            .agg(" ".join)
+            .rename("wtext")
+            .reset_index()
+        )
+        # per-batch partial: local first-occurrence per window text
+        w["okey"] = w["doc_id"] * np.int64(1 << 20) + w["widx"]
+        w = w.loc[w.groupby("wtext", sort=False)["okey"].idxmin()]
+        wt = w["wtext"].to_numpy()
+        w["bucket"] = np.fromiter(
+            (zlib.crc32(t.encode()) % 64 for t in wt), dtype=np.int32, count=len(wt)
+        )
+        return w
+
+    def elect(g: pd.DataFrame) -> pd.DataFrame:
+        win = g.loc[g.groupby("wtext", sort=False)["okey"].idxmin()]
+        win = win[["doc_id", "widx", "wtext"]].copy()
+        win["dbucket"] = (win["doc_id"].to_numpy() % 64).astype(np.int32)
+        return win
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "widx"], kind="stable")
+        out = g.groupby("doc_id", sort=False)["wtext"].agg(
+            n_kept="size", text_clean=" ".join
+        ).reset_index()
+        out["n_kept"] = out["n_kept"].astype(np.int64)
+        return out[["doc_id", "n_kept", "text_clean"]]
+
+    winners = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lambda g: elect(g.drop(columns="bucket")), batch_format="pandas")
+    )
+    return winners.groupby("dbucket").map_groups(
+        lambda g: reassemble(g.drop(columns="dbucket")), batch_format="pandas"
+    )
+
+
+SQL_PASSAGE_DEDUP = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+w AS (SELECT doc_id, CAST((i - 1) // 8 AS BIGINT) AS widx,
+             array_to_string(ts[i:i+7], ' ') AS wtext
+      FROM toks, unnest(range(1, len(ts)+1, 8)) AS u(i)),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY wtext ORDER BY doc_id, widx) AS rn FROM w)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       array_to_string(list(wtext ORDER BY widx), ' ') AS text_clean
+FROM ranked WHERE rn = 1 GROUP BY doc_id
+"""
+
+
+def q_left_join_orders(sf_dir: str):
+    """LEFT outer join through the big-big shuffle join: every customer
+    row survives, order-less customers carry NULL aggregates.  The
+    co-partitioned per-bucket merge makes outer semantics exact — a
+    bucket holds ALL rows of both sides for its keys, so pandas'
+    ``how="left"`` per bucket composes to the global left join."""
+    from .tabular import shuffle_join
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"], split=True)
+    agg = grouped_aggregate(
+        orders, ["o_custkey"], {"n_orders": ("count", None), "sum_price": ("sum", "o_totalprice")}
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_price"] = df["sum_price"].round(2)
+        df = df.rename(columns={"o_custkey": "c_custkey"})
+        return df
+
+    joined = shuffle_join(cust, agg.map_batches(finalize, batch_format="pandas"),
+                          on="c_custkey", how="left")
+    return joined
+
+
+SQL_LEFT_JOIN = """
+WITH agg AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+                    round(sum(o_totalprice), 2) AS sum_price
+             FROM orders GROUP BY o_custkey)
+SELECT c_custkey, c_mktsegment, n_orders, sum_price
+FROM customer LEFT JOIN agg ON c_custkey = o_custkey
+"""
+
+
 def q_semantic_dedup(sf_dir: str):
     """SemDeDup (cluster-then-prune embedding dedup) over the embeddings
     table — k-means routes the O(N²) cosine work into bounded
@@ -3443,6 +3556,8 @@ QUERIES = {
     "bigram_lm_score": q_bigram_lm_score,
     "domain_mixture": q_domain_mixture,
     "semantic_dedup": q_semantic_dedup,
+    "passage_dedup": q_passage_dedup,
+    "left_join_orders": q_left_join_orders,
 }
 
 ORACLE_SQL = {
@@ -3511,6 +3626,8 @@ ORACLE_SQL = {
     "inverted_index": SQL_INVERTED_INDEX,
     "bigram_lm_score": SQL_BIGRAM_LM,
     "domain_mixture": SQL_DOMAIN_MIXTURE,
+    "passage_dedup": SQL_PASSAGE_DEDUP,
+    "left_join_orders": SQL_LEFT_JOIN,
     # hll_distinct / price_quantiles_tdigest are approximate sketches —
     # rows-only by design (accuracy pytest-verified)
     # lang_id / winnow / minhash / simhash / knn_lsh / media_* are not
