@@ -3454,6 +3454,36 @@ FROM customer LEFT JOIN agg ON c_custkey = o_custkey
 """
 
 
+def q_incremental_dedup(sf_dir: str):
+    """Cross-snapshot near-dup detection against a PERSISTED minhash
+    index (stages/dedup.write_minhash_index): history = even doc_ids,
+    new snapshot = odd.  History text is read once to build the index
+    (band rows + signatures, hive-partitioned); the incremental pass
+    then touches only index partitions its own hashes occupy and
+    verifies on stored signatures — the production crawl-dedup shape
+    where each snapshot collides against all prior history.  Rows-only
+    (LSH estimator); planted-dup recall + pruning are pytest-verified
+    (tests/test_dedup.py::TestIncrementalMinhash)."""
+    import tempfile
+
+    from ..stages.dedup import minhash_dedup_incremental, write_minhash_index
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+    def parity(p: int):
+        def f(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), p))
+
+        return f
+
+    hist = ds.map_batches(parity(0), batch_format="pyarrow")
+    new = ds.map_batches(parity(1), batch_format="pyarrow")
+    idx = tempfile.mkdtemp(prefix="ae_mh_index_")
+    write_minhash_index(hist, idx)
+    return minhash_dedup_incremental(new, idx, threshold=0.5)
+
+
 def q_semantic_dedup(sf_dir: str):
     """SemDeDup (cluster-then-prune embedding dedup) over the embeddings
     table — k-means routes the O(N²) cosine work into bounded
@@ -3558,6 +3588,7 @@ QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "passage_dedup": q_passage_dedup,
     "left_join_orders": q_left_join_orders,
+    "incremental_dedup": q_incremental_dedup,
 }
 
 ORACLE_SQL = {

@@ -847,3 +847,171 @@ def embedding_dup_pairs(ds, all_vectors: np.ndarray, all_ids: np.ndarray, *, thr
         )
 
     return ds.map_batches(pairs, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup against a persisted index (new snapshot vs history)
+# ---------------------------------------------------------------------------
+
+
+def write_minhash_index(ds, index_dir: str, *, k: int = _DEFAULT_K,
+                        bands: int = _DEFAULT_BANDS, n: int = 3, seed: int = 7,
+                        id_col: str = "doc_id", text_col: str = "text") -> None:
+    """Persist a corpus's minhash state so LATER snapshots can dedupe
+    against it without re-reading historical text — the production shape
+    of crawl dedup (each new snapshot collides against all history).
+
+    Two hive-partitioned parquet tables under ``index_dir``:
+
+    - ``bands/`` (doc_id, band_id, band_hash) partitioned by
+      ``bbucket = band_hash % 64`` — an incremental run reads ONLY the
+      buckets its own band hashes land in (partition pruning, no scan
+      of the rest of history);
+    - ``sigs/``  (doc_id, sig fixed_size_list<int64, k>) partitioned by
+      ``sbucket = doc_id % 64`` — candidate verification fetches just
+      the partitions holding candidate ids.
+
+    Text is never stored; the index is ~(8·bands + 8·k) bytes/doc.
+    """
+    cfg = (k, bands, n, seed, id_col, text_col)
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        t = _band_rows_fn(batch, cfg)
+        b = (t["band_hash"].to_numpy() % 64).astype(np.int32)
+        return t.append_column("bbucket", pa.array(b))
+
+    ds.map_batches(band_rows, batch_format="pyarrow").write_parquet(
+        f"{index_dir}/bands", partition_cols=["bbucket"]
+    )
+
+    params = _rng_params(k, seed)
+
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sigs = batch_minhash_signatures(batch[text_col].to_pylist(), k=k, n=n, params=params)
+        flat = pa.array(sigs.reshape(-1).view(np.int64))
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids),
+                pa.FixedSizeListArray.from_arrays(flat, k),
+                pa.array((ids % 64).astype(np.int32)),
+            ],
+            names=["doc_id", "sig", "sbucket"],
+        )
+
+    ds.map_batches(sig_rows, batch_format="pyarrow").write_parquet(
+        f"{index_dir}/sigs", partition_cols=["sbucket"]
+    )
+
+
+def minhash_dedup_incremental(ds_new, index_dir: str, *, threshold: float = 0.5,
+                              k: int = _DEFAULT_K, bands: int = _DEFAULT_BANDS,
+                              n: int = 3, seed: int = 7, id_col: str = "doc_id",
+                              text_col: str = "text") -> pd.DataFrame:
+    """New-snapshot docs that near-duplicate any INDEXED historical doc
+    → DataFrame(id_new, id_old, n_bands, est_jaccard ≥ threshold).
+
+    The new snapshot streams once into band rows; historical band rows
+    load only for the partitions the new hashes occupy; the per-bucket
+    merge is new×old only (no old×old or new×new pairs — those belong
+    to the snapshots' own dedup runs).  Verification compares stored
+    k-wide signatures (estimated Jaccard = fraction of agreeing
+    minhashes) — history text is never touched.  Id spaces of snapshot
+    and history must be disjoint (sig rows union for the verify join).
+    """
+    import ray.data as rd
+
+    cfg = (k, bands, n, seed, id_col, text_col)
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        t = _band_rows_fn(batch, cfg)
+        b = (t["band_hash"].to_numpy() % 64).astype(np.int32)
+        return t.append_column("bbucket", pa.array(b))
+
+    new_bands = ds_new.map_batches(band_rows, batch_format="pyarrow")
+
+    def tag(side_new: bool):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column("__new", pa.array(np.full(len(t), side_new)))
+        return f
+
+    def fix_bucket(t: pa.Table) -> pa.Table:
+        # hive partition values parse back as strings
+        i = t.schema.get_field_index("bbucket")
+        return t.set_column(i, "bbucket", t["bbucket"].cast(pa.int32()))
+
+    old_bands = rd.read_parquet(f"{index_dir}/bands").map_batches(
+        fix_bucket, batch_format="pyarrow"
+    )
+
+    def pair_gen(g: pd.DataFrame) -> pd.DataFrame:
+        nw = g[g["__new"]][["band_id", "band_hash", "doc_id"]].drop_duplicates()
+        od = g[~g["__new"]][["band_id", "band_hash", "doc_id"]].drop_duplicates()
+        m = nw.merge(od, on=["band_id", "band_hash"], suffixes=("_new", "_old"))
+        return pd.DataFrame(
+            {"id_a": m["doc_id_new"].to_numpy(), "id_b": m["doc_id_old"].to_numpy()}
+        )
+
+    pairs = (
+        new_bands.map_batches(tag(True), batch_format="pyarrow")
+        .union(old_bands.map_batches(tag(False), batch_format="pyarrow"))
+        .groupby("bbucket")
+        .map_groups(lambda g: pair_gen(g.drop(columns="bbucket")), batch_format="pandas")
+        .to_pandas()
+    )
+    empty = pd.DataFrame(
+        {"id_new": pd.Series(dtype="int64"), "id_old": pd.Series(dtype="int64"),
+         "n_bands": pd.Series(dtype="int64"), "est_jaccard": pd.Series(dtype="float64")}
+    )
+    if pairs.empty:
+        return empty
+    cand = pairs.groupby(["id_a", "id_b"], sort=False).size().rename("n_bands").reset_index()
+
+    # verify on signatures: union the new snapshot's sig rows with the
+    # pruned historical sig partitions, then the standard distributed
+    # pair-join scorer (text/sigs never hit the driver)
+    params = _rng_params(k, seed)
+
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sigs = batch_minhash_signatures(batch[text_col].to_pylist(), k=k, n=n, params=params)
+        flat = pa.array(sigs.reshape(-1).view(np.int64))
+        return pa.Table.from_arrays(
+            [pa.array(ids), pa.FixedSizeListArray.from_arrays(flat, k)],
+            names=["doc_id", "sig"],
+        )
+
+    old_ids = np.unique(cand["id_b"].to_numpy())
+    from ray.data.datasource.partitioning import PathPartitionFilter
+
+    keep_parts = {str(b) for b in np.unique(old_ids % 64)}
+    old_sigs = rd.read_parquet(
+        f"{index_dir}/sigs",
+        # path-level hive pruning: only partitions holding candidate ids
+        # are even listed, the rest of history is never opened
+        partition_filter=PathPartitionFilter.of(
+            lambda kv: kv.get("sbucket") in keep_parts, style="hive"
+        ),
+    )
+
+    def drop_sbucket(t: pa.Table) -> pa.Table:
+        return t.drop_columns(["sbucket"]) if "sbucket" in t.schema.names else t
+
+    old_sigs = old_sigs.map_batches(drop_sbucket, batch_format="pyarrow")
+    sig_union = ds_new.map_batches(sig_rows, batch_format="pyarrow").union(old_sigs)
+
+    def est(a, b) -> float:
+        if a is None or b is None:
+            return 0.0
+        return float(np.mean(np.asarray(a) == np.asarray(b)))
+
+    verified = _join_score_pairs(
+        sig_union, cand, value_col="sig", id_col="doc_id",
+        score_name="est_jaccard", score_fn=est,
+    )
+    out = verified[verified["est_jaccard"] >= threshold].rename(
+        columns={"id_a": "id_new", "id_b": "id_old"}
+    )
+    if out.empty:
+        return empty
+    return out.sort_values(["id_new", "id_old"]).reset_index(drop=True)

@@ -4,6 +4,7 @@ near-dupes, simhash hamming properties, exact jaccard."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -158,3 +159,62 @@ class TestEmbeddingScalePaths:
         assert {(2, 11), (20, 37)} <= pairs
         # verify step is exact: no pair below threshold survives
         assert (got["cos_sim"] >= 0.9).all()
+
+
+class TestIncrementalMinhash:
+    """Persisted index: a new snapshot dedupes against history without
+    touching historical text."""
+
+    def _corpora(self):
+        rng = np.random.default_rng(23)
+        vocab = [f"w{i}" for i in range(200)]
+        hist_texts = [" ".join(rng.choice(vocab, 60)) for _ in range(80)]
+        # new snapshot: 10 near-copies of history docs (one word changed)
+        # + 40 fresh docs; id spaces disjoint
+        near = []
+        for i in range(10):
+            toks = hist_texts[i].split()
+            toks[5] = "CHANGED"
+            near.append(" ".join(toks))
+        fresh = [" ".join(rng.choice(vocab, 60)) for _ in range(40)]
+        hist = pd.DataFrame({"doc_id": np.arange(80, dtype=np.int64), "text": hist_texts})
+        new = pd.DataFrame(
+            {"doc_id": np.arange(1000, 1050, dtype=np.int64), "text": near + fresh}
+        )
+        return hist, new
+
+    def test_planted_cross_snapshot_dups_found(self, ray_session, tmp_path):
+        import ray.data as rd
+        from article_extraction_ray.stages.dedup import (
+            minhash_dedup_incremental,
+            write_minhash_index,
+        )
+
+        hist, new = self._corpora()
+        idx = str(tmp_path / "mh_index")
+        write_minhash_index(rd.from_pandas(hist).repartition(4), idx)
+        out = minhash_dedup_incremental(
+            rd.from_pandas(new).repartition(3), idx, threshold=0.5
+        )
+        got = set(zip(out["id_new"], out["id_old"]))
+        assert {(1000 + i, i) for i in range(10)} <= got
+        # fresh docs never collide with history
+        assert not (out["id_new"] >= 1010).any()
+        # estimated jaccard of a 1-token edit is high
+        assert (out["est_jaccard"] >= 0.5).all()
+
+    def test_empty_when_no_overlap(self, ray_session, tmp_path):
+        import ray.data as rd
+        from article_extraction_ray.stages.dedup import (
+            minhash_dedup_incremental,
+            write_minhash_index,
+        )
+
+        hist, new = self._corpora()
+        idx = str(tmp_path / "mh_index2")
+        write_minhash_index(rd.from_pandas(hist).repartition(2), idx)
+        out = minhash_dedup_incremental(
+            rd.from_pandas(new.iloc[20:]).repartition(2), idx, threshold=0.5
+        )
+        assert out.empty
+        assert list(out.columns) == ["id_new", "id_old", "n_bands", "est_jaccard"]
