@@ -3454,6 +3454,19 @@ FROM customer LEFT JOIN agg ON c_custkey = o_custkey
 """
 
 
+def q_bpe_train(sf_dir: str):
+    """Distributed BPE tokenizer training (stages/bpe.py): corpus read
+    once for word counts, then each merge round is one pair-count
+    aggregate over the small word vocabulary + a broadcast rewrite —
+    the k-means iterative-broadcast shape applied to tokenizer
+    learning.  Rows-only (iterative); bit-equality vs the textbook
+    single-process BPE is pytest-verified (tests/test_bpe.py)."""
+    from ..stages.bpe import bpe_train
+
+    ds = read_table(sf_dir, "documents", columns=["text"], split=True)
+    return bpe_train(ds, num_merges=12)
+
+
 def q_incremental_dedup(sf_dir: str):
     """Cross-snapshot near-dup detection against a PERSISTED minhash
     index (stages/dedup.write_minhash_index): history = even doc_ids,
@@ -3589,6 +3602,7 @@ QUERIES = {
     "passage_dedup": q_passage_dedup,
     "left_join_orders": q_left_join_orders,
     "incremental_dedup": q_incremental_dedup,
+    "bpe_train": q_bpe_train,
 }
 
 ORACLE_SQL = {
