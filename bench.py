@@ -62,6 +62,10 @@ BENCH_QUERIES = [
     "domain_cap",
     "pack_sequences",
     "curate_corpus",
+    "tfidf_top_terms",
+    "bigram_lm_score",
+    "passage_dedup",
+    "semantic_dedup",
 ]
 
 
