@@ -3454,6 +3454,157 @@ FROM customer LEFT JOIN agg ON c_custkey = o_custkey
 """
 
 
+def q_cube_orders(sf_dir: str):
+    """GROUP BY CUBE(status, priority) — all four grouping sets from
+    ONE distributed pass: like q_rollup_orders, the fact table
+    aggregates once to the finest level, and the 2ⁿ−1 coarser sets
+    re-fold the tiny result in a single final task."""
+    ds = read_table(
+        sf_dir, "orders", columns=["o_orderstatus", "o_orderpriority", "o_totalprice"], split=True
+    )
+    fine = grouped_aggregate(
+        ds,
+        ["o_orderstatus", "o_orderpriority"],
+        {"n_orders": ("count", None), "sum_price": ("sum", "o_totalprice")},
+    )
+
+    def cube(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["grp"] = 0
+        by_status = (
+            df.groupby("o_orderstatus", as_index=False)
+            .agg(n_orders=("n_orders", "sum"), sum_price=("sum_price", "sum"))
+            .assign(o_orderpriority=None, grp=1)
+        )
+        by_prio = (
+            df.groupby("o_orderpriority", as_index=False)
+            .agg(n_orders=("n_orders", "sum"), sum_price=("sum_price", "sum"))
+            .assign(o_orderstatus=None, grp=2)
+        )
+        total = pd.DataFrame(
+            {
+                "o_orderstatus": [None],
+                "o_orderpriority": [None],
+                "n_orders": [df["n_orders"].sum()],
+                "sum_price": [df["sum_price"].sum()],
+                "grp": [3],
+            }
+        )
+        out = pd.concat([df, by_status, by_prio, total], ignore_index=True)
+        out["sum_price"] = out["sum_price"].round(2)
+        return out[["o_orderstatus", "o_orderpriority", "n_orders", "sum_price", "grp"]]
+
+    return fine.repartition(1).map_batches(cube, batch_format="pandas")
+
+
+SQL_CUBE = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price,
+       CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS grp
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
+def q_full_outer_join(sf_dir: str):
+    """FULL outer join via the co-partitioned shuffle join: customers
+    with no orders in the window AND order-groups whose customer row is
+    filtered away both survive with NULLs.  Left side = BUILDING-segment
+    customers only, so both unmatched directions actually occur."""
+    from .tabular import shuffle_join
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).filter(
+        expr="c_mktsegment == 'BUILDING'"
+    )
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"], split=True)
+    agg = grouped_aggregate(
+        orders, ["o_custkey"], {"n_orders": ("count", None), "sum_price": ("sum", "o_totalprice")}
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_price"] = df["sum_price"].round(2)
+        return df.rename(columns={"o_custkey": "c_custkey"})
+
+    return shuffle_join(
+        cust, agg.map_batches(finalize, batch_format="pandas"), on="c_custkey", how="outer"
+    )
+
+
+SQL_FULL_OUTER = """
+WITH cust AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING'),
+agg AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM orders GROUP BY o_custkey)
+SELECT coalesce(cust.c_custkey, agg.o_custkey) AS c_custkey, c_mktsegment, n_orders, sum_price
+FROM cust FULL OUTER JOIN agg ON cust.c_custkey = agg.o_custkey
+"""
+
+
+def q_grouped_regression(sf_dir: str):
+    """Per-group OLS slope/intercept, Pearson r and sample stddev from
+    ONE streaming pass of six-moment partials (n, Σx, Σy, Σx², Σy²,
+    Σxy) — the textbook mergeable-statistics shape: each batch emits
+    one partial row per group it sees, the shuffle moves ≤ groups ×
+    batches tiny rows, the driver-free finalize folds them per group.
+    Rounded to 4dp: the naive-moment finalize and DuckDB's internal
+    accumulator differ in float ordering; 1e-4 grid absorbs the
+    cancellation noise of near-zero correlations."""
+    ds = read_table(
+        sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_extendedprice"], split=True
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "g": batch["l_returnflag"].to_numpy(zero_copy_only=False),
+                "x": batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.float64),
+                "y": batch["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64),
+            }
+        )
+        df["xx"] = df["x"] * df["x"]
+        df["yy"] = df["y"] * df["y"]
+        df["xy"] = df["x"] * df["y"]
+        df["n"] = np.int64(1)
+        return df.groupby("g", as_index=False, sort=False).sum()
+
+    agg = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["g"],
+        {c: ("sum", c) for c in ["n", "x", "y", "xx", "yy", "xy"]},
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].astype(np.float64)
+        cxy = df["xy"] - df["x"] * df["y"] / n
+        cxx = df["xx"] - df["x"] * df["x"] / n
+        cyy = df["yy"] - df["y"] * df["y"] / n
+        out = pd.DataFrame(
+            {
+                "l_returnflag": df["g"],
+                "n": df["n"].astype(np.int64),
+                "corr_qty_price": (cxy / np.sqrt(cxx * cyy)).round(4),
+                "slope": (cxy / cxx).round(4),
+                "intercept": ((df["y"] - (cxy / cxx) * df["x"]) / n).round(4),
+                "sd_price": np.sqrt(cyy / (n - 1)).round(4),
+            }
+        )
+        return out
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+SQL_GROUPED_REGRESSION = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       round(stddev_samp(l_extendedprice), 4) AS sd_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_bpe_train(sf_dir: str):
     """Distributed BPE tokenizer training (stages/bpe.py): corpus read
     once for word counts, then each merge round is one pair-count
@@ -3603,6 +3754,9 @@ QUERIES = {
     "left_join_orders": q_left_join_orders,
     "incremental_dedup": q_incremental_dedup,
     "bpe_train": q_bpe_train,
+    "grouped_regression": q_grouped_regression,
+    "cube_orders": q_cube_orders,
+    "full_outer_join": q_full_outer_join,
 }
 
 ORACLE_SQL = {
@@ -3673,6 +3827,9 @@ ORACLE_SQL = {
     "domain_mixture": SQL_DOMAIN_MIXTURE,
     "passage_dedup": SQL_PASSAGE_DEDUP,
     "left_join_orders": SQL_LEFT_JOIN,
+    "grouped_regression": SQL_GROUPED_REGRESSION,
+    "cube_orders": SQL_CUBE,
+    "full_outer_join": SQL_FULL_OUTER,
     # hll_distinct / price_quantiles_tdigest are approximate sketches —
     # rows-only by design (accuracy pytest-verified)
     # lang_id / winnow / minhash / simhash / knn_lsh / media_* are not
