@@ -3541,6 +3541,33 @@ FROM cust FULL OUTER JOIN agg ON cust.c_custkey = agg.o_custkey
 """
 
 
+def q_pagerank(sf_dir: str):
+    """PageRank over the customer→supplier bipartite graph derived from
+    orders ⨝ lineitem (stages/graph.pagerank): edge list streams per
+    sweep, rank vector broadcasts like k-means centroids, dangling mass
+    redistributes uniformly.  Node ids disambiguate the two key spaces
+    as 2·custkey / 2·suppkey+1.  Rows-only (iterative); bit-parity with
+    the single-process power iteration is pytest-verified
+    (tests/test_graph.py::TestPageRank)."""
+    from ..stages.graph import pagerank
+
+    orders = read_table_arrow(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"], split=True)
+
+    def edges(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": (df["o_custkey"].to_numpy() * 2).astype(np.int64),
+                "dst": (df["l_suppkey"].to_numpy() * 2 + 1).astype(np.int64),
+            }
+        )
+
+    e = broadcast_join(
+        li, orders.rename_columns(["l_orderkey", "o_custkey"]), "l_orderkey"
+    ).map_batches(edges, batch_format="pandas")
+    return pagerank(e, iters=8)
+
+
 def q_grouped_regression(sf_dir: str):
     """Per-group OLS slope/intercept, Pearson r and sample stddev from
     ONE streaming pass of six-moment partials (n, Σx, Σy, Σx², Σy²,
@@ -3757,6 +3784,7 @@ QUERIES = {
     "grouped_regression": q_grouped_regression,
     "cube_orders": q_cube_orders,
     "full_outer_join": q_full_outer_join,
+    "pagerank": q_pagerank,
 }
 
 ORACLE_SQL = {

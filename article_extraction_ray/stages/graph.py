@@ -328,3 +328,110 @@ def canonical_per_component(labels, members, *, id_col: str, num_buckets: int = 
         return batch.append_column("keep", keep)
 
     return labels.map_batches(mark, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# PageRank (power iteration with broadcast ranks)
+# ---------------------------------------------------------------------------
+
+
+def pagerank(
+    edges,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping: float = 0.85,
+    iters: int = 10,
+):
+    """Distributed PageRank → pandas DataFrame(node, rank).
+
+    The edge list is the big distributed side (streamed once per
+    iteration from the object store after one ``materialize``); the
+    rank vector is the small derived side (one float per node) and
+    broadcasts per sweep exactly like k-means centroids.  Each batch
+    emits partial per-destination contribution sums (vectorized
+    ``np.bincount`` on factorized dst ids); ``grouped_aggregate`` folds
+    them; dangling mass redistributes uniformly (standard Brin–Page
+    handling).  Deterministic: fixed iteration count, float64, node
+    order fixed by sorted factorization.
+
+    At web scale the rank vector outgrows the object store before the
+    edge list stops fitting the cluster — swap the broadcast for a
+    bucketed src-join of (edges ⨝ ranks) and keep ranks as a Dataset;
+    the per-sweep aggregate shape is unchanged.
+    """
+    from ..pipelines.tabular import grouped_aggregate
+    from ..state.broadcast import Broadcast
+
+    edges = edges.materialize()
+
+    deg = (
+        grouped_aggregate(edges, [src_col], {"deg": ("count", None)})
+        .to_pandas()
+    )
+    def endpoints(t: pa.Table) -> pd.DataFrame:
+        u = np.unique(
+            np.concatenate(
+                [
+                    t[src_col].to_numpy(zero_copy_only=False),
+                    t[dst_col].to_numpy(zero_copy_only=False),
+                ]
+            )
+        )
+        return pd.DataFrame({"node": u})
+
+    nodes_pd = (
+        grouped_aggregate(
+            edges.map_batches(endpoints, batch_format="pyarrow"), ["node"], {"n": ("count", None)}
+        )
+        .to_pandas()
+    )
+    nodes = np.sort(nodes_pd["node"].to_numpy())
+    n = len(nodes)
+    rank = pd.Series(np.full(n, 1.0 / n), index=nodes)
+    degs = pd.Series(deg["deg"].to_numpy(dtype=np.float64), index=deg[src_col]).reindex(
+        nodes
+    )  # NaN = dangling
+
+    for _ in range(iters):
+        share = (rank / degs).fillna(0.0)  # dangling nodes emit nothing here
+        dangling = rank[degs.isna()].sum()
+        handle = Broadcast(dict(zip(share.index, share.to_numpy())))
+
+        def contrib(t: pa.Table) -> pd.DataFrame:
+            m = handle.get()
+            s = t[src_col].to_numpy(zero_copy_only=False)
+            d = t[dst_col].to_numpy(zero_copy_only=False)
+            w = np.fromiter((m[x] for x in s), dtype=np.float64, count=len(s))
+            uniq, inv = np.unique(d, return_inverse=True)
+            return pd.DataFrame({"node": uniq, "c": np.bincount(inv, weights=w)})
+
+        got = (
+            grouped_aggregate(
+                edges.map_batches(contrib, batch_format="pyarrow"), ["node"], {"c": ("sum", "c")}
+            )
+            .to_pandas()
+        )
+        c = pd.Series(got["c"].to_numpy(), index=got["node"]).reindex(nodes).fillna(0.0)
+        rank = (1.0 - damping) / n + damping * (c + dangling / n)
+
+    return pd.DataFrame({"node": nodes, "rank": np.round(rank.to_numpy(), 10)})
+
+
+def pagerank_local(src: np.ndarray, dst: np.ndarray, *, damping: float = 0.85,
+                   iters: int = 10) -> pd.DataFrame:
+    """Single-process reference (test oracle) — same formula and
+    iteration count as :func:`pagerank`."""
+    nodes = np.sort(np.unique(np.concatenate([src, dst])))
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    s = np.fromiter((idx[v] for v in src), dtype=np.int64, count=len(src))
+    d = np.fromiter((idx[v] for v in dst), dtype=np.int64, count=len(dst))
+    deg = np.bincount(s, minlength=n).astype(np.float64)
+    rank = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        share = np.where(deg > 0, rank / np.where(deg > 0, deg, 1.0), 0.0)
+        dangling = rank[deg == 0].sum()
+        c = np.bincount(d, weights=share[s], minlength=n)
+        rank = (1.0 - damping) / n + damping * (c + dangling / n)
+    return pd.DataFrame({"node": nodes, "rank": np.round(rank, 10)})

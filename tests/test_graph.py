@@ -128,3 +128,40 @@ def connected_components_import():
     from article_extraction_ray.stages.graph import connected_components
 
     return connected_components
+
+
+class TestPageRank:
+    """Distributed power iteration vs the single-process reference."""
+
+    def _edges(self):
+        rng = np.random.default_rng(31)
+        src = rng.integers(0, 60, 400).astype(np.int64)
+        dst = rng.integers(0, 60, 400).astype(np.int64)
+        keep = src != dst
+        return src[keep], dst[keep]
+
+    def test_matches_reference(self, ray_session):
+        import ray.data as rd
+        from article_extraction_ray.stages.graph import pagerank, pagerank_local
+
+        src, dst = self._edges()
+        ds = rd.from_pandas(pd.DataFrame({"src": src, "dst": dst})).repartition(7)
+        got = pagerank(ds, iters=12).reset_index(drop=True)
+        want = pagerank_local(src, dst, iters=12)
+        assert (got["node"].to_numpy() == want["node"].to_numpy()).all()
+        assert np.allclose(got["rank"], want["rank"], atol=1e-9)
+        # ranks are a probability distribution
+        assert abs(got["rank"].sum() - 1.0) < 1e-6
+
+    def test_dangling_nodes_handled(self, ray_session):
+        import ray.data as rd
+        from article_extraction_ray.stages.graph import pagerank, pagerank_local
+
+        # star into a sink: node 9 has no out-edges (dangling)
+        src = np.array([0, 1, 2, 3], dtype=np.int64)
+        dst = np.array([9, 9, 9, 9], dtype=np.int64)
+        ds = rd.from_pandas(pd.DataFrame({"src": src, "dst": dst}))
+        got = pagerank(ds, iters=20).reset_index(drop=True)
+        want = pagerank_local(src, dst, iters=20)
+        assert np.allclose(got["rank"], want["rank"], atol=1e-12)
+        assert got.loc[got["node"] == 9, "rank"].iloc[0] > got["rank"].min()
