@@ -3215,55 +3215,98 @@ def _doc_bigrams(batch: pa.Table) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": docs, "w1": w1, "w2": w2})
 
 
-def q_bigram_lm_score(sf_dir: str):
+def q_bigram_lm_score(sf_dir: str, *, broadcast_budget_rows: int = 2_000_000):
     """CCNet-style LM quality signal: train a bigram MLE model on the
     corpus itself (one partial-combined (w1,w2) count aggregate; unigram
-    context counts fold from it), broadcast the model, and score each
-    document's mean log P(w2|w1) in a second streaming pass.  Every
-    bigram was seen ≥1 (trained on the same corpus) so MLE needs no
-    smoothing and the score is exact.  At web scale the model table
-    outgrows the object store → shard the counts by hash(w1) and score
-    via a bucketed join on w1 (same propose/confirm shape as
-    heavy_tokens_sketch); the two-pass train-then-score structure is
-    unchanged."""
+    context counts fold from it), then score each document's mean
+    log P(w2|w1) in a second streaming pass.  Every bigram was seen ≥1
+    (trained on the same corpus) so MLE needs no smoothing and the
+    score is exact.
+
+    Model distribution routes on size (same router shape as
+    embedding_dup_pairs): under ``broadcast_budget_rows`` the logprob
+    map ships once via ``ray.put``; above it the model stays a Dataset
+    and per-doc bigram rows co-partition with it on (w1, w2) through
+    ``shuffle_join`` — the model never materializes on the driver or in
+    any single worker (scale path pytest-equivalence:
+    tests/test_queries_units.py::test_bigram_sharded_matches_broadcast)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], split=True)
 
     def partial(batch: pa.Table) -> pd.DataFrame:
         vc = _doc_bigrams(batch).groupby(["w1", "w2"], as_index=False).size()
         return vc.rename(columns={"size": "c12"})
 
-    cnt = (
-        grouped_aggregate(
-            ds.map_batches(partial, batch_format="pyarrow"), ["w1", "w2"], {"c12": ("sum", "c12")}
-        )
-        .to_pandas()
-    )
-    uni = cnt.groupby("w1")["c12"].sum()
-    logp = dict(
-        zip(
-            zip(cnt["w1"], cnt["w2"]),
-            np.log(cnt["c12"].to_numpy(dtype=np.float64) / uni[cnt["w1"]].to_numpy(dtype=np.float64)),
-        )
-    )
-    model = Broadcast(logp)
+    cnt_ds = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"), ["w1", "w2"], {"c12": ("sum", "c12")}
+    ).materialize()
+    n_model_rows = cnt_ds.count()
 
-    def score(batch: pa.Table) -> pd.DataFrame:
-        m = model.get()
-        big = _doc_bigrams(batch)
-        if big.empty:
-            return pd.DataFrame(
-                {"doc_id": pd.Series(dtype="int64"), "n_bigrams": pd.Series(dtype="int64"),
-                 "avg_logp": pd.Series(dtype="float64")}
-            )
-        big["lp"] = [m[(a, b)] for a, b in zip(big["w1"], big["w2"])]
-        out = big.groupby("doc_id", as_index=False).agg(
+    def finalize_batch(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("doc_id", as_index=False).agg(
             n_bigrams=("lp", "size"), avg_logp=("lp", "mean")
         )
         out["n_bigrams"] = out["n_bigrams"].astype(np.int64)
         out["avg_logp"] = out["avg_logp"].round(6)
         return out
 
-    return ds.map_batches(score, batch_format="pyarrow")
+    if n_model_rows <= broadcast_budget_rows:
+        cnt = cnt_ds.to_pandas()
+        uni = cnt.groupby("w1")["c12"].sum()
+        logp = dict(
+            zip(
+                zip(cnt["w1"], cnt["w2"]),
+                np.log(
+                    cnt["c12"].to_numpy(dtype=np.float64)
+                    / uni[cnt["w1"]].to_numpy(dtype=np.float64)
+                ),
+            )
+        )
+        model = Broadcast(logp)
+
+        def score(batch: pa.Table) -> pd.DataFrame:
+            m = model.get()
+            big = _doc_bigrams(batch)
+            if big.empty:
+                return pd.DataFrame(
+                    {"doc_id": pd.Series(dtype="int64"), "n_bigrams": pd.Series(dtype="int64"),
+                     "avg_logp": pd.Series(dtype="float64")}
+                )
+            big["lp"] = [m[(a, b)] for a, b in zip(big["w1"], big["w2"])]
+            return finalize_batch(big)
+
+        return ds.map_batches(score, batch_format="pyarrow")
+
+    # ---- sharded path: model stays distributed, join on the bigram key
+    from .tabular import shuffle_join
+
+    uni_ds = grouped_aggregate(cnt_ds, ["w1"], {"c1": ("sum", "c12")})
+    model_ds = shuffle_join(cnt_ds, uni_ds, on="w1").map_batches(
+        lambda df: df.assign(lp=np.log(df["c12"] / df["c1"]))[["w1", "w2", "lp"]],
+        batch_format="pandas",
+    )
+    doc_bigrams = ds.map_batches(
+        lambda b: _doc_bigrams(b).groupby(["doc_id", "w1", "w2"], as_index=False).size(),
+        batch_format="pyarrow",
+    )
+    scored = shuffle_join(doc_bigrams, model_ds, on=["w1", "w2"])
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        # mean over occurrences = multiplicity-weighted mean
+        df = df.assign(wlp=df["lp"] * df["size"])
+        g = df.groupby("doc_id", as_index=False).agg(
+            n_bigrams=("size", "sum"), wlp=("wlp", "sum")
+        )
+        g["avg_logp"] = (g["wlp"] / g["n_bigrams"]).round(6)
+        g["n_bigrams"] = g["n_bigrams"].astype(np.int64)
+        return g[["doc_id", "n_bigrams", "avg_logp"]]
+
+    bucketed = scored.map_batches(
+        lambda df: df.assign(dbucket=(df["doc_id"].to_numpy() % 64).astype(np.int32)),
+        batch_format="pandas",
+    )
+    return bucketed.groupby("dbucket").map_groups(
+        lambda g: fold(g.drop(columns="dbucket")), batch_format="pandas"
+    )
 
 
 SQL_BIGRAM_LM = """
