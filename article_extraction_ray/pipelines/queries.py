@@ -3730,6 +3730,261 @@ def q_semantic_dedup(sf_dir: str):
     return semantic_dedup(ds, k=8, threshold=0.97, iters=8, seed=17)
 
 
+def q_zscore_normalize(sf_dir: str):
+    """Grouped standardization (feature normalization for training):
+    z = (x - mean_g) / stddev_samp_g per o_orderpriority group.
+
+    Two-pass broadcast shape: pass 1 reduces per-batch moment partials
+    (sum, sum-of-squares, count per group — three numbers per group per
+    batch, never the rows) through ``grouped_aggregate``; the tiny group
+    table finalizes mean/sd driver-side and broadcasts; pass 2 streams
+    the fact table through a vectorized map.  No row ever shuffles —
+    the same geometry at 100 TB, with the broadcast dict bounded by
+    group cardinality.  Rounded to 6 on both sides (float policy)."""
+    ds = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_totalprice"], split=True
+    )
+
+    def moments(batch: pa.Table) -> pd.DataFrame:
+        x = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {"o_orderpriority": batch["o_orderpriority"].to_pandas(), "s": x, "ss": x * x}
+        )
+        g = df.groupby("o_orderpriority", sort=False)
+        out = g.agg(s=("s", "sum"), ss=("ss", "sum"), c=("s", "count")).reset_index()
+        return out
+
+    stats = (
+        grouped_aggregate(
+            ds.map_batches(moments, batch_format="pyarrow"),
+            ["o_orderpriority"],
+            {"s": ("sum", "s"), "ss": ("sum", "ss"), "c": ("sum", "c")},
+        )
+        .to_pandas()
+    )
+    s, ss, c = (stats[k].to_numpy(dtype=np.float64) for k in ("s", "ss", "c"))
+    mean = s / c
+    sd = np.sqrt((ss - s * s / c) / (c - 1))
+    table = {g: (m, d) for g, m, d in zip(stats["o_orderpriority"], mean, sd)}
+    bc = Broadcast(table)
+
+    def z(batch: pa.Table) -> pd.DataFrame:
+        t = bc.get()
+        pri = batch["o_orderpriority"].to_pandas()
+        ms = pri.map(lambda g: t[g][0]).to_numpy(dtype=np.float64)
+        sds = pri.map(lambda g: t[g][1]).to_numpy(dtype=np.float64)
+        x = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pd.DataFrame(
+            {
+                "o_orderkey": batch["o_orderkey"].to_numpy(zero_copy_only=False),
+                "o_orderpriority": pri,
+                "zscore": np.round((x - ms) / sds, 6),
+            }
+        )
+
+    return ds.map_batches(z, batch_format="pyarrow")
+
+
+SQL_ZSCORE = """
+WITH s AS (
+  SELECT o_orderpriority, avg(o_totalprice) AS m, stddev_samp(o_totalprice) AS sd
+  FROM orders GROUP BY 1
+)
+SELECT o.o_orderkey, o.o_orderpriority,
+       round((o.o_totalprice - s.m) / s.sd, 6) AS zscore
+FROM orders o JOIN s USING (o_orderpriority)
+"""
+
+
+def q_domain_quality_gate(sf_dir: str):
+    """Adaptive per-domain quality gate: keep a document only if its
+    token count exceeds ITS OWN source's median — the per-domain
+    threshold variant of ``outlier_filter`` that corpus curation uses
+    when domains have very different length profiles.
+
+    Per-(source, n_tokens) histogram partials reduce to one tiny table
+    (bounded by sources × distinct counts, not rows); exact
+    quantile_cont interpolation per source is reproduced bit-exactly
+    from the histogram; thresholds broadcast; second streaming pass
+    filters.  Same shape as outlier_filter — nothing materializes."""
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source", "text"], split=True)
+
+    def counts(batch: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(batch["text"], r"\S+"), pa.int64())
+        return pa.Table.from_arrays(
+            [batch["doc_id"], batch["source"], n], names=["doc_id", "source", "n_tokens"]
+        )
+
+    counted = ds.map_batches(counts, batch_format="pyarrow")
+
+    def partial_hist(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "source": batch["source"].to_pandas(),
+                "n": batch["n_tokens"].to_numpy(zero_copy_only=False),
+            }
+        )
+        out = df.value_counts(["source", "n"]).reset_index(name="cnt")
+        return out
+
+    hist = (
+        counted.map_batches(partial_hist, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["source", "n"], as_index=False)["cnt"]
+        .sum()
+    )
+    thr = {
+        src: _quantile_from_hist(
+            g.sort_values("n")["n"].to_numpy(dtype=np.float64),
+            g.sort_values("n")["cnt"].to_numpy(dtype=np.int64),
+            0.5,
+        )
+        for src, g in hist.groupby("source")
+    }
+    bc = Broadcast(thr)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        t = bc.get()
+        n = batch["n_tokens"].to_numpy(zero_copy_only=False)
+        qs = batch["source"].to_pandas().map(t).to_numpy(dtype=np.float64)
+        return batch.filter(pa.array(n > qs))
+
+    return counted.map_batches(keep, batch_format="pyarrow")
+
+
+SQL_DOMAIN_GATE = r"""
+WITH c AS (
+  SELECT doc_id, source,
+         CAST(coalesce(array_length(regexp_extract_all(text, '\S+')), 0) AS BIGINT) AS n_tokens
+  FROM documents
+),
+t AS (SELECT source, quantile_cont(n_tokens, 0.5) AS q FROM c GROUP BY source)
+SELECT c.doc_id, c.source, c.n_tokens
+FROM c JOIN t USING (source) WHERE c.n_tokens > t.q
+"""
+
+
+_FUZZY_JOIN_MOD = 97
+_FUZZY_JOIN_THRESHOLD = 0.9
+
+
+class _FuzzyNameMatcher:
+    """Actor-pool verify stage for the blocked similarity join: the
+    small query side arrives once per actor via Broadcast; Jaro-Winkler
+    runs once per DISTINCT (query name, candidate name) pair per actor
+    (memo), then fans out to key pairs with an integer take — similarity
+    work is bounded by distinct-name cardinality, not row count."""
+
+    def __init__(self, queries_bc: Broadcast):
+        self._queries = queries_bc.get()  # list[(qk, qname)]
+        self._memo: dict[tuple[str, str], float] = {}
+
+    def _sim(self, a: str, b: str) -> float:
+        from ..functions.strings import jaro_winkler_similarity
+
+        key = (a, b)
+        v = self._memo.get(key)
+        if v is None:
+            v = jaro_winkler_similarity(a, b)
+            self._memo[key] = v
+        return v
+
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        names = batch["p_name"].to_pandas().to_numpy(dtype=object)
+        keys = batch["p_partkey"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(names.astype(str), return_inverse=True)
+        out_q, out_m, out_s = [], [], []
+        for qk, qn in self._queries:
+            blocked = [
+                (i, self._sim(qn, u))
+                for i, u in enumerate(uniq)
+                if u[:1] == qn[:1]
+            ]
+            for i, sim in blocked:
+                if sim < _FUZZY_JOIN_THRESHOLD:
+                    continue
+                rows = np.flatnonzero(inv == i)
+                mk = keys[rows]
+                mk = mk[mk != qk]  # a key never matches itself
+                out_q.append(np.full(len(mk), qk, dtype=np.int64))
+                out_m.append(mk)
+                out_s.append(np.full(len(mk), round(sim, 6)))
+        if not out_q:
+            return pd.DataFrame({"query_key": [], "match_key": [], "sim": []}).astype(
+                {"query_key": np.int64, "match_key": np.int64, "sim": np.float64}
+            )
+        return pd.DataFrame(
+            {
+                "query_key": np.concatenate(out_q),
+                "match_key": np.concatenate(out_m),
+                "sim": np.concatenate(out_s),
+            }
+        )
+
+
+def q_fuzzy_name_join(sf_dir: str):
+    """Blocked string-similarity join (entity resolution): every 97th
+    part is a "query" entity; find all parts whose name shares the
+    query's first character (the block) and has Jaro-Winkler ≥ 0.9.
+
+    Scale shape: the query side is small by construction → collected
+    once, shipped via ``ray.put`` (Broadcast), and probed inside a
+    streaming actor-pool map over the big side — no shuffle, and the
+    O(|queries| × |names|) similarity math runs on per-batch DISTINCT
+    names with a per-actor memo (64 distinct names here; bounded by
+    name vocabulary at scale).  Our JW is bit-identical to DuckDB's
+    `jaro_winkler_similarity` (verified by the §2h oracles), so the
+    threshold decision matches exactly."""
+    ds = read_table(sf_dir, "part", columns=["p_partkey", "p_name"], split=True)
+
+    def pick_queries(batch: pa.Table) -> pa.Table:
+        k = batch["p_partkey"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(k % _FUZZY_JOIN_MOD == 0))
+
+    qdf = ds.map_batches(pick_queries, batch_format="pyarrow").to_pandas()
+    queries = list(zip(qdf["p_partkey"].astype(int), qdf["p_name"].astype(str)))
+    bc = Broadcast(queries)
+    return ds.map_batches(
+        _FuzzyNameMatcher,
+        fn_constructor_args=(bc,),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+
+SQL_FUZZY_JOIN = f"""
+WITH q AS (SELECT p_partkey AS qk, p_name AS qn FROM part WHERE p_partkey % {_FUZZY_JOIN_MOD} = 0)
+SELECT q.qk AS query_key, p.p_partkey AS match_key,
+       round(jaro_winkler_similarity(q.qn, p.p_name), 6) AS sim
+FROM q JOIN part p
+  ON substr(q.qn, 1, 1) = substr(p.p_name, 1, 1) AND q.qk <> p.p_partkey
+WHERE jaro_winkler_similarity(q.qn, p.p_name) >= {_FUZZY_JOIN_THRESHOLD}
+"""
+
+
+def q_bpe_encode(sf_dir: str):
+    """Tokenize the corpus with a trained BPE merge table — the
+    train-then-apply pair to ``bpe_train`` (stages/bpe.BpeEncodeStage).
+    The merge table broadcasts once; encoding runs in an actor pool
+    with a per-actor word memo, so merge loops scale with distinct
+    words, not corpus size.  Rows-only (iterative training upstream);
+    encoder bit-equality vs the textbook reference is pytest-verified
+    (tests/test_bpe.py)."""
+    from ..stages.bpe import BpeEncodeStage, bpe_train
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+    merges = bpe_train(ds, num_merges=12)
+    bc = Broadcast(list(zip(merges["left"].astype(str), merges["right"].astype(str))))
+    return ds.map_batches(
+        BpeEncodeStage,
+        fn_constructor_args=(bc,),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3828,6 +4083,10 @@ QUERIES = {
     "cube_orders": q_cube_orders,
     "full_outer_join": q_full_outer_join,
     "pagerank": q_pagerank,
+    "zscore_normalize": q_zscore_normalize,
+    "domain_quality_gate": q_domain_quality_gate,
+    "fuzzy_name_join": q_fuzzy_name_join,
+    "bpe_encode": q_bpe_encode,
 }
 
 ORACLE_SQL = {
@@ -3901,6 +4160,9 @@ ORACLE_SQL = {
     "grouped_regression": SQL_GROUPED_REGRESSION,
     "cube_orders": SQL_CUBE,
     "full_outer_join": SQL_FULL_OUTER,
+    "zscore_normalize": SQL_ZSCORE,
+    "domain_quality_gate": SQL_DOMAIN_GATE,
+    "fuzzy_name_join": SQL_FUZZY_JOIN,
     # hll_distinct / price_quantiles_tdigest are approximate sketches —
     # rows-only by design (accuracy pytest-verified)
     # lang_id / winnow / minhash / simhash / knn_lsh / media_* are not

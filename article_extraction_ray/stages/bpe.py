@@ -156,6 +156,89 @@ def bpe_train(ds, *, num_merges: int = 16, text_col: str = "text") -> pd.DataFra
     return pd.DataFrame(merges, columns=["rank", "left", "right", "pair_count"])
 
 
+class BpeEncodeStage:
+    """Apply a trained merge table to the corpus — the tokenize-for-
+    training pass that follows :func:`bpe_train`.
+
+    The merge list ships ONCE per actor via :class:`Broadcast`
+    (``ray.put`` under the hood); each actor also holds a word→tokens
+    memo, so the per-word merge loop runs once per DISTINCT word per
+    actor, not once per occurrence (natural text repeats words heavily —
+    the standard GPT-2 encoder cache).  Per batch, distinct words are
+    encoded first and occurrences fan out via an integer take — the
+    Python merge loop never runs in proportion to corpus size.
+    """
+
+    def __init__(self, merges_bc: Broadcast, text_col: str = "text"):
+        self._merges = [tuple(m) for m in merges_bc.get()]
+        self._text_col = text_col
+        self._memo: dict[str, list[str]] = {}
+
+    def _encode_word(self, w: str) -> list[str]:
+        toks = self._memo.get(w)
+        if toks is None:
+            seq = list(w) + [_END]
+            for a, b in self._merges:  # rank order, leftmost-greedy
+                if len(seq) < 2:
+                    break
+                out, i, n = [], 0, len(seq)
+                while i < n:
+                    if i + 1 < n and seq[i] == a and seq[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(seq[i])
+                        i += 1
+                seq = out
+            toks = seq
+            self._memo[w] = toks
+        return toks
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col = batch[self._text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        split = pc.split_pattern(col, " ")
+        lens = pc.list_value_length(split).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat_words = np.asarray(split.values.to_pandas(), dtype=object)
+        uniq, inv = np.unique(flat_words, return_inverse=True)
+        tok_per_uniq = np.fromiter(
+            (len(self._encode_word(w)) for w in uniq), dtype=np.int64, count=len(uniq)
+        )
+        per_word = tok_per_uniq[inv]
+        doc_id = np.repeat(np.arange(len(batch)), lens)
+        n_tokens = np.bincount(doc_id, weights=per_word, minlength=len(batch)).astype(np.int64)
+        return pa.Table.from_arrays(
+            [batch["doc_id"], pa.array(lens), pa.array(n_tokens)],
+            names=["doc_id", "n_words", "n_tokens"],
+        )
+
+
+def bpe_encode_local(texts: list[str], merges: list[tuple[str, str]]) -> list[list[str]]:
+    """Single-process reference encoder (test oracle): apply merges in
+    rank order, leftmost-greedy, to every word of every text."""
+    out = []
+    for t in texts:
+        toks: list[str] = []
+        for w in t.split():
+            seq = list(w) + [_END]
+            for a, b in merges:
+                s, i, n = [], 0, len(seq)
+                while i < n:
+                    if i + 1 < n and seq[i] == a and seq[i + 1] == b:
+                        s.append(a + b)
+                        i += 2
+                    else:
+                        s.append(seq[i])
+                        i += 1
+                seq = s
+            toks.extend(seq)
+        out.append(toks)
+    return out
+
+
 def bpe_train_local(texts: list[str], num_merges: int = 16) -> pd.DataFrame:
     """Single-process reference implementation (test oracle): the
     textbook dict-of-tuples BPE loop, same determinism rule."""
