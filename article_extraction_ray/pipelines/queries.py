@@ -3985,6 +3985,231 @@ def q_bpe_encode(sf_dir: str):
     )
 
 
+_KNN_GRAPH_K = 3
+
+
+def q_knn_graph(sf_dir: str):
+    """Exact k-NN graph (top-3 cosine neighbors for EVERY vector) — the
+    similarity-graph build that feeds near-dup clustering / SemDeDup.
+
+    Shape: the normalized corpus matrix ships once via ``ray.put``
+    (float64, N×d — the small side HERE); the same corpus then streams
+    through a vectorized map computing a (batch × N) matmul and an
+    axis-1 ``argpartition`` with a candidate margin, so ties at the k
+    boundary resolve by the deterministic (sim desc, vec_id asc) rule.
+    O(N²) total work in bounded blocks — exact by construction; at
+    corpus scale the IVF router (`knn_ivf`) and bucketed LSH
+    (`knn_lsh_shuffle`) are the sublinear paths, with this as their
+    verify kernel.  Output is rank-only (no float column), matching
+    `knn_cosine`'s oracle convention."""
+    from ..stages.similarity import _as_matrix, _normalize
+
+    k = _KNN_GRAPH_K
+    tab = read_table_arrow(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    all_ids = tab["vec_id"].to_numpy()
+    mat_t = np.ascontiguousarray(_normalize(_as_matrix(tab["embedding"])).T)
+    handle = Broadcast((mat_t, all_ids))
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        mt, ids = handle.get()
+        bids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        bm = _normalize(_as_matrix(batch["embedding"]))
+        sims = bm @ mt  # (b, N)
+        take = min(k + 8, sims.shape[1])  # margin absorbs boundary ties
+        cand = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+        rows = np.repeat(np.arange(len(bids)), take)
+        df = pd.DataFrame(
+            {
+                "src": bids[rows],
+                "dst": ids[cand.ravel()],
+                "sim": sims[rows, cand.ravel()],
+            }
+        )
+        df = df[df["src"] != df["dst"]]
+        df = df.sort_values(["src", "sim", "dst"], ascending=[True, False, True], kind="stable")
+        df["rank"] = df.groupby("src", sort=False).cumcount() + 1
+        df = df[df["rank"] <= k]
+        return df[["src", "dst", "rank"]].astype({"rank": np.int64})
+
+    return read_table(
+        sf_dir, "embeddings", columns=["vec_id", "embedding"], split=True
+    ).map_batches(score, batch_format="pyarrow")
+
+
+SQL_KNN_GRAPH = f"""
+SELECT src, dst, rank FROM (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         CAST(row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id
+         ) AS BIGINT) AS rank
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+) WHERE rank <= {_KNN_GRAPH_K}
+"""
+
+
+_Q3_SEGMENT = "BUILDING"
+_Q3_DATE = "1998-01-01"
+
+
+def q_q3_shipping(sf_dir: str):
+    """TPC-H Q3-shaped three-table join: revenue of open orders from one
+    market segment — customer ⋈ orders ⋈ lineitem with date filters,
+    grouped revenue, top-10.
+
+    Shape: each join's SMALL side (filtered customer keys, then the
+    filtered order dimension) broadcasts via ``ray.put`` and the fact
+    table streams through a vectorized semi-filter — the classic
+    star-join plan with zero shuffles before the final per-orderkey
+    revenue aggregate (partial-combined in every batch).  When the
+    mid dimension outgrows a broadcast at scale, `tabular.shuffle_join`
+    is the drop-in big-big path.  Revenue sums run in integer cents so
+    accumulation order can't shift the top-10 boundary."""
+    import pyarrow.compute as pc
+
+    cust = read_table_arrow(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    ckeys = cust.filter(pc.equal(cust["c_mktsegment"], _Q3_SEGMENT))["c_custkey"].to_numpy()
+    cset = Broadcast(set(ckeys.tolist()))
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"], split=True
+    )
+    cutoff = np.datetime64(_Q3_DATE, "us")
+
+    def pick_orders(batch: pa.Table) -> pa.Table:
+        okeys = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        mask = pc.is_in(batch["o_custkey"], value_set=pa.array(list(cset.get()), type=pa.int64()))
+        dates = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        keep = pa.array(np.asarray(mask.to_numpy(zero_copy_only=False)) & (dates < cutoff))
+        return batch.filter(keep)
+
+    odim = orders.map_batches(pick_orders, batch_format="pyarrow").to_pandas()
+    odict = Broadcast(dict(zip(odim["o_orderkey"], odim["o_orderdate"])))
+
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        split=True,
+    )
+
+    def partial_revenue(batch: pa.Table) -> pd.DataFrame:
+        ship = batch["l_shipdate"].to_numpy(zero_copy_only=False)
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        keys = pa.array(list(odict.get().keys()), type=pa.int64())
+        in_dim = np.asarray(
+            pc.is_in(batch["l_orderkey"], value_set=keys).to_numpy(zero_copy_only=False)
+        )
+        keep = in_dim & (ship > cutoff)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)[keep]
+        # integer-cent revenue: price has 2 decimals, discount 2 decimals
+        # → price*(1-disc) is exact in units of 1e-4 dollars
+        rev = np.round(price * 10000 * (1.0 - disc)).astype(np.int64)
+        return (
+            pd.DataFrame({"l_orderkey": ok[keep], "rev": rev})
+            .groupby("l_orderkey", as_index=False)["rev"]
+            .sum()
+        )
+
+    grouped = grouped_aggregate(
+        li.map_batches(partial_revenue, batch_format="pyarrow"),
+        ["l_orderkey"],
+        {"rev": ("sum", "rev")},
+    ).to_pandas()
+    od = odict.get()
+    grouped["o_orderdate"] = grouped["l_orderkey"].map(od)
+    grouped["revenue"] = np.round(grouped["rev"] / 10000.0, 2)
+    top = grouped.sort_values(
+        ["rev", "o_orderdate", "l_orderkey"], ascending=[False, True, True], kind="stable"
+    ).head(10)
+    return top[["l_orderkey", "revenue", "o_orderdate"]].reset_index(drop=True)
+
+
+SQL_Q3 = f"""
+SELECT l.l_orderkey,
+       round(sum(round(l.l_extendedprice * 10000 * (1.0 - l.l_discount)) ) / 10000.0, 2) AS revenue,
+       o.o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE c.c_mktsegment = '{_Q3_SEGMENT}'
+  AND o.o_orderdate < TIMESTAMP '{_Q3_DATE}'
+  AND l.l_shipdate  > TIMESTAMP '{_Q3_DATE}'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY sum(round(l.l_extendedprice * 10000 * (1.0 - l.l_discount))) DESC,
+         o.o_orderdate, l.l_orderkey
+LIMIT 10
+"""
+
+
+def q_moving_avg(sf_dir: str):
+    """ROWS-frame moving average: each event's mean value over the same
+    user's last 4 events (ROWS 3 PRECEDING .. CURRENT ROW).  The
+    bucketed-ordered-scan shape (one shuffle on user_id % 32, one
+    vectorized pandas ``rolling`` per bucket) shared with window_lag /
+    sessionize.  Rounded to 6 on both sides (float policy)."""
+    ds = read_table(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "value"], split=True
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = (batch["user_id"].to_numpy() % 32).astype(np.int32)
+        return batch.append_column("bucket", pa.array(b))
+
+    def roll(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        df["moving_avg"] = (
+            df.groupby("user_id", sort=False)["value"]
+            .rolling(window=4, min_periods=1)
+            .mean()
+            .round(6)
+            .reset_index(level=0, drop=True)
+        )
+        return df[["event_id", "user_id", "ts", "moving_avg"]]
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lambda df: roll(df.drop(columns=["bucket"])), batch_format="pandas")
+    )
+
+
+SQL_MOVING_AVG = """
+SELECT event_id, user_id, ts,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS moving_avg
+FROM events
+"""
+
+
+def q_cms_token_freq(sf_dir: str):
+    """Count-Min point-frequency estimates (stages/sketch.py) for a
+    fixed probe vocabulary over the corpus token stream.  Per-batch
+    (d×w) partials reduce by elementwise SUM — sketch linearity makes
+    the merge a fixed-size tree reduce, never a groupby; the probe list
+    broadcasts nowhere (estimates are driver-side lookups on the merged
+    sketch).  Rows-only: the sketch is approximate by design (one-sided
+    ε-bound pytest-verified in tests/test_sketch.py)."""
+    import pyarrow.compute as pc
+
+    from ..stages.sketch import cms_build, cms_estimate
+
+    ds = read_table(sf_dir, "documents", columns=["text"], split=True)
+
+    def tokens_of(batch: pa.Table) -> np.ndarray:
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return np.asarray(pc.split_pattern(col, " ").values.to_pandas(), dtype=object)
+
+    sketch = cms_build(ds, tokens_of, d=4, w=1 << 14)
+    probes = np.array(
+        ["the", "table", "query", "value", "spark", "data", "scan", "nosuchtoken"], dtype=object
+    )
+    return pd.DataFrame(
+        {"token": probes, "est_count": cms_estimate(sketch, probes).astype(np.int64)}
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4087,6 +4312,10 @@ QUERIES = {
     "domain_quality_gate": q_domain_quality_gate,
     "fuzzy_name_join": q_fuzzy_name_join,
     "bpe_encode": q_bpe_encode,
+    "knn_graph": q_knn_graph,
+    "q3_shipping": q_q3_shipping,
+    "moving_avg": q_moving_avg,
+    "cms_token_freq": q_cms_token_freq,
 }
 
 ORACLE_SQL = {
@@ -4163,6 +4392,9 @@ ORACLE_SQL = {
     "zscore_normalize": SQL_ZSCORE,
     "domain_quality_gate": SQL_DOMAIN_GATE,
     "fuzzy_name_join": SQL_FUZZY_JOIN,
+    "knn_graph": SQL_KNN_GRAPH,
+    "q3_shipping": SQL_Q3,
+    "moving_avg": SQL_MOVING_AVG,
     # hll_distinct / price_quantiles_tdigest are approximate sketches —
     # rows-only by design (accuracy pytest-verified)
     # lang_id / winnow / minhash / simhash / knn_lsh / media_* are not

@@ -232,3 +232,72 @@ class BloomFilter:
         if not len(keys):
             return np.zeros(0, dtype=bool)
         return self.bits[self._indices(keys)].all(axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch — Cormode & Muthukrishnan, "An improved data stream
+# summary: the count-min sketch and its applications" (J. Algorithms 2005).
+# The sketch is LINEAR: cms(A ∪ B) = cms(A) + cms(B) elementwise, so
+# per-batch partials reduce by a plain sum — the cheapest possible merge
+# (no groupby; d×w ints per batch leave the workers).  Estimates are
+# one-sided: est ≥ true always; est ≤ true + εN with prob 1−δ for
+# w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉.  Role at scale: point-frequency lookups
+# (token/domain/url counts) over a stream whose distinct-key set is far
+# too large to aggregate exactly, complementing Misra-Gries (which keeps
+# only the heavy keys and answers "what is heavy", not "how often is X").
+# ---------------------------------------------------------------------------
+
+_CMS_SEEDS = np.arange(1, 64, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+
+
+def cms_indices(keys, d: int, w: int) -> np.ndarray:
+    """(d, n) column indices for arbitrary key arrays — one base hash
+    per row seeded deterministically (layout-independent)."""
+    arr = np.asarray(keys)
+    out = np.empty((d, len(arr)), dtype=np.int64)
+    base = pd.util.hash_array(arr)
+    with np.errstate(over="ignore"):
+        for r in range(d):
+            h = (base ^ _CMS_SEEDS[r]) * np.uint64(0xFF51AFD7ED558CCD)
+            h ^= h >> np.uint64(33)  # fold high bits down (murmur3 finalize step)
+            out[r] = (h % np.uint64(w)).astype(np.int64)
+    return out
+
+
+def cms_partial(keys, counts: np.ndarray | None = None, *, d: int = 4, w: int = 1 << 12) -> np.ndarray:
+    """One batch → a (d, w) int64 sketch (vectorized bincount per row)."""
+    sk = np.zeros((d, w), dtype=np.int64)
+    if len(keys) == 0:
+        return sk
+    idx = cms_indices(keys, d, w)
+    wts = np.ones(idx.shape[1], dtype=np.int64) if counts is None else np.asarray(counts, dtype=np.int64)
+    for r in range(d):
+        sk[r] += np.bincount(idx[r], weights=wts, minlength=w).astype(np.int64)
+    return sk
+
+
+def cms_estimate(sketch: np.ndarray, keys) -> np.ndarray:
+    """Point-frequency estimates: min over the d rows (one-sided ≥ true)."""
+    d, w = sketch.shape
+    if len(keys) == 0:
+        return np.zeros(0, dtype=np.int64)
+    idx = cms_indices(keys, d, w)
+    return np.min(sketch[np.arange(d)[:, None], idx], axis=0)
+
+
+def cms_build(ds, values_of, *, d: int = 4, w: int = 1 << 12) -> np.ndarray:
+    """Distributed build: every batch emits its (d, w) partial flattened
+    to one row; partials reduce by elementwise sum (sketch linearity) —
+    a tree-reducible fixed-size aggregate, never a groupby."""
+    import pyarrow as pa
+
+    def partial(batch) -> pd.DataFrame:
+        keys = values_of(batch)
+        sk = cms_partial(keys, d=d, w=w)
+        return pd.DataFrame({"sk": [sk.ravel()]})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    total = np.zeros(d * w, dtype=np.int64)
+    for row in parts["sk"]:
+        total += np.asarray(row, dtype=np.int64)
+    return total.reshape(d, w)

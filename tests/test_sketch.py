@@ -166,3 +166,54 @@ class TestBloom:
         bf = BloomFilter.from_keys(np.array([], dtype=np.int64))
         assert bf.might_contain(np.array([1, 2, 3])).sum() == 0
         assert len(bf.might_contain(np.array([], dtype=np.int64))) == 0
+
+
+class TestCountMin:
+    def test_one_sided_and_bounded(self):
+        import numpy as np
+
+        from article_extraction_ray.stages.sketch import cms_estimate, cms_partial
+
+        rng = np.random.default_rng(7)
+        keys = rng.zipf(1.5, 20000).astype(str)
+        keys = np.array([k for k in keys], dtype=object)
+        d, w = 4, 1 << 12
+        sk = cms_partial(keys, d=d, w=w)
+        import pandas as pd
+
+        true = pd.Series(keys).value_counts()
+        probes = np.array(true.index[:50].tolist() + ["__absent__"], dtype=object)
+        est = cms_estimate(sk, probes)
+        exact = np.array([true.get(p, 0) for p in probes])
+        assert (est >= exact).all()  # one-sided: never undercounts
+        # the ε·N bound (w = e/ε) holds per key with prob 1−δ, δ = e^−d;
+        # require it for ≥ 95% of probes rather than all (statistical)
+        eps_n = np.e / w * len(keys)
+        assert (est - exact <= eps_n).mean() >= 0.95
+
+    def test_linearity_merge(self):
+        import numpy as np
+
+        from article_extraction_ray.stages.sketch import cms_partial
+
+        rng = np.random.default_rng(11)
+        a = rng.integers(0, 500, 5000)
+        b = rng.integers(0, 500, 3000)
+        sa = cms_partial(a)
+        sb = cms_partial(b)
+        sab = cms_partial(np.concatenate([a, b]))
+        assert (sa + sb == sab).all()  # cms(A∪B) == cms(A)+cms(B) exactly
+
+    def test_distributed_build_matches_local(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from article_extraction_ray.stages.sketch import cms_build, cms_partial
+
+        rng = np.random.default_rng(3)
+        vals = rng.integers(0, 200, 4000)
+        ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(7)
+        got = cms_build(ds, lambda b: b["v"].to_numpy(), d=4, w=1 << 10)
+        want = cms_partial(vals, d=4, w=1 << 10)
+        assert (got == want).all()
