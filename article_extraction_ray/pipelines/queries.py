@@ -4210,6 +4210,117 @@ def q_cms_token_freq(sf_dir: str):
     )
 
 
+_FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def q_funnel_users(sf_dir: str):
+    """Ordered-funnel analysis: users whose first 'view' precedes their
+    first 'click' precedes their first 'purchase' (strict order).
+
+    Shape: per-batch partial min-timestamp per (user, stage) — three
+    nullable columns per user per batch, never the event rows — then one
+    ``grouped_aggregate`` min-reduce and a vectorized stage-order filter.
+    The shuffle moves at most |users|×3 timestamps per batch regardless
+    of event volume; NULL (stage absent) propagates through Arrow min
+    and fails the strict comparison exactly like SQL."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type", "ts"], split=True)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+                "event_type": batch["event_type"].to_pandas(),
+                "ts": batch["ts"].to_numpy(zero_copy_only=False),
+            }
+        )
+        df = df[df["event_type"].isin(_FUNNEL_STAGES)]
+        p = df.pivot_table(index="user_id", columns="event_type", values="ts", aggfunc="min")
+        out = pd.DataFrame({"user_id": p.index.to_numpy()})
+        for s in _FUNNEL_STAGES:
+            out[f"t_{s}"] = p[s].to_numpy() if s in p.columns else pd.NaT
+        return out
+
+    agg = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id"],
+        {f"t_{s}": ("min", f"t_{s}") for s in _FUNNEL_STAGES},
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        tv, tc, tp = (
+            batch[f"t_{s}"].to_numpy(zero_copy_only=False) for s in _FUNNEL_STAGES
+        )
+        with np.errstate(invalid="ignore"):
+            ok = (tv < tc) & (tc < tp)  # NaT comparisons are False
+        return batch.filter(pa.array(np.asarray(ok, dtype=bool)))
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_FUNNEL = """
+WITH m AS (
+  SELECT user_id,
+         min(ts) FILTER (WHERE event_type = 'view')     AS t_view,
+         min(ts) FILTER (WHERE event_type = 'click')    AS t_click,
+         min(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT user_id, t_view, t_click, t_purchase
+FROM m WHERE t_view < t_click AND t_click < t_purchase
+"""
+
+
+_FK_EDGES = [
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+]
+
+
+def q_fk_audit(sf_dir: str):
+    """Referential-integrity audit: orphan-row counts for every declared
+    FK edge — the data-quality gate a pipeline runs before training
+    joins.  Per edge the dimension keyset broadcasts once (``ray.put``;
+    at dimension scale the in-repo BloomFilter is the prefilter) and the
+    fact table streams through a vectorized ``pc.is_in`` anti-mask with
+    per-batch partial counts — a count-only anti-join, no shuffle, no
+    row materialization.  Output: one row per edge."""
+    import pyarrow.compute as pc
+
+    rows = []
+    for name, fact, fcol, dim, dcol in _FK_EDGES:
+        keys = read_table_arrow(sf_dir, dim, columns=[dcol])[dcol]
+        kset = Broadcast(keys)
+        ds = read_table(sf_dir, fact, columns=[fcol], split=True)
+
+        def orphans(batch: pa.Table, _kset=kset, _fcol=fcol) -> pd.DataFrame:
+            hit = pc.is_in(batch[_fcol], value_set=_kset.get())
+            n = len(batch) - pc.sum(pc.cast(hit, pa.int64())).as_py()
+            return pd.DataFrame({"n": [n]})
+
+        n_orphans = int(
+            ds.map_batches(orphans, batch_format="pyarrow").sum("n")
+        )
+        rows.append({"fk": name, "n_orphans": n_orphans})
+    return pd.DataFrame(rows)
+
+
+SQL_FK_AUDIT = """
+SELECT 'orders->customer' AS fk,
+       (SELECT count(*) FROM orders o WHERE o.o_custkey NOT IN (SELECT c_custkey FROM customer)) AS n_orphans
+UNION ALL
+SELECT 'lineitem->orders',
+       (SELECT count(*) FROM lineitem l WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+UNION ALL
+SELECT 'customer->nation',
+       (SELECT count(*) FROM customer c WHERE c.c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+UNION ALL
+SELECT 'lineitem->part',
+       (SELECT count(*) FROM lineitem l WHERE l.l_partkey NOT IN (SELECT p_partkey FROM part))
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4316,6 +4427,8 @@ QUERIES = {
     "q3_shipping": q_q3_shipping,
     "moving_avg": q_moving_avg,
     "cms_token_freq": q_cms_token_freq,
+    "funnel_users": q_funnel_users,
+    "fk_audit": q_fk_audit,
 }
 
 ORACLE_SQL = {
@@ -4395,6 +4508,8 @@ ORACLE_SQL = {
     "knn_graph": SQL_KNN_GRAPH,
     "q3_shipping": SQL_Q3,
     "moving_avg": SQL_MOVING_AVG,
+    "funnel_users": SQL_FUNNEL,
+    "fk_audit": SQL_FK_AUDIT,
     # hll_distinct / price_quantiles_tdigest are approximate sketches —
     # rows-only by design (accuracy pytest-verified)
     # lang_id / winnow / minhash / simhash / knn_lsh / media_* are not

@@ -66,6 +66,16 @@ BENCH_QUERIES = [
     "bigram_lm_score",
     "passage_dedup",
     "semantic_dedup",
+    "zscore_normalize",
+    "domain_quality_gate",
+    "fuzzy_name_join",
+    "bpe_encode",
+    "knn_graph",
+    "q3_shipping",
+    "moving_avg",
+    "cms_token_freq",
+    "funnel_users",
+    "fk_audit",
 ]
 
 
