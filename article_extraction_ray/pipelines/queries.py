@@ -4321,6 +4321,104 @@ SELECT 'lineitem->part',
 """
 
 
+def q_media_decode_bmp(sf_dir: str):
+    """REAL image decode round-trip: every document becomes a
+    spec-conformant 24-bit BMP (dimensions derived from doc_id, pixels
+    from the text bytes), and an actor-pool ImageDecodeStage parses the
+    actual file format back (struct header walk + numpy pixel view —
+    no codec library).  The SQL oracle recomputes the planted dimensions
+    in closed form, so a header mis-parse of even one file fails the
+    value gate.  Compressed formats keep the gated backend="real"."""
+    from ..stages.multimodal import ImageDecodeStage, make_bmp
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        refs = [str(int(i)) for i in ids]
+        payloads = [
+            make_bmp(int(i) % 31 + 1, int(i) % 17 + 1, (t or " ").encode())
+            for i, t in zip(ids, texts)
+        ]
+        return pa.Table.from_arrays(
+            [
+                pa.array(refs, type=pa.string()),
+                pa.array(["image"] * len(refs), type=pa.string()),
+                pa.array(payloads, type=pa.large_binary()),
+            ],
+            names=["media_ref", "media_kind", "payload"],
+        )
+
+    media = ds.map_batches(to_media, batch_format="pyarrow")
+    return media.map_batches(
+        ImageDecodeStage,
+        fn_constructor_args=("bmp",),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+
+SQL_MEDIA_BMP = """
+SELECT CAST(doc_id AS VARCHAR)        AS media_ref,
+       CAST(doc_id % 31 + 1 AS BIGINT) AS width,
+       CAST(doc_id % 17 + 1 AS BIGINT) AS height,
+       CAST(3 AS BIGINT)               AS n_channels
+FROM documents
+"""
+
+
+def q_media_decode_wav(sf_dir: str):
+    """REAL audio decode round-trip: every document becomes a PCM WAV
+    (sample rate keyed off doc_id, one int16 sample per character) and
+    an actor-pool AudioDecodeStage parses the RIFF container back via
+    the stdlib ``wave`` module.  Oracle recomputes rate/sample counts/
+    duration in closed form; the RMS column is pytest-covered
+    (tests/test_multimodal.py) and projected out here."""
+    from ..stages.multimodal import AudioDecodeStage, make_wav
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"], split=True)
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        lens = batch["n_chars"].to_numpy(zero_copy_only=False)
+        refs, payloads = [], []
+        for i, n in zip(ids, lens):
+            rate = 8000 + (int(i) % 8) * 1000
+            samples = ((np.arange(int(n)) % 256 - 128) * 8).astype(np.int16)
+            payloads.append(make_wav(rate, samples))
+            refs.append(str(int(i)))
+        return pa.Table.from_arrays(
+            [
+                pa.array(refs, type=pa.string()),
+                pa.array(["audio"] * len(refs), type=pa.string()),
+                pa.array(payloads, type=pa.large_binary()),
+            ],
+            names=["media_ref", "media_kind", "payload"],
+        )
+
+    media = ds.map_batches(to_media, batch_format="pyarrow")
+    decoded = media.map_batches(
+        AudioDecodeStage,
+        fn_constructor_args=("wav",),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return decoded.select_columns(
+        ["media_ref", "n_channels", "sample_rate", "n_samples", "duration_ms"]
+    )
+
+
+SQL_MEDIA_WAV = """
+SELECT CAST(doc_id AS VARCHAR) AS media_ref,
+       CAST(1 AS BIGINT)       AS n_channels,
+       CAST(8000 + (doc_id % 8) * 1000 AS BIGINT) AS sample_rate,
+       CAST(n_chars AS BIGINT) AS n_samples,
+       CAST(floor(n_chars * 1000.0 / (8000 + (doc_id % 8) * 1000)) AS BIGINT) AS duration_ms
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4429,6 +4527,8 @@ QUERIES = {
     "cms_token_freq": q_cms_token_freq,
     "funnel_users": q_funnel_users,
     "fk_audit": q_fk_audit,
+    "media_decode_bmp": q_media_decode_bmp,
+    "media_decode_wav": q_media_decode_wav,
 }
 
 ORACLE_SQL = {
@@ -4510,6 +4610,8 @@ ORACLE_SQL = {
     "moving_avg": SQL_MOVING_AVG,
     "funnel_users": SQL_FUNNEL,
     "fk_audit": SQL_FK_AUDIT,
+    "media_decode_bmp": SQL_MEDIA_BMP,
+    "media_decode_wav": SQL_MEDIA_WAV,
     # hll_distinct / price_quantiles_tdigest are approximate sketches —
     # rows-only by design (accuracy pytest-verified)
     # lang_id / winnow / minhash / simhash / knn_lsh / media_* are not

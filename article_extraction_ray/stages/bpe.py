@@ -127,12 +127,34 @@ def _merge_pair(batch: pa.Table, pair: tuple[str, str]) -> pa.Table:
     )
 
 
-def bpe_train(ds, *, num_merges: int = 16, text_col: str = "text") -> pd.DataFrame:
+def bpe_train(
+    ds,
+    *,
+    num_merges: int = 16,
+    text_col: str = "text",
+    driver_vocab_budget: int = 262_144,
+) -> pd.DataFrame:
     """Learn ``num_merges`` BPE merges → DataFrame(rank, left, right,
-    pair_count), deterministic (count desc, then lexicographic)."""
+    pair_count), deterministic (count desc, then lexicographic).
+
+    The corpus-sized pass (word counting) is always distributed.  The
+    merge loop runs over the WORD VOCABULARY, which is orders of
+    magnitude smaller than the corpus: when the distinct-word count fits
+    ``driver_vocab_budget`` the loop runs driver-side on the weighted
+    vocabulary (identical rules → bit-identical merges, no per-round
+    scheduling overhead); otherwise each round is a distributed
+    pair-count aggregate + broadcast rewrite.  Real web vocabularies
+    (1e7–1e8 words) take the distributed branch; both paths are
+    pytest-verified equal to the textbook reference."""
     from ..pipelines.tabular import grouped_aggregate
 
-    vocab = _word_counts(ds, text_col).map_batches(_to_symbols, batch_format="pyarrow")
+    counts = _word_counts(ds, text_col).materialize()  # vocab-sized, not corpus-sized
+    n_words = counts.count()
+    if n_words <= driver_vocab_budget:
+        wc_df = counts.to_pandas()
+        wc = dict(zip(wc_df["word"].astype(str), wc_df["cnt"].astype(int)))
+        return _train_from_vocab(wc, num_merges)
+    vocab = counts.map_batches(_to_symbols, batch_format="pyarrow")
     vocab = vocab.materialize()
     merges = []
     for rank in range(num_merges):
@@ -245,6 +267,14 @@ def bpe_train_local(texts: list[str], num_merges: int = 16) -> pd.DataFrame:
     from collections import Counter
 
     wc = Counter(w for t in texts for w in t.split())
+    return _train_from_vocab(dict(wc), num_merges)
+
+
+def _train_from_vocab(wc: dict[str, int], num_merges: int) -> pd.DataFrame:
+    """Textbook merge loop over a weighted word vocabulary (the
+    driver-side branch of :func:`bpe_train` and the test oracle)."""
+    from collections import Counter
+
     vocab = {tuple(list(w) + [_END]): c for w, c in wc.items()}
     merges = []
     for rank in range(num_merges):

@@ -6,18 +6,24 @@ media.  This engine treats media as first-class: decode / feature
 extraction / resize / frame sampling are actor-pool ``map_batches``
 stages over ``large_binary`` payload columns.
 
-The actual codec libraries (PIL/ffmpeg/librosa) are NOT in this
-container, so the decode kernels are STUBBED: ``backend="real"`` raises
+The heavyweight codec libraries (PIL/ffmpeg/librosa) are NOT in this
+container, so those backends are gated: ``backend="real"`` raises
 ``NotImplementedError`` with the production wiring documented, and
-``backend="fake"`` (default for tests/bench) derives deterministic
-pseudo-decodes from the payload bytes (blake2 digest → stable shapes and
-features).  All the Ray-side plumbing — schema, batch size, actor
-signature, zero-copy binary handling, output layout — is real and tested.
+``backend="fake"`` derives deterministic pseudo-decodes from the payload
+bytes (blake2 digest → stable shapes and features).  Two REAL decoders
+need only the stdlib and run end-to-end here: ``backend="bmp"``
+(uncompressed BITMAPINFOHEADER parse + numpy pixel stats) and
+:class:`AudioDecodeStage` ``backend="wav"`` (RIFF/PCM via the stdlib
+``wave`` module + numpy RMS) — both oracle-verified round-trip
+(`media_decode_bmp` / `media_decode_wav`).  All the Ray-side plumbing —
+schema, batch size, actor signature, zero-copy binary handling, output
+layout — is identical across backends.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pyarrow as pa
@@ -38,32 +44,81 @@ def _digest_ints(payload: bytes, n: int, lo: int, hi: int) -> np.ndarray:
     return (lo + (vals % (hi - lo))).astype(np.int64)
 
 
+def make_bmp(width: int, height: int, pixel_bytes: bytes) -> bytes:
+    """Encode a 24-bit uncompressed BMP (BITMAPINFOHEADER).  Pixel data
+    is ``pixel_bytes`` repeated/truncated to fill width×height×3 with
+    rows padded to 4 bytes — a real, spec-conformant file."""
+    row_raw = width * 3
+    pad = (-row_raw) % 4
+    need = row_raw * height
+    src = (pixel_bytes or b"\x00") * (need // max(len(pixel_bytes), 1) + 1)
+    body = bytearray()
+    for r in range(height):
+        body += src[r * row_raw : (r + 1) * row_raw]
+        body += b"\x00" * pad
+    data_off = 14 + 40
+    size = data_off + len(body)
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, data_off)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + info + bytes(body)
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, int, float]:
+    """Parse a 24-bit uncompressed BMP → (width, height, n_channels,
+    mean_pixel).  Stdlib struct + numpy only — a REAL decoder."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, width, height = struct.unpack_from("<Iii", payload, 14)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP variant (bpp={bpp}, compression={compression})")
+    height = abs(height)
+    row_stride = (width * 3 + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_stride * height, offset=data_off
+    ).reshape(height, row_stride)[:, : width * 3]
+    return width, height, 3, float(rows.mean()) if rows.size else 0.0
+
+
 class ImageDecodeStage:
     """Actor-pool stage: binary image payloads → (width, height, n_channels).
 
-    Production backend decodes with PIL/turbojpeg inside ``__init__``-held
-    contexts; sandbox backend derives deterministic dimensions from the
-    bytes so downstream stages exercise identical schemas.
+    ``backend="bmp"`` is a REAL stdlib decoder (see :func:`decode_bmp`);
+    ``backend="real"`` (PIL/turbojpeg for compressed formats) is gated in
+    this container; ``backend="fake"`` derives deterministic dimensions
+    from the bytes so downstream stages exercise identical schemas.
     """
 
     def __init__(self, backend: str = "fake"):
         if backend == "real":
             raise NotImplementedError(
-                "image codecs are not available in this container; production "
-                "deployments construct the PIL/turbojpeg decoder here and decode "
-                "in __call__ over the same (media_ref, payload) schema"
+                "compressed-image codecs are not available in this container; "
+                "production deployments construct the PIL/turbojpeg decoder here "
+                "and decode in __call__ over the same (media_ref, payload) schema "
+                "(backend='bmp' is a real in-container decoder)"
             )
         self.backend = backend
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
-        dims = np.stack([_digest_ints(p or b"", 3, 16, 4096) for p in payloads]) if payloads else np.zeros((0, 3), dtype=np.int64)
+        if self.backend == "bmp":
+            dims = (
+                np.array([decode_bmp(p)[:3] for p in payloads], dtype=np.int64)
+                if payloads
+                else np.zeros((0, 3), dtype=np.int64)
+            )
+            w, h, c = (dims[:, i] for i in range(3))
+        else:
+            dims = np.stack([_digest_ints(p or b"", 3, 16, 4096) for p in payloads]) if payloads else np.zeros((0, 3), dtype=np.int64)
+            w, h, c = dims[:, 0], dims[:, 1], dims[:, 2] % 4 + 1
         return pa.Table.from_arrays(
             [
                 batch["media_ref"],
-                pa.array(dims[:, 0] if len(payloads) else [], type=pa.int64()),
-                pa.array(dims[:, 1] if len(payloads) else [], type=pa.int64()),
-                pa.array((dims[:, 2] % 4 + 1) if len(payloads) else [], type=pa.int64()),
+                pa.array(w, type=pa.int64()),
+                pa.array(h, type=pa.int64()),
+                pa.array(c, type=pa.int64()),
             ],
             names=["media_ref", "width", "height", "n_channels"],
         )
@@ -115,6 +170,78 @@ class FrameSampleStage:
         return pa.Table.from_arrays(
             [pa.array(refs, type=pa.string()), pa.array(idxs, type=pa.int32()), pa.array(ts, type=pa.int64())],
             names=["media_ref", "frame_idx", "ts_ms"],
+        )
+
+
+def make_wav(sample_rate: int, samples: np.ndarray, n_channels: int = 1) -> bytes:
+    """Encode 16-bit PCM WAV via the stdlib ``wave`` module."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(np.asarray(samples, dtype=np.int16).tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, int, float]:
+    """Parse RIFF/PCM WAV → (n_channels, sample_rate, n_samples,
+    duration_ms, rms).  Stdlib ``wave`` + numpy — a REAL decoder."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        nch, rate, n = w.getnchannels(), w.getframerate(), w.getnframes()
+        raw = w.readframes(n)
+    x = np.frombuffer(raw, dtype=np.int16).astype(np.float64)
+    rms = float(np.sqrt(np.mean(x * x))) if x.size else 0.0
+    return nch, rate, n, n * 1000 // rate, rms
+
+
+class AudioDecodeStage:
+    """Actor-pool stage: binary audio payloads → (n_channels,
+    sample_rate, n_samples, duration_ms, rms).
+
+    ``backend="wav"`` is a REAL stdlib decoder (see :func:`decode_wav`);
+    ``backend="real"`` (librosa/ffmpeg for compressed audio) is gated in
+    this container; ``backend="fake"`` derives deterministic values."""
+
+    def __init__(self, backend: str = "wav"):
+        if backend == "real":
+            raise NotImplementedError(
+                "compressed-audio codecs are not available in this container; "
+                "production deployments construct the librosa/ffmpeg decoder "
+                "here (backend='wav' is a real in-container decoder)"
+            )
+        self.backend = backend
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        if self.backend == "wav":
+            rows = [decode_wav(p) for p in payloads]
+        else:
+            rows = [
+                (1, int(_digest_ints(p or b"", 1, 8000, 48000)[0]), 0, 0, 0.0)
+                for p in payloads
+            ]
+        nch = [r[0] for r in rows]
+        rate = [r[1] for r in rows]
+        n = [r[2] for r in rows]
+        dur = [r[3] for r in rows]
+        rms = [r[4] for r in rows]
+        return pa.Table.from_arrays(
+            [
+                batch["media_ref"],
+                pa.array(nch, type=pa.int64()),
+                pa.array(rate, type=pa.int64()),
+                pa.array(n, type=pa.int64()),
+                pa.array(dur, type=pa.int64()),
+                pa.array(rms, type=pa.float64()),
+            ],
+            names=["media_ref", "n_channels", "sample_rate", "n_samples", "duration_ms", "rms"],
         )
 
 

@@ -14,12 +14,18 @@ def _texts():
     return [" ".join(rng.choice(vocab, rng.integers(3, 30))) for _ in range(120)]
 
 
-def test_matches_reference_merges(ray_session):
+import pytest
+
+
+@pytest.mark.parametrize("budget", [0, 262_144])
+def test_matches_reference_merges(ray_session, budget):
+    # budget=0 forces the distributed merge-sweep branch; the default
+    # takes the driver-side vocab branch — both must be bit-identical
     import ray.data as rd
 
     texts = _texts()
     ds = rd.from_pandas(pd.DataFrame({"text": texts})).repartition(5)
-    got = bpe_train(ds, num_merges=12)
+    got = bpe_train(ds, num_merges=12, driver_vocab_budget=budget)
     want = bpe_train_local(texts, num_merges=12)
     pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
 
@@ -28,7 +34,7 @@ def test_deterministic_across_layouts(ray_session):
     import ray.data as rd
 
     texts = _texts()
-    a = bpe_train(rd.from_pandas(pd.DataFrame({"text": texts})).repartition(2), num_merges=6)
+    a = bpe_train(rd.from_pandas(pd.DataFrame({"text": texts})).repartition(2), num_merges=6, driver_vocab_budget=0)
     b = bpe_train(rd.from_pandas(pd.DataFrame({"text": texts})).repartition(9), num_merges=6)
     pd.testing.assert_frame_equal(a, b)
 
