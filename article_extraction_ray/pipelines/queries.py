@@ -4419,6 +4419,75 @@ FROM documents
 """
 
 
+_GRANK_BUCKETS = 64
+
+
+def q_global_rank(sf_dir: str):
+    """Global dense enumeration (row_number over the WHOLE table ordered
+    by price desc, orderkey asc) — the TeraSort range-partition shape:
+
+    1. one tiny aggregate finds the key range;
+    2. every row maps to a range bucket (vectorized searchsorted);
+    3. per-batch partial bucket counts reduce to a 64-row table whose
+       descending prefix sum yields each bucket's global rank offset
+       (broadcast back);
+    4. one shuffle co-locates each bucket; an in-bucket vectorized sort
+       assigns rank = offset + local position.
+
+    Rows cross the wire exactly once and the driver only ever sees
+    64 counts.  At web scale the linspace boundaries become sampled
+    quantiles (the skew-proof variant); ties are impossible across
+    buckets (equal keys share a bucket) and break deterministically
+    inside (orderkey asc)."""
+    from ray.data.aggregate import Max, Min
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"], split=True)
+    rng = ds.aggregate(Min("o_totalprice"), Max("o_totalprice"))
+    lo, hi = rng["min(o_totalprice)"], rng["max(o_totalprice)"]
+    bounds = np.linspace(lo, hi, _GRANK_BUCKETS + 1)[1:-1]  # interior boundaries
+
+    def bucket_of(batch: pa.Table) -> pa.Table:
+        p = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        b = np.searchsorted(bounds, p, side="right").astype(np.int32)
+        return batch.append_column("bucket", pa.array(b))
+
+    bucketed = ds.map_batches(bucket_of, batch_format="pyarrow")
+
+    counts = (
+        bucketed.map_batches(
+            lambda t: pd.DataFrame(
+                {"bucket": pd.Series(t["bucket"].to_numpy(zero_copy_only=False)).value_counts().index,
+                 "n": pd.Series(t["bucket"].to_numpy(zero_copy_only=False)).value_counts().to_numpy()}
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .groupby("bucket")["n"]
+        .sum()
+    )
+    # rank is price-DESC: the highest bucket starts at offset 0
+    full = counts.reindex(range(_GRANK_BUCKETS), fill_value=0).to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(full[::-1])[:-1]])[::-1]  # per-bucket start
+    off_bc = Broadcast(offsets)
+
+    def rank_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        b = int(df["bucket"].iloc[0])
+        df = df.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True], kind="stable")
+        df["rank"] = off_bc.get()[b] + np.arange(1, len(df) + 1, dtype=np.int64)
+        return df[["o_orderkey", "o_totalprice", "rank"]]
+
+    return (
+        bucketed.groupby("bucket").map_groups(rank_bucket, batch_format="pandas")
+    )
+
+
+SQL_GLOBAL_RANK = """
+SELECT o_orderkey, o_totalprice,
+       CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank
+FROM orders
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4529,6 +4598,7 @@ QUERIES = {
     "fk_audit": q_fk_audit,
     "media_decode_bmp": q_media_decode_bmp,
     "media_decode_wav": q_media_decode_wav,
+    "global_rank": q_global_rank,
 }
 
 ORACLE_SQL = {
@@ -4612,6 +4682,7 @@ ORACLE_SQL = {
     "fk_audit": SQL_FK_AUDIT,
     "media_decode_bmp": SQL_MEDIA_BMP,
     "media_decode_wav": SQL_MEDIA_WAV,
+    "global_rank": SQL_GLOBAL_RANK,
     # hll_distinct / price_quantiles_tdigest are approximate sketches —
     # rows-only by design (accuracy pytest-verified)
     # lang_id / winnow / minhash / simhash / knn_lsh / media_* are not

@@ -19,3 +19,45 @@ def test_bigram_sharded_matches_broadcast(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(bc, sh[bc.columns], check_dtype=False)
+
+
+class TestFuzzyNameMatcher:
+    def test_matches_brute_force_reference(self):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        from article_extraction_ray.functions.strings import jaro_winkler_similarity
+        from article_extraction_ray.pipelines.queries import (
+            _FUZZY_JOIN_THRESHOLD,
+            _FuzzyNameMatcher,
+        )
+        from article_extraction_ray.state.broadcast import Broadcast
+
+        rng = np.random.default_rng(13)
+        vocab = ["small ring", "small rings", "smell ring", "red bolt", "red bolts",
+                 "blue cap", "blue cup", "green rod"]
+        names = rng.choice(vocab, 60)
+        keys = np.arange(60)
+        queries = [(0, str(names[0])), (7, str(names[7])), (11, str(names[11]))]
+
+        batch = pa.table({"p_partkey": pa.array(keys, type=pa.int64()),
+                          "p_name": pa.array([str(n) for n in names])})
+        got = _FuzzyNameMatcher(Broadcast(queries))(batch)
+        got = got.sort_values(["query_key", "match_key"]).reset_index(drop=True)
+
+        rows = []
+        for qk, qn in queries:
+            for k, n in zip(keys, names):
+                n = str(n)
+                if k != qk and n[:1] == qn[:1]:
+                    s = jaro_winkler_similarity(qn, n)
+                    if s >= _FUZZY_JOIN_THRESHOLD:
+                        rows.append((qk, int(k), round(s, 6)))
+        want = (
+            pd.DataFrame(rows, columns=["query_key", "match_key", "sim"])
+            .sort_values(["query_key", "match_key"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got.astype({"query_key": "int64", "match_key": "int64"}), want
+        )
