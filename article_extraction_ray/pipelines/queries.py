@@ -4419,6 +4419,62 @@ FROM documents
 """
 
 
+def q_pretokenize_corpus(sf_dir: str):
+    """The full make-a-training-set composition: curate (repetition
+    filter → benchmark decontamination → exact dedup → per-source cap)
+    → train a BPE tokenizer ON THE SURVIVORS → encode them → pack the
+    BPE token stream into 512-token training sequences.
+
+    Every stage is an already-oracled operator (`curate_corpus`,
+    `bpe_train`, `bpe_encode`, `pack_sequences`); this query pins the
+    end-to-end contract a user actually runs.  Rows-only (iterative BPE
+    inside); the curation prefix is value-oracled via `curate_corpus`
+    and the encoder via tests/test_bpe.py."""
+    from ..stages.bpe import BpeEncodeStage, bpe_train
+    from ..stages.curation import benchmark_gram_set, filter_by_repetition, mark_contaminated
+    from ..stages.scan import pack_sequences
+    from .tabular import top_k_per_group
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source", "text"], split=True)
+
+    def bench_only(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(t["doc_id"].to_numpy(zero_copy_only=False) % 97 == 0))
+
+    def corpus_only(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(t["doc_id"].to_numpy(zero_copy_only=False) % 97 != 0))
+
+    grams = benchmark_gram_set(ds.map_batches(bench_only, batch_format="pyarrow"), n=8)
+    corpus = ds.map_batches(corpus_only, batch_format="pyarrow")
+    quality = filter_by_repetition(
+        corpus, min_distinct_ratio=_CURATE_MIN_DR, max_top_bigram_frac=_CURATE_MAX_TBF
+    )
+    clean = mark_contaminated(quality, grams, n=8, keep_clean=True)
+    deduped = top_k_per_group(clean, "text", "doc_id", 1)
+    capped = top_k_per_group(deduped, "source", "doc_id", _CURATE_CAP).materialize()
+
+    merges = bpe_train(capped, num_merges=12)
+    bc = Broadcast(list(zip(merges["left"].astype(str), merges["right"].astype(str))))
+    encoded = capped.map_batches(
+        BpeEncodeStage,
+        fn_constructor_args=(bc, "text", ("source",)),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    counted = encoded.select_columns(["doc_id", "source", "n_tokens"]).rename_columns(
+        ["doc_id", "source", "n_tok"]
+    )
+
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(_os.path.join(sf_dir, "documents.parquet")).metadata
+    max_id = max(
+        meta.row_group(i).column(0).statistics.max for i in range(meta.num_row_groups)
+    )
+    return pack_sequences(counted, _PACK_BUDGET, max_order=int(max_id))
+
+
 _GRANK_BUCKETS = 64
 
 
@@ -4599,6 +4655,7 @@ QUERIES = {
     "media_decode_bmp": q_media_decode_bmp,
     "media_decode_wav": q_media_decode_wav,
     "global_rank": q_global_rank,
+    "pretokenize_corpus": q_pretokenize_corpus,
 }
 
 ORACLE_SQL = {

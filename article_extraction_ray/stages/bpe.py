@@ -191,9 +191,15 @@ class BpeEncodeStage:
     Python merge loop never runs in proportion to corpus size.
     """
 
-    def __init__(self, merges_bc: Broadcast, text_col: str = "text"):
+    def __init__(
+        self,
+        merges_bc: Broadcast,
+        text_col: str = "text",
+        passthrough: tuple[str, ...] = (),
+    ):
         self._merges = [tuple(m) for m in merges_bc.get()]
         self._text_col = text_col
+        self._passthrough = tuple(passthrough)
         self._memo: dict[str, list[str]] = {}
 
     def _encode_word(self, w: str) -> list[str]:
@@ -232,10 +238,12 @@ class BpeEncodeStage:
         per_word = tok_per_uniq[inv]
         doc_id = np.repeat(np.arange(len(batch)), lens)
         n_tokens = np.bincount(doc_id, weights=per_word, minlength=len(batch)).astype(np.int64)
-        return pa.Table.from_arrays(
-            [batch["doc_id"], pa.array(lens), pa.array(n_tokens)],
-            names=["doc_id", "n_words", "n_tokens"],
-        )
+        arrays = [batch["doc_id"], pa.array(lens), pa.array(n_tokens)]
+        names = ["doc_id", "n_words", "n_tokens"]
+        for col in self._passthrough:
+            arrays.append(batch[col])
+            names.append(col)
+        return pa.Table.from_arrays(arrays, names=names)
 
 
 def bpe_encode_local(texts: list[str], merges: list[tuple[str, str]]) -> list[list[str]]:
