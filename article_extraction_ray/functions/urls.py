@@ -6,6 +6,11 @@ Re-derived semantics from /root/reference/tables/other/url_solver.py:
 - trailing punctuation stripped; multi-line cells take the first line;
 - fallback: first plausible URL found anywhere in the cell;
 - a "plausible" URL is http(s), has a netloc, no whitespace, no commas.
+
+The patterns below are assembled from named pieces so the matching rule
+each piece encodes (new-style arXiv id = YYMM.number + optional short
+version tag; a URL token stops at whitespace/comma/semicolon) is explicit
+and independently testable.
 """
 
 from __future__ import annotations
@@ -15,9 +20,19 @@ from urllib.parse import urlparse
 
 __all__ = ["resolve_url", "find_urls"]
 
-_ARXIV_ID = re.compile(r"arxiv\.org/(?:abs|pdf|html)/([0-9]{4}\.[0-9]{4,5}(?:v[0-9]{0,2})?)")
-_DIRECT_PDF = re.compile(r"^https?://.+\.pdf(?:$|[?#])", re.IGNORECASE)
-_ANY_URL = re.compile(r"https?://[^\s,;]+", re.IGNORECASE)
+# new-style arXiv identifier: 4-digit YYMM, dot, 4-5 digit number, and an
+# optional "v" + up-to-2-digit version suffix
+_YYMM = "[0-9]{4}"
+_NUMBER = "[0-9]{4,5}"
+_VERSION = "(?:v[0-9]{0,2})?"
+_ARXIV_ID = re.compile(
+    "arxiv" + re.escape(".org/") + "(?:abs|pdf|html)/" + f"({_YYMM}\\.{_NUMBER}{_VERSION})"
+)
+# a bare link that already points at a .pdf (query string / fragment ok)
+_DIRECT_PDF = re.compile("^https?://" + ".+" + re.escape(".pdf") + "(?:$|[?#])", re.IGNORECASE)
+# URL tokens end at whitespace or the list separators the sheets use
+_STOP_CHARS = r"\s,;"
+_ANY_URL = re.compile(f"https?://[^{_STOP_CHARS}]+", re.IGNORECASE)
 _TRAILING = " \t\r\n).,;:!?]"
 
 
@@ -28,6 +43,11 @@ def _plausible(url: str) -> bool:
     if any(c.isspace() for c in url):
         return False
     return "," not in url
+
+
+def _arxiv_candidate(aid: str) -> str:
+    tail = aid if aid.lower().endswith(".pdf") else f"{aid}.pdf"
+    return f"https://arxiv.org/pdf/{tail}"
 
 
 def find_urls(text: str) -> list[str]:
@@ -51,8 +71,7 @@ def resolve_url(raw: str) -> str | None:
 
     ids = _ARXIV_ID.findall(cleaned)
     if ids:
-        aid = ids[0]
-        candidate = f"https://arxiv.org/pdf/{aid}" if aid.lower().endswith(".pdf") else f"https://arxiv.org/pdf/{aid}.pdf"
+        candidate = _arxiv_candidate(ids[0])
     elif _DIRECT_PDF.match(cleaned):
         candidate = cleaned
     else:
