@@ -3992,19 +3992,28 @@ def q_knn_graph(sf_dir: str):
     """Exact k-NN graph (top-3 cosine neighbors for EVERY vector) — the
     similarity-graph build that feeds near-dup clustering / SemDeDup.
 
-    Shape: the normalized corpus matrix ships once via ``ray.put``
-    (float64, N×d — the small side HERE); the same corpus then streams
-    through a vectorized map computing a (batch × N) matmul and an
-    axis-1 ``argpartition`` with a candidate margin, so ties at the k
-    boundary resolve by the deterministic (sim desc, vec_id asc) rule.
-    O(N²) total work in bounded blocks — exact by construction; at
-    corpus scale the IVF router (`knn_ivf`) and bucketed LSH
-    (`knn_lsh_shuffle`) are the sublinear paths, with this as their
-    verify kernel.  Output is rank-only (no float column), matching
-    `knn_cosine`'s oracle convention."""
-    from ..stages.similarity import _as_matrix, _normalize
+    Router (same shape as `embedding_dup_pairs`): under the broadcast
+    budget the normalized corpus matrix ships once via ``ray.put`` and
+    the corpus streams through a vectorized (batch × N) matmul with an
+    axis-1 ``argpartition`` margin; above it,
+    `stages.similarity.knn_graph_blocked` runs the same exact math via
+    block-pair expansion with NO driver matrix (pytest-equal).  Ties at
+    the k boundary resolve by the deterministic (sim desc, vec_id asc)
+    rule on both paths.  At corpus scale the IVF router (`knn_ivf`) and
+    bucketed LSH (`knn_lsh_shuffle`) are the sublinear approximate
+    paths, with this as their verify kernel.  Output is rank-only (no
+    float column), matching `knn_cosine`'s oracle convention."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import _as_matrix, _normalize, knn_graph_blocked
 
     k = _KNN_GRAPH_K
+    n_rows = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet")).metadata.num_rows
+    if n_rows > _EMB_BROADCAST_ROWS:
+        ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"], split=True)
+        return knn_graph_blocked(ds, k=k, n_blocks=8)
     tab = read_table_arrow(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     all_ids = tab["vec_id"].to_numpy()
     mat_t = np.ascontiguousarray(_normalize(_as_matrix(tab["embedding"])).T)

@@ -313,3 +313,102 @@ def knn_lsh(ds, queries: np.ndarray, query_ids: np.ndarray, *, k: int = 10, plan
         return g
 
     return scored.groupby("query_id").map_groups(per_query_topk, batch_format="pandas")
+
+
+def knn_graph_blocked(ds, *, k: int = 3, n_blocks: int = 4, margin: int = 8,
+                      id_col: str = "vec_id", vec_col: str = "embedding"):
+    """EXACT k-NN graph over the whole table with NO driver-side matrix
+    and no corpus broadcast — the big-table sibling of the broadcast
+    path in ``pipelines.queries.q_knn_graph``.
+
+    Same block-pair geometry as ``dedup.embedding_dup_pairs_blocked``:
+    ids hash into ``n_blocks`` blocks, every vector ships once per
+    block-pair its block joins (n_blocks× amplification, the unavoidable
+    exact-all-pairs cost; size n_blocks so one pair's two matrices fit a
+    worker).  Each pair emits per-source PARTIAL top-(k+margin)
+    candidates (a global top-k neighbor is top-k inside every subset
+    containing it, so partials cover the exact answer; the margin
+    absorbs sim ties at the cut).  One groupby(src) merge-reduce then
+    applies the deterministic (sim desc, id asc) rule exactly as the
+    broadcast path does.  Returns Dataset(src, dst, rank).
+    """
+    import pandas as pd
+
+    from .dedup import _key_buckets
+
+    def expand(batch: "pa.Table") -> pd.DataFrame:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        vecs = batch[vec_col].to_pylist()
+        own = _key_buckets(ids, n_blocks)
+        frames = []
+        for other in range(n_blocks):
+            lo = np.minimum(own, other)
+            hi = np.maximum(own, other)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "pair_id": lo.astype(np.int64) * n_blocks + hi,
+                        "block": own,
+                        "vid": ids,
+                        "vec": vecs,
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True).drop_duplicates(["pair_id", "vid"])
+
+    def _partial_topk(src_ids, src_mat, dst_ids, dst_mat, self_pair):
+        if not len(src_ids) or not len(dst_ids):
+            return []
+        sims = src_mat @ dst_mat.T  # (s, d)
+        take = min(k + margin, sims.shape[1])
+        if take < sims.shape[1]:
+            cand = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+        else:
+            cand = np.broadcast_to(
+                np.arange(sims.shape[1]), (sims.shape[0], sims.shape[1])
+            )
+        rows = np.repeat(np.arange(len(src_ids)), cand.shape[1])
+        df = pd.DataFrame(
+            {
+                "src": src_ids[rows],
+                "dst": dst_ids[cand.ravel()],
+                "sim": sims[rows, cand.ravel()],
+            }
+        )
+        if self_pair:
+            df = df[df["src"] != df["dst"]]
+        return [df]
+
+    def block_pair(g: pd.DataFrame) -> pd.DataFrame:
+        pair_id = int(g["pair_id"].iloc[0])
+        lo, hi = divmod(pair_id, n_blocks)
+        g = g.drop_duplicates("vid")
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in g["vec"]])
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.where(norms == 0, 1, norms)
+        ids = g["vid"].to_numpy()
+        if lo == hi:
+            frames = _partial_topk(ids, mat, ids, mat, True)
+        else:
+            side = g["block"].to_numpy() == lo
+            frames = _partial_topk(ids[side], mat[side], ids[~side], mat[~side], False)
+            frames += _partial_topk(ids[~side], mat[~side], ids[side], mat[side], False)
+        if not frames:
+            return pd.DataFrame(
+                {"src": pd.Series(dtype=np.int64), "dst": pd.Series(dtype=np.int64),
+                 "sim": pd.Series(dtype=np.float64)}
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    expanded = ds.map_batches(expand, batch_format="pyarrow")
+    partials = expanded.groupby("pair_id").map_groups(block_pair, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["src", "dst"]).sort_values(
+            ["sim", "dst"], ascending=[False, True], kind="stable"
+        ).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["src", "dst", "rank"]]
+
+    return partials.groupby("src").map_groups(merge, batch_format="pandas")

@@ -94,3 +94,50 @@ def test_lsh_shuffle_recall_and_self_hit(ray_session, corpus, queries, vectors):
         truth = set(_exact_topk(vectors, qm[qi], K))
         recalls.append(len(got & truth) / K)
     assert np.mean(recalls) >= 0.5, f"mean shuffle-LSH recall too low: {recalls}"
+
+
+def test_knn_graph_blocked_equals_broadcast(ray_session):
+    """The no-driver-matrix blocked k-NN graph must reproduce the
+    broadcast path's exact result (same deterministic tiebreak)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from article_extraction_ray.stages.similarity import (
+        _normalize,
+        knn_graph_blocked,
+    )
+
+    rng = np.random.default_rng(23)
+    n, d, k = 200, 16, 3
+    mat = rng.standard_normal((n, d))
+    ids = np.arange(n, dtype=np.int64)
+    tab = pa.table(
+        {"vec_id": ids, "embedding": pa.array([list(map(float, r)) for r in mat],
+                                              type=pa.list_(pa.float32()))}
+    )
+    ds = rd.from_arrow(tab).repartition(7)
+    got = (
+        knn_graph_blocked(ds, k=k, n_blocks=3)
+        .to_pandas()
+        .sort_values(["src", "rank"])
+        .reset_index(drop=True)
+    )
+
+    # brute-force reference with the same float32-storage precision
+    m = _normalize(np.stack([np.asarray(v, dtype=np.float64)
+                             for v in tab["embedding"].to_pylist()]))
+    sims = m @ m.T
+    rows = []
+    for i in range(n):
+        order = sorted(
+            ((sims[i, j], j) for j in range(n) if j != i),
+            key=lambda t: (-t[0], t[1]),
+        )[:k]
+        for r, (s, j) in enumerate(order, 1):
+            rows.append((i, j, r))
+    want = pd.DataFrame(rows, columns=["src", "dst", "rank"])
+    pd.testing.assert_frame_equal(
+        got.astype({"src": "int64", "dst": "int64", "rank": "int64"}), want
+    )
