@@ -4484,6 +4484,93 @@ def q_pretokenize_corpus(sf_dir: str):
     return pack_sequences(counted, _PACK_BUDGET, max_order=int(max_id))
 
 
+def q_grouped_mode(sf_dir: str):
+    """Most-frequent value per group (mode with deterministic low-value
+    tiebreak): the two-level count shape — per-batch partial (group,
+    value) counts, one groupby-sum, then top-1 per group by (count desc,
+    value asc).  Only (group, value, count) triples ever shuffle."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"], split=True)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+                "event_type": batch["event_type"].to_pandas(),
+            }
+        )
+        return df.value_counts(["user_id", "event_type"]).reset_index(name="c")
+
+    counts = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id", "event_type"],
+        {"c": ("sum", "c")},
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = (batch["user_id"].to_numpy(zero_copy_only=False) % 32).astype(np.int32)
+        return batch.append_column("bucket", pa.array(b))
+
+    def top1(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["user_id", "c", "event_type"], ascending=[True, False, True], kind="stable"
+        )
+        out = df.groupby("user_id", sort=False).head(1)
+        return out[["user_id", "event_type", "c"]].rename(
+            columns={"event_type": "mode_event", "c": "mode_count"}
+        )
+
+    return (
+        counts.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lambda df: top1(df.drop(columns=["bucket"])), batch_format="pandas")
+    )
+
+
+SQL_GROUPED_MODE = """
+SELECT user_id, event_type AS mode_event, c AS mode_count FROM (
+  SELECT user_id, event_type, count(*) AS c,
+         row_number() OVER (PARTITION BY user_id ORDER BY count(*) DESC, event_type) AS rn
+  FROM events GROUP BY user_id, event_type
+) WHERE rn = 1
+"""
+
+
+def q_dense_rank(sf_dir: str):
+    """dense_rank of each customer's orders by price within the
+    customer (ties share a rank, no gaps) — the bucketed ordered-scan
+    window shape; the in-bucket pass is one vectorized pandas
+    ``rank(method='dense')`` per bucket."""
+    ds = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"], split=True
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = (batch["o_custkey"].to_numpy() % 32).astype(np.int32)
+        return batch.append_column("bucket", pa.array(b))
+
+    def dense(df: pd.DataFrame) -> pd.DataFrame:
+        df["price_rank"] = (
+            df.groupby("o_custkey", sort=False)["o_totalprice"]
+            .rank(method="dense", ascending=False)
+            .astype(np.int64)
+        )
+        return df[["o_orderkey", "o_custkey", "price_rank"]]
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lambda df: dense(df.drop(columns=["bucket"])), batch_format="pandas")
+    )
+
+
+SQL_DENSE_RANK = """
+SELECT o_orderkey, o_custkey,
+       CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS BIGINT)
+         AS price_rank
+FROM orders
+"""
+
+
 _GRANK_BUCKETS = 64
 
 
@@ -4665,6 +4752,8 @@ QUERIES = {
     "media_decode_wav": q_media_decode_wav,
     "global_rank": q_global_rank,
     "pretokenize_corpus": q_pretokenize_corpus,
+    "grouped_mode": q_grouped_mode,
+    "dense_rank": q_dense_rank,
 }
 
 ORACLE_SQL = {
@@ -4749,6 +4838,8 @@ ORACLE_SQL = {
     "media_decode_bmp": SQL_MEDIA_BMP,
     "media_decode_wav": SQL_MEDIA_WAV,
     "global_rank": SQL_GLOBAL_RANK,
+    "grouped_mode": SQL_GROUPED_MODE,
+    "dense_rank": SQL_DENSE_RANK,
     # hll_distinct / price_quantiles_tdigest are approximate sketches —
     # rows-only by design (accuracy pytest-verified)
     # lang_id / winnow / minhash / simhash / knn_lsh / media_* are not
