@@ -4227,11 +4227,15 @@ def q_funnel_users(sf_dir: str):
     first 'click' precedes their first 'purchase' (strict order).
 
     Shape: per-batch partial min-timestamp per (user, stage) — three
-    nullable columns per user per batch, never the event rows — then one
-    ``grouped_aggregate`` min-reduce and a vectorized stage-order filter.
-    The shuffle moves at most |users|×3 timestamps per batch regardless
-    of event volume; NULL (stage absent) propagates through Arrow min
-    and fails the strict comparison exactly like SQL."""
+    columns per user per batch, never the event rows — then one
+    ``grouped_aggregate`` min-reduce and a vectorized stage-order
+    filter.  The shuffle moves at most |users|×3 values per batch
+    regardless of event volume.  The reduce runs over int64 epoch-µs
+    with INT64_MAX as the "stage absent" sentinel (min-neutral, and
+    immune to the all-null-block object fallback Ray's Min aggregate
+    exhibits on timestamp columns); finalize masks sentinels — exactly
+    SQL's strict-NULL comparison — and restores timestamp[us]."""
+    _ABSENT = np.iinfo(np.int64).max
     ds = read_table(sf_dir, "events", columns=["user_id", "event_type", "ts"], split=True)
 
     def partial(batch: pa.Table) -> pd.DataFrame:
@@ -4239,14 +4243,24 @@ def q_funnel_users(sf_dir: str):
             {
                 "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
                 "event_type": batch["event_type"].to_pandas(),
-                "ts": batch["ts"].to_numpy(zero_copy_only=False),
+                "ts": batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view("int64"),
             }
         )
         df = df[df["event_type"].isin(_FUNNEL_STAGES)]
         p = df.pivot_table(index="user_id", columns="event_type", values="ts", aggfunc="min")
         out = pd.DataFrame({"user_id": p.index.to_numpy()})
         for s in _FUNNEL_STAGES:
-            out[f"t_{s}"] = p[s].to_numpy() if s in p.columns else pd.NaT
+            col = (
+                np.asarray(p[s].to_numpy(), dtype=np.float64)
+                if s in p.columns
+                else np.full(len(out), np.nan, dtype=np.float64)
+            )
+            # Mask-then-assign: _ABSENT (INT64_MAX) is not float64-representable,
+            # so routing it through np.where's float path would overflow the cast.
+            absent = np.isnan(col)
+            vals = np.where(absent, 0.0, col).astype(np.int64)
+            vals[absent] = _ABSENT
+            out[f"t_{s}"] = vals
         return out
 
     agg = grouped_aggregate(
@@ -4259,9 +4273,16 @@ def q_funnel_users(sf_dir: str):
         tv, tc, tp = (
             batch[f"t_{s}"].to_numpy(zero_copy_only=False) for s in _FUNNEL_STAGES
         )
-        with np.errstate(invalid="ignore"):
-            ok = (tv < tc) & (tc < tp)  # NaT comparisons are False
-        return batch.filter(pa.array(np.asarray(ok, dtype=bool)))
+        ok = (tv < tc) & (tc < tp) & (tv != _ABSENT) & (tc != _ABSENT) & (tp != _ABSENT)
+        kept = batch.filter(pa.array(np.asarray(ok, dtype=bool)))
+        arrays = [kept["user_id"]]
+        for s in _FUNNEL_STAGES:
+            arrays.append(
+                pa.array(
+                    kept[f"t_{s}"].to_numpy(zero_copy_only=False).view("datetime64[us]")
+                )
+            )
+        return pa.Table.from_arrays(arrays, names=["user_id"] + [f"t_{s}" for s in _FUNNEL_STAGES])
 
     return agg.map_batches(finalize, batch_format="pyarrow")
 

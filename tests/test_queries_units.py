@@ -61,3 +61,47 @@ class TestFuzzyNameMatcher:
         pd.testing.assert_frame_equal(
             got.astype({"query_key": "int64", "match_key": "int64"}), want
         )
+
+
+class TestFunnelHeterogeneousBatches:
+    def test_stage_absent_from_batch(self, ray_session, tmp_path):
+        # events sorted by event_type → blocks that lack whole stages;
+        # the per-batch partial must still emit timestamp[us] columns
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from article_extraction_ray.pipelines.queries import q_funnel_users
+
+        rng = np.random.default_rng(3)
+        n = 600
+        df = pd.DataFrame(
+            {
+                "event_id": np.arange(n),
+                "user_id": rng.integers(0, 40, n),
+                "event_type": rng.choice(["view", "click", "purchase", "error"], n),
+                "ts": pd.to_datetime("2024-01-01")
+                + pd.to_timedelta(rng.integers(0, 10**6, n), unit="s"),
+            }
+        ).sort_values("event_type", kind="stable")
+        pq.write_table(
+            pa.Table.from_pandas(df, preserve_index=False).set_column(
+                3, "ts", pa.Table.from_pandas(df, preserve_index=False)["ts"].cast(pa.timestamp("us"))
+            ),
+            tmp_path / "events.parquet",
+        )
+        got = (
+            q_funnel_users(str(tmp_path))
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+
+        m = df.pivot_table(index="user_id", columns="event_type", values="ts", aggfunc="min")
+        m = m.reindex(columns=["view", "click", "purchase"])
+        want = m[(m["view"] < m["click"]) & (m["click"] < m["purchase"])]
+        assert got["user_id"].tolist() == sorted(want.index.tolist())
+        gv = got.set_index("user_id")["t_view"]
+        for uid in want.index:
+            assert pd.Timestamp(gv.loc[uid]) == want.loc[uid, "view"]
