@@ -2267,6 +2267,29 @@ def q_knn_ivf(sf_dir: str):
     return out.map_batches(lambda df: df[["query_id", "vec_id", "rank"]], batch_format="pandas")
 
 
+def q_knn_pq(sf_dir: str):
+    """Product-quantization ANN (stages/pq.knn_pq): joint distributed
+    Lloyd's codebook fit, uint8 code encode (4·d/m-fold compression —
+    the memory scale path), compressed-domain ADC scan, exact re-rank
+    of the bounded shortlist.  Approximate — recall vs brute force is
+    property-tested; rows-only driver check."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..stages.pq import knn_pq
+
+    emb = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    qt = emb.filter(pa.compute.less(emb["vec_id"], 5))
+    queries = np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()])
+    qids = np.asarray(qt["vec_id"].to_pylist())
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"], split=True)
+    out = knn_pq(ds, queries, qids, k=10, m=8, ksub=32, iters=5, refine=4)
+    return out.map_batches(lambda df: df[["query_id", "vec_id", "rank"]], batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # corpus curation: redaction / decontamination / repetition / caps / packing
 # ---------------------------------------------------------------------------
@@ -4726,6 +4749,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "kmeans_clusters": q_kmeans_clusters,
     "knn_ivf": q_knn_ivf,
+    "knn_pq": q_knn_pq,
     "pii_redact": q_pii_redact,
     "decontaminate": q_decontaminate,
     "repetition_stats": q_repetition_stats,

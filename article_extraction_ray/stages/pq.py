@@ -1,0 +1,279 @@
+"""Product quantization (PQ) — compressed-domain ANN for the 100 TB tier.
+
+IVF (:mod:`stages.clustering`) and LSH (:mod:`stages.similarity`) cut
+*candidate work*; PQ cuts *memory*: each d-dim float vector is stored as
+``m`` uint8 codes (one per d/m-dim subspace, each quantized against its
+own ``ksub``-entry codebook), a 4·d/m-fold compression — the difference
+between an embedding table that fits in the cluster's object store and
+one that doesn't.  Search runs entirely in the compressed domain via
+asymmetric distance computation (ADC): per query, one small
+(m × ksub) lookup table of exact query-subvector · codeword inner
+products; each database vector's approximate cosine is then m table
+gathers + a sum — no float matrix ever streams at query time.
+
+Ray-Data shapes (same conventions as the k-means module):
+
+- **fit** — ONE distributed Lloyd's loop trains all m subspace
+  codebooks jointly: each batch computes per-subspace assignments
+  with m small matmuls and emits a single partial row of
+  (m × ksub × dsub) sum / (m × ksub) count accumulators; the driver
+  folds partials (size independent of corpus) and re-broadcasts.
+- **encode** — stateless ``map_batches``: (n, d) batch → m argmax
+  calls → ``fixed_size_list<uint8, m>`` codes column.  Codes are what
+  a production index persists (parquet), the float column is dropped.
+- **search** — queries broadcast as prebuilt LUTs; each codes batch
+  does a vectorized gather-sum per query and a per-batch top-k
+  prefilter, then the usual per-query groupby reduce.
+
+Approximate by construction (quantization error); recall vs brute
+force is property-tested in tests/test_similarity.py.  Composes with
+IVF (probe lists first, ADC inside the list) — here the full-scan ADC
+path is implemented because it is the memory-bound regime PQ exists
+for; candidate pruning is IVF/LSH's job.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..state.broadcast import Broadcast
+from .clustering import _hash_priorities
+from .similarity import _as_matrix, _normalize
+
+_FIT_SAMPLE_PER_CODEWORD = 32
+
+
+def _fit_sample(ds, n_sample: int, *, id_col: str, vec_col: str) -> np.ndarray:
+    """Seeded spread sample for codebook init: each batch keeps its
+    local ``n_sample`` smallest hash priorities (bounded, layout-
+    independent), driver keeps the global smallest — the same A-Res
+    trick as k-means init, so init is deterministic across block
+    layouts."""
+
+    def local(batch: pa.Table) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        mat = _normalize(_as_matrix(batch[vec_col]))
+        if not mat.size:
+            return pd.DataFrame({"prio": [], "vec": []})
+        pr = _hash_priorities(ids, seed=911)
+        take = min(n_sample, len(pr))
+        idx = np.argpartition(pr, take - 1)[:take]
+        return pd.DataFrame({"prio": pr[idx], "vec": list(mat[idx])})
+
+    cand = ds.map_batches(local, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values("prio", kind="stable").head(n_sample)
+    return np.stack(cand["vec"].to_numpy())
+
+
+def pq_fit(
+    ds,
+    *,
+    m: int = 8,
+    ksub: int = 32,
+    iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tol: float = 1e-6,
+) -> np.ndarray:
+    """Train the (m, ksub, d/m) PQ codebooks with joint distributed Lloyd's.
+
+    Vectors are L2-normalized before subspace split so ADC scores
+    approximate cosine.  d must be divisible by ``m``.
+    """
+    sample = _fit_sample(ds, _FIT_SAMPLE_PER_CODEWORD * ksub, id_col=id_col, vec_col=vec_col)
+    d = sample.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    if len(sample) < ksub:
+        raise ValueError(f"corpus smaller than ksub={ksub}")
+    # init: per subspace, the first ksub sample subvectors in priority order
+    books = np.stack([sample[:ksub, j * dsub : (j + 1) * dsub].copy() for j in range(m)])
+
+    for _ in range(iters):
+        handle = Broadcast(books)
+
+        def partial(batch: pa.Table) -> pd.DataFrame:
+            cb = handle.get()  # (m, ksub, dsub)
+            mat = _normalize(_as_matrix(batch[vec_col]))
+            if not mat.size:
+                return pd.DataFrame({"sums": [], "counts": []})
+            sums = np.zeros((m, ksub, dsub))
+            counts = np.zeros((m, ksub), dtype=np.int64)
+            for j in range(m):
+                sub = mat[:, j * dsub : (j + 1) * dsub]
+                a = np.argmax(sub @ cb[j].T - 0.5 * (cb[j] * cb[j]).sum(axis=1), axis=1)
+                np.add.at(sums[j], a, sub)
+                counts[j] = np.bincount(a, minlength=ksub)
+            return pd.DataFrame({"sums": [sums.ravel()], "counts": [counts.ravel()]})
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        if not len(parts):
+            break
+        sums = np.sum(np.stack(parts["sums"].to_numpy()), axis=0).reshape(m, ksub, dsub)
+        counts = np.sum(np.stack(parts["counts"].to_numpy()), axis=0).reshape(m, ksub)
+        new = books.copy()  # empty codewords keep their previous value
+        nz = counts > 0
+        new[nz] = sums[nz] / counts[nz][:, None]
+        shift = float(np.max(np.linalg.norm(new - books, axis=2)))
+        books = new
+        if shift < tol:
+            break
+    return books
+
+
+def pq_encode(ds, codebooks: np.ndarray, *, id_col: str = "vec_id",
+              vec_col: str = "embedding", out_col: str = "pq_code"):
+    """Dataset(id_col, out_col): each vector as m uint8 codes.
+
+    This is the persistence shape — at scale the float column is
+    dropped here and only codes (m bytes/row) flow downstream."""
+    m, ksub, dsub = codebooks.shape
+    handle = Broadcast(np.asarray(codebooks, dtype=np.float64))
+
+    def encode(batch: pa.Table) -> pa.Table:
+        cb = handle.get()
+        ids = batch[id_col]
+        mat = _normalize(_as_matrix(batch[vec_col]))
+        if not mat.size:
+            codes = pa.array([], type=pa.list_(pa.uint8(), m))
+            return pa.Table.from_arrays([ids.combine_chunks(), codes], names=[id_col, out_col])
+        out = np.empty((len(mat), m), dtype=np.uint8)
+        for j in range(m):
+            sub = mat[:, j * dsub : (j + 1) * dsub]
+            out[:, j] = np.argmax(sub @ cb[j].T - 0.5 * (cb[j] * cb[j]).sum(axis=1), axis=1)
+        codes = pa.FixedSizeListArray.from_arrays(pa.array(out.ravel()), m)
+        return pa.Table.from_arrays(
+            [ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids, codes],
+            names=[id_col, out_col],
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def _codes_matrix(col) -> np.ndarray:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if isinstance(arr, pa.ChunkedArray):  # zero chunks
+        return np.empty((0, 0), dtype=np.uint8)
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    n = len(arr)
+    return flat.reshape(n, -1) if n else np.empty((0, 0), dtype=np.uint8)
+
+
+def knn_pq(
+    ds,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    *,
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 32,
+    iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: np.ndarray | None = None,
+    refine: int = 4,
+):
+    """PQ/ADC cosine top-k with exact re-rank:
+    Dataset(query_id, vec_id, cos_sim, rank).
+
+    Two passes, both streaming: (1) compressed-domain ADC scan keeps a
+    ``refine``·k-candidate shortlist per query (quantized scores rank
+    coarsely — fine-grained order inside a tight cluster is below the
+    quantization noise floor); (2) the shortlist (q·refine·k ids,
+    bounded, independent of corpus size) broadcasts back over the float
+    table and only candidate rows get exact cosines — the standard
+    ADC-then-refine shape (FAISS ``refine_factor``).  ``refine=0``
+    skips the re-rank and returns raw ``adc_sim`` scores.
+
+    Pass ``codebooks`` to reuse a prefitted index (fit once, search
+    many)."""
+    if codebooks is None:
+        ds = ds.materialize()  # fit sweeps + encode pass share blocks
+        codebooks = pq_fit(ds, m=m, ksub=ksub, iters=iters, id_col=id_col, vec_col=vec_col)
+    m, ksub, dsub = codebooks.shape
+    qmat = _normalize(np.asarray(queries, dtype=np.float64))
+    # LUTs: exact query-subvector · codeword inner products, (q, m, ksub)
+    luts = np.stack(
+        [qmat[:, j * dsub : (j + 1) * dsub] @ codebooks[j].T for j in range(m)], axis=1
+    )
+    encoded = pq_encode(ds, codebooks, id_col=id_col, vec_col=vec_col)
+    handle = Broadcast((luts, np.asarray(query_ids)))
+    subspace = np.arange(m)
+    shortlist = max(1, refine) * k
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        lut, qids = handle.get()
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        codes = _codes_matrix(batch["pq_code"])
+        if not codes.size:
+            return pd.DataFrame({"query_id": [], "vec_id": [], "adc_sim": []})
+        frames = []
+        for qi in range(len(qids)):
+            sims = lut[qi][subspace, codes].sum(axis=1)  # (n,) gather-sum
+            take = min(shortlist, len(sims))
+            # lexsort (sim desc, id asc) — the SAME tiebreak as the final
+            # reduce, so the prefilter keeps every global-top-k row no
+            # matter how rows are split into blocks (quantized scores tie
+            # constantly; argpartition's arbitrary tiebreak would make
+            # results depend on block layout).
+            idx = np.lexsort((ids, -sims))[:take]
+            frames.append(pd.DataFrame({"query_id": qids[qi], "vec_id": ids[idx], "adc_sim": sims[idx]}))
+        return pd.concat(frames, ignore_index=True)
+
+    scored = encoded.map_batches(score, batch_format="pyarrow")
+
+    if not refine:
+
+        def per_query_topk(group: pd.DataFrame) -> pd.DataFrame:
+            g = group.sort_values(["adc_sim", "vec_id"], ascending=[False, True]).head(k)
+            g = g.reset_index(drop=True)
+            g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+            return g
+
+        return scored.groupby("query_id").map_groups(per_query_topk, batch_format="pandas")
+
+    def per_query_shortlist(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(["adc_sim", "vec_id"], ascending=[False, True]).head(shortlist)
+
+    cand = (
+        scored.groupby("query_id")
+        .map_groups(per_query_shortlist, batch_format="pandas")
+        .to_pandas()
+    )  # q·refine·k rows — bounded by the query-set size, not the corpus
+    cand_map: dict[int, list[int]] = {}
+    for vid, qid in zip(cand["vec_id"].to_numpy(), cand["query_id"].to_numpy()):
+        cand_map.setdefault(int(vid), []).append(int(qid))
+    cand_ids = np.fromiter(cand_map.keys(), dtype=np.int64, count=len(cand_map))
+    qindex = {int(q): i for i, q in enumerate(np.asarray(query_ids))}
+    rhandle = Broadcast((cand_map, cand_ids, qmat, qindex))
+
+    def exact(batch: pa.Table) -> pd.DataFrame:
+        cmap, cids, qm, qidx = rhandle.get()
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        mask = np.isin(ids, cids)  # vectorized membership over the big side
+        if not mask.any():
+            return pd.DataFrame({"query_id": [], "vec_id": [], "cos_sim": []})
+        mat = _normalize(_as_matrix(batch[vec_col]))[mask]
+        sub_ids = ids[mask]
+        # Python loop only over shortlist hits — bounded by q·refine·k,
+        # not by batch size.
+        out_q, out_v, out_s = [], [], []
+        for row, vid in enumerate(sub_ids):
+            for qid in cmap[int(vid)]:
+                out_q.append(qid)
+                out_v.append(vid)
+                out_s.append(float(mat[row] @ qm[qidx[qid]]))
+        return pd.DataFrame({"query_id": out_q, "vec_id": out_v, "cos_sim": out_s})
+
+    refined = ds.map_batches(exact, batch_format="pyarrow")
+
+    def per_query_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["cos_sim", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return refined.groupby("query_id").map_groups(per_query_topk, batch_format="pandas")

@@ -141,3 +141,106 @@ def test_knn_graph_blocked_equals_broadcast(ray_session):
     pd.testing.assert_frame_equal(
         got.astype({"src": "int64", "dst": "int64", "rank": "int64"}), want
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (stages/pq.py)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def blob_vectors():
+    # clustered data — the regime ANN indexes exist for
+    rng = np.random.default_rng(11)
+    centers = rng.normal(0, 8, (6, D))
+    return np.concatenate([centers[i] + rng.normal(0, 0.6, (80, D)) for i in range(6)])
+
+
+@pytest.fixture(scope="module")
+def blob_corpus(ray_session, blob_vectors):
+    import ray.data as rd
+
+    tbl = pa.table(
+        {
+            "vec_id": np.arange(len(blob_vectors)),
+            "embedding": [list(map(float, v)) for v in blob_vectors],
+        }
+    )
+    return rd.from_arrow(tbl).repartition(4)
+
+
+class TestPQ:
+    def test_codes_shape_and_dtype(self, blob_corpus):
+        from article_extraction_ray.stages.pq import pq_encode, pq_fit
+
+        books = pq_fit(blob_corpus, m=8, ksub=16, iters=4)
+        assert books.shape == (8, 16, D // 8)
+        enc = pq_encode(blob_corpus, books).to_pandas()
+        assert len(enc) == 480
+        codes = np.stack(enc["pq_code"].to_numpy())
+        assert codes.shape == (480, 8) and codes.dtype == np.uint8
+        assert codes.max() < 16
+
+    def test_recall_vs_brute_force(self, blob_corpus, blob_vectors):
+        from article_extraction_ray.stages.pq import knn_pq
+
+        qm = blob_vectors[:4]
+        qids = np.arange(4)
+        # refine=8 → an 80-candidate shortlist per query, wide enough to
+        # cover a whole 80-point blob whose members all tie under ADC;
+        # the exact re-rank then recovers the true fine-grained order.
+        out = knn_pq(blob_corpus, qm, qids, k=K, m=8, ksub=32, iters=6, refine=8).to_pandas()
+        recalls = []
+        for qi in qids:
+            got = set(out[out.query_id == qi]["vec_id"].tolist())
+            truth = set(_exact_topk(blob_vectors, qm[qi], K))
+            recalls.append(len(got & truth) / K)
+        assert np.mean(recalls) >= 0.9, f"mean PQ recall too low: {recalls}"
+        # coarse shortlist alone (no re-rank) is strictly worse on tied,
+        # quantized scores — the refine stage is what buys the recall
+        raw = knn_pq(blob_corpus, qm, qids, k=K, m=8, ksub=32, iters=6, refine=0).to_pandas()
+        raw_recalls = [
+            len(set(raw[raw.query_id == qi]["vec_id"]) & set(_exact_topk(blob_vectors, qm[qi], K))) / K
+            for qi in qids
+        ]
+        assert np.mean(recalls) >= np.mean(raw_recalls)
+
+    def test_deterministic_across_layouts(self, ray_session, blob_vectors):
+        import ray.data as rd
+
+        from article_extraction_ray.stages.pq import knn_pq, pq_fit
+
+        tbl = pa.table(
+            {
+                "vec_id": np.arange(len(blob_vectors)),
+                "embedding": [list(map(float, v)) for v in blob_vectors],
+            }
+        )
+        a_ds = rd.from_arrow(tbl).repartition(2)
+        b_ds = rd.from_arrow(tbl).repartition(8)
+        books_a = pq_fit(a_ds, m=4, ksub=16, iters=3)
+        books_b = pq_fit(b_ds, m=4, ksub=16, iters=3)
+        np.testing.assert_allclose(books_a, books_b, atol=1e-9)
+        qm, qids = blob_vectors[:2], np.arange(2)
+        out_a = (
+            knn_pq(a_ds, qm, qids, k=5, codebooks=books_a)
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        out_b = (
+            knn_pq(b_ds, qm, qids, k=5, codebooks=books_b)
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        assert out_a["vec_id"].tolist() == out_b["vec_id"].tolist()
+
+    def test_prefit_codebooks_reused(self, blob_corpus, blob_vectors):
+        from article_extraction_ray.stages.pq import knn_pq, pq_fit
+
+        books = pq_fit(blob_corpus, m=8, ksub=16, iters=3)
+        qm, qids = blob_vectors[:2], np.arange(2)
+        out = knn_pq(blob_corpus, qm, qids, k=5, codebooks=books).to_pandas()
+        assert set(out["query_id"]) == {0, 1}
+        assert (out.groupby("query_id")["rank"].max() == 5).all()
