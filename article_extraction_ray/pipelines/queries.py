@@ -1777,6 +1777,33 @@ FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 """
 
 
+def q_sortmerge_join(sf_dir: str):
+    """Range-partitioned sort-merge join (tabular.sortmerge_join): the
+    same big-big orders X lineitem exchange as `shuffle_join`, but
+    partitioned by sampled key QUANTILES (TeraSort boundaries) instead
+    of key hash — robust to key-range skew and emits key-clustered
+    output runs.  Identical join semantics, so the same SQL oracle
+    shape applies."""
+    from .tabular import sortmerge_join
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"], split=True
+    )
+    lineitem = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_quantity"],
+        split=True,
+    ).rename_columns({"l_orderkey": "o_orderkey"})
+    return sortmerge_join(orders, lineitem, on="o_orderkey", how="inner")
+
+
+SQL_SORTMERGE_JOIN = """
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, l.l_linenumber, l.l_quantity
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+"""
+
+
 def q_rank_in_group(sf_dir: str):
     """row_number per group (top-3 orders per customer by price): coarse
     key buckets, then ONE vectorized sort + cumcount per bucket — no
@@ -4734,6 +4761,7 @@ QUERIES = {
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "shuffle_join": q_shuffle_join,
+    "sortmerge_join": q_sortmerge_join,
     "rank_in_group": q_rank_in_group,
     "window_lag": q_window_lag,
     "distinct_users": q_distinct_users,
@@ -4835,6 +4863,7 @@ ORACLE_SQL = {
     "asof_join": SQL_ASOF,
     "range_join": SQL_RANGE_JOIN,
     "shuffle_join": SQL_SHUFFLE_JOIN,
+    "sortmerge_join": SQL_SORTMERGE_JOIN,
     "rank_in_group": SQL_RANK,
     "window_lag": SQL_WINDOW_LAG,
     "distinct_users": SQL_DISTINCT_USERS,

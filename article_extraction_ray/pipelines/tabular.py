@@ -198,6 +198,8 @@ def shuffle_join(
     *,
     how: str = "inner",
     num_buckets: int = 64,
+    bucket_fn=None,
+    sort_buckets: bool = False,
 ):
     """Big-big equi join: hash-partition BOTH sides on the join key and
     merge per bucket (the complement of :func:`broadcast_join`, for when
@@ -214,6 +216,12 @@ def shuffle_join(
     concentrates in one bucket — at production scale salt the hot keys
     (replicate the smaller side's hot-key rows across salts, as span
     reassembly does in stages/extract.py) before this operator.
+
+    ``bucket_fn`` overrides the hash partitioner with a custom
+    ``pa.Table → int32 array`` assignment (both sides must agree) —
+    :func:`sortmerge_join` passes a range partitioner here.
+    ``sort_buckets`` additionally key-sorts each bucket before the
+    merge, yielding key-clustered output runs.
     """
     keys = [on] if isinstance(on, str) else list(on)
 
@@ -248,6 +256,8 @@ def shuffle_join(
     )
 
     def bucket_of(tbl: pa.Table) -> np.ndarray:
+        if bucket_fn is not None:
+            return bucket_fn(tbl)
         first = tbl[keys[0]]
         if pa.types.is_integer(first.type):
             h = first.to_numpy().astype(np.int64)
@@ -279,6 +289,9 @@ def shuffle_join(
         is_l = df["__side_l"].to_numpy()
         lf = df.loc[is_l, keys + payload_l].astype({c: _tmpl[c] for c in keys + payload_l})
         rf = df.loc[~is_l, keys + payload_r].astype({c: _tmpl[c] for c in keys + payload_r})
+        if sort_buckets:
+            lf = lf.sort_values(keys, kind="stable")
+            rf = rf.sort_values(keys, kind="stable")
         return lf.merge(rf, on=keys, how=how)
 
     tagged = left.map_batches(lambda t: tag(t, True), batch_format="pyarrow").union(
@@ -286,6 +299,63 @@ def shuffle_join(
     )
     return tagged.groupby("bucket").map_groups(
         lambda df: merge(df.drop(columns=["bucket"])), batch_format="pandas"
+    )
+
+
+_SMJ_SAMPLE = 4096
+
+
+def sortmerge_join(
+    left,
+    right,
+    on: str,
+    *,
+    how: str = "inner",
+    num_buckets: int = 64,
+    sample_size: int = _SMJ_SAMPLE,
+):
+    """Range-partitioned sort-merge equi join on a numeric key — the
+    TeraSort-shaped complement of :func:`shuffle_join`'s hash partitioner.
+
+    Boundaries come from sampled key quantiles, not linspace: one
+    streaming pass over the LEFT side keeps each batch's
+    ``sample_size`` smallest seeded hash priorities (a bounded,
+    layout-independent uniform sample — same A-Res trick as k-means
+    init), and the driver's quantiles of that sample become the
+    ``num_buckets−1`` interior boundaries.  Equal-count boundaries make
+    the partitioner robust to key-RANGE skew (monotone ids, zipf
+    values) where ``key % b`` stays balanced but ``linspace`` ranges
+    collapse into one bucket.  Both sides then map to buckets with one
+    vectorized ``searchsorted`` and the union/per-bucket machinery of
+    :func:`shuffle_join` runs with in-bucket key sorts, so output runs
+    are key-clustered — the property downstream merge consumers (as-of
+    windows, range scans) rely on.
+    """
+    def sample_keys(batch: pa.Table) -> pd.DataFrame:
+        k = batch[on].to_numpy(zero_copy_only=False)
+        if not len(k):
+            return pd.DataFrame({"prio": [], "key": []})
+        # value-keyed priority (fixed-key siphash on the key's bit
+        # pattern) — deterministic across block layouts; a distinct-value
+        # spread sample is what boundary estimation needs
+        bits = (k if k.dtype.kind in "iu" else k.astype(np.float64).view(np.uint64)).astype(np.uint64)
+        pr = pd.util.hash_array(bits)
+        take = min(sample_size, len(pr))
+        idx = np.argpartition(pr, take - 1)[:take]
+        return pd.DataFrame({"prio": pr[idx], "key": k[idx]})
+
+    cand = left.map_batches(sample_keys, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values("prio", kind="stable").head(sample_size)
+    qs = np.linspace(0, 1, num_buckets + 1)[1:-1]
+    bounds = np.unique(np.quantile(cand["key"].to_numpy(), qs))
+
+    def range_bucket(tbl: pa.Table) -> np.ndarray:
+        k = tbl[on].to_numpy(zero_copy_only=False)
+        return np.searchsorted(bounds, k, side="right").astype(np.int32)
+
+    return shuffle_join(
+        left, right, on, how=how, num_buckets=num_buckets,
+        bucket_fn=range_bucket, sort_buckets=True,
     )
 
 

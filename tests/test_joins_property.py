@@ -123,3 +123,62 @@ class TestAsofSemantics:
         a = got.sort_values(["event_id"]).reset_index(drop=True)
         b = exp.sort_values(["event_id"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSortMergeJoinProperty:
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(join_inputs())
+    def test_matches_pandas(self, frames):
+        import ray.data as rd
+
+        from article_extraction_ray.pipelines.tabular import sortmerge_join
+
+        left, right = frames
+        if len(left) == 0:
+            return  # boundary sampling needs at least one left key
+        out = sortmerge_join(
+            rd.from_pandas(left),
+            rd.from_pandas(right),
+            on="k",
+            num_buckets=4,
+        ).to_pandas()
+        exp = left.merge(right, on="k")
+        assert len(out) == len(exp)
+        if len(exp):
+            a = out.sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+            b = exp.sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+            pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+
+    def test_range_skew_balanced_buckets(self, ray_session):
+        # keys concentrated in a narrow band plus a long sparse tail —
+        # linspace ranges would dump ~all rows in one bucket; sampled
+        # quantiles must spread them
+        import pyarrow as pa
+        import ray.data as rd
+
+        from article_extraction_ray.pipelines.tabular import _SMJ_SAMPLE, sortmerge_join
+
+        rng = np.random.default_rng(7)
+        dense = rng.integers(0, 1_000, 8_000)           # 80% in [0, 1e3)
+        tail = rng.integers(1_000, 10_000_000, 2_000)   # 20% spread to 1e7
+        keys = np.concatenate([dense, tail])
+        left = pd.DataFrame({"k": keys, "lv": rng.standard_normal(len(keys))})
+        right = pd.DataFrame({"k": rng.permutation(keys)[:2000], "rv": np.arange(2000)})
+
+        # reproduce the partitioner's boundary estimate and check balance
+        bits = keys.astype(np.uint64)
+        pr = pd.util.hash_array(bits)
+        idx = np.argpartition(pr, _SMJ_SAMPLE - 1)[:_SMJ_SAMPLE]
+        bounds = np.unique(np.quantile(keys[idx], np.linspace(0, 1, 17)[1:-1]))
+        counts = np.bincount(np.searchsorted(bounds, keys, side="right"), minlength=len(bounds) + 1)
+        assert counts.max() < 0.25 * len(keys), counts  # no collapsed bucket
+
+        out = sortmerge_join(
+            rd.from_pandas(left).repartition(8),
+            rd.from_pandas(right).repartition(4),
+            on="k",
+            num_buckets=16,
+        ).to_pandas()
+        exp = left.merge(right, on="k")
+        assert len(out) == len(exp)
