@@ -2317,6 +2317,28 @@ def q_knn_pq(sf_dir: str):
     return out.map_batches(lambda df: df[["query_id", "vec_id", "rank"]], batch_format="pandas")
 
 
+def q_knn_ivfpq(sf_dir: str):
+    """IVF-PQ ANN (stages/pq.knn_ivfpq): coarse quantizer prunes
+    candidates (nprobe/nlist of the corpus scanned), residual PQ codes
+    prune memory (m bytes per scanned vector), bounded exact refine.
+    Approximate — recall property-tested; rows-only driver check."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..stages.pq import knn_ivfpq
+
+    emb = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    qt = emb.filter(pa.compute.less(emb["vec_id"], 5))
+    queries = np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()])
+    qids = np.asarray(qt["vec_id"].to_pylist())
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"], split=True)
+    out = knn_ivfpq(ds, queries, qids, k=10, nlist=16, nprobe=6, m=8, ksub=32, refine=4)
+    return out.map_batches(lambda df: df[["query_id", "vec_id", "rank"]], batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # corpus curation: redaction / decontamination / repetition / caps / packing
 # ---------------------------------------------------------------------------
@@ -4778,6 +4800,7 @@ QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
     "knn_ivf": q_knn_ivf,
     "knn_pq": q_knn_pq,
+    "knn_ivfpq": q_knn_ivfpq,
     "pii_redact": q_pii_redact,
     "decontaminate": q_decontaminate,
     "repetition_stats": q_repetition_stats,

@@ -45,7 +45,20 @@ from .similarity import _as_matrix, _normalize
 _FIT_SAMPLE_PER_CODEWORD = 32
 
 
-def _fit_sample(ds, n_sample: int, *, id_col: str, vec_col: str) -> np.ndarray:
+def _prep(mat: np.ndarray, coarse: np.ndarray | None):
+    """L2-normalize; with a coarse quantizer, also return per-row coarse
+    assignments and replace each vector by its residual (IVF-PQ trains
+    and encodes PQ on residuals, which carry far less variance than the
+    raw vectors)."""
+    mat = _normalize(mat)
+    if coarse is None:
+        return mat, None
+    a = np.argmax(mat @ coarse.T - 0.5 * (coarse * coarse).sum(axis=1), axis=1)
+    return mat - coarse[a], a
+
+
+def _fit_sample(ds, n_sample: int, *, id_col: str, vec_col: str,
+                coarse: np.ndarray | None = None) -> np.ndarray:
     """Seeded spread sample for codebook init: each batch keeps its
     local ``n_sample`` smallest hash priorities (bounded, layout-
     independent), driver keeps the global smallest — the same A-Res
@@ -54,7 +67,7 @@ def _fit_sample(ds, n_sample: int, *, id_col: str, vec_col: str) -> np.ndarray:
 
     def local(batch: pa.Table) -> pd.DataFrame:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        mat = _normalize(_as_matrix(batch[vec_col]))
+        mat, _ = _prep(_as_matrix(batch[vec_col]), coarse)
         if not mat.size:
             return pd.DataFrame({"prio": [], "vec": []})
         pr = _hash_priorities(ids, seed=911)
@@ -76,13 +89,18 @@ def pq_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     tol: float = 1e-6,
+    coarse: np.ndarray | None = None,
 ) -> np.ndarray:
     """Train the (m, ksub, d/m) PQ codebooks with joint distributed Lloyd's.
 
     Vectors are L2-normalized before subspace split so ADC scores
-    approximate cosine.  d must be divisible by ``m``.
+    approximate cosine.  d must be divisible by ``m``.  With ``coarse``
+    (an nlist×d centroid matrix) the codebooks are trained on residuals
+    — the IVF-PQ configuration.
     """
-    sample = _fit_sample(ds, _FIT_SAMPLE_PER_CODEWORD * ksub, id_col=id_col, vec_col=vec_col)
+    sample = _fit_sample(
+        ds, _FIT_SAMPLE_PER_CODEWORD * ksub, id_col=id_col, vec_col=vec_col, coarse=coarse
+    )
     d = sample.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -93,11 +111,11 @@ def pq_fit(
     books = np.stack([sample[:ksub, j * dsub : (j + 1) * dsub].copy() for j in range(m)])
 
     for _ in range(iters):
-        handle = Broadcast(books)
+        handle = Broadcast((books, coarse))
 
         def partial(batch: pa.Table) -> pd.DataFrame:
-            cb = handle.get()  # (m, ksub, dsub)
-            mat = _normalize(_as_matrix(batch[vec_col]))
+            cb, crs = handle.get()  # (m, ksub, dsub), coarse or None
+            mat, _ = _prep(_as_matrix(batch[vec_col]), crs)
             if not mat.size:
                 return pd.DataFrame({"sums": [], "counts": []})
             sums = np.zeros((m, ksub, dsub))
@@ -125,30 +143,40 @@ def pq_fit(
 
 
 def pq_encode(ds, codebooks: np.ndarray, *, id_col: str = "vec_id",
-              vec_col: str = "embedding", out_col: str = "pq_code"):
-    """Dataset(id_col, out_col): each vector as m uint8 codes.
+              vec_col: str = "embedding", out_col: str = "pq_code",
+              coarse: np.ndarray | None = None, coarse_col: str = "coarse"):
+    """Dataset(id_col, out_col[, coarse_col]): each vector as m uint8 codes.
 
     This is the persistence shape — at scale the float column is
-    dropped here and only codes (m bytes/row) flow downstream."""
+    dropped here and only codes (m bytes/row) flow downstream.  With
+    ``coarse``, codes quantize the residual and the coarse list id is
+    emitted alongside (the IVF-PQ index layout)."""
     m, ksub, dsub = codebooks.shape
-    handle = Broadcast(np.asarray(codebooks, dtype=np.float64))
+    handle = Broadcast((np.asarray(codebooks, dtype=np.float64), coarse))
 
     def encode(batch: pa.Table) -> pa.Table:
-        cb = handle.get()
+        cb, crs = handle.get()
         ids = batch[id_col]
-        mat = _normalize(_as_matrix(batch[vec_col]))
+        ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
+        mat, assign = _prep(_as_matrix(batch[vec_col]), crs)
         if not mat.size:
-            codes = pa.array([], type=pa.list_(pa.uint8(), m))
-            return pa.Table.from_arrays([ids.combine_chunks(), codes], names=[id_col, out_col])
+            cols = [ids, pa.array([], type=pa.list_(pa.uint8(), m))]
+            names = [id_col, out_col]
+            if crs is not None:
+                cols.append(pa.array([], type=pa.int32()))
+                names.append(coarse_col)
+            return pa.Table.from_arrays(cols, names=names)
         out = np.empty((len(mat), m), dtype=np.uint8)
         for j in range(m):
             sub = mat[:, j * dsub : (j + 1) * dsub]
             out[:, j] = np.argmax(sub @ cb[j].T - 0.5 * (cb[j] * cb[j]).sum(axis=1), axis=1)
         codes = pa.FixedSizeListArray.from_arrays(pa.array(out.ravel()), m)
-        return pa.Table.from_arrays(
-            [ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids, codes],
-            names=[id_col, out_col],
-        )
+        cols = [ids, codes]
+        names = [id_col, out_col]
+        if crs is not None:
+            cols.append(pa.array(assign.astype(np.int32)))
+            names.append(coarse_col)
+        return pa.Table.from_arrays(cols, names=names)
 
     return ds.map_batches(encode, batch_format="pyarrow")
 
@@ -226,14 +254,31 @@ def knn_pq(
     scored = encoded.map_batches(score, batch_format="pyarrow")
 
     if not refine:
+        return _topk_reduce(scored, "adc_sim", k)
+    refined = _exact_refine(
+        ds, scored, qmat, query_ids, shortlist=shortlist, id_col=id_col, vec_col=vec_col
+    )
+    return _topk_reduce(refined, "cos_sim", k)
 
-        def per_query_topk(group: pd.DataFrame) -> pd.DataFrame:
-            g = group.sort_values(["adc_sim", "vec_id"], ascending=[False, True]).head(k)
-            g = g.reset_index(drop=True)
-            g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-            return g
 
-        return scored.groupby("query_id").map_groups(per_query_topk, batch_format="pandas")
+def _topk_reduce(scored, score_col: str, k: int):
+    """Per-query top-k with the canonical (score desc, vec_id asc) tiebreak."""
+
+    def per_query_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([score_col, "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return scored.groupby("query_id").map_groups(per_query_topk, batch_format="pandas")
+
+
+def _exact_refine(ds, scored, qmat, query_ids, *, shortlist: int, id_col: str, vec_col: str):
+    """Exact re-rank of a compressed-domain shortlist: reduce ``scored``
+    (query_id, vec_id, adc_sim) to ``shortlist`` candidates per query
+    (bounded by the query-set size, not the corpus), broadcast the
+    candidate map, and compute exact cosines for candidate rows only in
+    one streaming pass over the float table."""
 
     def per_query_shortlist(group: pd.DataFrame) -> pd.DataFrame:
         return group.sort_values(["adc_sim", "vec_id"], ascending=[False, True]).head(shortlist)
@@ -242,7 +287,7 @@ def knn_pq(
         scored.groupby("query_id")
         .map_groups(per_query_shortlist, batch_format="pandas")
         .to_pandas()
-    )  # q·refine·k rows — bounded by the query-set size, not the corpus
+    )
     cand_map: dict[int, list[int]] = {}
     for vid, qid in zip(cand["vec_id"].to_numpy(), cand["query_id"].to_numpy()):
         cand_map.setdefault(int(vid), []).append(int(qid))
@@ -258,7 +303,7 @@ def knn_pq(
             return pd.DataFrame({"query_id": [], "vec_id": [], "cos_sim": []})
         mat = _normalize(_as_matrix(batch[vec_col]))[mask]
         sub_ids = ids[mask]
-        # Python loop only over shortlist hits — bounded by q·refine·k,
+        # Python loop only over shortlist hits — bounded by q·shortlist,
         # not by batch size.
         out_q, out_v, out_s = [], [], []
         for row, vid in enumerate(sub_ids):
@@ -268,12 +313,106 @@ def knn_pq(
                 out_s.append(float(mat[row] @ qm[qidx[qid]]))
         return pd.DataFrame({"query_id": out_q, "vec_id": out_v, "cos_sim": out_s})
 
-    refined = ds.map_batches(exact, batch_format="pyarrow")
+    return ds.map_batches(exact, batch_format="pyarrow")
 
-    def per_query_topk(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["cos_sim", "vec_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
 
-    return refined.groupby("query_id").map_groups(per_query_topk, batch_format="pandas")
+def knn_ivfpq(
+    ds,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    *,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 32,
+    iters: int = 6,
+    kmeans_iters: int = 5,
+    seed: int = 17,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index: tuple[np.ndarray, np.ndarray] | None = None,
+    refine: int = 4,
+):
+    """IVF-PQ cosine top-k: Dataset(query_id, vec_id, cos_sim, rank).
+
+    The full web-scale index: a coarse quantizer prunes CANDIDATES
+    (only ``nprobe``/``nlist`` of the corpus is scanned per query) and
+    residual PQ codes prune MEMORY (m bytes per scanned vector), with
+    the bounded exact-refine pass recovering fine-grained order.  ADC
+    score for a row in list L is q·c_L (driver-precomputed per probe)
+    + Σⱼ LUT[j, code_j] where the LUTs hold q-subvector · residual-
+    codeword products.
+
+    ``index`` is an optional prefitted ``(coarse_centroids, codebooks)``
+    pair (fit once, search many).  Normalized-space k-means is reused
+    from :func:`stages.clustering.kmeans_fit` over a derived normalized
+    view of the corpus.
+    """
+    from .clustering import kmeans_fit
+
+    def normalize_rows(batch: pa.Table) -> pa.Table:
+        mat = _normalize(_as_matrix(batch[vec_col]))
+        ids = batch[id_col]
+        ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
+        if not mat.size:
+            return pa.Table.from_arrays(
+                [ids, pa.array([], type=pa.list_(pa.float64()))], names=[id_col, vec_col]
+            )
+        vecs = pa.FixedSizeListArray.from_arrays(pa.array(mat.ravel()), mat.shape[1])
+        return pa.Table.from_arrays([ids, vecs], names=[id_col, vec_col])
+
+    if index is None:
+        nds = ds.map_batches(normalize_rows, batch_format="pyarrow").materialize()
+        coarse = kmeans_fit(nds, nlist, id_col=id_col, vec_col=vec_col,
+                            iters=kmeans_iters, seed=seed, cache=False)
+        books = pq_fit(nds, m=m, ksub=ksub, iters=iters, id_col=id_col,
+                       vec_col=vec_col, coarse=coarse)
+        src = nds
+    else:
+        coarse, books = index
+        src = ds.map_batches(normalize_rows, batch_format="pyarrow")
+    m, ksub, dsub = books.shape
+    qmat = _normalize(np.asarray(queries, dtype=np.float64))
+    # probe sets by inner product q·c (normalized space), plus per-probe
+    # score offsets; both (q, nprobe)-bounded
+    qc = qmat @ coarse.T  # (q, nlist)
+    probes = np.argsort(-qc, axis=1)[:, :nprobe]
+    luts = np.stack(
+        [qmat[:, j * dsub : (j + 1) * dsub] @ books[j].T for j in range(m)], axis=1
+    )  # (q, m, ksub)
+    encoded = pq_encode(src, books, id_col=id_col, vec_col=vec_col, coarse=coarse)
+    handle = Broadcast((luts, qc, probes, np.asarray(query_ids)))
+    subspace = np.arange(m)
+    shortlist = max(1, refine) * k
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        lut, qc_m, probe_m, qids = handle.get()
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        codes = _codes_matrix(batch["pq_code"])
+        coarse_a = batch["coarse"].to_numpy(zero_copy_only=False)
+        if not codes.size:
+            return pd.DataFrame({"query_id": [], "vec_id": [], "adc_sim": []})
+        frames = []
+        for qi in range(len(qids)):
+            in_probe = np.isin(coarse_a, probe_m[qi])
+            if not in_probe.any():
+                continue
+            rows = np.flatnonzero(in_probe)
+            sims = lut[qi][subspace, codes[rows]].sum(axis=1) + qc_m[qi][coarse_a[rows]]
+            take = min(shortlist, len(sims))
+            idx = np.lexsort((ids[rows], -sims))[:take]  # layout-independent tiebreak
+            frames.append(
+                pd.DataFrame({"query_id": qids[qi], "vec_id": ids[rows[idx]], "adc_sim": sims[idx]})
+            )
+        if not frames:
+            return pd.DataFrame({"query_id": [], "vec_id": [], "adc_sim": []})
+        return pd.concat(frames, ignore_index=True)
+
+    scored = encoded.map_batches(score, batch_format="pyarrow")
+    if not refine:
+        return _topk_reduce(scored, "adc_sim", k)
+    refined = _exact_refine(
+        src, scored, qmat, query_ids, shortlist=shortlist, id_col=id_col, vec_col=vec_col
+    )
+    return _topk_reduce(refined, "cos_sim", k)

@@ -76,6 +76,8 @@ BENCH_QUERIES = [
     "cms_token_freq",
     "funnel_users",
     "fk_audit",
+    "sortmerge_join",
+    "knn_pq",
 ]
 
 

@@ -244,3 +244,42 @@ class TestPQ:
         out = knn_pq(blob_corpus, qm, qids, k=5, codebooks=books).to_pandas()
         assert set(out["query_id"]) == {0, 1}
         assert (out.groupby("query_id")["rank"].max() == 5).all()
+
+
+class TestIVFPQ:
+    def test_recall_vs_brute_force(self, blob_corpus, blob_vectors):
+        from article_extraction_ray.stages.pq import knn_ivfpq
+
+        qm = blob_vectors[:4]
+        qids = np.arange(4)
+        out = knn_ivfpq(
+            blob_corpus, qm, qids, k=K, nlist=8, nprobe=3, m=8, ksub=32, refine=8
+        ).to_pandas()
+        recalls = []
+        for qi in qids:
+            got = set(out[out.query_id == qi]["vec_id"].tolist())
+            truth = set(_exact_topk(blob_vectors, qm[qi], K))
+            recalls.append(len(got & truth) / K)
+        assert np.mean(recalls) >= 0.9, f"mean IVF-PQ recall too low: {recalls}"
+
+    def test_prefit_index_reused(self, blob_corpus, blob_vectors):
+        from article_extraction_ray.stages.clustering import kmeans_fit
+        from article_extraction_ray.stages.pq import knn_ivfpq, pq_fit
+        import pyarrow as pa
+        import ray.data as rd
+
+        # fit in normalized space exactly as knn_ivfpq does internally
+        vn = blob_vectors / np.linalg.norm(blob_vectors, axis=1, keepdims=True)
+        nds = rd.from_arrow(
+            pa.table(
+                {"vec_id": np.arange(len(vn)), "embedding": [list(map(float, v)) for v in vn]}
+            )
+        ).repartition(4)
+        coarse = kmeans_fit(nds, 8, iters=4, cache=False)
+        books = pq_fit(nds, m=8, ksub=16, iters=3, coarse=coarse)
+        qm, qids = blob_vectors[:2], np.arange(2)
+        out = knn_ivfpq(
+            blob_corpus, qm, qids, k=5, nprobe=3, index=(coarse, books)
+        ).to_pandas()
+        assert set(out["query_id"]) == {0, 1}
+        assert (out.groupby("query_id")["rank"].max() == 5).all()
