@@ -2685,6 +2685,182 @@ def q_anti_join_bloom(sf_dir: str):
     return ds.map_batches(flt, batch_format="pyarrow")
 
 
+_PMI_MIN_PAIR = 20
+
+
+def q_bigram_pmi(sf_dir: str):
+    """Bigram PMI (collocation mining): pointwise mutual information of
+    adjacent token pairs, ln((c_xy/B) / ((c_x/T)(c_y/T))), pairs with
+    ≥ _PMI_MIN_PAIR occurrences.
+
+    Shape: adjacency comes from ListArray offset arithmetic (one
+    boundary mask over the flattened token values — no per-doc Python);
+    per-batch value_counts partials shrink each stream to its distinct
+    keys before the only shuffles, two ``grouped_aggregate`` sums (pair
+    and unigram counts).  The vocab-bounded unigram table broadcasts
+    back and PMI evaluates vectorized over the distributed pair-count
+    dataset.  (At web scale the pair→unigram resolution would swap the
+    broadcast for two hash joins on w1/w2; the arithmetic is unchanged.)"""
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "documents", columns=["text"], split=True)
+
+    def pair_partial(batch: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern(batch["text"], " ").combine_chunks()
+        vals = toks.values.to_pandas()
+        off = toks.offsets.to_numpy()
+        n = len(vals)
+        if n < 2:
+            return pd.DataFrame({"w1": [], "w2": [], "cnt": []})
+        valid = np.ones(n - 1, dtype=bool)
+        ends = off[1:] - 1  # last token index of each doc: no pair across docs
+        valid[ends[(ends >= 0) & (ends < n - 1)]] = False
+        i = np.flatnonzero(valid)
+        pairs = pd.DataFrame({"w1": vals.iloc[i].to_numpy(), "w2": vals.iloc[i + 1].to_numpy()})
+        out = pairs.groupby(["w1", "w2"], as_index=False).size()
+        return out.rename(columns={"size": "cnt"})
+
+    def uni_partial(batch: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern(batch["text"], " ").combine_chunks()
+        vc = toks.values.to_pandas().value_counts()
+        return pd.DataFrame({"w": vc.index, "cnt": vc.to_numpy()})
+
+    pair_counts = grouped_aggregate(
+        ds.map_batches(pair_partial, batch_format="pyarrow"),
+        ["w1", "w2"],
+        {"n_pair": ("sum", "cnt")},
+    )
+    uni = (
+        grouped_aggregate(
+            ds.map_batches(uni_partial, batch_format="pyarrow"),
+            ["w"],
+            {"n": ("sum", "cnt")},
+        )
+        .to_pandas()  # vocab-bounded
+    )
+    T = float(uni["n"].sum())
+    uni_map = dict(zip(uni["w"], uni["n"].astype(np.float64)))
+    B = float(pair_counts.sum("n_pair"))
+    handle = Broadcast((uni_map, T, B))
+
+    def pmi(batch: pd.DataFrame) -> pd.DataFrame:
+        umap, t, b = handle.get()
+        batch = batch[batch["n_pair"] >= _PMI_MIN_PAIR].copy()
+        if not len(batch):
+            return pd.DataFrame({"w1": [], "w2": [], "n_pair": [], "pmi": []})
+        cx = batch["w1"].map(umap).to_numpy(dtype=np.float64)
+        cy = batch["w2"].map(umap).to_numpy(dtype=np.float64)
+        c = batch["n_pair"].to_numpy(dtype=np.float64)
+        batch["pmi"] = np.round(np.log((c / b) / ((cx / t) * (cy / t))), 6)
+        return batch[["w1", "w2", "n_pair", "pmi"]]
+
+    return pair_counts.map_batches(pmi, batch_format="pandas")
+
+
+SQL_BIGRAM_PMI = f"""
+WITH d AS (SELECT string_split(text, ' ') AS t FROM documents),
+idx AS (SELECT t, unnest(range(1, len(t))) AS i FROM d),
+b AS (SELECT t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2 FROM idx),
+u AS (SELECT unnest(t) AS w FROM d),
+uc AS (SELECT w, CAST(count(*) AS DOUBLE) AS c FROM u GROUP BY w),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS T FROM u),
+bc AS (SELECT w1, w2, count(*) AS n_pair FROM b GROUP BY w1, w2),
+btot AS (SELECT CAST(count(*) AS DOUBLE) AS B FROM b)
+SELECT bc.w1, bc.w2, CAST(bc.n_pair AS BIGINT) AS n_pair,
+       round(ln((CAST(bc.n_pair AS DOUBLE) / B) / ((u1.c / T) * (u2.c / T))), 6) AS pmi
+FROM bc
+JOIN uc u1 ON u1.w = bc.w1
+JOIN uc u2 ON u2.w = bc.w2
+CROSS JOIN tot CROSS JOIN btot
+WHERE bc.n_pair >= {_PMI_MIN_PAIR}
+"""
+
+
+def q_text_clean(sf_dir: str):
+    """Text normalization pass (curation prep): lowercase, collapse
+    whitespace runs, trim.  Pure vectorized Arrow kernels
+    (utf8_lower + replace_substring_regex + utf8_trim_whitespace) in a
+    single shuffle-free map — the cheapest possible stage shape; kept
+    as a named operator so pipelines can fingerprint/dedup AFTER
+    normalization (near-dup recall improves when case/spacing noise is
+    removed first)."""
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+
+    def clean(batch: pa.Table) -> pa.Table:
+        t = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(pc.utf8_lower(batch["text"]), r"\s+", " ")
+        )
+        return pa.Table.from_arrays([batch["doc_id"], t], names=["doc_id", "text_clean"])
+
+    return ds.map_batches(clean, batch_format="pyarrow")
+
+
+SQL_TEXT_CLEAN = r"""
+SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS text_clean
+FROM documents
+"""
+
+
+_CHUNK_W, _CHUNK_S = 200, 150  # window / stride (50-char overlap)
+
+
+def q_chunk_documents(sf_dir: str):
+    """Overlapping document chunking (RAG/embedding prep): each doc
+    splits into ``_CHUNK_W``-char windows every ``_CHUNK_S`` chars
+    (starts at 0, S, 2S, … while start < len).
+
+    Shape: pure per-batch ``flat_map`` — embarrassingly parallel, no
+    shuffle, output rows carry (doc_id, chunk_idx) so downstream
+    embedding/dedup stages keep lineage.  The expansion is stripe-
+    vectorized: one ``utf8_slice_codeunits`` call per chunk ordinal
+    (≤ ceil(max_len/S) calls per batch), never a per-row Python loop."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].combine_chunks() if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+        L = pa.compute.utf8_length(texts).to_numpy()
+        n = np.where(L > 0, (np.maximum(L, 1) - 1) // _CHUNK_S + 1, 0).astype(np.int64)
+        ids = batch["doc_id"].to_numpy()
+        parts = []
+        for ci in range(int(n.max()) if len(n) else 0):
+            rows = np.flatnonzero(n > ci)
+            sl = pa.compute.utf8_slice_codeunits(
+                texts.take(pa.array(rows)), ci * _CHUNK_S, ci * _CHUNK_S + _CHUNK_W
+            )
+            parts.append(
+                pa.Table.from_arrays(
+                    [
+                        pa.array(ids[rows]),
+                        pa.array(np.full(len(rows), ci, dtype=np.int64)),
+                        sl,
+                    ],
+                    names=["doc_id", "chunk_idx", "chunk_text"],
+                )
+            )
+        if not parts:
+            return pa.Table.from_arrays(
+                [pa.array([], type=pa.int64()), pa.array([], type=pa.int64()), pa.array([], type=pa.string())],
+                names=["doc_id", "chunk_idx", "chunk_text"],
+            )
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(chunk, batch_format="pyarrow")
+
+
+SQL_CHUNK_DOCUMENTS = f"""
+WITH g AS (
+  SELECT doc_id, text,
+         unnest(range(0, CAST((length(text) - 1) // {_CHUNK_S} AS BIGINT) + 1)) AS chunk_idx
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id, chunk_idx,
+       substring(text, CAST(chunk_idx AS INT) * {_CHUNK_S} + 1, {_CHUNK_W}) AS chunk_text
+FROM g
+"""
+
+
 _PACK_BUDGET = 512
 
 
@@ -2833,6 +3009,53 @@ def q_outlier_filter(sf_dir: str):
         return batch.filter(pa.array(n > thr))
 
     return counted.map_batches(keep_tail, batch_format="pyarrow")
+
+
+def q_winsorize(sf_dir: str):
+    """Winsorization (feature clipping): lineitem prices clip to the
+    exact global [p05, p95] band.  Same histogram-sketch shape as
+    `outlier_filter` — only (value, count) partials reach the driver,
+    both thresholds broadcast, one vectorized np.clip pass — but the
+    op REWRITES the value instead of filtering rows (the standard
+    robust-scaling prep for numeric training features)."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_extendedprice"], split=True)
+
+    def partial_hist(batch: pa.Table) -> pd.DataFrame:
+        vc = pd.Series(batch["l_extendedprice"].to_numpy(zero_copy_only=False)).value_counts()
+        return pd.DataFrame({"v": vc.index, "cnt": vc.to_numpy()})
+
+    hist = (
+        ds.map_batches(partial_hist, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("v", as_index=False)["cnt"]
+        .sum()
+        .sort_values("v")
+    )
+    vals = hist["v"].to_numpy(dtype=np.float64)
+    cnts = hist["cnt"].to_numpy(dtype=np.int64)
+    lo = _quantile_from_hist(vals, cnts, 0.05)
+    hi = _quantile_from_hist(vals, cnts, 0.95)
+
+    def clip(batch: pa.Table) -> pa.Table:
+        p = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [batch["l_orderkey"], batch["l_linenumber"], pa.array(np.clip(p, lo, hi))],
+            names=["l_orderkey", "l_linenumber", "price_w"],
+        )
+
+    return ds.map_batches(clip, batch_format="pyarrow")
+
+
+SQL_WINSORIZE = """
+WITH thr AS (
+  SELECT quantile_cont(l_extendedprice, 0.05) AS lo,
+         quantile_cont(l_extendedprice, 0.95) AS hi
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber,
+       least(greatest(l_extendedprice, lo), hi) AS price_w
+FROM lineitem, thr
+"""
 
 
 SQL_OUTLIER = r"""
@@ -4806,6 +5029,9 @@ QUERIES = {
     "repetition_stats": q_repetition_stats,
     "domain_cap": q_domain_cap,
     "pack_sequences": q_pack_sequences,
+    "chunk_documents": q_chunk_documents,
+    "text_clean": q_text_clean,
+    "bigram_pmi": q_bigram_pmi,
     "heavy_tokens": q_heavy_tokens,
     "heavy_tokens_sketch": q_heavy_tokens_sketch,
     "anti_join_bloom": q_anti_join_bloom,
@@ -4813,6 +5039,7 @@ QUERIES = {
     "value_histogram": q_value_histogram,
     "event_sequences": q_event_sequences,
     "outlier_filter": q_outlier_filter,
+    "winsorize": q_winsorize,
     "melt_measures": q_melt_measures,
     "pivot_events": q_pivot_events,
     "bucketed_join": q_bucketed_join,
@@ -4900,6 +5127,9 @@ ORACLE_SQL = {
     "repetition_stats": SQL_REPETITION,
     "domain_cap": SQL_DOMAIN_CAP,
     "pack_sequences": SQL_PACK,
+    "chunk_documents": SQL_CHUNK_DOCUMENTS,
+    "text_clean": SQL_TEXT_CLEAN,
+    "bigram_pmi": SQL_BIGRAM_PMI,
     "heavy_tokens": SQL_HEAVY_TOKENS,
     "heavy_tokens_sketch": SQL_HEAVY_TOKENS,
     "anti_join_bloom": SQL_ANTI_JOIN,
@@ -4907,6 +5137,7 @@ ORACLE_SQL = {
     "value_histogram": SQL_HISTOGRAM,
     "event_sequences": SQL_EVENT_SEQ,
     "outlier_filter": SQL_OUTLIER,
+    "winsorize": SQL_WINSORIZE,
     "melt_measures": SQL_MELT,
     "pivot_events": SQL_PIVOT,
     "bucketed_join": SQL_BUCKETED_JOIN,
