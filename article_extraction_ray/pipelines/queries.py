@@ -4887,6 +4887,42 @@ FROM orders
 """
 
 
+def q_rank_gaps(sf_dir: str):
+    """rank() (ties share a rank, gaps after) plus first_value per
+    partition — same bucketed ordered-scan shape as `dense_rank`; the
+    in-bucket pass is vectorized ``rank(method='min')`` and a grouped
+    ``transform('max')`` for the partition's top price."""
+    ds = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"], split=True
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = (batch["o_custkey"].to_numpy() % 32).astype(np.int32)
+        return batch.append_column("bucket", pa.array(b))
+
+    def rank_min(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", sort=False)
+        df["price_rank"] = g["o_totalprice"].rank(method="min", ascending=False).astype(np.int64)
+        df["top_price"] = g["o_totalprice"].transform("max")
+        return df[["o_orderkey", "o_custkey", "price_rank", "top_price"]]
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lambda df: rank_min(df.drop(columns=["bucket"])), batch_format="pandas")
+    )
+
+
+SQL_RANK_GAPS = """
+SELECT o_orderkey, o_custkey,
+       CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS BIGINT)
+         AS price_rank,
+       first_value(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC)
+         AS top_price
+FROM orders
+"""
+
+
 _GRANK_BUCKETS = 64
 
 
@@ -5077,6 +5113,7 @@ QUERIES = {
     "pretokenize_corpus": q_pretokenize_corpus,
     "grouped_mode": q_grouped_mode,
     "dense_rank": q_dense_rank,
+    "rank_gaps": q_rank_gaps,
 }
 
 ORACLE_SQL = {
@@ -5168,6 +5205,7 @@ ORACLE_SQL = {
     "global_rank": SQL_GLOBAL_RANK,
     "grouped_mode": SQL_GROUPED_MODE,
     "dense_rank": SQL_DENSE_RANK,
+    "rank_gaps": SQL_RANK_GAPS,
     # hll_distinct / price_quantiles_tdigest are approximate sketches —
     # rows-only by design (accuracy pytest-verified)
     # lang_id / winnow / minhash / simhash / knn_lsh / media_* are not
