@@ -2861,6 +2861,86 @@ FROM g
 """
 
 
+def q_rag_prep(sf_dir: str):
+    """End-to-end RAG corpus prep, a composite of individually-oracled
+    stages chained as ONE lazy plan: normalize (`text_clean`) → overlap-
+    chunk (`chunk_documents`) → exact chunk dedup keeping the globally
+    smallest (doc_id, chunk_idx) occurrence (`dedup_exact_min` on the
+    packed key doc_id·10⁶+idx) → per-document surviving-chunk stats.
+    The only shuffles are the dedup groupby-min and the final per-doc
+    aggregate; chunk text never moves twice."""
+    import pyarrow.compute as pc
+
+    from .tabular import dedup_exact_min, grouped_aggregate
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+
+    def clean_chunk(batch: pa.Table) -> pa.Table:
+        t = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(pc.utf8_lower(batch["text"]), r"\s+", " ")
+        )
+        t = t.combine_chunks() if isinstance(t, pa.ChunkedArray) else t
+        L = pc.utf8_length(t).to_numpy()
+        n = np.where(L > 0, (np.maximum(L, 1) - 1) // _CHUNK_S + 1, 0).astype(np.int64)
+        ids = batch["doc_id"].to_numpy()
+        parts = []
+        for ci in range(int(n.max()) if len(n) else 0):
+            rows = np.flatnonzero(n > ci)
+            sl = pc.utf8_slice_codeunits(
+                t.take(pa.array(rows)), ci * _CHUNK_S, ci * _CHUNK_S + _CHUNK_W
+            )
+            parts.append(
+                pa.Table.from_arrays(
+                    [pa.array(ids[rows] * 1_000_000 + ci), sl],
+                    names=["chunk_key", "chunk_text"],
+                )
+            )
+        if not parts:
+            return pa.Table.from_arrays(
+                [pa.array([], type=pa.int64()), pa.array([], type=pa.string())],
+                names=["chunk_key", "chunk_text"],
+            )
+        return pa.concat_tables(parts)
+
+    chunks = ds.map_batches(clean_chunk, batch_format="pyarrow")
+    kept = dedup_exact_min(chunks, "chunk_text", "chunk_key")
+
+    def doc_of(batch: pa.Table) -> pa.Table:
+        k = batch["chunk_key"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [pa.array(k // 1_000_000), pa.compute.utf8_length(batch["chunk_text"]).cast(pa.int64())],
+            names=["doc_id", "chunk_chars"],
+        )
+
+    return grouped_aggregate(
+        kept.map_batches(doc_of, batch_format="pyarrow"),
+        ["doc_id"],
+        {"n_chunks": ("count", None), "total_chars": ("sum", "chunk_chars")},
+    )
+
+
+SQL_RAG_PREP = f"""
+WITH cleaned AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents
+),
+g AS (
+  SELECT doc_id, t,
+         unnest(range(0, CAST((length(t) - 1) // {_CHUNK_S} AS BIGINT) + 1)) AS i
+  FROM cleaned WHERE length(t) > 0
+),
+ch AS (
+  SELECT doc_id * 1000000 + i AS chunk_key,
+         substring(t, CAST(i AS INT) * {_CHUNK_S} + 1, {_CHUNK_W}) AS chunk_text
+  FROM g
+),
+kept AS (SELECT chunk_text, min(chunk_key) AS chunk_key FROM ch GROUP BY chunk_text)
+SELECT CAST(chunk_key // 1000000 AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(length(chunk_text)) AS BIGINT) AS total_chars
+FROM kept GROUP BY 1
+"""
+
+
 _PACK_BUDGET = 512
 
 
@@ -5068,6 +5148,7 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "text_clean": q_text_clean,
     "bigram_pmi": q_bigram_pmi,
+    "rag_prep": q_rag_prep,
     "heavy_tokens": q_heavy_tokens,
     "heavy_tokens_sketch": q_heavy_tokens_sketch,
     "anti_join_bloom": q_anti_join_bloom,
@@ -5167,6 +5248,7 @@ ORACLE_SQL = {
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "text_clean": SQL_TEXT_CLEAN,
     "bigram_pmi": SQL_BIGRAM_PMI,
+    "rag_prep": SQL_RAG_PREP,
     "heavy_tokens": SQL_HEAVY_TOKENS,
     "heavy_tokens_sketch": SQL_HEAVY_TOKENS,
     "anti_join_bloom": SQL_ANTI_JOIN,
