@@ -344,8 +344,17 @@ def sortmerge_join(
         idx = np.argpartition(pr, take - 1)[:take]
         return pd.DataFrame({"prio": pr[idx], "key": k[idx]})
 
-    cand = left.map_batches(sample_keys, batch_format="pyarrow").to_pandas()
-    cand = cand.sort_values("prio", kind="stable").head(sample_size)
+    # second-level reduce stays distributed: the per-batch candidates
+    # (≤ sample_size rows each) sort+limit in the cluster, so the driver
+    # receives exactly sample_size rows no matter how many batches the
+    # left side has (num_batches × sample_size would be a driver OOM at
+    # corpus scale)
+    cand = (
+        left.map_batches(sample_keys, batch_format="pyarrow")
+        .sort("prio")
+        .limit(sample_size)
+        .to_pandas()
+    )
     qs = np.linspace(0, 1, num_buckets + 1)[1:-1]
     bounds = np.unique(np.quantile(cand["key"].to_numpy(), qs))
 

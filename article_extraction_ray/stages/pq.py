@@ -75,8 +75,10 @@ def _fit_sample(ds, n_sample: int, *, id_col: str, vec_col: str,
         idx = np.argpartition(pr, take - 1)[:take]
         return pd.DataFrame({"prio": pr[idx], "vec": list(mat[idx])})
 
-    cand = ds.map_batches(local, batch_format="pyarrow").to_pandas()
-    cand = cand.sort_values("prio", kind="stable").head(n_sample)
+    # distributed second-level reduce: sort+limit runs over the candidate
+    # stream (≤ n_sample rows per batch) in the cluster, so the driver
+    # receives exactly n_sample rows regardless of batch count
+    cand = ds.map_batches(local, batch_format="pyarrow").sort("prio").limit(n_sample).to_pandas()
     return np.stack(cand["vec"].to_numpy())
 
 
