@@ -4967,6 +4967,29 @@ FROM orders
 """
 
 
+def q_salted_join(sf_dir: str):
+    """Hot-key-salted shuffle join (tabular.salted_join): documents ⋈
+    per-source counts on `source` — a handful of distinct sources each
+    owning a huge share of rows, i.e. EVERY key is hot and an unsalted
+    hash exchange would serialize on ~|sources| buckets.  Misra-Gries
+    detects the hot set in one bounded pass; hot left rows spread
+    round-robin over 8 salts, the small side replicates per salt, and
+    the join runs on (source, salt) with an identical result set."""
+    from .tabular import grouped_aggregate, salted_join
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source"], split=True)
+    dim = grouped_aggregate(docs, ["source"], {"n_docs": ("count", None)})
+    return salted_join(docs, dim, "source", salts=8, hot_share=0.05)
+
+
+SQL_SALTED_JOIN = """
+SELECT d.doc_id, d.source, s.n_docs
+FROM documents d
+JOIN (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source) s USING (source)
+"""
+
+
 def q_rank_gaps(sf_dir: str):
     """rank() (ties share a rank, gaps after) plus first_value per
     partition — same bucketed ordered-scan shape as `dense_rank`; the
@@ -5123,6 +5146,7 @@ QUERIES = {
     "range_join": q_range_join,
     "shuffle_join": q_shuffle_join,
     "sortmerge_join": q_sortmerge_join,
+    "salted_join": q_salted_join,
     "rank_in_group": q_rank_in_group,
     "window_lag": q_window_lag,
     "distinct_users": q_distinct_users,
@@ -5232,6 +5256,7 @@ ORACLE_SQL = {
     "range_join": SQL_RANGE_JOIN,
     "shuffle_join": SQL_SHUFFLE_JOIN,
     "sortmerge_join": SQL_SORTMERGE_JOIN,
+    "salted_join": SQL_SALTED_JOIN,
     "rank_in_group": SQL_RANK,
     "window_lag": SQL_WINDOW_LAG,
     "distinct_users": SQL_DISTINCT_USERS,

@@ -302,6 +302,99 @@ def shuffle_join(
     )
 
 
+def detect_hot_keys(ds, column: str, *, hot_share: float = 0.01, m: int = 256) -> list:
+    """Keys whose estimated frequency share exceeds ``hot_share``, via
+    the Misra-Gries sketch (bounded m-row partials per batch, driver
+    folds ``num_batches`` summaries).  Over-inclusion is harmless for
+    salting — spreading a merely-warm key costs a few duplicate
+    small-side rows — so the sketch's one-sided error needs no exact
+    confirmation pass here."""
+    from ..stages.sketch import heavy_hitters_mg
+
+    summary, total = heavy_hitters_mg(
+        ds, m, lambda b: b[column].to_numpy(zero_copy_only=False)
+    )
+    if not total:
+        return []
+    return [k for k, c in summary.items() if c >= hot_share * total]
+
+
+def salted_join(
+    left,
+    right,
+    on: str,
+    *,
+    how: str = "inner",
+    num_buckets: int = 64,
+    salts: int = 8,
+    hot_keys: list | None = None,
+    hot_share: float = 0.01,
+):
+    """:func:`shuffle_join` with hot-key salting — the skew mitigation
+    its docstring prescribes, packaged: a single hot key (a crawl's top
+    domain, a null-ish default id) otherwise lands every matching row
+    in ONE bucket and serializes the merge on one task.
+
+    Shape: hot keys come from one Misra-Gries pass over the left side
+    (or pass ``hot_keys`` explicitly); hot LEFT rows spread across
+    ``salts`` synthetic sub-keys round-robin, hot RIGHT rows REPLICATE
+    once per salt (small side × salts rows, bounded by
+    |hot right rows|·salts), and the join runs on the composite
+    (key, salt) — each left row still meets each matching right row
+    exactly once, so the result set is identical to the unsalted join
+    while the hot key's work spreads over ``salts`` buckets.  Non-hot
+    rows ride salt 0 untouched."""
+    if hot_keys is None:
+        hot_keys = detect_hot_keys(left, on, hot_share=hot_share)
+    if not hot_keys:
+        return shuffle_join(left, right, on, how=how, num_buckets=num_buckets)
+    hot_handle = Broadcast(pa.array(list(hot_keys)))
+
+    def salt_left(batch: pa.Table) -> pa.Table:
+        hot = pa.compute.is_in(batch[on], value_set=hot_handle.get()).to_numpy(
+            zero_copy_only=False
+        )
+        salt = np.zeros(len(batch), dtype=np.int32)
+        nh = int(hot.sum())
+        if nh:
+            # round-robin within the batch: perfectly balanced, and the
+            # join result is salt-assignment-invariant so layout
+            # dependence here is harmless
+            salt[hot] = np.arange(nh, dtype=np.int32) % salts
+        return batch.append_column("__salt", pa.array(salt))
+
+    def salt_right(batch: pa.Table) -> pa.Table:
+        hot = pa.compute.is_in(batch[on], value_set=hot_handle.get()).to_numpy(
+            zero_copy_only=False
+        )
+        base = batch.append_column(
+            "__salt", pa.array(np.zeros(len(batch), dtype=np.int32))
+        )
+        hot_idx = np.flatnonzero(hot)
+        if not len(hot_idx):
+            return base
+        parts = [base]
+        hot_rows = batch.take(pa.array(hot_idx))
+        for s in range(1, salts):
+            parts.append(
+                hot_rows.append_column(
+                    "__salt", pa.array(np.full(len(hot_idx), s, dtype=np.int32))
+                )
+            )
+        return pa.concat_tables(parts)
+
+    joined = shuffle_join(
+        left.map_batches(salt_left, batch_format="pyarrow"),
+        right.map_batches(salt_right, batch_format="pyarrow"),
+        [on, "__salt"],
+        how=how,
+        num_buckets=num_buckets,
+    )
+    return joined.map_batches(
+        lambda t: t.drop_columns(["__salt"]), batch_format="pyarrow"
+    )
+
+
 _SMJ_SAMPLE = 4096
 
 

@@ -182,3 +182,47 @@ class TestSortMergeJoinProperty:
         ).to_pandas()
         exp = left.merge(right, on="k")
         assert len(out) == len(exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSaltedJoin:
+    def test_zipf_skew_matches_pandas(self, ray_session):
+        import ray.data as rd
+
+        from article_extraction_ray.pipelines.tabular import detect_hot_keys, salted_join
+
+        rng = np.random.default_rng(13)
+        # one key owns ~70% of the left side
+        k = np.where(rng.uniform(size=20_000) < 0.7, 0, rng.integers(1, 200, 20_000))
+        left = pd.DataFrame({"k": k.astype(np.int64), "lv": rng.standard_normal(len(k))})
+        right = pd.DataFrame(
+            {"k": np.arange(200, dtype=np.int64), "rv": rng.integers(0, 9, 200).astype(np.int64)}
+        )
+        lds = rd.from_pandas(left).repartition(8)
+        hot = detect_hot_keys(lds, "k", hot_share=0.05)
+        assert 0 in hot  # the zipf head is found
+        out = salted_join(
+            lds, rd.from_pandas(right).repartition(2), "k", salts=8, hot_keys=hot
+        ).to_pandas()
+        exp = left.merge(right, on="k")
+        assert len(out) == len(exp)
+        a = out.sort_values(["k", "lv"]).reset_index(drop=True)
+        b = exp.sort_values(["k", "lv"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+
+    def test_no_hot_keys_falls_back(self, ray_session):
+        import ray.data as rd
+
+        from article_extraction_ray.pipelines.tabular import salted_join
+
+        rng = np.random.default_rng(3)
+        left = pd.DataFrame({"k": np.arange(2000, dtype=np.int64), "lv": rng.standard_normal(2000)})
+        right = pd.DataFrame({"k": np.arange(0, 2000, 2, dtype=np.int64), "rv": np.arange(1000)})
+        out = salted_join(
+            rd.from_pandas(left).repartition(4),
+            rd.from_pandas(right).repartition(2),
+            "k",
+            hot_keys=[],
+        ).to_pandas()
+        assert len(out) == 1000
+        assert "__salt" not in out.columns
