@@ -103,6 +103,58 @@ FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_
 WHERE rn = 1
 """
 
+_WATERMARK_S = 1800
+
+
+def q_late_events(sf_dir: str):
+    """Watermark-style late-data detection: events older than 30 min
+    behind their user's high-water mark (max ts seen).  The streaming
+    primitive behind late-arrival routing, expressed batch: the
+    per-user watermark is a `grouped_aggregate` max over int64 epoch-µs
+    (partials only — event rows never shuffle), broadcast back as a
+    user→watermark map, and one vectorized second pass flags stragglers."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"], split=True)
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view("int64")
+        return pa.Table.from_arrays(
+            [batch["event_id"], batch["user_id"], pa.array(us)],
+            names=["event_id", "user_id", "ts_us"],
+        )
+
+    us_ds = ds.map_batches(to_us, batch_format="pyarrow")
+    wm = grouped_aggregate(us_ds, ["user_id"], {"wm": ("max", "ts_us")}).to_pandas()
+    handle = Broadcast(dict(zip(wm["user_id"], wm["wm"])))
+
+    def late(batch: pa.Table) -> pa.Table:
+        m = handle.get()
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts = batch["ts_us"].to_numpy(zero_copy_only=False)
+        wmv = pd.Series(uid).map(m).to_numpy(dtype=np.int64)
+        keep = ts < wmv - _WATERMARK_S * 1_000_000
+        kept = batch.filter(pa.array(keep))
+        lag = (
+            pd.Series(kept["user_id"].to_numpy(zero_copy_only=False)).map(m).to_numpy(dtype=np.int64)
+            - kept["ts_us"].to_numpy(zero_copy_only=False)
+        )  # exact µs — timestamps carry sub-second parts, so a seconds
+        #    boundary count (date_diff('second')) would NOT equal a
+        #    division here; both sides agree on microseconds instead
+        return pa.Table.from_arrays(
+            [kept["event_id"], kept["user_id"], pa.array(lag)],
+            names=["event_id", "user_id", "lag_us"],
+        )
+
+    return us_ds.map_batches(late, batch_format="pyarrow")
+
+
+SQL_LATE_EVENTS = f"""
+SELECT e.event_id, e.user_id,
+       CAST(date_diff('microsecond', e.ts, m.wm) AS BIGINT) AS lag_us
+FROM events e
+JOIN (SELECT user_id, max(ts) AS wm FROM events GROUP BY user_id) m USING (user_id)
+WHERE e.ts < m.wm - INTERVAL {_WATERMARK_S} SECOND
+"""
+
 # ---------------------------------------------------------------------------
 # J1 — broadcast dimension join + aggregate
 # ---------------------------------------------------------------------------
@@ -5102,6 +5154,7 @@ FROM orders
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "latest_event_per_user": q_latest_event_per_user,
+    "late_events": q_late_events,
     "region_customer_stats": q_region_customer_stats,
     "hash_split_counts": q_hash_split_counts,
     "derived_physics": q_derived_physics,
@@ -5224,6 +5277,7 @@ QUERIES = {
 ORACLE_SQL = {
     "pricing_summary": SQL_PRICING,
     "latest_event_per_user": SQL_LATEST_EVENT,
+    "late_events": SQL_LATE_EVENTS,
     "region_customer_stats": SQL_REGION_CUSTOMER,
     "hash_split_counts": SQL_HASH_SPLIT,
     "derived_physics": SQL_PHYSICS,
