@@ -302,6 +302,45 @@ def shuffle_join(
     )
 
 
+_BROADCAST_BUDGET_BYTES = 256 * 1024 * 1024
+
+
+def join(left, right, on: str, *, how: str = "inner",
+         broadcast_budget: int = _BROADCAST_BUDGET_BYTES,
+         salt_hot_share: float | None = None, num_buckets: int = 64):
+    """One front door for equi joins — picks the physical strategy from
+    metadata, the way an optimizer's size estimate would:
+
+    - right side under ``broadcast_budget`` (``Dataset.size_bytes()``,
+      metadata-only for parquet reads) → :func:`broadcast_join` (zero
+      shuffle; the dimension ships once via ``ray.put``);
+    - otherwise, with ``salt_hot_share`` set → :func:`salted_join`
+      (hash exchange + Misra-Gries hot-key salting);
+    - otherwise → :func:`shuffle_join` (plain hash exchange).
+
+    Returns ``(result, strategy)`` so callers and tests can assert the
+    routing; pass the result straight through when the strategy tag is
+    not needed."""
+    try:
+        rbytes = right.size_bytes()
+    except Exception:
+        rbytes = None
+    if rbytes is not None and rbytes <= broadcast_budget:
+        import ray
+
+        dim = pa.concat_tables(
+            ray.get(right.to_arrow_refs()) if ray.is_initialized() else [right.to_arrow()]
+        )
+        return broadcast_join(left, dim, on, how=how), "broadcast"
+    if salt_hot_share is not None:
+        return (
+            salted_join(left, right, on, how=how, num_buckets=num_buckets,
+                        hot_share=salt_hot_share),
+            "salted",
+        )
+    return shuffle_join(left, right, on, how=how, num_buckets=num_buckets), "shuffle"
+
+
 def detect_hot_keys(ds, column: str, *, hot_share: float = 0.01, m: int = 256) -> list:
     """Keys whose estimated frequency share exceeds ``hot_share``, via
     the Misra-Gries sketch (bounded m-row partials per batch, driver

@@ -78,6 +78,11 @@ BENCH_QUERIES = [
     "fk_audit",
     "sortmerge_join",
     "knn_pq",
+    "salted_join",
+    "rag_prep",
+    "bigram_pmi",
+    "late_events",
+    "validate_orders",
 ]
 
 

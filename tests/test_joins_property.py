@@ -226,3 +226,60 @@ class TestSaltedJoin:
         ).to_pandas()
         assert len(out) == 1000
         assert "__salt" not in out.columns
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestJoinRouter:
+    def test_small_right_broadcasts(self, ray_session):
+        import ray.data as rd
+
+        from article_extraction_ray.pipelines.tabular import join
+
+        rng = np.random.default_rng(5)
+        left = pd.DataFrame({"k": rng.integers(0, 50, 5000).astype(np.int64),
+                             "lv": rng.standard_normal(5000)})
+        right = pd.DataFrame({"k": np.arange(50, dtype=np.int64), "rv": np.arange(50)})
+        out, strategy = join(
+            rd.from_pandas(left).repartition(4), rd.from_pandas(right), "k"
+        )
+        assert strategy == "broadcast"
+        got = out.to_pandas()
+        exp = left.merge(right, on="k")
+        assert len(got) == len(exp)
+
+    def test_large_right_shuffles(self, ray_session):
+        import ray.data as rd
+
+        from article_extraction_ray.pipelines.tabular import join
+
+        rng = np.random.default_rng(6)
+        left = pd.DataFrame({"k": rng.integers(0, 300, 3000).astype(np.int64),
+                             "lv": rng.standard_normal(3000)})
+        right = pd.DataFrame({"k": np.arange(300, dtype=np.int64), "rv": np.arange(300)})
+        out, strategy = join(
+            rd.from_pandas(left).repartition(4),
+            rd.from_pandas(right).repartition(2),
+            "k",
+            broadcast_budget=1,  # force the big-big path
+        )
+        assert strategy == "shuffle"
+        assert len(out.to_pandas()) == len(left.merge(right, on="k"))
+
+    def test_salted_route(self, ray_session):
+        import ray.data as rd
+
+        from article_extraction_ray.pipelines.tabular import join
+
+        rng = np.random.default_rng(7)
+        k = np.where(rng.uniform(size=4000) < 0.6, 0, rng.integers(1, 100, 4000))
+        left = pd.DataFrame({"k": k.astype(np.int64), "lv": rng.standard_normal(4000)})
+        right = pd.DataFrame({"k": np.arange(100, dtype=np.int64), "rv": np.arange(100)})
+        out, strategy = join(
+            rd.from_pandas(left).repartition(4),
+            rd.from_pandas(right).repartition(2),
+            "k",
+            broadcast_budget=1,
+            salt_hot_share=0.05,
+        )
+        assert strategy == "salted"
+        assert len(out.to_pandas()) == len(left.merge(right, on="k"))
