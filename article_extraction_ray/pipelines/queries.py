@@ -2846,11 +2846,14 @@ def q_bigram_pmi(sf_dir: str):
         vc = toks.values.to_pandas().value_counts()
         return pd.DataFrame({"w": vc.index, "cnt": vc.to_numpy()})
 
+    # materialize: the B total (an action) and the PMI map both consume
+    # this shuffle's output — without pinning the blocks the exchange
+    # would execute twice
     pair_counts = grouped_aggregate(
         ds.map_batches(pair_partial, batch_format="pyarrow"),
         ["w1", "w2"],
         {"n_pair": ("sum", "cnt")},
-    )
+    ).materialize()
     uni = (
         grouped_aggregate(
             ds.map_batches(uni_partial, batch_format="pyarrow"),
