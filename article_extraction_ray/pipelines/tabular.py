@@ -465,6 +465,11 @@ def sortmerge_join(
     """
     def sample_keys(batch: pa.Table) -> pd.DataFrame:
         k = batch[on].to_numpy(zero_copy_only=False)
+        if k.dtype.kind not in "iuf":
+            raise TypeError(
+                f"sortmerge_join needs a numeric key, got {k.dtype} for {on!r}; "
+                "use shuffle_join (hash partitioner) for string keys"
+            )
         if not len(k):
             return pd.DataFrame({"prio": [], "key": []})
         # value-keyed priority (fixed-key siphash on the key's bit
