@@ -172,6 +172,72 @@ FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
 """
 
 
+_OHLC_BUCKET_US = 3_600 * 1_000_000  # 1-hour bars
+
+
+def q_ohlc_resample(sf_dir: str):
+    """Time-series downsampling to OHLC bars (open/high/low/close per
+    hour) — the resample staple.  Classic two-level reduce: each batch
+    collapses to ONE candidate row per bar it sees (open = value at the
+    minimal ts, close at the maximal, plus high/low/count partials),
+    then a coarse bar-hash bucket reduce re-applies the same vectorized
+    combine — event rows never shuffle, only per-(batch, bar) partials.
+    Timestamps are unique in this schema so arg-min/max need no
+    tiebreak; the int64-µs floor matches SQL time_bucket exactly."""
+    ds = read_table(sf_dir, "events", columns=["ts", "value"], split=True)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        us = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view("int64")
+        df = pd.DataFrame(
+            {
+                "bar": (us // _OHLC_BUCKET_US) * _OHLC_BUCKET_US,
+                "ts_us": us,
+                "value": batch["value"].to_numpy(zero_copy_only=False),
+            }
+        )
+        s = df.sort_values(["bar", "ts_us"], kind="stable")
+        first = s.groupby("bar", sort=False).head(1).set_index("bar")
+        last = s.groupby("bar", sort=False).tail(1).set_index("bar")
+        agg = df.groupby("bar").agg(
+            high=("value", "max"), low=("value", "min"), n_events=("value", "size")
+        )
+        out = agg.join(first[["ts_us", "value"]].rename(columns={"ts_us": "open_ts", "value": "open"}))
+        out = out.join(last[["ts_us", "value"]].rename(columns={"ts_us": "close_ts", "value": "close"}))
+        return out.reset_index()
+
+    def coarse(df: pd.DataFrame) -> pd.DataFrame:
+        df["__bucket"] = pd.util.hash_array(df["bar"].to_numpy()) % 32
+        return df
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.sort_values(["bar", "open_ts"], kind="stable")
+        first = s.groupby("bar", sort=False).head(1).set_index("bar")["open"]
+        s2 = df.sort_values(["bar", "close_ts"], kind="stable")
+        last = s2.groupby("bar", sort=False).tail(1).set_index("bar")["close"]
+        agg = df.groupby("bar").agg(
+            high=("high", "max"), low=("low", "min"), n_events=("n_events", "sum")
+        )
+        out = agg.join(first).join(last).reset_index()
+        out["bar"] = out["bar"].to_numpy().view("datetime64[us]")
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out[["bar", "open", "high", "low", "close", "n_events"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(coarse, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(lambda df: combine(df.drop(columns=["__bucket"])), batch_format="pandas")
+    )
+
+
+SQL_OHLC = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS bar,
+       arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
+       arg_max(value, ts) AS close, CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1
+"""
+
+
 _WATERMARK_S = 1800
 
 
@@ -5227,6 +5293,7 @@ QUERIES = {
     "pricing_summary": q_pricing_summary,
     "latest_event_per_user": q_latest_event_per_user,
     "late_events": q_late_events,
+    "ohlc_resample": q_ohlc_resample,
     "validate_orders": q_validate_orders,
     "region_customer_stats": q_region_customer_stats,
     "hash_split_counts": q_hash_split_counts,
@@ -5351,6 +5418,7 @@ ORACLE_SQL = {
     "pricing_summary": SQL_PRICING,
     "latest_event_per_user": SQL_LATEST_EVENT,
     "late_events": SQL_LATE_EVENTS,
+    "ohlc_resample": SQL_OHLC,
     "validate_orders": SQL_VALIDATE_ORDERS,
     "region_customer_stats": SQL_REGION_CUSTOMER,
     "hash_split_counts": SQL_HASH_SPLIT,
