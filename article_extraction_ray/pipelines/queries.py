@@ -172,6 +172,95 @@ FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
 """
 
 
+def q_lexical_diversity(sf_dir: str):
+    """Per-document lexical diversity (type-token ratio): distinct
+    tokens / total tokens — a standard quality signal for crawl
+    filtering (boilerplate and spam repeat a tiny vocabulary).  Pure
+    per-batch map over ListArray offsets + one vectorized pandas
+    groupby(doc).nunique — no shuffle, and the only float op is one
+    exact integer division, so the result is order-independent
+    (an entropy variant would need a float sum whose accumulation
+    order differs between engines)."""
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+
+    def ttr(batch: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern(batch["text"], " ").combine_chunks()
+        off = toks.offsets.to_numpy()
+        counts = np.diff(off)
+        doc_idx = np.repeat(np.arange(len(counts)), counts)
+        df = pd.DataFrame({"d": doc_idx, "w": toks.values.to_pandas()})
+        nuniq = df.groupby("d")["w"].nunique()
+        ids = batch["doc_id"].to_numpy()
+        n_tok = counts.astype(np.int64)
+        n_dist = np.zeros(len(ids), dtype=np.int64)
+        n_dist[nuniq.index.to_numpy()] = nuniq.to_numpy()
+        out = pd.DataFrame(
+            {"doc_id": ids, "n_tokens": n_tok, "n_distinct": n_dist}
+        )
+        out["ttr"] = out["n_distinct"] / out["n_tokens"].clip(lower=1)
+        return out
+
+    return ds.map_batches(ttr, batch_format="pyarrow")
+
+
+SQL_LEXICAL_DIVERSITY = """
+WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT w) AS BIGINT) AS n_distinct,
+       CAST(count(DISTINCT w) AS DOUBLE) / greatest(count(*), 1) AS ttr
+FROM t GROUP BY doc_id
+"""
+
+
+def q_weighted_mean(sf_dir: str):
+    """Grouped weighted mean: quantity-weighted average price per
+    return flag.  Partials are exact int64 sums (price in integer
+    cents × integer quantity), so accumulation order cannot perturb
+    the result and the final division is the only float op — bit-equal
+    to SQL regardless of DuckDB's internal accumulation order."""
+    ds = read_table(
+        sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_extendedprice"], split=True
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"].to_pandas(),
+                "__wc": (
+                    np.round(batch["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)
+                    * batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+                "__w": batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+        return df.groupby("l_returnflag", as_index=False).sum()
+
+    agg = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["l_returnflag"],
+        {"wc": ("sum", "__wc"), "w": ("sum", "__w")},
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df["wavg_price"] = df["wc"].to_numpy(dtype=np.float64) / (
+            100.0 * df["w"].to_numpy(dtype=np.float64)
+        )
+        return df[["l_returnflag", "wavg_price"]]
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+SQL_WEIGHTED_MEAN = """
+SELECT l_returnflag,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+         / (100.0 * CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE)) AS wavg_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 _OHLC_BUCKET_US = 3_600 * 1_000_000  # 1-hour bars
 
 
@@ -5294,6 +5383,8 @@ QUERIES = {
     "latest_event_per_user": q_latest_event_per_user,
     "late_events": q_late_events,
     "ohlc_resample": q_ohlc_resample,
+    "weighted_mean": q_weighted_mean,
+    "lexical_diversity": q_lexical_diversity,
     "validate_orders": q_validate_orders,
     "region_customer_stats": q_region_customer_stats,
     "hash_split_counts": q_hash_split_counts,
@@ -5419,6 +5510,8 @@ ORACLE_SQL = {
     "latest_event_per_user": SQL_LATEST_EVENT,
     "late_events": SQL_LATE_EVENTS,
     "ohlc_resample": SQL_OHLC,
+    "weighted_mean": SQL_WEIGHTED_MEAN,
+    "lexical_diversity": SQL_LEXICAL_DIVERSITY,
     "validate_orders": SQL_VALIDATE_ORDERS,
     "region_customer_stats": SQL_REGION_CUSTOMER,
     "hash_split_counts": SQL_HASH_SPLIT,
