@@ -418,3 +418,54 @@ def knn_ivfpq(
         src, scored, qmat, query_ids, shortlist=shortlist, id_col=id_col, vec_col=vec_col
     )
     return _topk_reduce(refined, "cos_sim", k)
+
+
+def save_pq_index(path: str, codebooks: np.ndarray,
+                  coarse: np.ndarray | None = None) -> None:
+    """Persist a PQ (or IVF-PQ) index as one parquet file — the
+    fit-once/search-many production shape: train on today's corpus,
+    reload in every later search job without refitting.  Layout: one
+    row per (subspace, codeword) with the dsub floats inline, plus
+    coarse-centroid rows tagged subspace = -1."""
+    import pyarrow.parquet as pq
+
+    m, ksub, dsub = codebooks.shape
+    rows_sub = np.repeat(np.arange(m, dtype=np.int32), ksub)
+    rows_code = np.tile(np.arange(ksub, dtype=np.int32), m)
+    vecs = [codebooks[j, c].tolist() for j in range(m) for c in range(ksub)]
+    if coarse is not None:
+        rows_sub = np.concatenate([rows_sub, np.full(len(coarse), -1, dtype=np.int32)])
+        rows_code = np.concatenate([rows_code, np.arange(len(coarse), dtype=np.int32)])
+        vecs.extend(v.tolist() for v in np.asarray(coarse, dtype=np.float64))
+    t = pa.table({"subspace": rows_sub, "codeword": rows_code, "vec": vecs})
+    tmp = str(path) + ".tmp"
+    pq.write_table(t, tmp, compression="zstd")
+    import os
+
+    os.replace(tmp, str(path))
+
+
+def load_pq_index(path: str) -> tuple[np.ndarray, np.ndarray | None]:
+    """Inverse of :func:`save_pq_index` → (codebooks, coarse | None)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path)
+    sub = t["subspace"].to_numpy()
+    code = t["codeword"].to_numpy()
+    vec_lists = t["vec"].to_pylist()
+    pq_mask = sub >= 0
+    # codeword rows are dsub-wide, coarse rows d-wide — stack separately
+    pq_vecs = np.stack(
+        [np.asarray(vec_lists[i], dtype=np.float64) for i in np.flatnonzero(pq_mask)]
+    )
+    m = int(sub[pq_mask].max()) + 1
+    ksub = int(code[pq_mask].max()) + 1
+    books = np.empty((m, ksub, pq_vecs.shape[1]))
+    books[sub[pq_mask], code[pq_mask]] = pq_vecs
+    coarse = None
+    if (~pq_mask).any():
+        rows = np.flatnonzero(~pq_mask)
+        cvecs = np.stack([np.asarray(vec_lists[i], dtype=np.float64) for i in rows])
+        coarse = np.empty_like(cvecs)
+        coarse[code[rows]] = cvecs
+    return books, coarse

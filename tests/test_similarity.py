@@ -283,3 +283,50 @@ class TestIVFPQ:
         ).to_pandas()
         assert set(out["query_id"]) == {0, 1}
         assert (out.groupby("query_id")["rank"].max() == 5).all()
+
+
+class TestPQIndexPersistence:
+    def test_save_load_roundtrip_and_search(self, blob_corpus, blob_vectors, tmp_path):
+        from article_extraction_ray.stages.clustering import kmeans_fit
+        from article_extraction_ray.stages.pq import (
+            knn_ivfpq,
+            load_pq_index,
+            pq_fit,
+            save_pq_index,
+        )
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        vn = blob_vectors / np.linalg.norm(blob_vectors, axis=1, keepdims=True)
+        nds = rd.from_arrow(
+            pa.table(
+                {"vec_id": np.arange(len(vn)), "embedding": [list(map(float, v)) for v in vn]}
+            )
+        ).repartition(4)
+        coarse = kmeans_fit(nds, 8, iters=3, cache=False)
+        books = pq_fit(nds, m=8, ksub=16, iters=3, coarse=coarse)
+        p = tmp_path / "pq_index.parquet"
+        save_pq_index(str(p), books, coarse)
+        books2, coarse2 = load_pq_index(str(p))
+        np.testing.assert_allclose(books2, books)
+        np.testing.assert_allclose(coarse2, coarse)
+
+        qm, qids = blob_vectors[:2], np.arange(2)
+        a = knn_ivfpq(blob_corpus, qm, qids, k=5, nprobe=3, index=(coarse, books)).to_pandas()
+        b = knn_ivfpq(blob_corpus, qm, qids, k=5, nprobe=3, index=(coarse2, books2)).to_pandas()
+        pd.testing.assert_frame_equal(
+            a.sort_values(["query_id", "rank"]).reset_index(drop=True),
+            b.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        )
+
+    def test_pq_only_index(self, tmp_path):
+        from article_extraction_ray.stages.pq import load_pq_index, save_pq_index
+
+        rng = np.random.default_rng(2)
+        books = rng.standard_normal((4, 8, 4))
+        p = tmp_path / "pq.parquet"
+        save_pq_index(str(p), books)
+        books2, coarse2 = load_pq_index(str(p))
+        np.testing.assert_allclose(books2, books)
+        assert coarse2 is None
