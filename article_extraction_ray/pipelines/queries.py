@@ -172,6 +172,49 @@ FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
 """
 
 
+def q_share_of_total(sf_dir: str):
+    """Ratio-to-report window: each event's share of its type's total
+    value — the no-sort window: one partial-combine pass builds the
+    per-type totals (exact int64 cents, order-independent), the tiny
+    totals map broadcasts back, and a second streaming pass divides.
+    No event row ever shuffles.  The SQL mirror also sums cents so both
+    engines perform the identical final float division."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type", "value"], split=True)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_pandas(),
+                "cents": np.round(batch["value"].to_numpy() * 100.0).astype(np.int64),
+            }
+        )
+        return df.groupby("event_type", as_index=False).sum()
+
+    totals = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"), ["event_type"], {"t": ("sum", "cents")}
+    ).to_pandas()
+    handle = Broadcast(dict(zip(totals["event_type"], totals["t"])))
+
+    def share(batch: pa.Table) -> pa.Table:
+        m = handle.get()
+        t = pd.Series(batch["event_type"].to_pandas()).map(m).to_numpy(dtype=np.float64)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [batch["event_id"], batch["event_type"], pa.array(v / (t / 100.0))],
+            names=["event_id", "event_type", "share"],
+        )
+
+    return ds.map_batches(share, batch_format="pyarrow")
+
+
+SQL_SHARE_OF_TOTAL = """
+SELECT event_id, event_type,
+       value / (CAST(sum(CAST(round(value * 100) AS BIGINT))
+                     OVER (PARTITION BY event_type) AS DOUBLE) / 100.0) AS share
+FROM events
+"""
+
+
 def q_lexical_diversity(sf_dir: str):
     """Per-document lexical diversity (type-token ratio): distinct
     tokens / total tokens — a standard quality signal for crawl
@@ -5385,6 +5428,7 @@ QUERIES = {
     "ohlc_resample": q_ohlc_resample,
     "weighted_mean": q_weighted_mean,
     "lexical_diversity": q_lexical_diversity,
+    "share_of_total": q_share_of_total,
     "validate_orders": q_validate_orders,
     "region_customer_stats": q_region_customer_stats,
     "hash_split_counts": q_hash_split_counts,
@@ -5512,6 +5556,7 @@ ORACLE_SQL = {
     "ohlc_resample": SQL_OHLC,
     "weighted_mean": SQL_WEIGHTED_MEAN,
     "lexical_diversity": SQL_LEXICAL_DIVERSITY,
+    "share_of_total": SQL_SHARE_OF_TOTAL,
     "validate_orders": SQL_VALIDATE_ORDERS,
     "region_customer_stats": SQL_REGION_CUSTOMER,
     "hash_split_counts": SQL_HASH_SPLIT,
