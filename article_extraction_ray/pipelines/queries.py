@@ -172,6 +172,79 @@ FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
 """
 
 
+def q_multi_format_union(sf_dir: str):
+    """Heterogeneous-source ingest (S4 reader breadth): the same
+    dimension arrives as CSV and JSONL (derived deterministically to
+    /tmp once per scale factor), reads through ``ray.data.read_csv`` /
+    ``read_json``, unions, and exact-dedupes back to the canonical
+    rows.  Schema drift between formats (CSV infers, JSON carries
+    types) is normalized by one explicit cast map — the realistic
+    multi-vendor feed problem."""
+    import os
+    import tempfile
+
+    import pyarrow.csv as pacsv
+    import pyarrow.parquet as pqt
+    import ray.data as rd
+
+    from .tabular import dedup_exact_min
+
+    src = pqt.read_table(os.path.join(sf_dir, "nation.parquet"))
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(tempfile.gettempdir(), f"ae_multifmt_{tag}")
+    os.makedirs(base, exist_ok=True)
+    csv_path = os.path.join(base, "nation.csv")
+    json_path = os.path.join(base, "nation.jsonl")
+    if not os.path.exists(csv_path):
+        pacsv.write_csv(src, csv_path + ".tmp")
+        os.replace(csv_path + ".tmp", csv_path)
+    if not os.path.exists(json_path):
+        with open(json_path + ".tmp", "w") as f:
+            for row in src.to_pylist():
+                import json as _json
+
+                f.write(_json.dumps(row) + "\n")
+        os.replace(json_path + ".tmp", json_path)
+
+    cols = ["n_nationkey", "n_name", "n_regionkey"]
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                batch["n_nationkey"].cast(pa.int64()),
+                batch["n_name"].cast(pa.string()),
+                batch["n_regionkey"].cast(pa.int64()),
+            ],
+            names=cols,
+        )
+
+    both = (
+        rd.read_csv(csv_path)
+        .map_batches(normalize, batch_format="pyarrow")
+        .union(rd.read_json(json_path).map_batches(normalize, batch_format="pyarrow"))
+    )
+    kept = dedup_exact_min(both, "n_name", "n_nationkey")
+
+    def attach_region(batch: pa.Table) -> pa.Table:
+        m = dict(
+            zip(src["n_nationkey"].to_pylist(), src["n_regionkey"].to_pylist())
+        )  # tiny dim; re-attach the column dropped by the dedup projection
+        keys = batch["n_nationkey"].to_numpy(zero_copy_only=False)
+        rk = np.array([m[int(k)] for k in keys], dtype=np.int64)
+        return pa.Table.from_arrays(
+            [batch["n_nationkey"].cast(pa.int64()), batch["n_name"], pa.array(rk)],
+            names=cols,
+        )
+
+    return kept.map_batches(attach_region, batch_format="pyarrow")
+
+
+SQL_MULTI_FORMAT_UNION = """
+SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey
+FROM nation
+"""
+
+
 def q_share_of_total(sf_dir: str):
     """Ratio-to-report window: each event's share of its type's total
     value — the no-sort window: one partial-combine pass builds the
@@ -5429,6 +5502,7 @@ QUERIES = {
     "weighted_mean": q_weighted_mean,
     "lexical_diversity": q_lexical_diversity,
     "share_of_total": q_share_of_total,
+    "multi_format_union": q_multi_format_union,
     "validate_orders": q_validate_orders,
     "region_customer_stats": q_region_customer_stats,
     "hash_split_counts": q_hash_split_counts,
@@ -5557,6 +5631,7 @@ ORACLE_SQL = {
     "weighted_mean": SQL_WEIGHTED_MEAN,
     "lexical_diversity": SQL_LEXICAL_DIVERSITY,
     "share_of_total": SQL_SHARE_OF_TOTAL,
+    "multi_format_union": SQL_MULTI_FORMAT_UNION,
     "validate_orders": SQL_VALIDATE_ORDERS,
     "region_customer_stats": SQL_REGION_CUSTOMER,
     "hash_split_counts": SQL_HASH_SPLIT,
