@@ -172,6 +172,19 @@ FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
 """
 
 
+def q_span_corruption(sf_dir: str):
+    """T5-style span corruption (stages/denoise.py): ~15% of each doc's
+    tokens masked in contiguous spans behind ordinal sentinels, target
+    sequence carries the hidden tokens.  Per-doc blake2-seeded masks →
+    deterministic and layout-independent.  Rows-only (the greedy span
+    draw isn't SQL-expressible); losslessness, budget, determinism and
+    layout-independence are pytest-verified."""
+    from ..stages.denoise import span_corrupt
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+    return span_corrupt(ds)
+
+
 def q_multi_format_union(sf_dir: str):
     """Heterogeneous-source ingest (S4 reader breadth): the same
     dimension arrives as CSV and JSONL (derived deterministically to
@@ -5503,6 +5516,7 @@ QUERIES = {
     "lexical_diversity": q_lexical_diversity,
     "share_of_total": q_share_of_total,
     "multi_format_union": q_multi_format_union,
+    "span_corruption": q_span_corruption,
     "validate_orders": q_validate_orders,
     "region_customer_stats": q_region_customer_stats,
     "hash_split_counts": q_hash_split_counts,
