@@ -172,6 +172,73 @@ FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
 """
 
 
+_PROFILE_COLS = ["o_custkey", "o_orderpriority", "o_orderstatus"]
+
+
+def q_profile_table(sf_dir: str):
+    """Column profiling (ANALYZE-style): per column, null count and
+    exact distinct count over orders.  One streaming pass melts each
+    batch into per-column DISTINCT-value partials (the batch is the
+    combiner — at most |batch distinct| rows per column leave, never
+    raw rows) plus a fixed-width null-count row; a grouped reduce
+    finishes both.  The sketch family (`hll_distinct`, `heavy_tokens_
+    sketch`) is the approximate path when exact distinct is too wide to
+    shuffle; this op is the exact gate a snapshot-promotion check runs."""
+    ds = read_table(sf_dir, "orders", columns=_PROFILE_COLS, split=True)
+
+    def melt_distinct(batch: pa.Table) -> pd.DataFrame:
+        frames = []
+        for c in _PROFILE_COLS:
+            col = batch[c]
+            vals = pd.Series(col.to_pandas()).dropna().unique()
+            frames.append(
+                pd.DataFrame({"column": c, "v": pd.Series(vals).astype(str)})
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    distinct = grouped_aggregate(
+        ds.map_batches(melt_distinct, batch_format="pyarrow"),
+        ["column", "v"],
+        {"one": ("count", None)},
+    )
+
+    def count_distinct(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("column", as_index=False).size().rename(columns={"size": "n"})
+
+    n_distinct = grouped_aggregate(
+        distinct.map_batches(count_distinct, batch_format="pandas"),
+        ["column"],
+        {"n_distinct": ("sum", "n")},
+    ).to_pandas()
+
+    def null_partial(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"column": _PROFILE_COLS, "nb": [batch[c].null_count for c in _PROFILE_COLS]}
+        )
+
+    n_nulls = grouped_aggregate(
+        ds.map_batches(null_partial, batch_format="pyarrow"), ["column"], {"n_nulls": ("sum", "nb")}
+    ).to_pandas()
+    out = n_distinct.merge(n_nulls, on="column")
+    out["n_distinct"] = out["n_distinct"].astype(np.int64)
+    out["n_nulls"] = out["n_nulls"].astype(np.int64)
+    import ray.data as rd
+
+    return rd.from_pandas(out.sort_values("column").reset_index(drop=True))
+
+
+SQL_PROFILE_TABLE = """
+SELECT 'o_custkey' AS "column", CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+       CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS n_nulls FROM orders
+UNION ALL
+SELECT 'o_orderpriority', CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+       CAST(count(*) FILTER (WHERE o_orderpriority IS NULL) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'o_orderstatus', CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+       CAST(count(*) FILTER (WHERE o_orderstatus IS NULL) AS BIGINT) FROM orders
+"""
+
+
 def q_span_corruption(sf_dir: str):
     """T5-style span corruption (stages/denoise.py): ~15% of each doc's
     tokens masked in contiguous spans behind ordinal sentinels, target
@@ -5517,6 +5584,7 @@ QUERIES = {
     "share_of_total": q_share_of_total,
     "multi_format_union": q_multi_format_union,
     "span_corruption": q_span_corruption,
+    "profile_table": q_profile_table,
     "validate_orders": q_validate_orders,
     "region_customer_stats": q_region_customer_stats,
     "hash_split_counts": q_hash_split_counts,
@@ -5646,6 +5714,7 @@ ORACLE_SQL = {
     "lexical_diversity": SQL_LEXICAL_DIVERSITY,
     "share_of_total": SQL_SHARE_OF_TOTAL,
     "multi_format_union": SQL_MULTI_FORMAT_UNION,
+    "profile_table": SQL_PROFILE_TABLE,
     "validate_orders": SQL_VALIDATE_ORDERS,
     "region_customer_stats": SQL_REGION_CUSTOMER,
     "hash_split_counts": SQL_HASH_SPLIT,
