@@ -172,6 +172,57 @@ FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
 """
 
 
+_NEG_K = 4
+_KNUTH = 2654435761  # Knuth multiplicative-hash constant
+
+
+def q_contrastive_pairs(sf_dir: str):
+    """Contrastive negative sampling: each document draws ``_NEG_K``
+    deterministic pseudo-random negatives via Knuth multiplicative
+    hashing over the dense id space — (a·id + j·c) mod N, skipping
+    self.  Zero shuffle, zero lookups: the id space is dense (driver
+    knows N from footer stats), so negatives are ARITHMETIC, the same
+    trick as `domain_mixture`'s integer membership — reproducible,
+    SQL-expressible, and no sampling state ships anywhere.  At corpus
+    scale with sparse ids the same shape runs against the `global_rank`
+    enumeration first."""
+    import os
+
+    import pyarrow.parquet as pqt
+
+    meta = pqt.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata
+    idx = next(
+        i for i in range(meta.num_columns)
+        if meta.row_group(0).column(i).path_in_schema == "doc_id"
+    )
+    n_docs = (
+        max(meta.row_group(rg).column(idx).statistics.max for rg in range(meta.num_row_groups))
+        + 1
+    )
+    ds = read_table(sf_dir, "documents", columns=["doc_id"], split=True)
+
+    def sample(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        anchors = np.repeat(ids, _NEG_K)
+        j = np.tile(np.arange(1, _NEG_K + 1, dtype=np.int64), len(ids))
+        neg = (anchors * _KNUTH + j * 40503) % n_docs
+        neg = np.where(neg == anchors, (neg + 1) % n_docs, neg)  # never self
+        return pd.DataFrame({"anchor_id": anchors, "k": j, "negative_id": neg})
+
+    return ds.map_batches(sample, batch_format="pyarrow")
+
+
+SQL_CONTRASTIVE = f"""
+WITH n AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) AS nd FROM documents),
+g AS (SELECT doc_id, unnest(range(1, {_NEG_K} + 1)) AS k FROM documents)
+SELECT g.doc_id AS anchor_id, CAST(g.k AS BIGINT) AS k,
+       CASE WHEN (g.doc_id * {_KNUTH} + g.k * 40503) % nd = g.doc_id
+            THEN ((g.doc_id * {_KNUTH} + g.k * 40503) % nd + 1) % nd
+            ELSE (g.doc_id * {_KNUTH} + g.k * 40503) % nd END AS negative_id
+FROM g, n
+"""
+
+
 _PROFILE_COLS = ["o_custkey", "o_orderpriority", "o_orderstatus"]
 
 
@@ -5585,6 +5636,7 @@ QUERIES = {
     "multi_format_union": q_multi_format_union,
     "span_corruption": q_span_corruption,
     "profile_table": q_profile_table,
+    "contrastive_pairs": q_contrastive_pairs,
     "validate_orders": q_validate_orders,
     "region_customer_stats": q_region_customer_stats,
     "hash_split_counts": q_hash_split_counts,
@@ -5715,6 +5767,7 @@ ORACLE_SQL = {
     "share_of_total": SQL_SHARE_OF_TOTAL,
     "multi_format_union": SQL_MULTI_FORMAT_UNION,
     "profile_table": SQL_PROFILE_TABLE,
+    "contrastive_pairs": SQL_CONTRASTIVE,
     "validate_orders": SQL_VALIDATE_ORDERS,
     "region_customer_stats": SQL_REGION_CUSTOMER,
     "hash_split_counts": SQL_HASH_SPLIT,
