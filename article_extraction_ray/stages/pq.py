@@ -469,3 +469,56 @@ def load_pq_index(path: str) -> tuple[np.ndarray, np.ndarray | None]:
         coarse = np.empty_like(cvecs)
         coarse[code[rows]] = cvecs
     return books, coarse
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization — the lighter-weight sibling of PQ
+# ---------------------------------------------------------------------------
+
+
+def sq_fit(ds, *, vec_col: str = "embedding") -> tuple[np.ndarray, np.ndarray]:
+    """Per-dimension (min, max) over the corpus — one streaming pass of
+    fixed-width partials (two d-vectors per batch)."""
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        mat = _as_matrix(batch[vec_col])
+        if not mat.size:
+            return pd.DataFrame({"lo": [], "hi": []})
+        return pd.DataFrame({"lo": [mat.min(axis=0)], "hi": [mat.max(axis=0)]})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    lo = np.min(np.stack(parts["lo"].to_numpy()), axis=0)
+    hi = np.max(np.stack(parts["hi"].to_numpy()), axis=0)
+    return lo, hi
+
+
+def sq_encode(ds, lo: np.ndarray, hi: np.ndarray, *, id_col: str = "vec_id",
+              vec_col: str = "embedding", out_col: str = "sq_code"):
+    """float vectors → uint8 codes (4× smaller than float32, 8× than
+    float64): x ↦ round(255·(x−lo)/(hi−lo)) per dimension.  Unlike PQ
+    this keeps per-dimension resolution (no subspace codebooks), at a
+    4× weaker compression — the usual first step before PQ is needed."""
+    span = np.where(hi > lo, hi - lo, 1.0)
+    handle = Broadcast((lo, span))
+    d = len(lo)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        l, s = handle.get()
+        ids = batch[id_col]
+        ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
+        mat = _as_matrix(batch[vec_col])
+        if not mat.size:
+            return pa.Table.from_arrays(
+                [ids, pa.array([], type=pa.list_(pa.uint8(), d))], names=[id_col, out_col]
+            )
+        q = np.clip(np.round((mat - l) / s * 255.0), 0, 255).astype(np.uint8)
+        codes = pa.FixedSizeListArray.from_arrays(pa.array(q.ravel()), d)
+        return pa.Table.from_arrays([ids, codes], names=[id_col, out_col])
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def sq_decode_matrix(codes: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """uint8 codes → float64 reconstruction (midpoint dequantization)."""
+    span = np.where(hi > lo, hi - lo, 1.0)
+    return codes.astype(np.float64) / 255.0 * span + lo

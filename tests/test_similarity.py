@@ -330,3 +330,26 @@ class TestPQIndexPersistence:
         books2, coarse2 = load_pq_index(str(p))
         np.testing.assert_allclose(books2, books)
         assert coarse2 is None
+
+
+class TestScalarQuantization:
+    def test_roundtrip_error_bounded_and_ranking_preserved(self, blob_corpus, blob_vectors):
+        from article_extraction_ray.stages.pq import sq_decode_matrix, sq_encode, sq_fit
+
+        lo, hi = sq_fit(blob_corpus)
+        assert lo.shape == (D,) and (hi >= lo).all()
+        enc = sq_encode(blob_corpus, lo, hi).to_pandas()
+        codes = np.stack(enc["sq_code"].to_numpy())
+        assert codes.dtype == np.uint8 and codes.shape == (len(blob_vectors), D)
+        order = np.argsort(enc["vec_id"].to_numpy())
+        rec = sq_decode_matrix(codes[order], lo, hi)
+        # per-dim quantization error ≤ half a cell
+        cell = (hi - lo) / 255.0
+        assert (np.abs(rec - blob_vectors) <= cell / 2 + 1e-9).all()
+        # cosine top-10 of a query against reconstructions ≈ exact top-10
+        q = blob_vectors[0]
+        exact = set(_exact_topk(blob_vectors, q, K))
+        rn = rec / np.linalg.norm(rec, axis=1, keepdims=True)
+        sims = rn @ (q / np.linalg.norm(q))
+        approx = set(np.argsort(-sims)[:K].tolist())
+        assert len(exact & approx) / K >= 0.8
