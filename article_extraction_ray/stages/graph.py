@@ -435,3 +435,82 @@ def pagerank_local(src: np.ndarray, dst: np.ndarray, *, damping: float = 0.85,
         c = np.bincount(d, weights=share[s], minlength=n)
         rank = (1.0 - damping) / n + damping * (c + dangling / n)
     return pd.DataFrame({"node": nodes, "rank": np.round(rank, 10)})
+
+
+def label_propagation(
+    edges,
+    seeds: dict,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iters: int = 10,
+):
+    """Semi-supervised label propagation over an undirected edge list:
+    seed nodes carry fixed labels; each sweep every unlabeled node adopts
+    the majority label among its labeled neighbors (ties → smallest
+    label).  Returns pandas (node, label) for all nodes reached.
+
+    Shape mirrors the PageRank sweep (stages/graph.py): the label map
+    broadcasts via ``ray.put`` once per sweep, the edge list STREAMS —
+    each batch emits per-(node, label) vote counts (the batch is the
+    combiner) and one ``grouped_aggregate`` sum reduces them; the
+    driver only folds the per-node majorities (bounded by the labeled
+    frontier, not the edge count).  Converges when a sweep changes no
+    label.  At corpora where the label map outgrows a broadcast, the
+    same sweep runs with a bucketed label join — the edge-stream /
+    vote-count shape is unchanged."""
+    import pyarrow as pa
+
+    from ..pipelines.tabular import grouped_aggregate
+    from ..state.broadcast import Broadcast
+
+    edges = edges.materialize()  # streamed once per sweep
+    labels: dict[int, int] = {int(k): int(v) for k, v in seeds.items()}
+    fixed = set(labels)
+
+    for _ in range(max_iters):
+        handle = Broadcast(labels)
+
+        def votes(batch: pa.Table) -> pd.DataFrame:
+            lm = handle.get()
+            s = batch[src_col].to_numpy(zero_copy_only=False)
+            d = batch[dst_col].to_numpy(zero_copy_only=False)
+            # undirected: votes flow both ways
+            frames = []
+            for a, b in ((s, d), (d, s)):
+                lab = pd.Series(a).map(lm)
+                m = lab.notna().to_numpy()
+                if m.any():
+                    frames.append(
+                        pd.DataFrame({"node": b[m], "label": lab[m].astype(np.int64)})
+                    )
+            if not frames:
+                return pd.DataFrame({"node": [], "label": [], "n": []})
+            df = pd.concat(frames, ignore_index=True)
+            out = df.groupby(["node", "label"], as_index=False).size()
+            return out.rename(columns={"size": "n"})
+
+        counts = grouped_aggregate(
+            edges.map_batches(votes, batch_format="pyarrow"),
+            ["node", "label"],
+            {"n": ("sum", "n")},
+        ).to_pandas()
+        if not len(counts):
+            break
+        best = (
+            counts.sort_values(["node", "n", "label"], ascending=[True, False, True])
+            .groupby("node", sort=False)
+            .head(1)
+        )
+        changed = False
+        for node, label in zip(best["node"].astype(int), best["label"].astype(int)):
+            if node in fixed:
+                continue
+            if labels.get(node) != label:
+                labels[node] = label
+                changed = True
+        if not changed:
+            break
+    return pd.DataFrame(
+        {"node": list(labels.keys()), "label": list(labels.values())}
+    ).sort_values("node").reset_index(drop=True)

@@ -165,3 +165,44 @@ class TestPageRank:
         want = pagerank_local(src, dst, iters=20)
         assert np.allclose(got["rank"], want["rank"], atol=1e-12)
         assert got.loc[got["node"] == 9, "rank"].iloc[0] > got["rank"].min()
+
+
+class TestLabelPropagation:
+    def test_two_communities(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from article_extraction_ray.stages.graph import label_propagation
+
+        # two chains: 0-1-2-3 and 10-11-12-13, seeds at the ends
+        edges = pd.DataFrame(
+            {"src": [0, 1, 2, 10, 11, 12], "dst": [1, 2, 3, 11, 12, 13]}
+        )
+        out = label_propagation(
+            rd.from_pandas(edges).repartition(3), {0: 7, 10: 9}, max_iters=10
+        )
+        got = out.set_index("node")["label"].to_dict()
+        assert {k: got[k] for k in [0, 1, 2, 3]} == {0: 7, 1: 7, 2: 7, 3: 7}
+        assert {k: got[k] for k in [10, 11, 12, 13]} == {10: 9, 11: 9, 12: 9, 13: 9}
+
+    def test_tie_breaks_to_smallest_label(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from article_extraction_ray.stages.graph import label_propagation
+
+        # node 1 sits between two seeds with labels 5 and 3 → 3 wins
+        edges = pd.DataFrame({"src": [0, 2], "dst": [1, 1]})
+        out = label_propagation(rd.from_pandas(edges), {0: 5, 2: 3}, max_iters=5)
+        assert out.set_index("node")["label"].to_dict()[1] == 3
+
+    def test_seeds_never_flip(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from article_extraction_ray.stages.graph import label_propagation
+
+        edges = pd.DataFrame({"src": [0, 1, 2], "dst": [1, 2, 0]})  # triangle
+        out = label_propagation(rd.from_pandas(edges), {0: 1, 1: 2}, max_iters=8)
+        got = out.set_index("node")["label"].to_dict()
+        assert got[0] == 1 and got[1] == 2
