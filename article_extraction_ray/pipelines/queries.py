@@ -172,6 +172,61 @@ FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
 """
 
 
+def q_cluster_topterms(sf_dir: str):
+    """Cluster labeling: k-means over the embeddings, then the top-5
+    tokens per cluster by document frequency — the standard way to make
+    unsupervised clusters human-readable.  Composite of oracled/tested
+    stages: `kmeans_fit/assign` (broadcast-partial Lloyd's) + a tiny
+    (vec_id → cluster) broadcast join onto the documents + per-batch
+    token-count combiners + one grouped sum + per-cluster top-5
+    (count desc, token asc — deterministic).  Rows-only: k-means isn't
+    SQL-expressible; determinism across layouts is what the driver's
+    hash check exercises."""
+    import pyarrow.compute as pc
+
+    from ..stages.clustering import kmeans_assign, kmeans_fit
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"], split=True)
+    emb = emb.materialize()
+    cents = kmeans_fit(emb, 4, iters=5, cache=False)
+    assign = kmeans_assign(emb, cents).select_columns(["vec_id", "cluster"]).to_pandas()
+    cmap = Broadcast(dict(zip(assign["vec_id"], assign["cluster"])))
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+
+    def token_counts(batch: pa.Table) -> pd.DataFrame:
+        m = cmap.get()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        cl = pd.Series(ids).map(m)
+        keep = cl.notna().to_numpy()
+        if not keep.any():
+            return pd.DataFrame({"cluster": [], "token": [], "cnt": []})
+        toks = pc.split_pattern(batch["text"].take(pa.array(np.flatnonzero(keep))), " ").combine_chunks()
+        counts = np.diff(toks.offsets.to_numpy())
+        df = pd.DataFrame(
+            {
+                "cluster": np.repeat(cl[keep].astype(np.int64).to_numpy(), counts),
+                "token": toks.values.to_pandas(),
+            }
+        )
+        out = df.groupby(["cluster", "token"], as_index=False).size()
+        return out.rename(columns={"size": "cnt"})
+
+    counts = grouped_aggregate(
+        docs.map_batches(token_counts, batch_format="pyarrow"),
+        ["cluster", "token"],
+        {"n": ("sum", "cnt")},
+    )
+
+    def top5(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["n", "token"], ascending=[False, True]).head(5)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["cluster", "rank", "token", "n"]]
+
+    return counts.groupby("cluster").map_groups(top5, batch_format="pandas")
+
+
 _NEG_K = 4
 _KNUTH = 2654435761  # Knuth multiplicative-hash constant
 
@@ -5637,6 +5692,7 @@ QUERIES = {
     "span_corruption": q_span_corruption,
     "profile_table": q_profile_table,
     "contrastive_pairs": q_contrastive_pairs,
+    "cluster_topterms": q_cluster_topterms,
     "validate_orders": q_validate_orders,
     "region_customer_stats": q_region_customer_stats,
     "hash_split_counts": q_hash_split_counts,
