@@ -172,6 +172,68 @@ FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
 """
 
 
+def q_table_diff(sf_dir: str):
+    """Snapshot diff (data-diff): classify every key across two table
+    versions as added / removed / changed / same and count each class.
+    Version B derives deterministically from orders (keys ≡0 mod 101
+    dropped, prices of keys ≡0 mod 97 bumped) so the diff is
+    SQL-derivable.  Shape: both sides co-partition ONCE via the
+    full-outer `shuffle_join`; classification is a vectorized per-batch
+    CASE; counts are fixed-width partials.  The promotion check run
+    between pipeline versions."""
+    from .tabular import shuffle_join
+
+    a = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"], split=True)
+
+    def mutate(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        p = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        keep = k % 101 != 0
+        p2 = np.where(k % 97 == 0, np.round(p * 100.0 + 100.0) / 100.0, p)
+        t = pa.Table.from_arrays(
+            [pa.array(k[keep]), pa.array(p2[keep])], names=["o_orderkey", "price_b"]
+        )
+        return t
+
+    b = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"], split=True).map_batches(
+        mutate, batch_format="pyarrow"
+    )
+    joined = shuffle_join(a, b, "o_orderkey", how="outer")
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        pa_ = df["o_totalprice"]
+        pb = df["price_b"]
+        status = np.where(
+            pa_.isna(), "added",
+            np.where(pb.isna(), "removed", np.where(pa_.eq(pb), "same", "changed")),
+        )
+        out = pd.DataFrame({"status": status})
+        return out.groupby("status", as_index=False).size().rename(columns={"size": "c"})
+
+    return grouped_aggregate(
+        joined.map_batches(classify, batch_format="pandas"), ["status"], {"n_keys": ("sum", "c")}
+    )
+
+
+SQL_TABLE_DIFF = """
+WITH b AS (
+  SELECT o_orderkey, CASE WHEN o_orderkey % 97 = 0
+                          THEN round(o_totalprice * 100 + 100) / 100
+                          ELSE o_totalprice END AS price_b
+  FROM orders WHERE o_orderkey % 101 <> 0
+),
+j AS (
+  SELECT a.o_totalprice AS pa, b.price_b AS pb
+  FROM orders a FULL OUTER JOIN b USING (o_orderkey)
+)
+SELECT CASE WHEN pa IS NULL THEN 'added'
+            WHEN pb IS NULL THEN 'removed'
+            WHEN pa = pb THEN 'same' ELSE 'changed' END AS status,
+       CAST(count(*) AS BIGINT) AS n_keys
+FROM j GROUP BY 1
+"""
+
+
 def q_cluster_topterms(sf_dir: str):
     """Cluster labeling: k-means over the embeddings, then the top-5
     tokens per cluster by document frequency — the standard way to make
@@ -5693,6 +5755,7 @@ QUERIES = {
     "profile_table": q_profile_table,
     "contrastive_pairs": q_contrastive_pairs,
     "cluster_topterms": q_cluster_topterms,
+    "table_diff": q_table_diff,
     "validate_orders": q_validate_orders,
     "region_customer_stats": q_region_customer_stats,
     "hash_split_counts": q_hash_split_counts,
@@ -5824,6 +5887,7 @@ ORACLE_SQL = {
     "multi_format_union": SQL_MULTI_FORMAT_UNION,
     "profile_table": SQL_PROFILE_TABLE,
     "contrastive_pairs": SQL_CONTRASTIVE,
+    "table_diff": SQL_TABLE_DIFF,
     "validate_orders": SQL_VALIDATE_ORDERS,
     "region_customer_stats": SQL_REGION_CUSTOMER,
     "hash_split_counts": SQL_HASH_SPLIT,
