@@ -99,12 +99,16 @@ def kmeans_fit(
     seed: int = 17,
     tol: float = 1e-6,
     cache: bool = True,
+    ckpt_dir: str | None = None,
 ) -> np.ndarray:
     """Distributed Lloyd's: returns the (k, d) centroid matrix.
 
     Squared-L2 assignment (argmin ‖x−c‖² = argmax c·x − ‖c‖²/2, one
     matmul per batch).  Stops on ``iters`` or when the max centroid
-    shift drops below ``tol``.
+    shift drops below ``tol``.  With ``ckpt_dir`` each sweep's
+    centroids checkpoint atomically and a fresh call resumes after the
+    last complete sweep (state/checkpoint.py) — a long fit that dies
+    mid-run re-pays only the unfinished sweeps.
 
     ``cache=True`` materializes the input into the object store before
     the sweeps — the standard shape for iterative fits: the vector
@@ -114,12 +118,14 @@ def kmeans_fit(
     per-sweep wall time at sf0.1).  Blocks spill to disk if the table
     outgrows the store, so this stays safe at scale.
     """
+    from ..state.checkpoint import iterate_with_checkpoint
+
     if cache:
         ds = ds.materialize()
     cents = _init_centroids(ds, k, id_col=id_col, vec_col=vec_col, seed=seed)
     d = cents.shape[1]
 
-    for _ in range(iters):
+    def sweep(cents: np.ndarray, _i: int) -> np.ndarray:
         handle = Broadcast(cents)
 
         def partial(batch: pa.Table) -> pd.DataFrame:
@@ -135,17 +141,20 @@ def kmeans_fit(
 
         parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
         if not len(parts):
-            break
+            return cents
         sums = np.sum(np.stack(parts["sums"].to_numpy()), axis=0).reshape(k, d)
         counts = np.sum(np.stack(parts["counts"].to_numpy()), axis=0)
         new = cents.copy()  # empty clusters keep their previous centroid
         nz = counts > 0
         new[nz] = sums[nz] / counts[nz, None]
-        shift = float(np.max(np.linalg.norm(new - cents, axis=1)))
-        cents = new
-        if shift < tol:
-            break
-    return cents
+        return new
+
+    def converged(prev: np.ndarray, new: np.ndarray) -> bool:
+        return float(np.max(np.linalg.norm(new - prev, axis=1))) < tol
+
+    return iterate_with_checkpoint(
+        cents, sweep, iters, ckpt_dir=ckpt_dir, should_stop=converged
+    )
 
 
 def kmeans_assign(ds, centroids: np.ndarray, *, vec_col: str = "embedding",

@@ -140,3 +140,53 @@ class TestSemanticDedup:
         a = a.sort_values("vec_id").reset_index(drop=True)
         b = b.sort_values("vec_id").reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestKMeansCheckpoint:
+    def test_resumed_fit_equals_uninterrupted(self, blob_ds, tmp_path):
+        from article_extraction_ray.stages.clustering import kmeans_fit
+
+        ds, df, centers = blob_ds
+        full = kmeans_fit(ds, 6, iters=6, cache=False)
+        # "crash" after 3 sweeps: checkpoints survive, rerun resumes
+        ck = str(tmp_path / "ck")
+        kmeans_fit(ds, 6, iters=3, cache=False, ckpt_dir=ck)
+        resumed = kmeans_fit(ds, 6, iters=6, cache=False, ckpt_dir=ck)
+        np.testing.assert_allclose(resumed, full, atol=1e-12)
+
+    def test_checkpoint_prunes_old_iters(self, blob_ds, tmp_path):
+        import os
+
+        from article_extraction_ray.stages.clustering import kmeans_fit
+
+        ds, _, _ = blob_ds
+        ck = tmp_path / "ck2"
+        kmeans_fit(ds, 6, iters=5, cache=False, ckpt_dir=str(ck))
+        files = [f for f in os.listdir(ck) if f.endswith(".pkl")]
+        assert 1 <= len(files) <= 2  # keep_last=2
+
+
+class TestIterateWithCheckpoint:
+    def test_resume_skips_done_steps(self, tmp_path):
+        from article_extraction_ray.state.checkpoint import iterate_with_checkpoint
+
+        calls = []
+
+        def step(s, i):
+            calls.append(i)
+            return s + [i]
+
+        ck = str(tmp_path / "it")
+        out1 = iterate_with_checkpoint([], step, 3, ckpt_dir=ck)
+        assert out1 == [0, 1, 2] and calls == [0, 1, 2]
+        out2 = iterate_with_checkpoint([], step, 5, ckpt_dir=ck)
+        assert out2 == [0, 1, 2, 3, 4]
+        assert calls == [0, 1, 2, 3, 4]  # 0-2 never re-ran
+
+    def test_early_stop(self, tmp_path):
+        from article_extraction_ray.state.checkpoint import iterate_with_checkpoint
+
+        out = iterate_with_checkpoint(
+            0, lambda s, i: min(s + 1, 2), 100, should_stop=lambda a, b: a == b
+        )
+        assert out == 2
