@@ -104,3 +104,27 @@ def test_giant_docs_exist_and_route(ray_session):
         if out:
             expected[doc["doc_id"]] = [(s.kind, s.text, s.media_ref, s.order) for s in out]
     assert got == expected
+
+
+def test_tiny_block_budget_still_streams(ray_session, oracle_expected, tmp_path):
+    """Backpressure smoke: with the block budget squeezed to 256 KiB the
+    streaming executor must split blocks aggressively and the pipeline
+    must still produce the exact span set — no stage may secretly rely
+    on whole-table blocks."""
+    import ray
+    from ray.data import DataContext
+
+    from article_extraction_ray.pipelines.flagship import run_flagship
+    from article_extraction_ray.sources.synth import ensure_corpus_parquet
+
+    corpus = ensure_corpus_parquet("/tmp/ae_corpora", 2000, 42)
+    baseline = run_flagship(corpus, str(tmp_path / "base"), mode="hybrid", num_partitions=8)
+
+    ctx = DataContext.get_current()
+    before = ctx.target_max_block_size
+    ctx.target_max_block_size = 256 * 1024
+    try:
+        squeezed = run_flagship(corpus, str(tmp_path / "out"), mode="hybrid", num_partitions=8)
+        assert squeezed["rows"] == baseline["rows"]
+    finally:
+        ctx.target_max_block_size = before
