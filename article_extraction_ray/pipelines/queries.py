@@ -172,6 +172,65 @@ FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
 """
 
 
+def q_rag_index_search(sf_dir: str):
+    """End-to-end RAG index build + search — the vector-pipeline
+    composite: overlap-chunk the corpus (`chunk_documents` kernel) →
+    embed each chunk in an actor-pool stage (deterministic hash
+    encoder stand-in behind the production ``encode(list[str])``
+    protocol; per-actor cache) → fit IVF-PQ on the chunk embeddings →
+    persist the index to parquet (`save_pq_index`) → reload and search
+    3 fixed queries through the compressed-domain scan + exact refine.
+    Every stage is individually tested; this query proves they compose
+    as one pipeline.  Rows-only (ANN + k-means)."""
+    import os
+    import tempfile
+
+    from ..pipelines.eval import _HashEncoder
+    from ..stages.clustering import kmeans_fit
+    from ..stages.pq import knn_ivfpq, load_pq_index, pq_fit, save_pq_index
+
+    chunks = q_chunk_documents(sf_dir)
+    dim = 64
+
+    class EmbedStage:
+        def __init__(self):
+            self.enc = _HashEncoder(dim)
+            self.cache: dict[str, np.ndarray] = {}
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            texts = batch["chunk_text"].to_pylist()
+            missing = [t for t in texts if t not in self.cache]
+            if missing:
+                for t, v in zip(missing, self.enc.encode(missing)):
+                    self.cache[t] = v
+            mat = (
+                np.stack([self.cache[t] for t in texts]) if texts else np.zeros((0, dim))
+            )
+            key = (
+                batch["doc_id"].to_numpy(zero_copy_only=False) * 1_000_000
+                + batch["chunk_idx"].to_numpy(zero_copy_only=False)
+            )
+            emb = pa.FixedSizeListArray.from_arrays(pa.array(mat.ravel()), dim)
+            return pa.Table.from_arrays([pa.array(key), emb], names=["vec_id", "embedding"])
+
+    vecs = chunks.map_batches(
+        EmbedStage, concurrency=2, batch_size=512, batch_format="pyarrow"
+    ).materialize()
+    coarse = kmeans_fit(vecs, 8, iters=3, cache=False)
+    books = pq_fit(vecs, m=8, ksub=16, iters=3, coarse=coarse)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    idx_path = os.path.join(tempfile.gettempdir(), f"ae_rag_index_{tag}.parquet")
+    save_pq_index(idx_path, books, coarse)
+    books2, coarse2 = load_pq_index(idx_path)
+
+    enc = _HashEncoder(dim)
+    queries = enc.encode(["the fast key order", "spark window scan", "image token table"])
+    out = knn_ivfpq(
+        vecs, queries, np.arange(3), k=5, nprobe=4, index=(coarse2, books2), refine=4
+    )
+    return out.map_batches(lambda df: df[["query_id", "vec_id", "rank"]], batch_format="pandas")
+
+
 def q_table_diff(sf_dir: str):
     """Snapshot diff (data-diff): classify every key across two table
     versions as added / removed / changed / same and count each class.
@@ -5756,6 +5815,7 @@ QUERIES = {
     "contrastive_pairs": q_contrastive_pairs,
     "cluster_topterms": q_cluster_topterms,
     "table_diff": q_table_diff,
+    "rag_index_search": q_rag_index_search,
     "validate_orders": q_validate_orders,
     "region_customer_stats": q_region_customer_stats,
     "hash_split_counts": q_hash_split_counts,
