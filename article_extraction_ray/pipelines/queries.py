@@ -172,6 +172,62 @@ FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
 """
 
 
+def _value_hist(ds, column: str) -> tuple[np.ndarray, np.ndarray]:
+    """Exact (sorted value, count) histogram of a bounded-precision
+    column — (value, count) partials only, never rows."""
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        vc = pd.Series(batch[column].to_numpy(zero_copy_only=False)).value_counts()
+        return pd.DataFrame({"v": vc.index, "cnt": vc.to_numpy()})
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("v", as_index=False)["cnt"]
+        .sum()
+        .sort_values("v")
+    )
+    return hist["v"].to_numpy(dtype=np.float64), hist["cnt"].to_numpy(dtype=np.int64)
+
+
+def q_robust_zscore(sf_dir: str):
+    """Robust (median/MAD) z-score per row — outlier-resistant feature
+    scaling where mean/stddev would be dragged by the tails.  Two
+    streaming histogram passes (2-decimal prices → exact mergeable
+    (value, count) partials, the `outlier_filter` machinery): median
+    from pass one, MAD = median(|x − med|) from pass two, then one
+    vectorized map divides.  Both engines evaluate the identical final
+    expression from the same two doubles, so no rounding is needed."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_extendedprice"], split=True)
+
+    vals, cnts = _value_hist(ds, "l_extendedprice")
+    med = _quantile_from_hist(vals, cnts, 0.5)
+
+    def absdev(batch: pa.Table) -> pa.Table:
+        p = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays([pa.array(np.abs(p - med))], names=["dev"])
+
+    dvals, dcnts = _value_hist(ds.map_batches(absdev, batch_format="pyarrow"), "dev")
+    mad = _quantile_from_hist(dvals, dcnts, 0.5)
+
+    def z(batch: pa.Table) -> pa.Table:
+        p = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [batch["l_orderkey"], batch["l_linenumber"], pa.array((p - med) / mad)],
+            names=["l_orderkey", "l_linenumber", "robust_z"],
+        )
+
+    return ds.map_batches(z, batch_format="pyarrow")
+
+
+SQL_ROBUST_ZSCORE = """
+WITH m AS (SELECT quantile_cont(l_extendedprice, 0.5) AS med FROM lineitem),
+d AS (SELECT quantile_cont(abs(l_extendedprice - med), 0.5) AS mad FROM lineitem, m)
+SELECT l_orderkey, l_linenumber, (l_extendedprice - med) / mad AS robust_z
+FROM lineitem, m, d
+"""
+
+
 def q_rag_index_search(sf_dir: str):
     """End-to-end RAG index build + search — the vector-pipeline
     composite: overlap-chunk the corpus (`chunk_documents` kernel) →
@@ -5816,6 +5872,7 @@ QUERIES = {
     "cluster_topterms": q_cluster_topterms,
     "table_diff": q_table_diff,
     "rag_index_search": q_rag_index_search,
+    "robust_zscore": q_robust_zscore,
     "validate_orders": q_validate_orders,
     "region_customer_stats": q_region_customer_stats,
     "hash_split_counts": q_hash_split_counts,
@@ -5948,6 +6005,7 @@ ORACLE_SQL = {
     "profile_table": SQL_PROFILE_TABLE,
     "contrastive_pairs": SQL_CONTRASTIVE,
     "table_diff": SQL_TABLE_DIFF,
+    "robust_zscore": SQL_ROBUST_ZSCORE,
     "validate_orders": SQL_VALIDATE_ORDERS,
     "region_customer_stats": SQL_REGION_CUSTOMER,
     "hash_split_counts": SQL_HASH_SPLIT,
