@@ -5748,6 +5748,43 @@ JOIN (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
 """
 
 
+def q_window_lead_cume(sf_dir: str):
+    """lead() and cume_dist() per partition — completes the window
+    family (row_number / rank / dense_rank / percent_rank / ntile /
+    lag / lead / first_value / cume_dist).  Same bucketed ordered-scan
+    shape; the in-bucket pass is one vectorized shift(-1) and
+    rank(method='max')/n per customer."""
+    ds = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"], split=True
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = (batch["o_custkey"].to_numpy() % 32).astype(np.int32)
+        return batch.append_column("bucket", pa.array(b))
+
+    def win(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "o_totalprice", "o_orderkey"], kind="stable")
+        g = df.groupby("o_custkey", sort=False)
+        df["next_price"] = g["o_totalprice"].shift(-1)
+        df["cume"] = g["o_totalprice"].rank(method="max") / g["o_totalprice"].transform("size")
+        return df[["o_orderkey", "o_custkey", "next_price", "cume"]]
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lambda df: win(df.drop(columns=["bucket"])), batch_format="pandas")
+    )
+
+
+SQL_WINDOW_LEAD_CUME = """
+SELECT o_orderkey, o_custkey,
+       lead(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+         AS next_price,
+       cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_totalprice) AS cume
+FROM orders
+"""
+
+
 def q_rank_gaps(sf_dir: str):
     """rank() (ties share a rank, gaps after) plus first_value per
     partition — same bucketed ordered-scan shape as `dense_rank`; the
@@ -5991,6 +6028,7 @@ QUERIES = {
     "grouped_mode": q_grouped_mode,
     "dense_rank": q_dense_rank,
     "rank_gaps": q_rank_gaps,
+    "window_lead_cume": q_window_lead_cume,
 }
 
 ORACLE_SQL = {
@@ -6096,6 +6134,7 @@ ORACLE_SQL = {
     "grouped_mode": SQL_GROUPED_MODE,
     "dense_rank": SQL_DENSE_RANK,
     "rank_gaps": SQL_RANK_GAPS,
+    "window_lead_cume": SQL_WINDOW_LEAD_CUME,
     # hll_distinct / price_quantiles_tdigest are approximate sketches —
     # rows-only by design (accuracy pytest-verified)
     # lang_id / winnow / minhash / simhash / knn_lsh / media_* are not
