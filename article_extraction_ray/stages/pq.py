@@ -226,13 +226,31 @@ def knn_pq(
     m, ksub, dsub = codebooks.shape
     qmat = _normalize(np.asarray(queries, dtype=np.float64))
     # LUTs: exact query-subvector · codeword inner products, (q, m, ksub)
-    luts = np.stack(
-        [qmat[:, j * dsub : (j + 1) * dsub] @ codebooks[j].T for j in range(m)], axis=1
-    )
+    luts = _query_luts(qmat, codebooks)
     encoded = pq_encode(ds, codebooks, id_col=id_col, vec_col=vec_col)
+    shortlist = max(1, refine) * k
+    scored = _adc_scan(encoded, luts, query_ids, shortlist, id_col=id_col)
+
+    if not refine:
+        return _topk_reduce(scored, "adc_sim", k)
+    refined = _exact_refine(
+        ds, scored, qmat, query_ids, shortlist=shortlist, id_col=id_col, vec_col=vec_col
+    )
+    return _topk_reduce(refined, "cos_sim", k)
+
+
+def _adc_scan(encoded, luts: np.ndarray, query_ids, shortlist: int, *, id_col: str = "vec_id"):
+    """Compressed-domain scan over a codes Dataset (id_col, pq_code):
+    per-query LUT gather-sum with a per-batch shortlist prefilter.
+
+    The prefilter uses lexsort (sim desc, id asc) — the SAME tiebreak as
+    the final reduce, so it keeps every global-top-k row no matter how
+    rows split into blocks (quantized scores tie constantly;
+    argpartition's arbitrary tiebreak would make results depend on
+    block layout)."""
+    m = luts.shape[1]
     handle = Broadcast((luts, np.asarray(query_ids)))
     subspace = np.arange(m)
-    shortlist = max(1, refine) * k
 
     def score(batch: pa.Table) -> pd.DataFrame:
         lut, qids = handle.get()
@@ -244,23 +262,42 @@ def knn_pq(
         for qi in range(len(qids)):
             sims = lut[qi][subspace, codes].sum(axis=1)  # (n,) gather-sum
             take = min(shortlist, len(sims))
-            # lexsort (sim desc, id asc) — the SAME tiebreak as the final
-            # reduce, so the prefilter keeps every global-top-k row no
-            # matter how rows are split into blocks (quantized scores tie
-            # constantly; argpartition's arbitrary tiebreak would make
-            # results depend on block layout).
             idx = np.lexsort((ids, -sims))[:take]
             frames.append(pd.DataFrame({"query_id": qids[qi], "vec_id": ids[idx], "adc_sim": sims[idx]}))
         return pd.concat(frames, ignore_index=True)
 
-    scored = encoded.map_batches(score, batch_format="pyarrow")
+    return encoded.map_batches(score, batch_format="pyarrow")
 
-    if not refine:
-        return _topk_reduce(scored, "adc_sim", k)
-    refined = _exact_refine(
-        ds, scored, qmat, query_ids, shortlist=shortlist, id_col=id_col, vec_col=vec_col
+
+def _query_luts(qmat: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    m, ksub, dsub = codebooks.shape
+    return np.stack(
+        [qmat[:, j * dsub : (j + 1) * dsub] @ codebooks[j].T for j in range(m)], axis=1
     )
-    return _topk_reduce(refined, "cos_sim", k)
+
+
+def write_pq_codes(ds, codes_dir: str, codebooks: np.ndarray, *,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> None:
+    """Persist the encoded corpus as a parquet code table — the index
+    DATA to go with `save_pq_index`'s codebooks.  New corpus shards
+    append by encoding with the SAME codebooks and writing more files
+    into the directory (no refit, no rewrite of existing codes)."""
+    pq_encode(ds, codebooks, id_col=id_col, vec_col=vec_col).write_parquet(codes_dir)
+
+
+def knn_pq_from_codes(codes_dir: str, codebooks: np.ndarray, queries: np.ndarray,
+                      query_ids, *, k: int = 10, id_col: str = "vec_id"):
+    """Search straight off a persisted code table: no floats are read
+    and nothing re-encodes — the query-time path of a production PQ
+    index (m bytes/vector scanned).  Returns raw ADC ranking; compose
+    with `_exact_refine` when the float table is also at hand."""
+    import ray.data as rd
+
+    qmat = _normalize(np.asarray(queries, dtype=np.float64))
+    luts = _query_luts(qmat, np.asarray(codebooks, dtype=np.float64))
+    encoded = rd.read_parquet(codes_dir)
+    scored = _adc_scan(encoded, luts, query_ids, k, id_col=id_col)
+    return _topk_reduce(scored, "adc_sim", k)
 
 
 def _topk_reduce(scored, score_col: str, k: int):

@@ -353,3 +353,63 @@ class TestScalarQuantization:
         sims = rn @ (q / np.linalg.norm(q))
         approx = set(np.argsort(-sims)[:K].tolist())
         assert len(exact & approx) / K >= 0.8
+
+
+class TestPQCodeTable:
+    def test_search_from_codes_matches_inline(self, blob_corpus, blob_vectors, tmp_path):
+        from article_extraction_ray.stages.pq import (
+            knn_pq,
+            knn_pq_from_codes,
+            pq_fit,
+            write_pq_codes,
+        )
+
+        books = pq_fit(blob_corpus, m=8, ksub=16, iters=3)
+        codes_dir = str(tmp_path / "codes")
+        write_pq_codes(blob_corpus, codes_dir, books)
+        qm, qids = blob_vectors[:2], np.arange(2)
+        from_codes = (
+            knn_pq_from_codes(codes_dir, books, qm, qids, k=5)
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        inline = (
+            knn_pq(blob_corpus, qm, qids, k=5, codebooks=books, refine=0)
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        assert from_codes["vec_id"].tolist() == inline["vec_id"].tolist()
+
+    def test_incremental_append_without_refit(self, blob_corpus, blob_vectors, tmp_path, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from article_extraction_ray.stages.pq import (
+            knn_pq_from_codes,
+            pq_fit,
+            write_pq_codes,
+        )
+
+        books = pq_fit(blob_corpus, m=8, ksub=16, iters=3)
+        codes_dir = str(tmp_path / "codes")
+        write_pq_codes(blob_corpus, codes_dir, books)
+        # a later shard appends with the SAME codebooks — vectors along a
+        # direction absent from the original corpus (querying it must
+        # surface the APPENDED ids, proving both file sets are scanned)
+        rng = np.random.default_rng(99)
+        novel = rng.normal(0, 8, D)
+        extra = novel + rng.normal(0, 0.1, (3, D))
+        shard = rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": np.arange(10_000, 10_003),
+                    "embedding": [list(map(float, v)) for v in extra],
+                }
+            )
+        )
+        write_pq_codes(shard, codes_dir, books)
+        out = knn_pq_from_codes(codes_dir, books, novel[None, :], np.array([0]), k=3).to_pandas()
+        got = set(out["vec_id"].tolist())
+        assert got == {10_000, 10_001, 10_002}, got
