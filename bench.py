@@ -83,6 +83,11 @@ BENCH_QUERIES = [
     "bigram_pmi",
     "late_events",
     "validate_orders",
+    "ohlc_resample",
+    "robust_zscore",
+    "table_diff",
+    "share_of_total",
+    "rag_index_search",
 ]
 
 
