@@ -298,7 +298,9 @@ def q_table_diff(sf_dir: str):
     between pipeline versions."""
     from .tabular import shuffle_join
 
-    a = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"], split=True)
+    # materialize version A once — version B derives from the cached
+    # blocks instead of a second parquet scan
+    a = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"], split=True).materialize()
 
     def mutate(batch: pa.Table) -> pa.Table:
         k = batch["o_orderkey"].to_numpy(zero_copy_only=False)
@@ -310,9 +312,7 @@ def q_table_diff(sf_dir: str):
         )
         return t
 
-    b = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"], split=True).map_batches(
-        mutate, batch_format="pyarrow"
-    )
+    b = a.map_batches(mutate, batch_format="pyarrow")
     joined = shuffle_join(a, b, "o_orderkey", how="outer")
 
     def classify(df: pd.DataFrame) -> pd.DataFrame:
