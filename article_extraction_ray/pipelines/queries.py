@@ -349,6 +349,89 @@ FROM j GROUP BY 1
 """
 
 
+def q_merge_upsert(sf_dir: str):
+    """MERGE INTO / CDC apply: a changelog of deletes (keys ≡0 mod
+    113), updates (≡0 mod 127, price +5) and inserts (100 fresh keys
+    past the max) applies onto the base snapshot in ONE co-partitioned
+    pass — the warehouse upsert primitive.
+
+    Shape: the changelog derives per-batch from the cached base (no
+    second scan), both sides co-partition once via the full-outer
+    `shuffle_join`, and a vectorized per-bucket CASE materializes the
+    new snapshot: base-only rows survive unless deleted, matched rows
+    take the update, changelog-only rows insert.  At scale this is the
+    nightly CDC apply; the partitioned writer (state/lineage.py) makes
+    it a resumable snapshot swap."""
+    import os
+
+    import pyarrow.parquet as pqt
+
+    from .tabular import shuffle_join
+
+    meta = pqt.ParquetFile(os.path.join(sf_dir, "orders.parquet")).metadata
+    idx = next(
+        i for i in range(meta.num_columns)
+        if meta.row_group(0).column(i).path_in_schema == "o_orderkey"
+    )
+    max_key = max(
+        meta.row_group(rg).column(idx).statistics.max for rg in range(meta.num_row_groups)
+    )
+    base = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"], split=True).materialize()
+
+    def changelog(batch: pa.Table) -> pd.DataFrame:
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        p = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        dele = k % 113 == 0
+        upd = (k % 127 == 0) & ~dele
+        out = pd.DataFrame(
+            {
+                "o_orderkey": np.concatenate([k[dele], k[upd]]),
+                "op": ["D"] * int(dele.sum()) + ["U"] * int(upd.sum()),
+                "new_price": np.concatenate(
+                    [np.full(int(dele.sum()), np.nan), np.round(p[upd] * 100.0 + 500.0) / 100.0]
+                ),
+            }
+        )
+        # inserts ride on the batch containing the max key (exactly once)
+        if (k == max_key).any():
+            ins = np.arange(max_key + 1, max_key + 101, dtype=np.int64)
+            out = pd.concat(
+                [out, pd.DataFrame({"o_orderkey": ins, "op": "I", "new_price": 1.0})],
+                ignore_index=True,
+            )
+        return out
+
+    log = base.map_batches(changelog, batch_format="pyarrow")
+    joined = shuffle_join(base, log, "o_orderkey", how="outer")
+
+    def apply_ops(df: pd.DataFrame) -> pd.DataFrame:
+        op = df["op"].fillna("")
+        keep = op != "D"
+        price = np.where(op.isin(["U", "I"]), df["new_price"], df["o_totalprice"])
+        out = pd.DataFrame({"o_orderkey": df["o_orderkey"], "o_totalprice": price})
+        return out[keep.to_numpy()]
+
+    return joined.map_batches(apply_ops, batch_format="pandas")
+
+
+SQL_MERGE_UPSERT = """
+WITH mx AS (SELECT max(o_orderkey) AS mk FROM orders),
+log AS (
+  SELECT o_orderkey, 'D' AS op, CAST(NULL AS DOUBLE) AS new_price
+  FROM orders WHERE o_orderkey % 113 = 0
+  UNION ALL
+  SELECT o_orderkey, 'U', round(o_totalprice * 100 + 500) / 100
+  FROM orders WHERE o_orderkey % 127 = 0 AND o_orderkey % 113 <> 0
+  UNION ALL
+  SELECT mk + i, 'I', 1.0 FROM mx, unnest(range(1, 101)) AS t(i)
+)
+SELECT coalesce(o.o_orderkey, l.o_orderkey) AS o_orderkey,
+       CASE WHEN l.op IN ('U', 'I') THEN l.new_price ELSE o.o_totalprice END AS o_totalprice
+FROM orders o FULL OUTER JOIN log l USING (o_orderkey)
+WHERE coalesce(l.op, '') <> 'D'
+"""
+
+
 def q_cluster_topterms(sf_dir: str):
     """Cluster labeling: k-means over the embeddings, then the top-5
     tokens per cluster by document frequency — the standard way to make
@@ -5907,6 +5990,7 @@ QUERIES = {
     "profile_table": q_profile_table,
     "contrastive_pairs": q_contrastive_pairs,
     "cluster_topterms": q_cluster_topterms,
+    "merge_upsert": q_merge_upsert,
     "table_diff": q_table_diff,
     "rag_index_search": q_rag_index_search,
     "robust_zscore": q_robust_zscore,
@@ -6044,6 +6128,7 @@ ORACLE_SQL = {
     "contrastive_pairs": SQL_CONTRASTIVE,
     "table_diff": SQL_TABLE_DIFF,
     "robust_zscore": SQL_ROBUST_ZSCORE,
+    "merge_upsert": SQL_MERGE_UPSERT,
     "validate_orders": SQL_VALIDATE_ORDERS,
     "region_customer_stats": SQL_REGION_CUSTOMER,
     "hash_split_counts": SQL_HASH_SPLIT,
