@@ -432,6 +432,79 @@ WHERE coalesce(l.op, '') <> 'D'
 """
 
 
+def q_scd2_history(sf_dir: str):
+    """SCD Type-2 history build: two snapshot versions of a dimension
+    collapse into validity-interval rows — unchanged keys get one open
+    row (v_from=1, v_to=NULL), updated keys a closed v1 row plus an
+    open v2 row, deleted keys a closed row, inserted keys an open v2
+    row.  Version 2 derives with the `merge_upsert` rules, so the whole
+    temporal build is SQL-derivable.  Shape: ONE full-outer
+    co-partition (both versions from the cached base, no second scan)
+    and a vectorized interval emitter per bucket."""
+    from .tabular import shuffle_join
+
+    base = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"], split=True).materialize()
+
+    def v2(batch: pa.Table) -> pd.DataFrame:
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        p = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        keep = k % 113 != 0  # deletes
+        p2 = np.where(k % 127 == 0, np.round(p * 100.0 + 500.0) / 100.0, p)
+        return pd.DataFrame({"o_orderkey": k[keep], "price_v2": p2[keep]})
+
+    joined = shuffle_join(base, base.map_batches(v2, batch_format="pyarrow"), "o_orderkey", how="outer")
+
+    def intervals(df: pd.DataFrame) -> pd.DataFrame:
+        p1 = df["o_totalprice"]
+        p2 = df["price_v2"]
+        k = df["o_orderkey"]
+        rows = []
+        unchanged = p1.notna() & p2.notna() & p1.eq(p2)
+        rows.append(pd.DataFrame({"o_orderkey": k[unchanged], "price": p1[unchanged],
+                                  "v_from": 1, "v_to": np.nan}))
+        changed = p1.notna() & p2.notna() & ~p1.eq(p2)
+        rows.append(pd.DataFrame({"o_orderkey": k[changed], "price": p1[changed],
+                                  "v_from": 1, "v_to": 2.0}))
+        rows.append(pd.DataFrame({"o_orderkey": k[changed], "price": p2[changed],
+                                  "v_from": 2, "v_to": np.nan}))
+        deleted = p1.notna() & p2.isna()
+        rows.append(pd.DataFrame({"o_orderkey": k[deleted], "price": p1[deleted],
+                                  "v_from": 1, "v_to": 2.0}))
+        inserted = p1.isna() & p2.notna()
+        rows.append(pd.DataFrame({"o_orderkey": k[inserted], "price": p2[inserted],
+                                  "v_from": 2, "v_to": np.nan}))
+        out = pd.concat(rows, ignore_index=True)
+        out["v_from"] = out["v_from"].astype(np.int64)
+        return out
+
+    return joined.map_batches(intervals, batch_format="pandas")
+
+
+SQL_SCD2 = """
+WITH v2 AS (
+  SELECT o_orderkey, CASE WHEN o_orderkey % 127 = 0
+                          THEN round(o_totalprice * 100 + 500) / 100
+                          ELSE o_totalprice END AS price_v2
+  FROM orders WHERE o_orderkey % 113 <> 0
+),
+j AS (SELECT o.o_orderkey AS k1, o.o_totalprice AS p1, v2.o_orderkey AS k2, v2.price_v2 AS p2
+      FROM orders o FULL OUTER JOIN v2 USING (o_orderkey))
+SELECT coalesce(k1, k2) AS o_orderkey, p1 AS price, CAST(1 AS BIGINT) AS v_from,
+       CAST(NULL AS DOUBLE) AS v_to
+FROM j WHERE p1 IS NOT NULL AND p2 IS NOT NULL AND p1 = p2
+UNION ALL
+SELECT coalesce(k1, k2), p1, 1, 2.0 FROM j
+WHERE p1 IS NOT NULL AND p2 IS NOT NULL AND p1 <> p2
+UNION ALL
+SELECT coalesce(k1, k2), p2, 2, CAST(NULL AS DOUBLE) FROM j
+WHERE p1 IS NOT NULL AND p2 IS NOT NULL AND p1 <> p2
+UNION ALL
+SELECT coalesce(k1, k2), p1, 1, 2.0 FROM j WHERE p2 IS NULL
+UNION ALL
+SELECT coalesce(k1, k2), p2, 2, CAST(NULL AS DOUBLE) FROM j WHERE p1 IS NULL
+"""
+
+
 def q_cluster_topterms(sf_dir: str):
     """Cluster labeling: k-means over the embeddings, then the top-5
     tokens per cluster by document frequency — the standard way to make
@@ -5991,6 +6064,7 @@ QUERIES = {
     "contrastive_pairs": q_contrastive_pairs,
     "cluster_topterms": q_cluster_topterms,
     "merge_upsert": q_merge_upsert,
+    "scd2_history": q_scd2_history,
     "table_diff": q_table_diff,
     "rag_index_search": q_rag_index_search,
     "robust_zscore": q_robust_zscore,
@@ -6129,6 +6203,7 @@ ORACLE_SQL = {
     "table_diff": SQL_TABLE_DIFF,
     "robust_zscore": SQL_ROBUST_ZSCORE,
     "merge_upsert": SQL_MERGE_UPSERT,
+    "scd2_history": SQL_SCD2,
     "validate_orders": SQL_VALIDATE_ORDERS,
     "region_customer_stats": SQL_REGION_CUSTOMER,
     "hash_split_counts": SQL_HASH_SPLIT,
