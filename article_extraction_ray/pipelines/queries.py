@@ -560,6 +560,36 @@ def q_cluster_topterms(sf_dir: str):
     return counts.groupby("cluster").map_groups(top5, batch_format="pandas")
 
 
+_KFOLDS = 5
+
+
+def q_group_kfold(sf_dir: str):
+    """Leakage-safe grouped k-fold assignment: every event of a user
+    lands in the SAME fold (fold = Knuth-hash(user) mod k), so
+    cross-validation never sees one entity on both sides of a split —
+    the grouped analogue of `hash_split_counts`.  Pure arithmetic per
+    batch, zero shuffle, zero state; SQL mirror is the identical
+    integer expression."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"], split=True)
+
+    def fold(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        f = (u * 2654435761) % _KFOLDS
+        return pa.Table.from_arrays(
+            [batch["event_id"], batch["user_id"], pa.array(f.astype(np.int64))],
+            names=["event_id", "user_id", "fold"],
+        )
+
+    return ds.map_batches(fold, batch_format="pyarrow")
+
+
+SQL_GROUP_KFOLD = f"""
+SELECT event_id, user_id,
+       CAST((user_id * 2654435761) % {_KFOLDS} AS BIGINT) AS fold
+FROM events
+"""
+
+
 _NEG_K = 4
 _KNUTH = 2654435761  # Knuth multiplicative-hash constant
 
@@ -6062,6 +6092,7 @@ QUERIES = {
     "span_corruption": q_span_corruption,
     "profile_table": q_profile_table,
     "contrastive_pairs": q_contrastive_pairs,
+    "group_kfold": q_group_kfold,
     "cluster_topterms": q_cluster_topterms,
     "merge_upsert": q_merge_upsert,
     "scd2_history": q_scd2_history,
@@ -6200,6 +6231,7 @@ ORACLE_SQL = {
     "multi_format_union": SQL_MULTI_FORMAT_UNION,
     "profile_table": SQL_PROFILE_TABLE,
     "contrastive_pairs": SQL_CONTRASTIVE,
+    "group_kfold": SQL_GROUP_KFOLD,
     "table_diff": SQL_TABLE_DIFF,
     "robust_zscore": SQL_ROBUST_ZSCORE,
     "merge_upsert": SQL_MERGE_UPSERT,
