@@ -5915,15 +5915,22 @@ def q_salted_join(sf_dir: str):
     """Hot-key-salted shuffle join (tabular.salted_join): documents ⋈
     per-source counts on `source` — a handful of distinct sources each
     owning a huge share of rows, i.e. EVERY key is hot and an unsalted
-    hash exchange would serialize on ~|sources| buckets.  Misra-Gries
-    detects the hot set in one bounded pass; hot left rows spread
-    round-robin over 8 salts, the small side replicates per salt, and
-    the join runs on (source, salt) with an identical result set."""
+    hash exchange would serialize on ~|sources| buckets.  Hot left rows
+    spread round-robin over 8 salts, the small side replicates per
+    salt, and the join runs on (source, salt) with an identical result
+    set.  The hot set comes free from the dim counts this query already
+    computes (the general one-pass detector, `tabular.detect_hot_keys`
+    via Misra-Gries, is for joins whose small side isn't a count
+    table); passing it explicitly drops a whole corpus scan."""
+    import ray.data as rd
+
     from .tabular import grouped_aggregate, salted_join
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "source"], split=True)
-    dim = grouped_aggregate(docs, ["source"], {"n_docs": ("count", None)})
-    return salted_join(docs, dim, "source", salts=8, hot_share=0.05)
+    dim = grouped_aggregate(docs, ["source"], {"n_docs": ("count", None)}).to_pandas()
+    total = int(dim["n_docs"].sum())
+    hot = dim.loc[dim["n_docs"] >= 0.05 * total, "source"].tolist()
+    return salted_join(docs, rd.from_pandas(dim), "source", salts=8, hot_keys=hot)
 
 
 SQL_SALTED_JOIN = """
