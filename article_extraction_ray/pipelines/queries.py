@@ -800,7 +800,9 @@ def q_share_of_total(sf_dir: str):
     per-type totals (exact int64 cents, order-independent), the tiny
     totals map broadcasts back, and a second streaming pass divides.
     No event row ever shuffles.  The SQL mirror also sums cents so both
-    engines perform the identical final float division."""
+    engines perform the identical final float division.  Past the
+    broadcast budget the totals map becomes a bucketed join on the
+    group key — the two streaming passes are unchanged."""
     ds = read_table(sf_dir, "events", columns=["event_id", "event_type", "value"], split=True)
 
     def partial(batch: pa.Table) -> pd.DataFrame:
@@ -1001,7 +1003,9 @@ def q_late_events(sf_dir: str):
     primitive behind late-arrival routing, expressed batch: the
     per-user watermark is a `grouped_aggregate` max over int64 epoch-µs
     (partials only — event rows never shuffle), broadcast back as a
-    user→watermark map, and one vectorized second pass flags stragglers."""
+    user→watermark map, and one vectorized second pass flags stragglers.
+    Past the broadcast budget the watermark map becomes a bucketed join
+    on user_id — the two streaming passes are unchanged."""
     ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"], split=True)
 
     def to_us(batch: pa.Table) -> pa.Table:
