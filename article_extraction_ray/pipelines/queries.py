@@ -5473,6 +5473,43 @@ LIMIT 10
 """
 
 
+_EWMA_ALPHA = 0.3
+
+
+def q_ewma(sf_dir: str):
+    """Per-user exponentially weighted moving average of event values
+    (α=0.3) — the time-decay feature every behavioral model pipeline
+    computes.  Same bucketed-ordered-scan shape as `moving_avg`: one
+    shuffle on user_id % 32 co-locates each user's whole ordered
+    history, then one vectorized pandas ``ewm`` per bucket.  Rows-only:
+    the recursion has no faithful ANSI-SQL form (a closed-form pow()
+    window overflows on long histories and accumulates in
+    engine-specific order); parity vs single-process pandas is
+    property-tested instead."""
+    ds = read_table(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "value"], split=True
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = (batch["user_id"].to_numpy() % 32).astype(np.int32)
+        return batch.append_column("bucket", pa.array(b))
+
+    def decay(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        df["ewma"] = (
+            df.groupby("user_id", sort=False)["value"]
+            .transform(lambda s: s.ewm(alpha=_EWMA_ALPHA, adjust=False).mean())
+            .round(6)
+        )
+        return df[["event_id", "user_id", "ewma"]]
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lambda df: decay(df.drop(columns=["bucket"])), batch_format="pandas")
+    )
+
+
 def q_moving_avg(sf_dir: str):
     """ROWS-frame moving average: each event's mean value over the same
     user's last 4 events (ROWS 3 PRECEDING .. CURRENT ROW).  The
@@ -6218,6 +6255,7 @@ QUERIES = {
     "knn_graph": q_knn_graph,
     "q3_shipping": q_q3_shipping,
     "moving_avg": q_moving_avg,
+    "ewma": q_ewma,
     "cms_token_freq": q_cms_token_freq,
     "funnel_users": q_funnel_users,
     "fk_audit": q_fk_audit,

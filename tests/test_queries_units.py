@@ -144,3 +144,43 @@ class TestValidateOrdersPlanted:
             "dangling_custkey": 1,
             "duplicate_orderkey": 1,
         }
+
+
+class TestEwmaParity:
+    def test_matches_single_process_pandas(self, ray_session, tmp_path):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from article_extraction_ray.pipelines.queries import _EWMA_ALPHA, q_ewma
+
+        rng = np.random.default_rng(6)
+        n = 2_000
+        df = pd.DataFrame(
+            {
+                "event_id": np.arange(n),
+                "user_id": rng.integers(0, 60, n),
+                "ts": pd.to_datetime("2024-01-01")
+                + pd.to_timedelta(rng.choice(10**6, n, replace=False), unit="s"),
+                "value": np.round(rng.uniform(0, 100, n), 2),
+            }
+        )
+        t = pa.Table.from_pandas(df, preserve_index=False)
+        t = t.set_column(2, "ts", t["ts"].cast(pa.timestamp("us")))
+        pq.write_table(t, tmp_path / "events.parquet")
+
+        got = (
+            q_ewma(str(tmp_path))
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        want = df.sort_values(["user_id", "ts", "event_id"], kind="stable").copy()
+        want["ewma"] = (
+            want.groupby("user_id", sort=False)["value"]
+            .transform(lambda s: s.ewm(alpha=_EWMA_ALPHA, adjust=False).mean())
+            .round(6)
+        )
+        want = want.sort_values("event_id").reset_index(drop=True)
+        pd.testing.assert_series_equal(got["ewma"], want["ewma"])
