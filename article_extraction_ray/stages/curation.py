@@ -38,6 +38,56 @@ PII_PATTERNS: list[tuple[str, str]] = [
 ]
 
 
+_CC_RE = r"\b\d(?:[ -]?\d){12,15}\b"  # separators only BETWEEN digits
+
+
+def luhn_valid(digits: str) -> bool:
+    """Luhn checksum over the digit characters of ``digits``."""
+    ds_ = [int(c) for c in digits if c.isdigit()]
+    if not 13 <= len(ds_) <= 19:
+        return False
+    total = 0
+    for i, d in enumerate(reversed(ds_)):
+        if i % 2 == 1:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return total % 10 == 0
+
+
+def redact_credit_cards(ds, *, column: str = "text", placeholder: str = "<CC>"):
+    """Checksum-validated credit-card redaction: the 13–16-digit regex
+    alone redacts every order number and timestamp-ish digit run; the
+    Luhn check kills those false positives, exactly like production PII
+    scrubbers.
+
+    Shape: the RE2 scan finds candidates vectorized
+    (``pc.extract_regex`` over the contiguous buffer); only MATCHES
+    (rare by construction) reach the per-candidate Python checksum, so
+    the hot path stays regex-bound.  Candidates failing Luhn are left
+    untouched."""
+    import re as _re
+
+    rex = _re.compile(_CC_RE)
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        col = batch[column]
+        has = pc.match_substring_regex(col, _CC_RE).to_numpy(zero_copy_only=False)
+        if not has.any():
+            return batch
+        texts = col.to_pylist()
+        for i in np.flatnonzero(has):
+            texts[i] = rex.sub(
+                lambda m: placeholder if luhn_valid(m.group(0)) else m.group(0),
+                texts[i],
+            )
+        idx = batch.schema.get_field_index(column)
+        return batch.set_column(idx, column, pa.array(texts, type=pa.string()))
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
 def redact_patterns(ds, patterns: list[tuple[str, str]], *, column: str = "text"):
     """Replace every regex match with its placeholder, in order.
 

@@ -256,3 +256,39 @@ class TestPrefixScan:
         )
         expect = df.groupby("source")["n_tok"].cumsum() - df["n_tok"]
         assert np.array_equal(out["cum_before"].to_numpy(), expect.to_numpy())
+
+
+class TestLuhnRedaction:
+    def test_luhn_checksum(self):
+        from article_extraction_ray.stages.curation import luhn_valid
+
+        assert luhn_valid("4532015112830366")       # valid Visa test number
+        assert luhn_valid("4532 0151 1283 0366")
+        assert not luhn_valid("4532015112830367")   # off-by-one digit
+        assert not luhn_valid("1234")               # too short
+
+    def test_only_valid_cards_redacted(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from article_extraction_ray.stages.curation import redact_credit_cards
+
+        df = pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    "pay 4532015112830366 now",          # valid → redacted
+                    "order 1234567890123456 shipped",    # fails Luhn → kept
+                    "no digits here",
+                ],
+            }
+        )
+        out = (
+            redact_credit_cards(rd.from_pandas(df))
+            .to_pandas()
+            .sort_values("doc_id")["text"]
+            .tolist()
+        )
+        assert out[0] == "pay <CC> now"
+        assert out[1] == "order 1234567890123456 shipped"
+        assert out[2] == "no digits here"
