@@ -3724,6 +3724,19 @@ WHERE bc.n_pair >= {_PMI_MIN_PAIR}
 """
 
 
+def q_cc_redact(sf_dir: str):
+    """Luhn-validated credit-card redaction over the corpus
+    (stages/curation.redact_credit_cards): regex candidates vectorized,
+    checksum only on hits.  Rows-only (the checksum has no SQL form);
+    redact/keep behavior is pytest-verified on planted numbers — the
+    synthetic corpus contains no card-shaped runs, so this pass is a
+    verified no-op here."""
+    from ..stages.curation import redact_credit_cards
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+    return redact_credit_cards(ds)
+
+
 def q_text_clean(sf_dir: str):
     """Text normalization pass (curation prep): lowercase, collapse
     whitespace runs, trim.  Pure vectorized Arrow kernels
@@ -6216,6 +6229,7 @@ QUERIES = {
     "domain_cap": q_domain_cap,
     "pack_sequences": q_pack_sequences,
     "chunk_documents": q_chunk_documents,
+    "cc_redact": q_cc_redact,
     "text_clean": q_text_clean,
     "bigram_pmi": q_bigram_pmi,
     "rag_prep": q_rag_prep,
