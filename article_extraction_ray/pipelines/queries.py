@@ -1704,6 +1704,41 @@ def q_minhash_dedup(sf_dir: str):
     return pairs
 
 
+def q_near_dedup_corpus(sf_dir: str):
+    """The full near-dup removal pipeline, end-to-end: MinHash-LSH
+    candidate pairs (banded signatures, exact-Jaccard verify) →
+    connected components (transitive closure of the pair graph) → keep
+    the minimum doc id per cluster → survivor counts by origin.  The
+    self-checking property: NO mutant survives (its original always has
+    the smaller id), and the original count may drop further when
+    originals genuinely near-dup each other (the synthetic word-salad
+    corpus contains some).  Rows-only (LSH pair lists aren't
+    SQL-expressible); each stage is individually oracled/tested."""
+    import ray.data as rd
+
+    from ..stages.dedup import minhash_dup_pairs
+    from ..stages.graph import connected_components
+    from .tabular import broadcast_semi_filter, grouped_aggregate
+
+    corpus = _with_injected_dupes(sf_dir).materialize()
+    pairs = minhash_dup_pairs(corpus, threshold=0.5)
+    edges = rd.from_pandas(pairs[["id_a", "id_b"]].rename(columns={"id_a": "src", "id_b": "dst"}))
+    comp = connected_components(edges).to_pandas()
+    # drop every clustered doc that is not its component's minimum
+    losers = comp.loc[comp["node"] != comp["component"], "node"].astype(np.int64).tolist()
+    survivors = broadcast_semi_filter(corpus, losers, "doc_id", anti=True)
+
+    def src_of(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pd.DataFrame({"origin": np.where(ids < 1_000_000, "original", "mutant")})
+
+    return grouped_aggregate(
+        survivors.map_batches(src_of, batch_format="pyarrow"),
+        ["origin"],
+        {"n_docs": ("count", None)},
+    )
+
+
 def q_simhash_pairs(sf_dir: str):
     from ..stages.dedup import simhash_dup_pairs
 
@@ -6181,6 +6216,7 @@ QUERIES = {
     "quality_score": q_quality_score,
     "winnow_fingerprints": q_winnow_fingerprints,
     "minhash_dedup": q_minhash_dedup,
+    "near_dedup_corpus": q_near_dedup_corpus,
     "simhash_pairs": q_simhash_pairs,
     "simhash_values": q_simhash_values,
     "embedding_dup_pairs": q_embedding_dup_pairs,
