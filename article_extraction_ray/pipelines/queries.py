@@ -287,6 +287,58 @@ def q_rag_index_search(sf_dir: str):
     return out.map_batches(lambda df: df[["query_id", "vec_id", "rank"]], batch_format="pandas")
 
 
+def q_zorder_prune(sf_dir: str):
+    """Z-order layout payoff, measured (sources/zorder.py): lineitem's
+    (l_extendedprice, l_quantity) rewrite as 16 Morton-clustered files,
+    then a 2-D box predicate answers from parquet FOOTERS which files
+    must be read.  Returns one row (files_total, files_read,
+    rows_selected) — deterministic, so the driver's rows-only hash is
+    stable.  The layout write is cached per scale factor under /tmp."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pqt
+    import ray.data as rd
+
+    from ..sources.zorder import prune_files, write_zordered
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    zdir = os.path.join(tempfile.gettempdir(), f"ae_zorder_{tag}")
+    ds = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_quantity"], split=True
+    )
+    if not os.path.isdir(zdir) or not any(f.endswith(".parquet") for f in os.listdir(zdir)):
+        write_zordered(ds, zdir, "l_extendedprice", "l_quantity", num_files=16)
+    x_box, y_box = (1000.0, 20000.0), (5.0, 20.0)
+    keep = prune_files(zdir, "l_extendedprice", "l_quantity", x_box, y_box)
+    files_total = sum(1 for f in os.listdir(zdir) if f.endswith(".parquet"))
+    kept_tbl = pqt.read_table(
+        [os.path.join(zdir, f) for f in keep], columns=["l_extendedprice", "l_quantity"]
+    )
+    import pyarrow.compute as pc
+
+    inbox = pc.and_(
+        pc.and_(
+            pc.greater_equal(kept_tbl["l_extendedprice"], x_box[0]),
+            pc.less_equal(kept_tbl["l_extendedprice"], x_box[1]),
+        ),
+        pc.and_(
+            pc.greater_equal(kept_tbl["l_quantity"], y_box[0]),
+            pc.less_equal(kept_tbl["l_quantity"], y_box[1]),
+        ),
+    )
+    rows_selected = int(pc.sum(pc.cast(inbox, pa.int64())).as_py() or 0)
+    return rd.from_pandas(
+        pd.DataFrame(
+            {
+                "files_total": [files_total],
+                "files_read": [len(keep)],
+                "rows_selected": [rows_selected],
+            }
+        )
+    )
+
+
 def q_table_diff(sf_dir: str):
     """Snapshot diff (data-diff): classify every key across two table
     versions as added / removed / changed / same and count each class.
@@ -6193,6 +6245,7 @@ QUERIES = {
     "merge_upsert": q_merge_upsert,
     "scd2_history": q_scd2_history,
     "table_diff": q_table_diff,
+    "zorder_prune": q_zorder_prune,
     "rag_index_search": q_rag_index_search,
     "robust_zscore": q_robust_zscore,
     "validate_orders": q_validate_orders,
