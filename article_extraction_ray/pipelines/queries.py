@@ -287,6 +287,37 @@ def q_rag_index_search(sf_dir: str):
     return out.map_batches(lambda df: df[["query_id", "vec_id", "rank"]], batch_format="pandas")
 
 
+def q_compact_roundtrip(sf_dir: str):
+    """Small-files compaction, driver-visible (state/compact.py): the
+    orders table rewrites as 24 deliberately small files, compaction
+    bin-packs them into ~target-size outputs, and the summary row
+    (files_in, files_out, rows) proves row preservation.  Deterministic
+    (FFD packing on sizes, fixed input); cached per scale factor."""
+    import os
+    import tempfile
+
+    import ray.data as rd
+
+    from ..state.compact import compact_parquet
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    src = os.path.join(tempfile.gettempdir(), f"ae_smallfiles_{tag}")
+    dst = os.path.join(tempfile.gettempdir(), f"ae_compacted_{tag}")
+    if not os.path.isdir(src) or not any(f.endswith(".parquet") for f in os.listdir(src)):
+        read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"], split=True)\
+            .repartition(24).write_parquet(src)
+    summary = compact_parquet(src, dst, target_bytes=4 * 1024 * 1024)
+    return rd.from_pandas(
+        pd.DataFrame(
+            {
+                "files_in": [summary["files_in"]],
+                "files_out": [summary["files_out"]],
+                "rows": [summary["rows"]],
+            }
+        )
+    )
+
+
 def q_zorder_prune(sf_dir: str):
     """Z-order layout payoff, measured (sources/zorder.py): lineitem's
     (l_extendedprice, l_quantity) rewrite as 16 Morton-clustered files,
@@ -6246,6 +6277,7 @@ QUERIES = {
     "scd2_history": q_scd2_history,
     "table_diff": q_table_diff,
     "zorder_prune": q_zorder_prune,
+    "compact_roundtrip": q_compact_roundtrip,
     "rag_index_search": q_rag_index_search,
     "robust_zscore": q_robust_zscore,
     "validate_orders": q_validate_orders,
