@@ -342,8 +342,13 @@ def pagerank(
     dst_col: str = "dst",
     damping: float = 0.85,
     iters: int = 10,
+    ckpt_dir: str | None = None,
 ):
     """Distributed PageRank → pandas DataFrame(node, rank).
+
+    With ``ckpt_dir``, each sweep's rank vector checkpoints atomically
+    and a rerun resumes after the last complete sweep
+    (state/checkpoint.py), same as ``kmeans_fit``.
 
     The edge list is the big distributed side (streamed once per
     iteration from the object store after one ``materialize``); the
@@ -393,7 +398,10 @@ def pagerank(
         nodes
     )  # NaN = dangling
 
-    for _ in range(iters):
+    from ..state.checkpoint import iterate_with_checkpoint
+
+    def sweep(rank_arr: np.ndarray, _i: int) -> np.ndarray:
+        rank = pd.Series(rank_arr, index=nodes)
         share = (rank / degs).fillna(0.0)  # dangling nodes emit nothing here
         dangling = rank[degs.isna()].sum()
         handle = Broadcast(dict(zip(share.index, share.to_numpy())))
@@ -413,9 +421,10 @@ def pagerank(
             .to_pandas()
         )
         c = pd.Series(got["c"].to_numpy(), index=got["node"]).reindex(nodes).fillna(0.0)
-        rank = (1.0 - damping) / n + damping * (c + dangling / n)
+        return ((1.0 - damping) / n + damping * (c + dangling / n)).to_numpy()
 
-    return pd.DataFrame({"node": nodes, "rank": np.round(rank.to_numpy(), 10)})
+    final = iterate_with_checkpoint(rank.to_numpy(), sweep, iters, ckpt_dir=ckpt_dir)
+    return pd.DataFrame({"node": nodes, "rank": np.round(final, 10)})
 
 
 def pagerank_local(src: np.ndarray, dst: np.ndarray, *, damping: float = 0.85,

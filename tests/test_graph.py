@@ -206,3 +206,19 @@ class TestLabelPropagation:
         out = label_propagation(rd.from_pandas(edges), {0: 1, 1: 2}, max_iters=8)
         got = out.set_index("node")["label"].to_dict()
         assert got[0] == 1 and got[1] == 2
+
+
+class TestPageRankCheckpoint:
+    def test_resumed_equals_uninterrupted(self, ray_session, tmp_path):
+        import pandas as pd
+        import ray.data as rd
+
+        from article_extraction_ray.stages.graph import pagerank
+
+        edges = pd.DataFrame({"src": [0, 1, 2, 3, 0], "dst": [1, 2, 0, 0, 2]})
+        eds = rd.from_pandas(edges).repartition(2)
+        full = pagerank(eds, iters=6)
+        ck = str(tmp_path / "pr")
+        pagerank(eds, iters=3, ckpt_dir=ck)       # "crash" after 3 sweeps
+        resumed = pagerank(eds, iters=6, ckpt_dir=ck)
+        pd.testing.assert_frame_equal(resumed, full)
