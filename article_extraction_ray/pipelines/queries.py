@@ -592,8 +592,8 @@ def q_cluster_topterms(sf_dir: str):
     """Cluster labeling: k-means over the embeddings, then the top-5
     tokens per cluster by document frequency — the standard way to make
     unsupervised clusters human-readable.  Composite of oracled/tested
-    stages: `kmeans_fit/assign` (broadcast-partial Lloyd's) + a tiny
-    (vec_id → cluster) broadcast join onto the documents + per-batch
+    stages: `kmeans_fit/assign` (broadcast-partial Lloyd's) + ONE co-partitioned
+    join of the corpus-sized assignment onto the documents + per-batch
     token-count combiners + one grouped sum + per-cluster top-5
     (count desc, token asc — deterministic).  Rows-only: k-means isn't
     SQL-expressible; determinism across layouts is what the driver's
@@ -601,35 +601,34 @@ def q_cluster_topterms(sf_dir: str):
     import pyarrow.compute as pc
 
     from ..stages.clustering import kmeans_assign, kmeans_fit
+    from .tabular import shuffle_join
 
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"], split=True)
     emb = emb.materialize()
     cents = kmeans_fit(emb, 4, iters=5, cache=False)
-    assign = kmeans_assign(emb, cents).select_columns(["vec_id", "cluster"]).to_pandas()
-    cmap = Broadcast(dict(zip(assign["vec_id"], assign["cluster"])))
-
+    # the assignment table is CORPUS-sized (one row per vector), so it
+    # must never collect on the driver or broadcast: co-partition it
+    # with the documents on the shared id instead — one exchange, both
+    # sides streamed
+    assign = kmeans_assign(emb, cents).select_columns(["vec_id", "cluster"]).rename_columns(
+        {"vec_id": "doc_id"}
+    )
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+    joined = shuffle_join(docs, assign, "doc_id", how="inner")
 
-    def token_counts(batch: pa.Table) -> pd.DataFrame:
-        m = cmap.get()
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        cl = pd.Series(ids).map(m)
-        keep = cl.notna().to_numpy()
-        if not keep.any():
-            return pd.DataFrame({"cluster": [], "token": [], "cnt": []})
-        toks = pc.split_pattern(batch["text"].take(pa.array(np.flatnonzero(keep))), " ").combine_chunks()
+    def token_counts(df: pd.DataFrame) -> pd.DataFrame:
+        toks = pc.split_pattern(pa.array(df["text"].to_numpy(), type=pa.string()), " ")
         counts = np.diff(toks.offsets.to_numpy())
-        df = pd.DataFrame(
+        out = pd.DataFrame(
             {
-                "cluster": np.repeat(cl[keep].astype(np.int64).to_numpy(), counts),
+                "cluster": np.repeat(df["cluster"].to_numpy(dtype=np.int64), counts),
                 "token": toks.values.to_pandas(),
             }
-        )
-        out = df.groupby(["cluster", "token"], as_index=False).size()
+        ).groupby(["cluster", "token"], as_index=False).size()
         return out.rename(columns={"size": "cnt"})
 
     counts = grouped_aggregate(
-        docs.map_batches(token_counts, batch_format="pyarrow"),
+        joined.map_batches(token_counts, batch_format="pandas"),
         ["cluster", "token"],
         {"n": ("sum", "cnt")},
     )
