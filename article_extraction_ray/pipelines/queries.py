@@ -1795,7 +1795,11 @@ def q_near_dedup_corpus(sf_dir: str):
     the smaller id), and the original count may drop further when
     originals genuinely near-dup each other (the synthetic word-salad
     corpus contains some).  Rows-only (LSH pair lists aren't
-    SQL-expressible); each stage is individually oracled/tested."""
+    SQL-expressible); each stage is individually oracled/tested.
+    The loser-id broadcast is bounded by the CLUSTERED doc count; a
+    corpus whose duplicate fraction makes that list rival the corpus
+    swaps the semi-filter for the bucketed anti-join — same result,
+    one exchange."""
     import ray.data as rd
 
     from ..stages.dedup import minhash_dup_pairs
