@@ -301,3 +301,25 @@ def cms_build(ds, values_of, *, d: int = 4, w: int = 1 << 12) -> np.ndarray:
     for row in parts["sk"]:
         total += np.asarray(row, dtype=np.int64)
     return total.reshape(d, w)
+
+
+def cms_join_size(sk_a: np.ndarray, sk_b: np.ndarray) -> int:
+    """Join-cardinality estimate from two CM sketches built with the
+    SAME (d, w) and hash family: |A ⋈ B| = Σ_k f_A(k)·f_B(k) is
+    estimated by min_row ⟨row_a, row_b⟩ — the classic sketch inner
+    product.  One-sided (≥ true, collisions only inflate), error
+    ≤ ‖f_A‖₁·‖f_B‖₁ / w per row, minimized over the d rows.  Lets the
+    optimizer (`tabular.join`) price an exchange from two fixed-size
+    (d×w) summaries without touching either table."""
+    if sk_a.shape != sk_b.shape:
+        raise ValueError(f"sketch shapes differ: {sk_a.shape} vs {sk_b.shape}")
+    return int(np.min(np.sum(sk_a * sk_b, axis=1)))
+
+
+def estimate_join_size(left, right, on: str, *, d: int = 4, w: int = 1 << 14) -> int:
+    """Distributed estimate of |left ⋈ right| on an equi key: one
+    fixed-size CMS build per side (linear partials, tree reduce), one
+    driver inner product.  Never shuffles or joins anything."""
+    sa = cms_build(left, lambda b: b[on].to_numpy(zero_copy_only=False), d=d, w=w)
+    sb = cms_build(right, lambda b: b[on].to_numpy(zero_copy_only=False), d=d, w=w)
+    return cms_join_size(sa, sb)

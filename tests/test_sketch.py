@@ -217,3 +217,34 @@ class TestCountMin:
         got = cms_build(ds, lambda b: b["v"].to_numpy(), d=4, w=1 << 10)
         want = cms_partial(vals, d=4, w=1 << 10)
         assert (got == want).all()
+
+
+class TestJoinSizeEstimate:
+    def test_one_sided_and_tight(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from article_extraction_ray.stages.sketch import estimate_join_size
+
+        rng = np.random.default_rng(8)
+        left = pd.DataFrame({"k": rng.integers(0, 500, 20_000).astype(np.int64)})
+        right = pd.DataFrame({"k": rng.integers(0, 500, 5_000).astype(np.int64)})
+        exact = len(left.merge(right, on="k"))
+        est = estimate_join_size(
+            rd.from_pandas(left).repartition(6), rd.from_pandas(right).repartition(3), "k"
+        )
+        assert est >= exact  # one-sided: collisions only inflate
+        assert est <= exact * 1.05  # w=16384 >> 500 keys → tight
+
+    def test_disjoint_keys_estimate_near_zero(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from article_extraction_ray.stages.sketch import estimate_join_size
+
+        left = pd.DataFrame({"k": np.arange(0, 1000, dtype=np.int64)})
+        right = pd.DataFrame({"k": np.arange(10_000, 11_000, dtype=np.int64)})
+        est = estimate_join_size(rd.from_pandas(left), rd.from_pandas(right), "k")
+        assert est <= 1000 * 1000 / (1 << 14) * 4  # collision-bound small
