@@ -5523,19 +5523,29 @@ def q_q3_shipping(sf_dir: str):
     market segment — customer ⋈ orders ⋈ lineitem with date filters,
     grouped revenue, top-10.
 
-    Shape: each join's SMALL side (filtered customer keys, then the
-    filtered order dimension) broadcasts via ``ray.put`` and the fact
-    table streams through a vectorized semi-filter — the classic
-    star-join plan with zero shuffles before the final per-orderkey
-    revenue aggregate (partial-combined in every batch).  When the
-    mid dimension outgrows a broadcast at scale, `tabular.shuffle_join`
-    is the drop-in big-big path.  Revenue sums run in integer cents so
-    accumulation order can't shift the top-10 boundary."""
+    Shape: every broadcast value-set is a PRE-BUILT ``pa.array`` shipped
+    once (``ray.put``) and probed per batch with the vectorized
+    ``pc.is_in`` kernel — no per-batch set→list→Arrow conversion.  The
+    filtered order dimension stays a Dataset (materialized once at
+    dimension scale); when it fits the broadcast budget its KEYS drain
+    once to the driver as the fact-scan semi-filter, otherwise the
+    semi-filter is skipped and the per-orderkey partial aggregate does
+    the pruning.  The date attach routes through the size-routed
+    ``tabular.join`` facade (broadcast under budget, hash exchange
+    above), and the top-10 runs through ``topk``'s per-batch prefilter
+    — nothing fact-table-scale ever lands on the driver.  Revenue sums
+    run in integer cents so accumulation order can't shift the top-10
+    boundary."""
     import pyarrow.compute as pc
 
+    from .tabular import _BROADCAST_BUDGET_BYTES, join as join_route, topk
+
     cust = read_table_arrow(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    ckeys = cust.filter(pc.equal(cust["c_mktsegment"], _Q3_SEGMENT))["c_custkey"].to_numpy()
-    cset = Broadcast(set(ckeys.tolist()))
+    ckeys_bc = Broadcast(
+        cust.filter(pc.equal(cust["c_mktsegment"], _Q3_SEGMENT))["c_custkey"]
+        .combine_chunks()
+        .cast(pa.int64())
+    )
 
     orders = read_table(
         sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"], split=True
@@ -5543,14 +5553,21 @@ def q_q3_shipping(sf_dir: str):
     cutoff = np.datetime64(_Q3_DATE, "us")
 
     def pick_orders(batch: pa.Table) -> pa.Table:
-        okeys = batch["o_custkey"].to_numpy(zero_copy_only=False)
-        mask = pc.is_in(batch["o_custkey"], value_set=pa.array(list(cset.get()), type=pa.int64()))
+        mask = np.asarray(
+            pc.is_in(batch["o_custkey"], value_set=ckeys_bc.get()).to_numpy(
+                zero_copy_only=False
+            )
+        )
         dates = batch["o_orderdate"].to_numpy(zero_copy_only=False)
-        keep = pa.array(np.asarray(mask.to_numpy(zero_copy_only=False)) & (dates < cutoff))
-        return batch.filter(keep)
+        keep = pa.array(mask & (dates < cutoff))
+        return batch.filter(keep).select(["o_orderkey", "o_orderdate"])
 
-    odim = orders.map_batches(pick_orders, batch_format="pyarrow").to_pandas()
-    odict = Broadcast(dict(zip(odim["o_orderkey"], odim["o_orderdate"])))
+    # dimension-scale materialize: reused twice (semi-filter keys + join)
+    odim = orders.map_batches(pick_orders, batch_format="pyarrow").materialize()
+    okeys_bc = None
+    if odim.size_bytes() <= _BROADCAST_BUDGET_BYTES:
+        okeys = odim.select_columns(["o_orderkey"]).to_pandas()["o_orderkey"].to_numpy()
+        okeys_bc = Broadcast(pa.array(okeys, type=pa.int64()))
 
     li = read_table(
         sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
@@ -5559,34 +5576,36 @@ def q_q3_shipping(sf_dir: str):
 
     def partial_revenue(batch: pa.Table) -> pd.DataFrame:
         ship = batch["l_shipdate"].to_numpy(zero_copy_only=False)
-        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
-        keys = pa.array(list(odict.get().keys()), type=pa.int64())
-        in_dim = np.asarray(
-            pc.is_in(batch["l_orderkey"], value_set=keys).to_numpy(zero_copy_only=False)
-        )
-        keep = in_dim & (ship > cutoff)
+        keep = ship > cutoff
+        if okeys_bc is not None:
+            keep &= np.asarray(
+                pc.is_in(batch["l_orderkey"], value_set=okeys_bc.get()).to_numpy(
+                    zero_copy_only=False
+                )
+            )
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)[keep]
         price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
         disc = batch["l_discount"].to_numpy(zero_copy_only=False)[keep]
         # integer-cent revenue: price has 2 decimals, discount 2 decimals
         # → price*(1-disc) is exact in units of 1e-4 dollars
         rev = np.round(price * 10000 * (1.0 - disc)).astype(np.int64)
         return (
-            pd.DataFrame({"l_orderkey": ok[keep], "rev": rev})
-            .groupby("l_orderkey", as_index=False)["rev"]
+            pd.DataFrame({"o_orderkey": ok, "rev": rev})
+            .groupby("o_orderkey", as_index=False)["rev"]
             .sum()
         )
 
     grouped = grouped_aggregate(
         li.map_batches(partial_revenue, batch_format="pyarrow"),
-        ["l_orderkey"],
+        ["o_orderkey"],
         {"rev": ("sum", "rev")},
+    )
+    joined, _strategy = join_route(grouped, odim, on="o_orderkey")
+    top = topk(
+        joined, ["rev", "o_orderdate", "o_orderkey"], 10, descending=[True, False, False]
     ).to_pandas()
-    od = odict.get()
-    grouped["o_orderdate"] = grouped["l_orderkey"].map(od)
-    grouped["revenue"] = np.round(grouped["rev"] / 10000.0, 2)
-    top = grouped.sort_values(
-        ["rev", "o_orderdate", "l_orderkey"], ascending=[False, True, True], kind="stable"
-    ).head(10)
+    top["revenue"] = np.round(top["rev"] / 10000.0, 2)
+    top = top.rename(columns={"o_orderkey": "l_orderkey"})
     return top[["l_orderkey", "revenue", "o_orderdate"]].reset_index(drop=True)
 
 
