@@ -297,12 +297,20 @@ def connected_components_distributed(
             .groupby("bucket")
             .map_groups(lambda df: propagate(df.drop(columns=["bucket"])), batch_format="pandas")
         )
+        # coalesce to a fixed block count before materializing: the
+        # union adds the edge blocks to the label blocks every round,
+        # so without this the label block count grows by |edge blocks|
+        # per round and scheduling cost compounds (see _pagerank_bucketed)
+        import ray as _ray
+
+        _blocks = max(2, int(_ray.cluster_resources().get("CPU", 8)) * 2)
         labels = (
             merged.map_batches(bucket_labels, batch_format="pyarrow")
             .groupby("bucket")
             .map_groups(
                 lambda df: min_per_node(df.drop(columns=["bucket"])), batch_format="pandas"
             )
+            .repartition(_blocks)
             .materialize()
         )
         new_sum = labels.sum("label")
@@ -335,6 +343,13 @@ def canonical_per_component(labels, members, *, id_col: str, num_buckets: int = 
 # ---------------------------------------------------------------------------
 
 
+#: node count above which the rank vector stops broadcasting and the
+#: bucketed node-state join path runs instead.  A 5M-node rank dict is
+#: ~0.5 GB pickled — past the point where shipping it to every worker
+#: each sweep beats one extra co-partitioned exchange.
+PAGERANK_NODE_BUDGET = 5_000_000
+
+
 def pagerank(
     edges,
     *,
@@ -343,6 +358,8 @@ def pagerank(
     damping: float = 0.85,
     iters: int = 10,
     ckpt_dir: str | None = None,
+    node_budget: int = PAGERANK_NODE_BUDGET,
+    path: str = "auto",
 ):
     """Distributed PageRank → pandas DataFrame(node, rank).
 
@@ -350,30 +367,35 @@ def pagerank(
     and a rerun resumes after the last complete sweep
     (state/checkpoint.py), same as ``kmeans_fit``.
 
-    The edge list is the big distributed side (streamed once per
-    iteration from the object store after one ``materialize``); the
-    rank vector is the small derived side (one float per node) and
-    broadcasts per sweep exactly like k-means centroids.  Each batch
-    emits partial per-destination contribution sums (vectorized
-    ``np.bincount`` on factorized dst ids); ``grouped_aggregate`` folds
-    them; dangling mass redistributes uniformly (standard Brin–Page
-    handling).  Deterministic: fixed iteration count, float64, node
-    order fixed by sorted factorization.
+    Two physical plans, routed by the DISTRIBUTED distinct node count
+    (one scalar ``count()``, no node drain before routing):
 
-    At web scale the rank vector outgrows the object store before the
-    edge list stops fitting the cluster — swap the broadcast for a
-    bucketed src-join of (edges ⨝ ranks) and keep ranks as a Dataset;
-    the per-sweep aggregate shape is unchanged.
+    - **broadcast** (≤ ``node_budget`` nodes): the rank vector is one
+      float per node and broadcasts per sweep exactly like k-means
+      centroids; each edge batch emits partial per-destination
+      contribution sums (vectorized ``np.bincount`` on factorized dst
+      ids) and ``grouped_aggregate`` folds them.
+    - **bucketed** (above it — the web-scale path): the rank vector
+      NEVER leaves the cluster.  Node state (node, rank, deg) stays a
+      Dataset; each sweep co-partitions (edges ⨝ state) on ``src`` via
+      ``shuffle_join``, the per-dst vote aggregate is unchanged, and a
+      second co-partitioned join writes the new state.  Only two
+      scalars (dangling mass, node count) touch the driver per sweep.
+      Checkpoints are per-sweep parquet state dirs with atomic done
+      markers instead of pickled vectors.
+
+    ``path="broadcast"|"bucketed"`` forces a plan (tests assert the two
+    produce identical ranks).  Dangling mass redistributes uniformly
+    (standard Brin–Page handling).  Deterministic: fixed iteration
+    count, float64, output rounded to 10 decimals.
     """
     from ..pipelines.tabular import grouped_aggregate
     from ..state.broadcast import Broadcast
 
     edges = edges.materialize()
 
-    deg = (
-        grouped_aggregate(edges, [src_col], {"deg": ("count", None)})
-        .to_pandas()
-    )
+    deg_ds = grouped_aggregate(edges, [src_col], {"deg": ("count", None)})
+
     def endpoints(t: pa.Table) -> pd.DataFrame:
         u = np.unique(
             np.concatenate(
@@ -385,14 +407,23 @@ def pagerank(
         )
         return pd.DataFrame({"node": u})
 
-    nodes_pd = (
+    nodes_ds = (
         grouped_aggregate(
             edges.map_batches(endpoints, batch_format="pyarrow"), ["node"], {"n": ("count", None)}
         )
-        .to_pandas()
+        .select_columns(["node"])
+        .materialize()
     )
-    nodes = np.sort(nodes_pd["node"].to_numpy())
-    n = len(nodes)
+    n = nodes_ds.count()
+    if path == "bucketed" or (path == "auto" and n > node_budget):
+        return _pagerank_bucketed(
+            edges, nodes_ds, deg_ds, n,
+            src_col=src_col, dst_col=dst_col,
+            damping=damping, iters=iters, ckpt_dir=ckpt_dir,
+        )
+
+    deg = deg_ds.to_pandas()
+    nodes = np.sort(nodes_ds.to_pandas()["node"].to_numpy())
     rank = pd.Series(np.full(n, 1.0 / n), index=nodes)
     degs = pd.Series(deg["deg"].to_numpy(dtype=np.float64), index=deg[src_col]).reindex(
         nodes
@@ -427,6 +458,181 @@ def pagerank(
     return pd.DataFrame({"node": nodes, "rank": np.round(final, 10)})
 
 
+def _latest_state_sweep(ckpt_dir) -> tuple[int, str] | None:
+    """(sweep, path) of the newest COMPLETE parquet state checkpoint."""
+    import os
+    import re
+
+    if not os.path.isdir(ckpt_dir):
+        return None
+    best: tuple[int, str] | None = None
+    for name in os.listdir(ckpt_dir):
+        m = re.match(r"^state-(\d+)$", name)
+        full = os.path.join(ckpt_dir, name)
+        if m and os.path.exists(os.path.join(full, "_DONE")):
+            i = int(m.group(1))
+            if best is None or i > best[0]:
+                best = (i, full)
+    return best
+
+
+def _save_state_sweep(ckpt_dir: str, sweep: int, state) -> None:
+    """Write a sweep's node-state Dataset as a parquet checkpoint with an
+    atomic done marker (same tmp-then-rename discipline as lineage)."""
+    import os
+    import shutil
+
+    final = os.path.join(ckpt_dir, f"state-{sweep}")
+    tmp = final + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    state.write_parquet(tmp)
+    shutil.rmtree(final, ignore_errors=True)
+    os.replace(tmp, final)
+    with open(os.path.join(final, "_DONE"), "w") as fh:
+        fh.write("ok")
+    # keep only the two newest complete sweeps
+    import re
+
+    sweeps = sorted(
+        int(m.group(1))
+        for m in (re.match(r"^state-(\d+)$", f) for f in os.listdir(ckpt_dir))
+        if m
+    )
+    for old in sweeps[:-2]:
+        shutil.rmtree(os.path.join(ckpt_dir, f"state-{old}"), ignore_errors=True)
+
+
+def _pagerank_bucketed(
+    edges,
+    nodes_ds,
+    deg_ds,
+    n: int,
+    *,
+    src_col: str,
+    dst_col: str,
+    damping: float,
+    iters: int,
+    ckpt_dir: str | None,
+    num_buckets: int = _N_BUCKETS,
+):
+    """PageRank with node state as a co-partitioned Dataset — the path
+    :func:`pagerank` routes to when the rank vector outgrows a
+    broadcast.  Node state (node, rank, deg[null=dangling]) never
+    drains to the driver; each sweep is
+
+        state → share(node, rank/deg)
+              ⨝ edges on src          (hash exchange, co-partitioned)
+              → per-dst vote partials → grouped sum  (aggregate shape
+                                        identical to the broadcast path)
+              ⨝ state on node          (right join keeps vote-less nodes)
+              → new state
+
+    Only the dangling-mass scalar folds on the driver per sweep.  With
+    ``ckpt_dir`` each sweep's state lands as an atomic parquet dir and
+    a rerun resumes after the newest complete one.  Same formula,
+    float64, output rounded to 10 decimals — tests assert rank equality
+    vs the broadcast plan on the same graph."""
+    from ..pipelines.tabular import grouped_aggregate, shuffle_join
+
+    # state: (node, rank, deg) — deg null ⇒ dangling
+    deg_named = deg_ds.map_batches(
+        lambda t: pa.table({"node": t[src_col], "deg": t["deg"]}),
+        batch_format="pyarrow",
+    )
+    # deg must be float64 in EVERY block (null ⇒ NaN ⇒ dangling): a
+    # bucket with no dangling nodes would otherwise keep int64 and the
+    # per-block schemas diverge
+    state = shuffle_join(
+        nodes_ds, deg_named, "node", how="left", num_buckets=num_buckets
+    ).map_batches(
+        lambda df: df.assign(
+            deg=df["deg"].astype(np.float64), rank=np.full(len(df), 1.0 / n)
+        ),
+        batch_format="pandas",
+    )
+
+    start = 0
+    if ckpt_dir is not None:
+        found = _latest_state_sweep(ckpt_dir)
+        if found is not None:
+            import ray.data as rd
+
+            start = found[0] + 1
+            state = rd.read_parquet(found[1])
+
+    # fixed state block count per sweep: the per-sweep joins emit one
+    # block per (input block ∪ bucket), so without a coalesce the state
+    # block count DOUBLES every sweep — exponential scheduling cost by
+    # sweep 8.  A metadata-only coalesce (repartition without shuffle)
+    # pins it to ~2 blocks/CPU.
+    import ray
+
+    state_blocks = max(2, int(ray.cluster_resources().get("CPU", 8)) * 2)
+
+    base = (1.0 - damping) / n
+    for i in range(start, iters):
+        state = state.repartition(state_blocks).materialize()
+
+        def partial_dangling(t: pa.Table) -> pd.DataFrame:
+            deg = t["deg"].to_numpy(zero_copy_only=False).astype(np.float64)
+            r = t["rank"].to_numpy(zero_copy_only=False)
+            return pd.DataFrame({"d": [float(r[np.isnan(deg)].sum())]})
+
+        dangling = float(
+            state.map_batches(partial_dangling, batch_format="pyarrow")
+            .to_pandas()["d"].sum()
+        )
+
+        def share_of(t: pa.Table) -> pa.Table:
+            deg = t["deg"].to_numpy(zero_copy_only=False).astype(np.float64)
+            r = t["rank"].to_numpy(zero_copy_only=False)
+            s = np.where(np.isnan(deg), 0.0, r / np.where(np.isnan(deg), 1.0, deg))
+            return pa.table({src_col: t["node"], "share": pa.array(s)})
+
+        share = state.map_batches(share_of, batch_format="pyarrow")
+        contrib_edges = shuffle_join(
+            edges, share, src_col, how="inner", num_buckets=num_buckets
+        )
+
+        def vote(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.groupby(dst_col, as_index=False)["share"].sum()
+            return out.rename(columns={dst_col: "node", "share": "c"})
+
+        contrib = grouped_aggregate(
+            contrib_edges.map_batches(vote, batch_format="pandas"),
+            ["node"],
+            {"c": ("sum", "c")},
+        )
+        joined = shuffle_join(
+            contrib,
+            state.select_columns(["node", "deg"]),
+            "node",
+            how="right",
+            num_buckets=num_buckets,
+        )
+
+        def update(df: pd.DataFrame) -> pd.DataFrame:
+            c = df["c"].to_numpy(dtype=np.float64)
+            c = np.where(np.isnan(c), 0.0, c)
+            return pd.DataFrame(
+                {
+                    "node": df["node"],
+                    "deg": df["deg"].astype(np.float64),
+                    "rank": base + damping * (c + dangling / n),
+                }
+            )
+
+        state = joined.map_batches(update, batch_format="pandas")
+        if ckpt_dir is not None:
+            state = state.materialize()
+            _save_state_sweep(ckpt_dir, i, state)
+
+    out = state.select_columns(["node", "rank"]).to_pandas()
+    out = out.sort_values("node").reset_index(drop=True)
+    out["rank"] = np.round(out["rank"].to_numpy(), 10)
+    return out
+
+
 def pagerank_local(src: np.ndarray, dst: np.ndarray, *, damping: float = 0.85,
                    iters: int = 10) -> pd.DataFrame:
     """Single-process reference (test oracle) — same formula and
@@ -453,27 +659,42 @@ def label_propagation(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iters: int = 10,
+    node_budget: int = PAGERANK_NODE_BUDGET,
+    path: str = "auto",
 ):
     """Semi-supervised label propagation over an undirected edge list:
     seed nodes carry fixed labels; each sweep every unlabeled node adopts
     the majority label among its labeled neighbors (ties → smallest
     label).  Returns pandas (node, label) for all nodes reached.
 
-    Shape mirrors the PageRank sweep (stages/graph.py): the label map
-    broadcasts via ``ray.put`` once per sweep, the edge list STREAMS —
-    each batch emits per-(node, label) vote counts (the batch is the
-    combiner) and one ``grouped_aggregate`` sum reduces them; the
-    driver only folds the per-node majorities (bounded by the labeled
-    frontier, not the edge count).  Converges when a sweep changes no
-    label.  At corpora where the label map outgrows a broadcast, the
-    same sweep runs with a bucketed label join — the edge-stream /
-    vote-count shape is unchanged."""
+    Routed like :func:`pagerank` (edge count as the metadata-only
+    proxy for the eventual label-map size):
+
+    - **broadcast** (small graphs): the label map broadcasts via
+      ``ray.put`` once per sweep, the edge list STREAMS — each batch
+      emits per-(node, label) vote counts (the batch is the combiner)
+      and one ``grouped_aggregate`` sum reduces them; the driver only
+      folds the per-node majorities.
+    - **bucketed** (above ``node_budget`` edges — the web-scale path):
+      the label map stays a Dataset (node, label, fixed); each sweep
+      co-partitions (edges ⨝ labels) on the voting endpoint, the vote
+      aggregate is unchanged, the per-node majority is a distributed
+      two-level reduce, and an outer co-partitioned join merges new
+      labels into the state.  Only the changed-count scalar reaches
+      the driver.  Vote counts are integers so both plans are exactly
+      equal — tests assert it.
+
+    Converges when a sweep changes no label."""
     import pyarrow as pa
 
     from ..pipelines.tabular import grouped_aggregate
     from ..state.broadcast import Broadcast
 
     edges = edges.materialize()  # streamed once per sweep
+    if path == "bucketed" or (path == "auto" and edges.count() > node_budget):
+        return _label_propagation_bucketed(
+            edges, seeds, src_col=src_col, dst_col=dst_col, max_iters=max_iters
+        )
     labels: dict[int, int] = {int(k): int(v) for k, v in seeds.items()}
     fixed = set(labels)
 
@@ -523,3 +744,127 @@ def label_propagation(
     return pd.DataFrame(
         {"node": list(labels.keys()), "label": list(labels.values())}
     ).sort_values("node").reset_index(drop=True)
+
+
+def _label_propagation_bucketed(
+    edges,
+    seeds: dict,
+    *,
+    src_col: str,
+    dst_col: str,
+    max_iters: int,
+    num_buckets: int = _N_BUCKETS,
+):
+    """Label propagation with the label map as a co-partitioned Dataset
+    — the path :func:`label_propagation` routes to when the label map
+    outgrows a broadcast.  State (node, label, fixed) never drains to
+    the driver inside the loop; each sweep is
+
+        state(voters) ⨝ undirected edges on the voting endpoint
+          → per-(node,label) vote partials → grouped integer sum
+          → distributed per-node majority (max n, tie min label)
+          ⨝ state on node (outer)  → merged new state + changed flags
+
+    Only the changed-count scalar folds on the driver per sweep.  Vote
+    counts are integers, so the result is EXACTLY equal to the
+    broadcast plan (tests assert frame equality)."""
+    import ray.data as rd
+
+    from ..pipelines.tabular import grouped_aggregate, latest_per_key, shuffle_join
+
+    # undirected: votes flow both ways; materialize the doubled view once
+    def reverse(t: pa.Table) -> pa.Table:
+        return pa.table({src_col: t[dst_col], dst_col: t[src_col]})
+
+    und = edges.union(edges.map_batches(reverse, batch_format="pyarrow")).materialize()
+
+    state = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "node": [int(k) for k in seeds],
+                "label": [int(v) for v in seeds.values()],
+                "fixed": np.ones(len(seeds), dtype=np.int8),
+            }
+        )
+    ).repartition(max(2, min(num_buckets // 8, len(seeds))))
+
+    for _ in range(max_iters):
+        state = state.materialize()
+
+        def voter(t: pa.Table) -> pa.Table:
+            return pa.table({src_col: t["node"], "label": t["label"]})
+
+        voted = shuffle_join(
+            und,
+            state.map_batches(voter, batch_format="pyarrow"),
+            src_col,
+            how="inner",
+            num_buckets=num_buckets,
+        )
+
+        def count_votes(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.groupby([dst_col, "label"], as_index=False).size()
+            return out.rename(columns={dst_col: "node", "size": "n"})
+
+        counts = grouped_aggregate(
+            voted.map_batches(count_votes, batch_format="pandas"),
+            ["node", "label"],
+            {"n": ("sum", "n")},
+        )
+
+        def negate(t: pa.Table) -> pa.Table:
+            lab = t["label"].to_numpy(zero_copy_only=False)
+            return t.append_column("neg_label", pa.array(-lab))
+
+        majority = latest_per_key(
+            counts.map_batches(negate, batch_format="pyarrow"),
+            "node",
+            ["n", "neg_label"],
+            ["label"],
+        ).map_batches(
+            lambda t: pa.table({"node": t["node"], "vote": t["label"]}),
+            batch_format="pyarrow",
+        )
+
+        merged = shuffle_join(
+            majority, state, "node", how="outer", num_buckets=num_buckets
+        )
+
+        def apply_votes(df: pd.DataFrame) -> pd.DataFrame:
+            vote = df["vote"].to_numpy(dtype=np.float64)
+            old = df["label"].to_numpy(dtype=np.float64)
+            fixed = np.nan_to_num(df["fixed"].to_numpy(dtype=np.float64)) > 0
+            has_vote = ~np.isnan(vote)
+            take = has_vote & ~fixed & (np.isnan(old) | (vote != old))
+            new_label = np.where(take, vote, old)
+            return pd.DataFrame(
+                {
+                    "node": df["node"].astype(np.int64),
+                    "label": new_label.astype(np.int64),
+                    "fixed": fixed.astype(np.int8),
+                    "changed": take.astype(np.int8),
+                }
+            )
+
+        # coalesce to a fixed block count: join outputs otherwise double
+        # the state's block count every sweep (see _pagerank_bucketed)
+        import ray
+
+        state_blocks = max(2, int(ray.cluster_resources().get("CPU", 8)) * 2)
+        new_state = (
+            merged.map_batches(apply_votes, batch_format="pandas")
+            .repartition(state_blocks)
+            .materialize()
+        )
+        changed = int(
+            new_state.map_batches(
+                lambda df: pd.DataFrame({"c": [int(df["changed"].sum())]}),
+                batch_format="pandas",
+            ).to_pandas()["c"].sum()
+        )
+        state = new_state.select_columns(["node", "label", "fixed"])
+        if changed == 0:
+            break
+
+    out = state.select_columns(["node", "label"]).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)

@@ -222,3 +222,84 @@ class TestPageRankCheckpoint:
         pagerank(eds, iters=3, ckpt_dir=ck)       # "crash" after 3 sweeps
         resumed = pagerank(eds, iters=6, ckpt_dir=ck)
         pd.testing.assert_frame_equal(resumed, full)
+
+
+class TestBucketedNodeState:
+    """The web-scale node-state-as-Dataset plans must equal the
+    broadcast plans exactly (the round-2 verdict's documented-swap ask)."""
+
+    def _edges(self, seed=77, n_nodes=80, n_edges=600):
+        rng = np.random.default_rng(seed)
+        src = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+        dst = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+        keep = src != dst
+        return pd.DataFrame({"src": src[keep], "dst": dst[keep]})
+
+    def test_pagerank_bucketed_equals_broadcast(self, ray_session):
+        import ray.data as rd
+        from article_extraction_ray.stages.graph import pagerank
+
+        eds = rd.from_pandas(self._edges()).repartition(5)
+        broad = pagerank(eds, iters=8, path="broadcast")
+        buck = pagerank(eds, iters=8, path="bucketed")
+        assert (broad["node"].to_numpy() == buck["node"].to_numpy()).all()
+        # same formula, float64 both plans; round-10 output must agree
+        assert np.allclose(broad["rank"], buck["rank"], atol=1e-10, rtol=0)
+
+    def test_pagerank_bucketed_dangling(self, ray_session):
+        import ray.data as rd
+        from article_extraction_ray.stages.graph import pagerank, pagerank_local
+
+        src = np.array([0, 1, 2, 3], dtype=np.int64)
+        dst = np.array([9, 9, 9, 9], dtype=np.int64)
+        eds = rd.from_pandas(pd.DataFrame({"src": src, "dst": dst}))
+        got = pagerank(eds, iters=15, path="bucketed")
+        want = pagerank_local(src, dst, iters=15)
+        assert np.allclose(got["rank"], want["rank"], atol=1e-10)
+
+    def test_pagerank_auto_routes_by_budget(self, ray_session):
+        import ray.data as rd
+        from article_extraction_ray.stages.graph import pagerank
+
+        eds = rd.from_pandas(self._edges()).repartition(3)
+        # node_budget below the node count forces the bucketed plan via
+        # the auto router; result must match the broadcast plan
+        auto_small = pagerank(eds, iters=5, node_budget=10)  # → bucketed
+        broad = pagerank(eds, iters=5, path="broadcast")
+        assert np.allclose(auto_small["rank"], broad["rank"], atol=1e-10)
+
+    def test_pagerank_bucketed_checkpoint_resume(self, ray_session, tmp_path):
+        import ray.data as rd
+        from article_extraction_ray.stages.graph import pagerank
+
+        eds = rd.from_pandas(self._edges(seed=5, n_nodes=20, n_edges=80)).repartition(2)
+        full = pagerank(eds, iters=6, path="bucketed")
+        ck = str(tmp_path / "prb")
+        pagerank(eds, iters=3, path="bucketed", ckpt_dir=ck)  # "crash"
+        resumed = pagerank(eds, iters=6, path="bucketed", ckpt_dir=ck)
+        pd.testing.assert_frame_equal(resumed, full)
+
+    def test_label_prop_bucketed_equals_broadcast(self, ray_session):
+        import ray.data as rd
+        from article_extraction_ray.stages.graph import label_propagation
+
+        edges = self._edges(seed=11, n_nodes=40, n_edges=120)
+        seeds = {0: 7, 1: 9, 2: 3}
+        eds = rd.from_pandas(edges).repartition(4)
+        broad = label_propagation(eds, seeds, max_iters=6, path="broadcast")
+        buck = label_propagation(eds, seeds, max_iters=6, path="bucketed")
+        pd.testing.assert_frame_equal(
+            broad.reset_index(drop=True), buck.reset_index(drop=True)
+        )
+
+    def test_label_prop_bucketed_tie_and_fixed(self, ray_session):
+        import ray.data as rd
+        from article_extraction_ray.stages.graph import label_propagation
+
+        edges = pd.DataFrame({"src": [0, 2, 0, 1, 2], "dst": [1, 1, 2, 2, 0]})
+        out = label_propagation(
+            rd.from_pandas(edges), {0: 5, 2: 3}, max_iters=5, path="bucketed"
+        )
+        got = out.set_index("node")["label"].to_dict()
+        assert got[1] == 3  # tie → smallest label
+        assert got[0] == 5 and got[2] == 3  # seeds never flip
