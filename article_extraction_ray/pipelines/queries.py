@@ -1796,23 +1796,48 @@ def q_near_dedup_corpus(sf_dir: str):
     originals genuinely near-dup each other (the synthetic word-salad
     corpus contains some).  Rows-only (LSH pair lists aren't
     SQL-expressible); each stage is individually oracled/tested.
-    The loser-id broadcast is bounded by the CLUSTERED doc count; a
-    corpus whose duplicate fraction makes that list rival the corpus
-    swaps the semi-filter for the bucketed anti-join — same result,
-    one exchange."""
+
+    Loser-set routing: the loser-id list broadcasts only while it fits
+    ``loser_budget`` ids; a dup-heavy crawl (30-50% dups is normal at
+    CommonCrawl scale) makes it corpus-order, and then the filter swaps
+    to ``tabular.shuffle_semi_filter`` — the losers stay a Dataset and
+    the corpus co-partitions against them in one exchange.  Both paths
+    produce identical survivors (pytest asserts it on an adversarial
+    high-dup corpus)."""
+    return _near_dedup_counts(sf_dir)
+
+
+#: loser ids above which the near-dedup anti-filter stops broadcasting
+#: (64 MB of int64 ids ≈ 8M — comfortably inside the object store but
+#: past the point where every task re-reading it beats one exchange)
+NEAR_DEDUP_LOSER_BUDGET = 8_000_000
+
+
+def _near_dedup_counts(sf_dir: str, *, loser_budget: int = NEAR_DEDUP_LOSER_BUDGET):
+    import pyarrow.compute as pc
     import ray.data as rd
 
     from ..stages.dedup import minhash_dup_pairs
     from ..stages.graph import connected_components
-    from .tabular import broadcast_semi_filter, grouped_aggregate
+    from .tabular import broadcast_semi_filter, grouped_aggregate, shuffle_semi_filter
 
     corpus = _with_injected_dupes(sf_dir).materialize()
     pairs = minhash_dup_pairs(corpus, threshold=0.5)
     edges = rd.from_pandas(pairs[["id_a", "id_b"]].rename(columns={"id_a": "src", "id_b": "dst"}))
-    comp = connected_components(edges).to_pandas()
+    comp = connected_components(edges)
     # drop every clustered doc that is not its component's minimum
-    losers = comp.loc[comp["node"] != comp["component"], "node"].astype(np.int64).tolist()
-    survivors = broadcast_semi_filter(corpus, losers, "doc_id", anti=True)
+    losers_ds = comp.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t.filter(pc.not_equal(t["node"], t["component"]))["node"]}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    n_losers = losers_ds.count()
+    if n_losers <= loser_budget:
+        losers = losers_ds.to_pandas()["doc_id"].to_numpy().astype(np.int64)
+        survivors = broadcast_semi_filter(corpus, losers, "doc_id", anti=True)
+    else:
+        survivors = shuffle_semi_filter(corpus, losers_ds, "doc_id", anti=True)
 
     def src_of(batch: pa.Table) -> pd.DataFrame:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)

@@ -505,6 +505,77 @@ def sortmerge_join(
     )
 
 
+def _bucket_of_column(col, num_buckets: int) -> np.ndarray:
+    """Stable bucket assignment for one key column (int: modulo; other:
+    fixed-key siphash via ``pd.util.hash_array`` — process-salt-free, so
+    both sides of an exchange agree)."""
+    if pa.types.is_integer(col.type):
+        return (
+            col.to_numpy(zero_copy_only=False).astype(np.int64) % num_buckets
+        ).astype(np.int32)
+    h = pd.util.hash_array(np.asarray(col.to_pandas(), dtype=object))
+    return (h % num_buckets).astype(np.int32)
+
+
+def shuffle_semi_filter(ds, keys_ds, column: str, *, anti: bool = False,
+                        num_buckets: int = 64):
+    """Semi/anti filter where the key set is a DATASET — the big-key-set
+    complement of :func:`broadcast_semi_filter`, for when the id list
+    rivals the corpus (a dup-heavy crawl's loser set) and a driver
+    collect + ``ray.put`` would not fit.
+
+    Shape: both sides hash-bucket on ``column`` and union under one
+    schema (key rows null-fill the payload columns), ONE
+    ``groupby(bucket).map_groups`` applies the vectorized ``pc.is_in``
+    membership rule per bucket — the corpus payload moves across the
+    cluster exactly once, the key set once.  Groups stay Arrow
+    end-to-end so payload types survive exactly (no pandas null
+    widening)."""
+    import pyarrow.compute as pc
+
+    schema = ds.schema()
+
+    def to_arrow(t):
+        if isinstance(t, pa.DataType):
+            return t
+        if np.dtype(t).kind == "O":  # pandas object column = strings
+            return pa.string()
+        return pa.from_numpy_dtype(np.dtype(t))
+
+    types = {n: to_arrow(t) for n, t in zip(schema.names, schema.types)}
+    out_cols = list(schema.names)
+
+    def tag_data(t: pa.Table) -> pa.Table:
+        n = len(t)
+        cols = {c: t[c] for c in out_cols}
+        cols["__bucket"] = pa.array(_bucket_of_column(t[column], num_buckets))
+        cols["__is_key"] = pa.array(np.zeros(n, dtype=np.bool_))
+        return pa.table(cols)
+
+    def tag_keys(t: pa.Table) -> pa.Table:
+        n = len(t)
+        key = t[column].cast(types[column])
+        cols = {c: (key if c == column else pa.nulls(n, type=types[c])) for c in out_cols}
+        cols["__bucket"] = pa.array(_bucket_of_column(key, num_buckets))
+        cols["__is_key"] = pa.array(np.ones(n, dtype=np.bool_))
+        return pa.table(cols)
+
+    tagged = ds.map_batches(tag_data, batch_format="pyarrow").union(
+        keys_ds.map_batches(tag_keys, batch_format="pyarrow")
+    )
+
+    def apply(t: pa.Table) -> pa.Table:
+        is_key = t["__is_key"]
+        keys = t.filter(is_key)[column].combine_chunks()
+        data = t.filter(pc.invert(is_key))
+        mask = pc.is_in(data[column], value_set=keys)
+        if anti:
+            mask = pc.invert(mask)
+        return data.filter(mask).drop_columns(["__bucket", "__is_key"])
+
+    return tagged.groupby("__bucket").map_groups(apply, batch_format="pyarrow")
+
+
 def broadcast_semi_filter(ds, keys, column: str, *, anti: bool = False):
     """Semi/anti join against a broadcast key set (reference J2 resume
     anti-join, /root/reference/tables/paper_text_table.py:108-110).

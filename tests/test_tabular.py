@@ -229,3 +229,84 @@ def test_shuffle_join_hot_key(ray_session):
     exp = left.merge(right, on="k")
     assert len(out) == len(exp) == 501 * 40 + 3  # key 7 also occurs in range(500)
     assert out.groupby("k").size().max() == exp.groupby("k").size().max()
+
+
+class TestShuffleSemiFilter:
+    """shuffle_semi_filter (key set as a Dataset) must equal
+    broadcast_semi_filter row-for-row, both polarities, both key types."""
+
+    def _data(self):
+        rng = np.random.default_rng(3)
+        return pd.DataFrame(
+            {
+                "doc_id": np.arange(500, dtype=np.int64),
+                "val": rng.integers(0, 100, 500),
+                "name": [f"d{i}" for i in range(500)],
+            }
+        )
+
+    def test_int_keys_both_polarities(self, ray_session):
+        import ray.data as rd
+
+        from article_extraction_ray.pipelines.tabular import (
+            broadcast_semi_filter,
+            shuffle_semi_filter,
+        )
+
+        df = self._data()
+        keys = np.arange(0, 500, 3, dtype=np.int64)  # every 3rd id
+        ds = rd.from_pandas(df).repartition(5)
+        kds = rd.from_pandas(pd.DataFrame({"doc_id": keys})).repartition(3)
+        for anti in (False, True):
+            want = (
+                broadcast_semi_filter(ds, keys, "doc_id", anti=anti)
+                .to_pandas().sort_values("doc_id").reset_index(drop=True)
+            )
+            got = (
+                shuffle_semi_filter(ds, kds, "doc_id", anti=anti)
+                .to_pandas().sort_values("doc_id").reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(got[want.columns], want)
+            # payload dtypes survive exactly (Arrow groups, no widening)
+            assert got["doc_id"].dtype == np.int64 and got["val"].dtype == np.int64
+
+    def test_string_keys(self, ray_session):
+        import ray.data as rd
+
+        from article_extraction_ray.pipelines.tabular import (
+            broadcast_semi_filter,
+            shuffle_semi_filter,
+        )
+
+        df = self._data()
+        names = [f"d{i}" for i in range(0, 500, 7)]
+        ds = rd.from_pandas(df).repartition(4)
+        kds = rd.from_pandas(pd.DataFrame({"name": names}))
+        want = (
+            broadcast_semi_filter(ds, names, "name", anti=True)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        got = (
+            shuffle_semi_filter(ds, kds, "name", anti=True)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[want.columns], want)
+
+    def test_near_dedup_fallback_identical_counts(self, ray_session):
+        """The adversarial-dup-rate ask from the round-2 verdict: with
+        loser_budget=0 every loser takes the bucketed anti-join path and
+        the survivor counts must match the broadcast path exactly."""
+        from article_extraction_ray.pipelines.queries import _near_dedup_counts
+
+        sf = "/root/testdata/sf0.001"
+        broad = (
+            _near_dedup_counts(sf)  # default budget → broadcast
+            .to_pandas().sort_values("origin").reset_index(drop=True)
+        )
+        bucketed = (
+            _near_dedup_counts(sf, loser_budget=0)  # force shuffle path
+            .to_pandas().sort_values("origin").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(broad, bucketed)
+        # the self-checking property holds on BOTH paths
+        assert "mutant" not in set(bucketed["origin"])
