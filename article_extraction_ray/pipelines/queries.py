@@ -5469,30 +5469,47 @@ def q_bpe_encode(sf_dir: str):
 
 _KNN_GRAPH_K = 3
 
+#: rows above which the EXACT k-NN graph (inherently O(N²) similarity
+#: work, n_blocks× data replication) gives way to the approximate
+#: bucketed-LSH self-join.  2M × 2M exact is ~4e12 dot products — past
+#: any reasonable budget; LSH candidate generation is near-linear.
+_KNN_GRAPH_EXACT_ROWS = 2_000_000
+
 
 def q_knn_graph(sf_dir: str):
     """Exact k-NN graph (top-3 cosine neighbors for EVERY vector) — the
     similarity-graph build that feeds near-dup clustering / SemDeDup.
 
-    Router (same shape as `embedding_dup_pairs`): under the broadcast
-    budget the normalized corpus matrix ships once via ``ray.put`` and
-    the corpus streams through a vectorized (batch × N) matmul with an
-    axis-1 ``argpartition`` margin; above it,
+    Three-tier router on the parquet footer row count (same shape as
+    `embedding_dup_pairs`): under the broadcast budget the normalized
+    corpus matrix ships once via ``ray.put`` and the corpus streams
+    through a vectorized (batch × N) matmul with an axis-1
+    ``argpartition`` margin; above it,
     `stages.similarity.knn_graph_blocked` runs the same exact math via
-    block-pair expansion with NO driver matrix (pytest-equal).  Ties at
-    the k boundary resolve by the deterministic (sim desc, vec_id asc)
-    rule on both paths.  At corpus scale the IVF router (`knn_ivf`) and
-    bucketed LSH (`knn_lsh_shuffle`) are the sublinear approximate
-    paths, with this as their verify kernel.  Output is rank-only (no
-    float column), matching `knn_cosine`'s oracle convention."""
+    block-pair expansion with NO driver matrix (pytest-equal); above
+    ``_KNN_GRAPH_EXACT_ROWS`` — where even n_blocks× replication of an
+    O(N²) exact pass is off the table — `knn_graph_lsh` self-joins the
+    corpus through the bucketed-LSH exchange (sublinear candidate
+    generation, recall bounded by the property test).  Ties at the k
+    boundary resolve by the deterministic (sim desc, vec_id asc) rule
+    on both exact paths.  Output is rank-only (no float column),
+    matching `knn_cosine`'s oracle convention."""
     import os
 
     import pyarrow.parquet as pq
 
-    from ..stages.similarity import _as_matrix, _normalize, knn_graph_blocked
+    from ..stages.similarity import (
+        _as_matrix,
+        _normalize,
+        knn_graph_blocked,
+        knn_graph_lsh,
+    )
 
     k = _KNN_GRAPH_K
     n_rows = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet")).metadata.num_rows
+    if n_rows > _KNN_GRAPH_EXACT_ROWS:
+        ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"], split=True)
+        return knn_graph_lsh(ds, k=k)
     if n_rows > _EMB_BROADCAST_ROWS:
         ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"], split=True)
         return knn_graph_blocked(ds, k=k, n_blocks=8)

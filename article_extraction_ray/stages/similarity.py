@@ -412,3 +412,64 @@ def knn_graph_blocked(ds, *, k: int = 3, n_blocks: int = 4, margin: int = 8,
         return g[["src", "dst", "rank"]]
 
     return partials.groupby("src").map_groups(merge, batch_format="pandas")
+
+
+def knn_graph_lsh(
+    ds,
+    *,
+    k: int = 3,
+    planes: int = 8,
+    tables: int = 6,
+    probe_radius: int = 1,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """APPROXIMATE k-NN graph — the sublinear tier above
+    :func:`knn_graph_blocked`'s exact-O(N²) block-pair expansion, for
+    corpora where even n_blocks× replication is too much data motion.
+
+    The corpus self-joins through :func:`knn_lsh_shuffle` (it is both
+    sides): every vector emits once per table as corpus and once per
+    probed bucket as query, colliding pairs score inside their bucket,
+    and the per-query reduce keeps top-(k+1).  A vector always collides
+    with itself (same bucket, sim 1.0), so the self edge is dropped
+    afterwards and ranks close over the gap — pure vectorized batch
+    work, no extra shuffle (map_groups blocks never split a group).
+    Recall is tunable via (planes, tables, probe_radius); the property
+    test bounds it against the exact graph.  Returns Dataset(src, dst,
+    rank)."""
+
+    def as_queries(t: pa.Table) -> pa.Table:
+        return pa.table({"query_id": t[id_col], "embedding": t[vec_col]})
+
+    res = knn_lsh_shuffle(
+        ds,
+        ds.map_batches(as_queries, batch_format="pyarrow"),
+        k=k + 1,
+        planes=planes,
+        tables=tables,
+        probe_radius=probe_radius,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+    def drop_self(df: pd.DataFrame) -> pd.DataFrame:
+        is_self = df["query_id"] == df["vec_id"]
+        self_rank = df.loc[is_self].set_index("query_id")["rank"]
+        out = df.loc[~is_self].copy()
+        sr = out["query_id"].map(self_rank).fillna(k + 2).to_numpy()
+        rank = out["rank"].to_numpy()
+        rank = rank - (rank > sr).astype(np.int64)
+        out["rank"] = rank
+        out = out[out["rank"] <= k]
+        return pd.DataFrame(
+            {
+                "src": out["query_id"].to_numpy(),
+                "dst": out["vec_id"].to_numpy(),
+                "rank": out["rank"].to_numpy().astype(np.int64),
+            }
+        )
+
+    return res.map_batches(drop_self, batch_format="pandas")

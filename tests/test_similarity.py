@@ -413,3 +413,63 @@ class TestPQCodeTable:
         out = knn_pq_from_codes(codes_dir, books, novel[None, :], np.array([0]), k=3).to_pandas()
         got = set(out["vec_id"].tolist())
         assert got == {10_000, 10_001, 10_002}, got
+
+
+def test_knn_graph_lsh_recall_and_shape(ray_session):
+    """The sublinear tier of the q_knn_graph router: the LSH self-join
+    graph must (a) never emit self edges, (b) emit dense ranks 1..k per
+    src, and (c) reach bounded recall vs the exact graph on clustered
+    data (the regime LSH exists for)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from article_extraction_ray.stages.similarity import (
+        _normalize,
+        knn_graph_lsh,
+    )
+
+    rng = np.random.default_rng(9)
+    n_clusters, per, d, k = 12, 25, 16, 3
+    centers = rng.standard_normal((n_clusters, d)) * 4
+    mat = np.concatenate(
+        [centers[c] + 0.3 * rng.standard_normal((per, d)) for c in range(n_clusters)]
+    )
+    n = len(mat)
+    ids = np.arange(n, dtype=np.int64)
+    tab = pa.table(
+        {
+            "vec_id": ids,
+            "embedding": pa.array(
+                [list(map(float, r)) for r in mat], type=pa.list_(pa.float32())
+            ),
+        }
+    )
+    ds = rd.from_arrow(tab).repartition(5)
+
+    got = (
+        knn_graph_lsh(ds, k=k, planes=8, tables=8, probe_radius=1)
+        .to_pandas()
+        .sort_values(["src", "rank"])
+        .reset_index(drop=True)
+    )
+
+    assert (got["src"] != got["dst"]).all(), "self edges must be dropped"
+    per_src = got.groupby("src")["rank"].agg(["min", "max", "count"])
+    assert (per_src["min"] == 1).all() and (per_src["count"] <= k).all()
+    # dense ranks: max == count for every src
+    assert (per_src["max"] == per_src["count"]).all()
+
+    # exact reference (same float32 storage precision)
+    m = _normalize(
+        np.stack([np.asarray(v, dtype=np.float64) for v in tab["embedding"].to_pylist()])
+    )
+    sims = m @ m.T
+    recalls = []
+    for i in range(n):
+        order = sorted(((-sims[i, j], j) for j in range(n) if j != i))
+        truth = {j for _, j in order[:k]}
+        approx = set(got.loc[got["src"] == i, "dst"].tolist())
+        recalls.append(len(approx & truth) / k)
+    assert np.mean(recalls) >= 0.7, f"mean LSH-graph recall too low: {np.mean(recalls)}"
