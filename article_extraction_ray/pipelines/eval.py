@@ -81,13 +81,28 @@ class EvalEncoderStage:
     lifetime (the reference's best-effort cache, scores.py:61,105-120).
     """
 
-    def __init__(self, backend: str = "fake", dim: int = 64):
-        if backend == "real":
+    def __init__(self, backend: str = "fake", dim: int = 64, encoder=None):
+        # ``encoder`` is the production seam: any object with
+        # ``encode(list[str]) -> (n, d) array`` (a SentenceTransformer
+        # instance satisfies it directly), constructed once per actor.
+        if encoder is not None:
+            self.encoder = encoder
+        elif backend == "real":
+            try:
+                import sentence_transformers  # noqa: F401
+            except ImportError as exc:
+                raise NotImplementedError(
+                    "transformer encoders are unavailable in this container; "
+                    "production constructs the HF model here (once per actor) "
+                    "or passes encoder=<model> — pytest -m real exercises the "
+                    "seam when the dependency exists"
+                ) from exc
             raise NotImplementedError(
-                "transformer encoders are unavailable in this container; "
-                "production constructs the HF model here (once per actor)"
+                "pass encoder=SentenceTransformer(<model>) explicitly: model "
+                "choice is deployment config, not library code"
             )
-        self.encoder = _HashEncoder(dim)
+        else:
+            self.encoder = _HashEncoder(dim)
         self.cache: dict[str, np.ndarray] = {}
 
     def _encode_cached(self, texts: list[str]) -> np.ndarray:

@@ -58,22 +58,37 @@ class FetchStage:
                  user_agent: str = DEFAULT_USER_AGENT, url_col: str = "url"):
         self.backend = backend
         self.timeout = timeout
+        self.user_agent = user_agent
         self.url_col = url_col
+        self._opener = None
         if backend == "real":
-            # production: build the pooled HTTP session ONCE PER ACTOR here
-            # (requests.Session with retry adapter, headers={'User-Agent':
-            # user_agent}) — this sandbox has no network.
-            raise NotImplementedError(
-                "no network in this container; production constructs the "
-                "HTTP session here (once per actor) and _fetch_one uses it"
-            )
-        if backend != "fake":
+            # the session/pool is built ONCE PER ACTOR here (the reference
+            # uses a requests.Session; the stdlib opener carries the same
+            # per-actor-connection semantics without extra deps).  This
+            # container has no network, so construction succeeds but every
+            # fetch rows an error — pytest -m real exercises the live path
+            # when a network exists.
+            import urllib.request
+
+            self._opener = urllib.request.build_opener()
+            self._opener.addheaders = [("User-Agent", user_agent)]
+        elif backend != "fake":
             raise ValueError(f"unknown backend {backend!r}")
+
+    def _fetch_real(self, url: str) -> tuple[str, bytes, str]:
+        """Live GET: raise-for-status via urlopen's HTTPError, doc_type
+        from the response Content-Type (paper_document_table.py:72-77)."""
+        with self._opener.open(url, timeout=self.timeout) as resp:
+            ct = resp.headers.get("Content-Type", "")
+            payload = resp.read()
+        return doc_type_from_content_type(ct), payload, "ok"
 
     def _fetch_one(self, url: str) -> tuple[str, bytes, str]:
         """One URL → (doc_type, payload, status); reference semantics:
         raise_for_status, doc_type from Content-Type
         (paper_document_table.py:72-77)."""
+        if self.backend == "real":
+            return self._fetch_real(url)
         # deterministic fake: content type keyed on the url suffix, payload
         # a reproducible digest-seeded blob
         if url.endswith(".pdf"):

@@ -92,18 +92,33 @@ class ImageDecodeStage:
     """
 
     def __init__(self, backend: str = "fake"):
+        self._pil = None
         if backend == "real":
-            raise NotImplementedError(
-                "compressed-image codecs are not available in this container; "
-                "production deployments construct the PIL/turbojpeg decoder here "
-                "and decode in __call__ over the same (media_ref, payload) schema "
-                "(backend='bmp' is a real in-container decoder)"
-            )
+            # the production seam: PIL loaded ONCE PER ACTOR; activates the
+            # day the container ships it (pytest -m real exercises this)
+            try:
+                from PIL import Image as _pil_image
+            except ImportError as exc:
+                raise NotImplementedError(
+                    "compressed-image codecs are not available in this container "
+                    "(pip install pillow to activate backend='real'; "
+                    "backend='bmp' is a real in-container decoder)"
+                ) from exc
+            self._pil = _pil_image
         self.backend = backend
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
-        if self.backend == "bmp":
+        if self.backend == "real":
+            import io
+
+            dims = []
+            for p in payloads:
+                with self._pil.open(io.BytesIO(p)) as im:
+                    dims.append((im.width, im.height, len(im.getbands())))
+            dims = np.array(dims, dtype=np.int64) if dims else np.zeros((0, 3), dtype=np.int64)
+            w, h, c = (dims[:, i] for i in range(3))
+        elif self.backend == "bmp":
             dims = (
                 np.array([decode_bmp(p)[:3] for p in payloads], dtype=np.int64)
                 if payloads
@@ -132,12 +147,29 @@ class ImageFeatureStage:
     vector — deterministic, schema-identical.
     """
 
-    def __init__(self, dim: int = 64, backend: str = "fake"):
-        if backend == "real":
-            raise NotImplementedError("vision encoder unavailable in this container")
+    def __init__(self, dim: int = 64, backend: str = "fake", encoder=None):
+        # ``encoder`` is the production seam: any callable
+        # ``list[bytes] -> (n, dim) float array`` (a vision model's
+        # preprocess+forward), constructed once per actor by the caller.
+        self._encoder = encoder
+        if backend == "real" and encoder is None:
+            raise NotImplementedError(
+                "vision encoder unavailable in this container; production "
+                "passes encoder=<callable bytes->features> (built once per "
+                "actor) — pytest -m real exercises the seam when torch exists"
+            )
         self.dim = dim
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._encoder is not None:
+            mat = np.asarray(self._encoder(batch["payload"].to_pylist()), dtype=np.float32)
+            return pa.Table.from_arrays(
+                [
+                    batch["media_ref"],
+                    pa.array([r.tolist() for r in mat], type=pa.list_(pa.float32())),
+                ],
+                names=["media_ref", "features"],
+            )
         feats = []
         for p in batch["payload"].to_pylist():
             seed = int.from_bytes(hashlib.blake2b(p or b"", digest_size=8).digest(), "little")
@@ -156,7 +188,15 @@ class FrameSampleStage:
 
     def __init__(self, frames: int = 4, backend: str = "fake"):
         if backend == "real":
-            raise NotImplementedError("video demuxer unavailable in this container")
+            # activates the day the container ships PyAV (pytest -m real)
+            try:
+                import av  # noqa: F401
+            except ImportError as exc:
+                raise NotImplementedError(
+                    "video demuxer unavailable in this container "
+                    "(pip install av to activate backend='real')"
+                ) from exc
+        self.backend = backend
         self.frames = frames
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -210,17 +250,32 @@ class AudioDecodeStage:
     this container; ``backend="fake"`` derives deterministic values."""
 
     def __init__(self, backend: str = "wav"):
+        self._sf = None
         if backend == "real":
-            raise NotImplementedError(
-                "compressed-audio codecs are not available in this container; "
-                "production deployments construct the librosa/ffmpeg decoder "
-                "here (backend='wav' is a real in-container decoder)"
-            )
+            # activates the day the container ships libsndfile (pytest -m real)
+            try:
+                import soundfile as _sf
+            except ImportError as exc:
+                raise NotImplementedError(
+                    "compressed-audio codecs are not available in this container "
+                    "(pip install soundfile to activate backend='real'; "
+                    "backend='wav' is a real in-container decoder)"
+                ) from exc
+            self._sf = _sf
         self.backend = backend
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
-        if self.backend == "wav":
+        if self.backend == "real":
+            import io
+
+            rows = []
+            for p in payloads:
+                x, rate = self._sf.read(io.BytesIO(p), dtype="float64", always_2d=True)
+                n, nch = x.shape
+                rms = float(np.sqrt(np.mean(x * x))) if x.size else 0.0
+                rows.append((nch, rate, n, n * 1000 // rate, rms))
+        elif self.backend == "wav":
             rows = [decode_wav(p) for p in payloads]
         else:
             rows = [

@@ -96,8 +96,11 @@ class TestFetchStage:
         ]
         assert again.schema.equals(FETCHED_SCHEMA)
 
-    def test_real_backend_gated(self):
+    def test_real_backend_constructs_offline(self):
+        """Session construction is per-actor __init__ work — it must
+        succeed offline (the live GET path is pytest -m real)."""
         from article_extraction_ray.sources.fetch import FetchStage
 
-        with pytest.raises(NotImplementedError):
-            FetchStage(backend="real")
+        assert FetchStage(backend="real")._opener is not None
+        with pytest.raises(ValueError):
+            FetchStage(backend="bogus")
