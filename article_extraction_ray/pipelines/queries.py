@@ -3273,6 +3273,68 @@ def q_price_quantiles_tdigest(sf_dir: str):
     return out.map_batches(finalize, batch_format="pandas")
 
 
+def q_tdigest_rank_check(sf_dir: str):
+    """The t-digest's accuracy contract, value-oracled: for every
+    (order priority, q ∈ {0.5, 0.9, 0.99}) the sketch's estimate must
+    sit within rank tolerance of the true quantile.  The oracle SQL
+    enumerates the same (group, q) grid with ``within = TRUE`` — any
+    estimate outside tolerance flips a row to FALSE and reds the
+    driver's value hash, so the ≤1%-rank-error property (pytest-proved
+    on the kernel) is ALSO asserted at the driver gate.
+
+    Shape: estimates come from the mergeable-digest pipeline
+    (fixed-width partials, values never shuffle), then ONE counting
+    pass ranks each estimate distributedly — the broadcast is the
+    (groups × 3) estimate map, never data.  Rank is bracketed
+    [count(<est), count(≤est)]/n so interpolation between samples can't
+    fail the check spuriously; tolerance is 1.1% + 1/n (the discrete
+    rank step)."""
+    from ..stages.tdigest import tdigest_grouped
+
+    qs = [0.5, 0.9, 0.99]
+    ds = read_table(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"], split=True)
+    est = tdigest_grouped(ds, "o_orderpriority", "o_totalprice", qs).to_pandas()
+    est_map = {
+        (row["o_orderpriority"], q): float(row[f"q_{int(round(q * 100)):02d}"])
+        for _, row in est.iterrows()
+        for q in qs
+    }
+    handle = Broadcast(est_map)
+
+    def counts(batch: pa.Table) -> pd.DataFrame:
+        em = handle.get()
+        g = batch["o_orderpriority"].to_numpy(zero_copy_only=False)
+        v = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        rows = []
+        for (grp, q), e in em.items():
+            m = g == grp
+            rows.append((grp, q, int((v[m] < e).sum()), int((v[m] <= e).sum()), int(m.sum())))
+        return pd.DataFrame(rows, columns=["o_orderpriority", "q", "n_lt", "n_le", "n"])
+
+    agg = grouped_aggregate(
+        ds.map_batches(counts, batch_format="pyarrow"),
+        ["o_orderpriority", "q"],
+        {"n_lt": ("sum", "n_lt"), "n_le": ("sum", "n_le"), "n": ("sum", "n")},
+    ).to_pandas()
+    tol = 0.011 + 1.0 / agg["n"]
+    lo = agg["n_lt"] / agg["n"] - tol
+    hi = agg["n_le"] / agg["n"] + tol
+    agg["within"] = (lo <= agg["q"]) & (agg["q"] <= hi)
+    return (
+        agg[["o_orderpriority", "q", "within"]]
+        .sort_values(["o_orderpriority", "q"])
+        .reset_index(drop=True)
+    )
+
+
+SQL_TDIGEST_RANK_CHECK = """
+SELECT o_orderpriority, q, TRUE AS within
+FROM (SELECT DISTINCT o_orderpriority FROM orders)
+CROSS JOIN (SELECT UNNEST([0.5, 0.9, 0.99]) AS q)
+ORDER BY o_orderpriority, q
+"""
+
+
 def q_dedup_clusters(sf_dir: str):
     """Connected components over a doc-pair graph (stages/graph.py) —
     the cluster step that turns near-dup PAIRS into dedupe GROUPS.
@@ -3873,14 +3935,45 @@ WHERE bc.n_pair >= {_PMI_MIN_PAIR}
 def q_cc_redact(sf_dir: str):
     """Luhn-validated credit-card redaction over the corpus
     (stages/curation.redact_credit_cards): regex candidates vectorized,
-    checksum only on hits.  Rows-only (the checksum has no SQL form);
-    redact/keep behavior is pytest-verified on planted numbers — the
-    synthetic corpus contains no card-shaped runs, so this pass is a
-    verified no-op here."""
+    checksum only on hits.
+
+    Value-oracled via PLANTED numbers: the synthetic corpus contains no
+    card-shaped runs (pytest-verified no-op), so deterministic cards
+    append per ``doc_id % 5`` — a Luhn-VALID bare PAN (redacts), a
+    Luhn-INVALID one (must survive: the checksum is what separates card
+    numbers from order ids), and a dash-separated valid PAN (separator
+    handling).  The engine runs the real regex+checksum; the oracle
+    encodes the independently-known truth for those literals — Luhn
+    itself needs no SQL form."""
+    import pyarrow.compute as pc
+
     from ..stages.curation import redact_credit_cards
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], split=True)
-    return redact_credit_cards(ds)
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        m = ids % 5
+        suffix = np.full(len(ids), "", dtype=object)
+        suffix[m == 0] = " 4111111111111111"       # Luhn-valid → redacts
+        suffix[m == 1] = " 4111111111111112"       # Luhn-INVALID → survives
+        suffix[m == 2] = " 5500-0000-0000-0004"    # valid, dashed → redacts
+        text = pc.binary_join_element_wise(
+            batch["text"], pa.array(suffix, type=pa.string()), ""
+        )
+        return pa.table({"doc_id": batch["doc_id"], "text": text})
+
+    return redact_credit_cards(ds.map_batches(plant, batch_format="pyarrow"))
+
+
+SQL_CC_REDACT = """
+SELECT doc_id,
+       CASE WHEN doc_id % 5 = 0 THEN text || ' <CC>'
+            WHEN doc_id % 5 = 1 THEN text || ' 4111111111111112'
+            WHEN doc_id % 5 = 2 THEN text || ' <CC>'
+            ELSE text END AS text
+FROM documents
+"""
 
 
 def q_text_clean(sf_dir: str):
@@ -5676,11 +5769,15 @@ def q_ewma(sf_dir: str):
     (α=0.3) — the time-decay feature every behavioral model pipeline
     computes.  Same bucketed-ordered-scan shape as `moving_avg`: one
     shuffle on user_id % 32 co-locates each user's whole ordered
-    history, then one vectorized pandas ``ewm`` per bucket.  Rows-only:
-    the recursion has no faithful ANSI-SQL form (a closed-form pow()
-    window overflows on long histories and accumulates in
-    engine-specific order); parity vs single-process pandas is
-    property-tested instead."""
+    history, then one rank-vectorized scan per bucket.  Value-oracled
+    against a DuckDB RECURSIVE CTE running the identical
+    e_n = α·v_n + (1-α)·e_{n-1} float64 recursion in the identical
+    per-user (ts, event_id) order.  NOT pandas ``ewm``: with
+    adjust=False pandas divides each step by (α+(1-α)) =
+    0.9999999999999999, whose 1-ulp drift flips round(6) boundaries on
+    long histories — the scan below runs the literal recurrence
+    instead, vectorized ACROSS users per history position (O(max
+    history length) numpy steps, no per-row Python)."""
     ds = read_table(
         sf_dir, "events", columns=["event_id", "user_id", "ts", "value"], split=True
     )
@@ -5689,13 +5786,31 @@ def q_ewma(sf_dir: str):
         b = (batch["user_id"].to_numpy() % 32).astype(np.int32)
         return batch.append_column("bucket", pa.array(b))
 
+    a, b_ = _EWMA_ALPHA, 1.0 - _EWMA_ALPHA
+
     def decay(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
-        df["ewma"] = (
-            df.groupby("user_id", sort=False)["value"]
-            .transform(lambda s: s.ewm(alpha=_EWMA_ALPHA, adjust=False).mean())
-            .round(6)
-        )
+        n = len(df)
+        v = df["value"].to_numpy(dtype=np.float64)
+        uniq, u_idx = np.unique(df["user_id"].to_numpy(), return_inverse=True)
+        starts = np.r_[0, 1 + np.flatnonzero(u_idx[1:] != u_idx[:-1])]
+        rn = np.arange(n) - starts[u_idx]
+        order = np.argsort(rn, kind="stable")
+        counts = np.bincount(rn) if n else np.zeros(0, dtype=np.int64)
+        e = np.empty(n)
+        state = np.zeros(len(uniq))
+        pos = 0
+        for k, c in enumerate(counts):
+            rows = order[pos : pos + c]
+            pos += c
+            ui = u_idx[rows]
+            state[ui] = v[rows] if k == 0 else a * v[rows] + b_ * state[ui]
+            e[rows] = state[ui]
+        # DuckDB round() is half-AWAY-from-zero (std::round); np.round is
+        # half-even — the recursion lands on .5 boundaries often enough
+        # (19 rows at sf0.1) that the rule must match, not just the value
+        scaled = e * 1e6
+        df["ewma"] = np.copysign(np.floor(np.abs(scaled) + 0.5), scaled) / 1e6
         return df[["event_id", "user_id", "ewma"]]
 
     return (
@@ -5703,6 +5818,21 @@ def q_ewma(sf_dir: str):
         .groupby("bucket")
         .map_groups(lambda df: decay(df.drop(columns=["bucket"])), batch_format="pandas")
     )
+
+
+SQL_EWMA = f"""
+WITH RECURSIVE ordered AS (
+  SELECT event_id, user_id, CAST(value AS DOUBLE) AS value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), rec AS (
+  SELECT event_id, user_id, rn, value AS e FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.event_id, o.user_id, o.rn, {_EWMA_ALPHA} * o.value + {1.0 - _EWMA_ALPHA} * r.e
+  FROM ordered o JOIN rec r ON o.user_id = r.user_id AND o.rn = r.rn + 1
+)
+SELECT event_id, user_id, round(e, 6) AS ewma FROM rec
+"""
 
 
 def q_moving_avg(sf_dir: str):
@@ -6403,6 +6533,7 @@ QUERIES = {
     "knn_lsh_shuffle": q_knn_lsh_shuffle,
     "grouped_quantiles": q_grouped_quantiles,
     "price_quantiles_tdigest": q_price_quantiles_tdigest,
+    "tdigest_rank_check": q_tdigest_rank_check,
     "dedup_clusters": q_dedup_clusters,
     "kmeans_clusters": q_kmeans_clusters,
     "knn_ivf": q_knn_ivf,
@@ -6566,6 +6697,9 @@ ORACLE_SQL = {
     "knn_graph": SQL_KNN_GRAPH,
     "q3_shipping": SQL_Q3,
     "moving_avg": SQL_MOVING_AVG,
+    "ewma": SQL_EWMA,
+    "tdigest_rank_check": SQL_TDIGEST_RANK_CHECK,
+    "cc_redact": SQL_CC_REDACT,
     "funnel_users": SQL_FUNNEL,
     "fk_audit": SQL_FK_AUDIT,
     "media_decode_bmp": SQL_MEDIA_BMP,
