@@ -64,6 +64,7 @@ def q_pricing_summary(sf_dir: str):
             "avg_qty": ("mean", "l_quantity"),
             "count_order": ("count", None),
         },
+        small_keys=True,
     )
 
     def rounded(df: pd.DataFrame) -> pd.DataFrame:
@@ -139,7 +140,8 @@ def q_validate_orders(sf_dir: str):
         )
 
     counts = grouped_aggregate(
-        ds.map_batches(row_rules, batch_format="pyarrow"), ["rule"], {"n_violations": ("sum", "n_bad")}
+        ds.map_batches(row_rules, batch_format="pyarrow"), ["rule"], {"n_violations": ("sum", "n_bad")},
+        small_keys=True,
     )
 
     def key_counts(batch: pa.Table) -> pd.DataFrame:
@@ -155,7 +157,8 @@ def q_validate_orders(sf_dir: str):
         return pd.DataFrame({"rule": ["duplicate_orderkey"], "n_bad": [int((c > 1).sum())]})
 
     dup_count = grouped_aggregate(
-        dup.map_batches(dup_partial, batch_format="pyarrow"), ["rule"], {"n_violations": ("sum", "n_bad")}
+        dup.map_batches(dup_partial, batch_format="pyarrow"), ["rule"], {"n_violations": ("sum", "n_bad")},
+        small_keys=True,
     )
     return counts.union(dup_count)
 
@@ -409,7 +412,8 @@ def q_table_diff(sf_dir: str):
         return out.groupby("status", as_index=False).size().rename(columns={"size": "c"})
 
     return grouped_aggregate(
-        joined.map_batches(classify, batch_format="pandas"), ["status"], {"n_keys": ("sum", "c")}
+        joined.map_batches(classify, batch_format="pandas"), ["status"], {"n_keys": ("sum", "c")},
+        small_keys=True,
     )
 
 
@@ -897,7 +901,8 @@ def q_share_of_total(sf_dir: str):
         return df.groupby("event_type", as_index=False).sum()
 
     totals = grouped_aggregate(
-        ds.map_batches(partial, batch_format="pyarrow"), ["event_type"], {"t": ("sum", "cents")}
+        ds.map_batches(partial, batch_format="pyarrow"), ["event_type"], {"t": ("sum", "cents")},
+        small_keys=True,
     ).to_pandas()
     handle = Broadcast(dict(zip(totals["event_type"], totals["t"])))
 
@@ -991,6 +996,7 @@ def q_weighted_mean(sf_dir: str):
         ds.map_batches(partial, batch_format="pyarrow"),
         ["l_returnflag"],
         {"wc": ("sum", "__wc"), "w": ("sum", "__w")},
+        small_keys=True,
     )
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -1151,6 +1157,7 @@ def q_region_customer_stats(sf_dir: str):
         joined,
         ["r_name"],
         {"n_customers": ("count", None), "avg_acctbal": ("mean", "c_acctbal"), "total_acctbal": ("sum", "c_acctbal")},
+        small_keys=True,
     )
 
     def rounded(df: pd.DataFrame) -> pd.DataFrame:
@@ -1181,7 +1188,8 @@ def q_hash_split_counts(sf_dir: str):
     ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
     ds = ds.map_batches(lambda t: hash_split_batch(t, "o_orderkey"), batch_format="pyarrow")
     out = grouped_aggregate(
-        ds, ["split"], {"n_rows": ("count", None), "sum_price": ("sum", "o_totalprice")}
+        ds, ["split"], {"n_rows": ("count", None), "sum_price": ("sum", "o_totalprice")},
+        small_keys=True,
     )
 
     def rounded(df: pd.DataFrame) -> pd.DataFrame:
@@ -1847,6 +1855,7 @@ def _near_dedup_counts(sf_dir: str, *, loser_budget: int = NEAR_DEDUP_LOSER_BUDG
         survivors.map_batches(src_of, batch_format="pyarrow"),
         ["origin"],
         {"n_docs": ("count", None)},
+        small_keys=True,
     )
 
 
@@ -3315,6 +3324,7 @@ def q_tdigest_rank_check(sf_dir: str):
         ds.map_batches(counts, batch_format="pyarrow"),
         ["o_orderpriority", "q"],
         {"n_lt": ("sum", "n_lt"), "n_le": ("sum", "n_le"), "n": ("sum", "n")},
+        small_keys=True,
     ).to_pandas()
     tol = 0.011 + 1.0 / agg["n"]
     lo = agg["n_lt"] / agg["n"] - tol
@@ -4213,7 +4223,7 @@ def q_value_histogram(sf_dir: str):
         return pd.DataFrame({"bin": vc.index, "cnt": vc.to_numpy()})
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    return grouped_aggregate(partials, ["bin"], {"cnt": ("sum", "cnt")})
+    return grouped_aggregate(partials, ["bin"], {"cnt": ("sum", "cnt")}, small_keys=True)
 
 
 SQL_HISTOGRAM = """
@@ -4506,6 +4516,7 @@ def q_rollup_orders(sf_dir: str):
         ds,
         ["o_orderstatus", "o_orderpriority"],
         {"n_orders": ("count", None), "sum_price": ("sum", "o_totalprice")},
+        small_keys=True,
     )
 
     def rollup(df: pd.DataFrame) -> pd.DataFrame:
@@ -4692,7 +4703,7 @@ def q_vocab_build(sf_dir: str):
 
     tagged = counts.map_batches(tag, batch_format="pyarrow")
     sizes = (
-        grouped_aggregate(tagged, ["__bucket"], {"sz": ("count", None)})
+        grouped_aggregate(tagged, ["__bucket"], {"sz": ("count", None)}, small_keys=True)
         .to_pandas()
         .sort_values("__bucket", ascending=False)
     )
@@ -4909,7 +4920,7 @@ def q_domain_mixture(sf_dir: str):
     math is written in the same operation order as the oracle SQL so
     float64 determinism carries the equality."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "source"], split=True)
-    d = grouped_aggregate(ds, ["source"], {"n_in": ("count", None)}).to_pandas()
+    d = grouped_aggregate(ds, ["source"], {"n_in": ("count", None)}, small_keys=True).to_pandas()
     n = d["n_in"].to_numpy(dtype=np.float64)
     denom = np.power(n, 0.5).sum()
     target = 0.5 * n.sum()
@@ -4932,6 +4943,7 @@ def q_domain_mixture(sf_dir: str):
         ds.map_batches(keep_counts, batch_format="pyarrow"),
         ["source"],
         {"n_kept": ("sum", "n_kept")},
+        small_keys=True,
     )
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -5084,6 +5096,7 @@ def q_cube_orders(sf_dir: str):
         ds,
         ["o_orderstatus", "o_orderpriority"],
         {"n_orders": ("count", None), "sum_price": ("sum", "o_totalprice")},
+        small_keys=True,
     )
 
     def cube(df: pd.DataFrame) -> pd.DataFrame:
@@ -5217,6 +5230,7 @@ def q_grouped_regression(sf_dir: str):
         ds.map_batches(partial, batch_format="pyarrow"),
         ["g"],
         {c: ("sum", c) for c in ["n", "x", "y", "xx", "yy", "xy"]},
+        small_keys=True,
     )
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -5334,6 +5348,7 @@ def q_zscore_normalize(sf_dir: str):
             ds.map_batches(moments, batch_format="pyarrow"),
             ["o_orderpriority"],
             {"s": ("sum", "s"), "ss": ("sum", "ss"), "c": ("sum", "c")},
+            small_keys=True,
         )
         .to_pandas()
     )
