@@ -3213,6 +3213,47 @@ def q_hll_grouped(sf_dir: str):
     )
 
 
+def q_hll_rank_check(sf_dir: str):
+    """The HyperLogLog accuracy contract at the driver gate (same
+    pattern as `tdigest_rank_check`): per event_type, the p=12 sketch's
+    distinct-user estimate must sit within ±5% (≈3σ at 1.04/√2¹²) of
+    the exact distinct count.  The exact count comes from a
+    two-level distributed distinct (per-batch distinct pairs → global
+    pair dedupe → per-group count) — never a driver drain; the oracle
+    enumerates the event_type grid with ``within = TRUE`` so any
+    out-of-tolerance estimate reds the value hash."""
+    from ..stages.sketch import hll_distinct_grouped
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"], split=True)
+    est = hll_distinct_grouped(ds, "event_type", "user_id", p=12).to_pandas()
+
+    def pair_distinct(batch: pa.Table) -> pa.Table:
+        t = pa.table({"event_type": batch["event_type"], "user_id": batch["user_id"]})
+        g = pa.TableGroupBy(t, ["event_type", "user_id"]).aggregate([])
+        return g
+
+    pairs = ds.map_batches(pair_distinct, batch_format="pyarrow")
+    distinct_pairs = grouped_aggregate(
+        pairs, ["event_type", "user_id"], {"one": ("count", None)}
+    )
+    exact = grouped_aggregate(
+        distinct_pairs, ["event_type"], {"n_exact": ("count", None)}, small_keys=True
+    ).to_pandas()
+
+    out = est.merge(exact, on="event_type")
+    out["within"] = (
+        (out["n_distinct_est"] - out["n_exact"]).abs() <= 0.05 * out["n_exact"]
+    )
+    return out[["event_type", "within"]].sort_values("event_type").reset_index(drop=True)
+
+
+SQL_HLL_RANK_CHECK = """
+SELECT event_type, TRUE AS within
+FROM (SELECT DISTINCT event_type FROM events)
+ORDER BY event_type
+"""
+
+
 def q_hll_distinct(sf_dir: str):
     """HyperLogLog distinct user_id estimate (p=14, ±~0.8%): one 16 KiB
     sketch per batch is all that leaves the workers.  Rows-only driver
@@ -5919,6 +5960,78 @@ def q_cms_token_freq(sf_dir: str):
     )
 
 
+def q_cms_rank_check(sf_dir: str):
+    """The Count-Min accuracy contract at the driver gate: for every
+    probe token, the sketch estimate must satisfy the one-sided bound
+    ``true ≤ est ≤ true + (e/w)·N`` (CMS never undercounts; the
+    overcount is bounded by the stream length over the width).  True
+    counts come from one vectorized counting pass (the probe list is a
+    broadcast constant, counts are per-batch partial sums); the oracle
+    enumerates the probe grid with ``within = TRUE``."""
+    import pyarrow.compute as pc
+
+    from ..stages.sketch import cms_build, cms_estimate
+
+    ds = read_table(sf_dir, "documents", columns=["text"], split=True)
+
+    def tokens_of(batch: pa.Table) -> np.ndarray:
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return np.asarray(pc.split_pattern(col, " ").values.to_pandas(), dtype=object)
+
+    w = 1 << 14
+    sketch = cms_build(ds, tokens_of, d=4, w=w)
+    probes = np.array(
+        ["the", "table", "query", "value", "spark", "data", "scan", "nosuchtoken"],
+        dtype=object,
+    )
+    est = cms_estimate(sketch, probes).astype(np.int64)
+    probes_bc = Broadcast(pa.array(probes, type=pa.string()))
+
+    def true_counts(batch: pa.Table) -> pd.DataFrame:
+        toks = tokens_of(batch)
+        total = len(toks)
+        pr = probes_bc.get().to_numpy(zero_copy_only=False)
+        s = pd.Series(toks)
+        counts = s[s.isin(pr)].value_counts()
+        return pd.DataFrame(
+            {
+                "token": np.append(pr, "__total__"),
+                "n": np.append(
+                    counts.reindex(pr).fillna(0).to_numpy(dtype=np.int64), total
+                ),
+            }
+        )
+
+    truth = (
+        grouped_aggregate(
+            ds.map_batches(true_counts, batch_format="pyarrow"),
+            ["token"],
+            {"n": ("sum", "n")},
+            small_keys=True,
+        )
+        .to_pandas()
+        .set_index("token")["n"]
+    )
+    stream_n = int(truth["__total__"])
+    eps_bound = np.e / w * stream_n
+    rows = []
+    for tok, e_est in zip(probes, est):
+        t = int(truth.get(tok, 0))
+        rows.append(
+            {"token": tok, "within": bool(t <= e_est <= t + eps_bound)}
+        )
+    return pd.DataFrame(rows).sort_values("token").reset_index(drop=True)
+
+
+SQL_CMS_RANK_CHECK = """
+SELECT token, TRUE AS within
+FROM (SELECT UNNEST(['the','table','query','value','spark','data','scan','nosuchtoken']) AS token)
+ORDER BY token
+"""
+
+
 _FUNNEL_STAGES = ("view", "click", "purchase")
 
 
@@ -6015,25 +6128,35 @@ def q_fk_audit(sf_dir: str):
     at dimension scale the in-repo BloomFilter is the prefilter) and the
     fact table streams through a vectorized ``pc.is_in`` anti-mask with
     per-batch partial counts — a count-only anti-join, no shuffle, no
-    row materialization.  Output: one row per edge."""
+    row materialization.  The four edges are independent, so their
+    executions OVERLAP in driver threads (the same second-driver-thread
+    trick as the flagship's giant phase): wall time is the heaviest
+    edge, not the sum of four.  Output: one row per edge."""
+    from concurrent.futures import ThreadPoolExecutor
+
     import pyarrow.compute as pc
 
-    rows = []
-    for name, fact, fcol, dim, dcol in _FK_EDGES:
+    def build_edge(edge):
+        # plan construction stays on the main thread: concurrent
+        # read_parquet calls race fsspec's lazy module import
+        name, fact, fcol, dim, dcol = edge
         keys = read_table_arrow(sf_dir, dim, columns=[dcol])[dcol]
         kset = Broadcast(keys)
         ds = read_table(sf_dir, fact, columns=[fcol], split=True)
 
-        def orphans(batch: pa.Table, _kset=kset, _fcol=fcol) -> pd.DataFrame:
-            hit = pc.is_in(batch[_fcol], value_set=_kset.get())
+        def orphans(batch: pa.Table) -> pd.DataFrame:
+            hit = pc.is_in(batch[fcol], value_set=kset.get())
             n = len(batch) - pc.sum(pc.cast(hit, pa.int64())).as_py()
             return pd.DataFrame({"n": [n]})
 
-        n_orphans = int(
-            ds.map_batches(orphans, batch_format="pyarrow").sum("n")
-        )
-        rows.append({"fk": name, "n_orphans": n_orphans})
-    return pd.DataFrame(rows)
+        return name, ds.map_batches(orphans, batch_format="pyarrow")
+
+    prepared = [build_edge(e) for e in _FK_EDGES]
+    with ThreadPoolExecutor(max_workers=len(prepared)) as pool:
+        counts = list(pool.map(lambda p: int(p[1].sum("n")), prepared))
+    return pd.DataFrame(
+        [{"fk": name, "n_orphans": n} for (name, _), n in zip(prepared, counts)]
+    )
 
 
 SQL_FK_AUDIT = """
@@ -6549,6 +6672,8 @@ QUERIES = {
     "grouped_quantiles": q_grouped_quantiles,
     "price_quantiles_tdigest": q_price_quantiles_tdigest,
     "tdigest_rank_check": q_tdigest_rank_check,
+    "hll_rank_check": q_hll_rank_check,
+    "cms_rank_check": q_cms_rank_check,
     "dedup_clusters": q_dedup_clusters,
     "kmeans_clusters": q_kmeans_clusters,
     "knn_ivf": q_knn_ivf,
@@ -6714,6 +6839,8 @@ ORACLE_SQL = {
     "moving_avg": SQL_MOVING_AVG,
     "ewma": SQL_EWMA,
     "tdigest_rank_check": SQL_TDIGEST_RANK_CHECK,
+    "hll_rank_check": SQL_HLL_RANK_CHECK,
+    "cms_rank_check": SQL_CMS_RANK_CHECK,
     "cc_redact": SQL_CC_REDACT,
     "funnel_users": SQL_FUNNEL,
     "fk_audit": SQL_FK_AUDIT,
