@@ -6591,6 +6591,123 @@ FROM orders
 # registry
 # ---------------------------------------------------------------------------
 
+def q_triangle_count(sf_dir: str):
+    """Distributed triangle count (stages/graph.triangle_count) over an
+    SQL-derivable graph: edges (i, i+1) and (i, i+2) gated by two
+    independent md5 coins, so chains-with-skips create genuine
+    triangles at {i, i+1, i+2}.  The engine runs the generic two-join
+    plan (wedge enumeration via a co-partitioned self-join, closure via
+    the bucketed semi-join — nothing reaches the driver but the
+    scalar); the oracle recomputes the same count with a three-way SQL
+    self-join.  Value-oracled end-to-end."""
+    from ..stages.graph import triangle_count
+    from .tabular import md5_lt_mask
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"], split=True)
+    max_id = read_table_arrow(sf_dir, "documents", columns=["doc_id"])["doc_id"]
+    max_id = int(pa.compute.max(max_id).as_py())
+    thr = "8" + "0" * 31
+
+    def coin_edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        c1 = md5_lt_mask(batch["doc_id"], thr) & (ids + 1 <= max_id)
+        shifted = pa.array(ids + 1_000_000)
+        c2 = md5_lt_mask(shifted, thr) & (ids + 2 <= max_id)
+        return pa.table(
+            {
+                "src": pa.array(np.r_[ids[c1], ids[c2]]),
+                "dst": pa.array(np.r_[ids[c1] + 1, ids[c2] + 2]),
+            }
+        )
+
+    edges = ds.map_batches(coin_edges, batch_format="pyarrow")
+    return pd.DataFrame({"n_triangles": [triangle_count(edges)]})
+
+
+SQL_TRIANGLE_COUNT = """
+WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+e1 AS (
+  SELECT doc_id AS a, doc_id + 1 AS b FROM documents, mx
+  WHERE md5(CAST(doc_id AS VARCHAR)) < '80000000000000000000000000000000'
+    AND doc_id + 1 <= m
+),
+e2 AS (
+  SELECT doc_id AS a, doc_id + 2 AS b FROM documents, mx
+  WHERE md5(CAST(doc_id + 1000000 AS VARCHAR)) < '80000000000000000000000000000000'
+    AND doc_id + 2 <= m
+),
+e AS (SELECT a, b FROM e1 UNION SELECT a, b FROM e2)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM e x JOIN e y ON y.a = x.b JOIN e z ON z.a = x.a AND z.b = y.b
+"""
+
+
+_WEEK_US = 7 * 86400 * 10**6
+
+
+def q_cohort_retention(sf_dir: str):
+    """Cohort retention triangle: users grouped by first-activity week,
+    counted at every later activity week offset — the
+    did-they-come-back table behind every retention dashboard.
+
+    Shape: per-batch distinct (user, week) pairs (the batch is the
+    combiner) -> one global pair dedupe -> per-user min week
+    (the cohort) -> a co-partitioned join of pairs x cohorts on
+    user_id (both sides are user-keyed Datasets; nothing broadcasts)
+    -> a bounded-domain (cohort, offset) count, since the week grid is
+    a calendar property, not a data-size one."""
+    from .tabular import shuffle_join
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"], split=True)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view("int64")
+        t = pa.table({"user_id": batch["user_id"], "week": pa.array(ts // _WEEK_US)})
+        return pa.TableGroupBy(t, ["user_id", "week"]).aggregate([])
+
+    upairs = (
+        grouped_aggregate(
+            ds.map_batches(pairs, batch_format="pyarrow"),
+            ["user_id", "week"],
+            {"one": ("count", None)},
+        )
+        .select_columns(["user_id", "week"])
+        .materialize()
+    )
+    cohort = grouped_aggregate(upairs, ["user_id"], {"cohort_week": ("min", "week")})
+    joined = shuffle_join(upairs, cohort, "user_id", how="inner")
+
+    def offset_of(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "cohort_week": df["cohort_week"].to_numpy(dtype=np.int64),
+                "week_offset": (df["week"] - df["cohort_week"]).to_numpy(dtype=np.int64),
+            }
+        )
+
+    out = grouped_aggregate(
+        joined.map_batches(offset_of, batch_format="pandas"),
+        ["cohort_week", "week_offset"],
+        {"n_users": ("count", None)},
+        small_keys=True,
+    )
+    return out.to_pandas().sort_values(["cohort_week", "week_offset"]).reset_index(drop=True)
+
+
+SQL_COHORT_RETENTION = """
+WITH uw AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week FROM events
+), c AS (
+  SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id
+)
+SELECT c.cohort_week, uw.week - c.cohort_week AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM uw JOIN c USING (user_id)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "latest_event_per_user": q_latest_event_per_user,
@@ -6718,6 +6835,8 @@ QUERIES = {
     "cube_orders": q_cube_orders,
     "full_outer_join": q_full_outer_join,
     "pagerank": q_pagerank,
+    "triangle_count": q_triangle_count,
+    "cohort_retention": q_cohort_retention,
     "zscore_normalize": q_zscore_normalize,
     "domain_quality_gate": q_domain_quality_gate,
     "fuzzy_name_join": q_fuzzy_name_join,
@@ -6841,6 +6960,8 @@ ORACLE_SQL = {
     "tdigest_rank_check": SQL_TDIGEST_RANK_CHECK,
     "hll_rank_check": SQL_HLL_RANK_CHECK,
     "cms_rank_check": SQL_CMS_RANK_CHECK,
+    "triangle_count": SQL_TRIANGLE_COUNT,
+    "cohort_retention": SQL_COHORT_RETENTION,
     "cc_redact": SQL_CC_REDACT,
     "funnel_users": SQL_FUNNEL,
     "fk_audit": SQL_FK_AUDIT,
