@@ -6650,45 +6650,46 @@ def q_cohort_retention(sf_dir: str):
     counted at every later activity week offset — the
     did-they-come-back table behind every retention dashboard.
 
-    Shape: per-batch distinct (user, week) pairs (the batch is the
-    combiner) -> one global pair dedupe -> per-user min week
-    (the cohort) -> a co-partitioned join of pairs x cohorts on
-    user_id (both sides are user-keyed Datasets; nothing broadcasts)
-    -> a bounded-domain (cohort, offset) count, since the week grid is
-    a calendar property, not a data-size one."""
-    from .tabular import shuffle_join
-
+    Shape: ONE exchange.  Per-batch distinct (user, week) pairs (the
+    batch is the combiner) hash-bucket on user_id; inside each bucket
+    every user's full week history is co-located, so one vectorized
+    pandas pass computes the cohort (per-user min), the offsets, and
+    the in-bucket partial counts; the final reduce is the
+    bounded-domain ``small_keys`` fold, since the (cohort, offset)
+    grid is a calendar property, not a data-size one.  (The naive plan
+    — pair dedupe, cohort groupby, pairs⨝cohorts join, final count —
+    is four all-to-alls; this is the same answer in one.)"""
     ds = read_table(sf_dir, "events", columns=["user_id", "ts"], split=True)
 
     def pairs(batch: pa.Table) -> pa.Table:
         ts = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view("int64")
         t = pa.table({"user_id": batch["user_id"], "week": pa.array(ts // _WEEK_US)})
-        return pa.TableGroupBy(t, ["user_id", "week"]).aggregate([])
+        g = pa.TableGroupBy(t, ["user_id", "week"]).aggregate([])
+        b = (g["user_id"].to_numpy(zero_copy_only=False) % 64).astype(np.int32)
+        return g.append_column("bucket", pa.array(b))
 
-    upairs = (
-        grouped_aggregate(
-            ds.map_batches(pairs, batch_format="pyarrow"),
-            ["user_id", "week"],
-            {"one": ("count", None)},
-        )
-        .select_columns(["user_id", "week"])
-        .materialize()
-    )
-    cohort = grouped_aggregate(upairs, ["user_id"], {"cohort_week": ("min", "week")})
-    joined = shuffle_join(upairs, cohort, "user_id", how="inner")
-
-    def offset_of(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def bucket_counts(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["user_id", "week"])
+        cohort = df.groupby("user_id")["week"].transform("min")
+        out = pd.DataFrame(
             {
-                "cohort_week": df["cohort_week"].to_numpy(dtype=np.int64),
-                "week_offset": (df["week"] - df["cohort_week"]).to_numpy(dtype=np.int64),
+                "cohort_week": cohort.to_numpy(dtype=np.int64),
+                "week_offset": (df["week"] - cohort).to_numpy(dtype=np.int64),
             }
         )
+        return out.groupby(["cohort_week", "week_offset"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
 
+    partials = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lambda df: bucket_counts(df.drop(columns=["bucket"])), batch_format="pandas")
+    )
     out = grouped_aggregate(
-        joined.map_batches(offset_of, batch_format="pandas"),
+        partials,
         ["cohort_week", "week_offset"],
-        {"n_users": ("count", None)},
+        {"n_users": ("sum", "n")},
         small_keys=True,
     )
     return out.to_pandas().sort_values(["cohort_week", "week_offset"]).reset_index(drop=True)

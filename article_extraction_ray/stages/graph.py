@@ -871,18 +871,25 @@ def _label_propagation_bucketed(
 
 
 def triangle_count(edges, *, src_col: str = "src", dst_col: str = "dst",
-                   num_buckets: int = _N_BUCKETS) -> int:
-    """Distributed triangle count over an undirected edge Dataset — the
-    classic graph-quality metric (clustering coefficient numerator) for
+                   num_buckets: int = _N_BUCKETS,
+                   driver_edge_budget: int = DRIVER_EDGE_BUDGET) -> int:
+    """Triangle count over an undirected edge Dataset — the classic
+    graph-quality metric (clustering coefficient numerator) for
     link/citation/dedup-pair graphs.
 
-    Plan (the standard MapReduce triangle enumeration): canonicalize
-    each edge to (a < b) and dedupe; JOIN edges with themselves on the
-    middle vertex (``shuffle_join`` co-partitions both sides once) to
-    enumerate wedges a<b<c; then one bucketed semi-join of the wedge's
-    closing pair (a, c) against the edge set — wedges whose closure
-    exists are triangles, counted once each thanks to the a<b<c
-    orientation.  Nothing drains to the driver except the final scalar.
+    Routing mirrors :func:`connected_components`: edge lists under
+    ``driver_edge_budget`` collapse on the driver (ids only) and count
+    via one vectorized pandas wedge-merge + sorted ``np.isin`` closure
+    probe — three distributed exchanges of tiny data would otherwise
+    cost ~6 s of fixed all-to-all floors.  Above the budget the
+    distributed plan runs (the standard MapReduce triangle
+    enumeration): canonicalize each edge to (a < b) and dedupe; JOIN
+    edges with themselves on the middle vertex (``shuffle_join``
+    co-partitions both sides once) to enumerate wedges a<b<c; then one
+    bucketed semi-join of the wedge's closing pair (a, c) against the
+    edge set — wedges whose closure exists are triangles, counted once
+    each thanks to the a<b<c orientation.  Nothing drains to the
+    driver except the final scalar.
 
     Skew note: id-orientation bounds wedge fan-out by max out-degree in
     id order; for power-law graphs the standard upgrade is DEGREE
@@ -892,6 +899,28 @@ def triangle_count(edges, *, src_col: str = "src", dst_col: str = "dst",
     import pyarrow.compute as pc
 
     from ..pipelines.tabular import grouped_aggregate, shuffle_join
+
+    _SHIFT64 = np.int64(1) << np.int64(32)
+
+    if edges.count() <= driver_edge_budget:
+        tbl = pa.concat_tables(
+            list(
+                edges.select_columns([src_col, dst_col]).iter_batches(
+                    batch_format="pyarrow", batch_size=None
+                )
+            )
+        )
+        s = tbl[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = tbl[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        a = np.minimum(s[keep], d[keep])
+        b = np.maximum(s[keep], d[keep])
+        ekeys = np.unique(a * _SHIFT64 + b)
+        a, b = ekeys // _SHIFT64, ekeys % _SHIFT64
+        e = pd.DataFrame({"a": a, "b": b})
+        wedges = e.merge(e.rename(columns={"a": "b", "b": "c"}), on="b")
+        wkeys = wedges["a"].to_numpy() * _SHIFT64 + wedges["c"].to_numpy()
+        return int(np.isin(wkeys, ekeys, assume_unique=False).sum())
 
     def canon(t: pa.Table) -> pa.Table:
         s = t[src_col].to_numpy(zero_copy_only=False).astype(np.int64)

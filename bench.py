@@ -88,6 +88,10 @@ BENCH_QUERIES = [
     "table_diff",
     "share_of_total",
     "rag_index_search",
+    "ewma",
+    "cc_redact",
+    "triangle_count",
+    "cohort_retention",
 ]
 
 

@@ -303,3 +303,25 @@ class TestBucketedNodeState:
         got = out.set_index("node")["label"].to_dict()
         assert got[1] == 3  # tie → smallest label
         assert got[0] == 5 and got[2] == 3  # seeds never flip
+
+
+class TestTriangleCount:
+    def test_distributed_equals_driver_kernel(self, ray_session):
+        import ray.data as rd
+
+        from article_extraction_ray.stages.graph import triangle_count
+
+        rng = np.random.default_rng(21)
+        src = rng.integers(0, 40, 300).astype(np.int64)
+        dst = rng.integers(0, 40, 300).astype(np.int64)
+        eds = rd.from_pandas(pd.DataFrame({"src": src, "dst": dst})).repartition(4)
+        fast = triangle_count(eds)                           # driver kernel
+        dist = triangle_count(eds, driver_edge_budget=0)     # forced distributed
+        assert fast == dist
+
+        # closed form on a known graph: K4 has exactly 4 triangles
+        k4 = pd.DataFrame(
+            {"src": [0, 0, 0, 1, 1, 2], "dst": [1, 2, 3, 2, 3, 3]}
+        )
+        assert triangle_count(rd.from_pandas(k4)) == 4
+        assert triangle_count(rd.from_pandas(k4), driver_edge_budget=0) == 4
