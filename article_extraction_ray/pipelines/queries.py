@@ -145,19 +145,26 @@ def q_validate_orders(sf_dir: str):
     )
 
     def key_counts(batch: pa.Table) -> pd.DataFrame:
+        # per-batch combiner: one (key, count) row per distinct key, plus
+        # the coarse bucket so the reduce is a 64-way exchange of
+        # partials, not a per-key sort-aggregate over every orderkey
         vc = pd.Series(batch["o_orderkey"].to_numpy(zero_copy_only=False)).value_counts()
-        return pd.DataFrame({"k": vc.index, "c": vc.to_numpy()})
+        k = vc.index.to_numpy()
+        return pd.DataFrame({"k": k, "c": vc.to_numpy(), "bucket": (k % 64).astype(np.int32)})
 
-    dup = grouped_aggregate(
-        ds.map_batches(key_counts, batch_format="pyarrow"), ["k"], {"c": ("sum", "c")}
+    def bucket_dups(df: pd.DataFrame) -> pd.DataFrame:
+        total = df.groupby("k", sort=False)["c"].sum()
+        return pd.DataFrame(
+            {"rule": ["duplicate_orderkey"], "n_bad": [int((total > 1).sum())]}
+        )
+
+    dup_partials = (
+        ds.map_batches(key_counts, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lambda df: bucket_dups(df.drop(columns=["bucket"])), batch_format="pandas")
     )
-
-    def dup_partial(batch: pa.Table) -> pd.DataFrame:
-        c = batch["c"].to_numpy(zero_copy_only=False)
-        return pd.DataFrame({"rule": ["duplicate_orderkey"], "n_bad": [int((c > 1).sum())]})
-
     dup_count = grouped_aggregate(
-        dup.map_batches(dup_partial, batch_format="pyarrow"), ["rule"], {"n_violations": ("sum", "n_bad")},
+        dup_partials, ["rule"], {"n_violations": ("sum", "n_bad")},
         small_keys=True,
     )
     return counts.union(dup_count)
