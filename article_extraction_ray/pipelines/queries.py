@@ -1697,10 +1697,52 @@ FROM documents
 
 
 def q_lang_id(sf_dir: str):
+    """Stopword-voting language ID (actor-pool stage; profiles compiled
+    once per actor).  Value-oracled: the vote — per-language stopword
+    hit counts over the unicode-letter token runs, argmax with
+    first-in-sorted-order tie break, zero evidence → 'und' — is exactly
+    expressible as SQL list arithmetic, so the driver hash pins every
+    prediction."""
     from ..stages.text_stats import LangIdStage
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(LangIdStage, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def _sql_lang_id() -> str:
+    from ..stages.text_stats import _PROFILES
+
+    langs = sorted(_PROFILES)
+    hit_cols = ",\n    ".join(
+        "COALESCE(CAST(list_sum(list_transform(ws, w -> CASE WHEN w IN ({words}) "
+        "THEN 1 ELSE 0 END)) AS BIGINT), 0) AS h_{lang}".format(
+            words=",".join(f"'{w}'" for w in sorted(_PROFILES[lang])), lang=lang
+        )
+        for lang in langs
+    )
+    g = "greatest({})".format(", ".join(f"h_{lang}" for lang in langs))
+    picks = "\n       ".join(
+        f"WHEN h_{lang} = {g} THEN '{lang}'" for lang in langs[:-1]
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(text, '\\p{{L}}+'), w -> lower(w)) AS ws
+  FROM documents
+), hits AS (
+  SELECT doc_id,
+    {hit_cols}
+  FROM toks
+)
+SELECT doc_id,
+  CASE WHEN {g} = 0 THEN 'und'
+       {picks}
+       ELSE '{langs[-1]}' END AS lang_pred
+FROM hits
+"""
+
+
+SQL_LANG_ID = _sql_lang_id()
 
 
 def q_quality_score(sf_dir: str):
@@ -6970,6 +7012,7 @@ ORACLE_SQL = {
     "cms_rank_check": SQL_CMS_RANK_CHECK,
     "triangle_count": SQL_TRIANGLE_COUNT,
     "cohort_retention": SQL_COHORT_RETENTION,
+    "lang_id": SQL_LANG_ID,
     "cc_redact": SQL_CC_REDACT,
     "funnel_users": SQL_FUNNEL,
     "fk_audit": SQL_FK_AUDIT,
