@@ -1908,6 +1908,95 @@ def _near_dedup_counts(sf_dir: str, *, loser_budget: int = NEAR_DEDUP_LOSER_BUDG
     )
 
 
+_SSJOIN_T = 0.8
+_SSJOIN_GATE_T = 0.9
+
+
+def q_ssjoin_jaccard(sf_dir: str):
+    """EXACT n-gram-Jaccard set-similarity self-join (AllPairs prefix
+    filtering, stages/dedup.ssjoin_exact): every document pair with
+    word-3-shingle Jaccard ≥ 0.8, no LSH approximation.  Value-oracled
+    bit-for-bit against DuckDB's own shingle-set arithmetic — the one
+    dedup family member where the oracle can pin the PAIR LIST itself,
+    not just a property of it."""
+    from ..stages.dedup import ssjoin_exact
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+    out = ssjoin_exact(ds, threshold=_SSJOIN_T, n=3)
+    out["jaccard"] = out["jaccard"].round(6)
+    return out
+
+
+SQL_SSJOIN = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts
+  FROM documents WHERE text IS NOT NULL AND text <> ''
+), sh AS (
+  SELECT doc_id, list_distinct(CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+         ELSE list_transform(range(1, len(ts) - 1), i -> ts[i]||' '||ts[i+1]||' '||ts[i+2]) END) AS s
+  FROM toks
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b_exp.doc_id AS id_b
+  FROM sh a, UNNEST(a.s) s2(g)
+  JOIN (SELECT doc_id, UNNEST(s) AS g FROM sh) b_exp(doc_id, g) USING (g)
+  WHERE a.doc_id < b_exp.doc_id
+)
+SELECT id_a, id_b,
+       round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+             / len(list_distinct(x.s || y.s)), 6) AS jaccard
+FROM cand JOIN sh x ON x.doc_id = cand.id_a JOIN sh y ON y.doc_id = cand.id_b
+WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+      / len(list_distinct(x.s || y.s)) >= {_SSJOIN_T}
+"""
+
+
+def q_minhash_recall_gate(sf_dir: str):
+    """The MinHash-LSH recall contract at the driver gate (same pattern
+    as `hll_rank_check`): every pair the EXACT prefix-filtered join
+    proves has Jaccard ≥ 0.9 must also be found by the 16-band × 4-row
+    LSH (per-pair miss probability (1-0.9⁴)¹⁶ ≈ 4e-8).  The oracle
+    enumerates the exact pair list with ``found = TRUE``, so a
+    signature/banding regression that drops a real near-dup reds the
+    value hash — turning the probabilistic dedup path into a
+    driver-checked component instead of a rows-only one."""
+    from ..stages.dedup import minhash_dup_pairs, ssjoin_exact
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+    exact = ssjoin_exact(ds, threshold=_SSJOIN_GATE_T, n=3)
+    lsh = minhash_dup_pairs(ds, threshold=_SSJOIN_GATE_T)
+    lsh_keys = set(zip(lsh["id_a"].astype(int), lsh["id_b"].astype(int)))
+    found = [
+        (int(a), int(b)) in lsh_keys
+        for a, b in zip(exact["id_a"], exact["id_b"])
+    ]
+    return pd.DataFrame(
+        {"id_a": exact["id_a"].astype(np.int64),
+         "id_b": exact["id_b"].astype(np.int64),
+         "found": np.asarray(found, dtype=bool)}
+    ).reset_index(drop=True)
+
+
+SQL_MINHASH_RECALL_GATE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts
+  FROM documents WHERE text IS NOT NULL AND text <> ''
+), sh AS (
+  SELECT doc_id, list_distinct(CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+         ELSE list_transform(range(1, len(ts) - 1), i -> ts[i]||' '||ts[i+1]||' '||ts[i+2]) END) AS s
+  FROM toks
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b_exp.doc_id AS id_b
+  FROM sh a, UNNEST(a.s) s2(g)
+  JOIN (SELECT doc_id, UNNEST(s) AS g FROM sh) b_exp(doc_id, g) USING (g)
+  WHERE a.doc_id < b_exp.doc_id
+)
+SELECT id_a, id_b, TRUE AS found
+FROM cand JOIN sh x ON x.doc_id = cand.id_a JOIN sh y ON y.doc_id = cand.id_b
+WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+      / len(list_distinct(x.s || y.s)) >= {_SSJOIN_GATE_T}
+"""
+
+
 def q_simhash_pairs(sf_dir: str):
     from ..stages.dedup import simhash_dup_pairs
 
@@ -6800,6 +6889,8 @@ QUERIES = {
     "quality_score": q_quality_score,
     "winnow_fingerprints": q_winnow_fingerprints,
     "minhash_dedup": q_minhash_dedup,
+    "ssjoin_jaccard": q_ssjoin_jaccard,
+    "minhash_recall_gate": q_minhash_recall_gate,
     "near_dedup_corpus": q_near_dedup_corpus,
     "simhash_pairs": q_simhash_pairs,
     "simhash_values": q_simhash_values,
@@ -6966,6 +7057,8 @@ ORACLE_SQL = {
     "sliding_window": SQL_SLIDING_WINDOW,
     "grouped_quantiles": SQL_GROUPED_QUANTILES,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "ssjoin_jaccard": SQL_SSJOIN,
+    "minhash_recall_gate": SQL_MINHASH_RECALL_GATE,
     "pii_redact": f"SELECT doc_id, {_sql_redact_expr()} AS text FROM documents",
     "decontaminate": SQL_DECONTAM,
     "repetition_stats": SQL_REPETITION,

@@ -218,3 +218,68 @@ class TestIncrementalMinhash:
         )
         assert out.empty
         assert list(out.columns) == ["id_new", "id_old", "n_bands", "est_jaccard"]
+
+
+class TestSsjoinExact:
+    """Exact prefix-filtered set-similarity self-join vs brute force."""
+
+    def _corpus(self, n_docs=60, seed=3):
+        rng = np.random.default_rng(seed)
+        vocab = [f"w{i}" for i in range(80)]
+        texts = []
+        for _ in range(n_docs):
+            texts.append(" ".join(rng.choice(vocab, size=30)))
+        # planted near-dups: single-token edits of the first 8 docs
+        for i in range(8):
+            toks = texts[i].split()
+            toks[rng.integers(0, len(toks))] = "XX"
+            texts.append(" ".join(toks))
+        # planted exact dup + short docs
+        texts.append(texts[0])
+        texts.extend(["tiny doc", "tiny doc", "solo"])
+        return pd.DataFrame(
+            {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+        )
+
+    def _brute(self, df, threshold, n=3):
+        from article_extraction_ray.stages.dedup import exact_jaccard
+
+        out = set()
+        rows = list(zip(df["doc_id"], df["text"]))
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                if not rows[i][1] or not rows[j][1]:
+                    continue
+                if exact_jaccard(rows[i][1], rows[j][1], n) >= threshold:
+                    out.add((int(rows[i][0]), int(rows[j][0])))
+        return out
+
+    @pytest.mark.parametrize("threshold", [0.5, 0.8, 0.95])
+    def test_matches_brute_force(self, ray_session, threshold):
+        import ray.data as rd
+        from article_extraction_ray.stages.dedup import ssjoin_exact
+
+        df = self._corpus()
+        got = ssjoin_exact(rd.from_pandas(df).repartition(4), threshold=threshold)
+        assert set(zip(got["id_a"].astype(int), got["id_b"].astype(int))) == \
+            self._brute(df, threshold)
+        assert (got["jaccard"] >= threshold).all()
+
+    def test_exact_dup_pair_has_jaccard_one(self, ray_session):
+        import ray.data as rd
+        from article_extraction_ray.stages.dedup import ssjoin_exact
+
+        df = self._corpus()
+        got = ssjoin_exact(rd.from_pandas(df).repartition(2), threshold=0.99)
+        exact_pairs = set(zip(got["id_a"].astype(int), got["id_b"].astype(int)))
+        assert (0, len(df) - 4) in exact_pairs  # texts[0] repeated
+        assert (got[got["jaccard"] < 1.0].empty or (got["jaccard"] >= 0.99).all())
+
+    def test_empty_and_no_pairs(self, ray_session):
+        import ray.data as rd
+        from article_extraction_ray.stages.dedup import ssjoin_exact
+
+        df = pd.DataFrame({"doc_id": [1, 2], "text": ["alpha beta gamma", "delta eps zeta"]})
+        got = ssjoin_exact(rd.from_pandas(df), threshold=0.5)
+        assert got.empty
+        assert list(got.columns) == ["id_a", "id_b", "jaccard"]
