@@ -15,14 +15,20 @@ import os
 
 
 def _read_blocks() -> int | None:
-    """Read-task count: Ray's default heuristic under-parallelizes wide
-    list<struct> parquet (decode is CPU-bound), so request ~8 tasks per
-    CPU; harmless when the corpus has fewer row groups."""
+    """Read-task count: ~2 tasks per CPU.
+
+    Measured on the 100k-doc corpus (fast parse kernel, 32 CPUs): the
+    old 8×-CPU setting cost 2.7 s of pure per-task scheduling/object
+    overhead for the same scan that 2×-CPU finishes in 0.7 s — with the
+    parse kernel no longer the bottleneck, fine-grained read tasks are
+    all overhead.  2× keeps enough slack for the actor pool's load
+    balance; at production scale the 128 MiB target block size governs
+    and this count is just a floor."""
     import ray
 
     try:
         if ray.is_initialized():
-            return max(32, int(ray.cluster_resources().get("CPU", 8)) * 8)
+            return max(32, int(ray.cluster_resources().get("CPU", 8)) * 2)
     except Exception:
         pass
     return None

@@ -32,7 +32,11 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..oracle import extract_document_spans, extract_html_paragraphs, extract_pdf_pages
+from ..oracle import extract_pdf_pages
+from .fast_html import (
+    extract_document_spans_fast as extract_document_spans,
+    extract_html_paragraphs_hybrid as extract_html_paragraphs,
+)
 from ..schema import EXTRACTED_SCHEMA, EXPLODED_SCHEMA, FLAT_SPAN_SCHEMA, SPAN_OUT_STRUCT
 
 #: Documents whose total payload exceeds this go to the salted path.
