@@ -80,6 +80,21 @@ class SpanExtractor:
         )
 
 
+#: per-worker-process parser singleton for the elastic-task execution
+#: path (same "state once per worker" trade as dedup._STAGE_CACHE): the
+#: sandbox parser has no expensive context, so tasks skip actor-pool
+#: process spawn entirely; a parser stack with real per-process state
+#: (lxml/pdfminer/models) should run as an actor pool instead.
+_SPAN_STAGE: "SpanExtractor | None" = None
+
+
+def extract_spans_task(batch: pa.Table) -> pa.Table:
+    global _SPAN_STAGE
+    if _SPAN_STAGE is None:
+        _SPAN_STAGE = SpanExtractor()
+    return _SPAN_STAGE(batch)
+
+
 def explode_batch(batch: pa.Table, *, salt_bytes: int = DEFAULT_SALT_BYTES) -> pa.Table:
     """Flatten documents into per-part rows with salted keys.
 
