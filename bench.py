@@ -259,10 +259,10 @@ def run_scaling() -> dict:
             "scaling_efficiency": round(eff_sat, 3),
         },
         "note": (
-            "N->4N pair chosen below this box's DRAM saturation point "
-            "(~8-10 concurrent parsers); a Ray-free multiprocessing "
-            "control of the same parse kernel scales 2->8 procs at 0.97 "
-            "but 8->32 at 0.31 — see BASELINE.md"
+            "N->4N pair chosen below this box's DRAM saturation point; "
+            "a Ray-free multiprocessing control of the same (fast) parse "
+            "kernel scales 2->8 procs at 0.87 but 8->32 at 0.58 — the "
+            "box's memory wall, not the engine; see BASELINE.md"
         ),
     }
 
