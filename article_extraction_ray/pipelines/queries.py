@@ -5741,16 +5741,13 @@ def q_bpe_encode(sf_dir: str):
     words, not corpus size.  Rows-only (iterative training upstream);
     encoder bit-equality vs the textbook reference is pytest-verified
     (tests/test_bpe.py)."""
-    from ..stages.bpe import BpeEncodeStage, bpe_train
+    from ..stages.bpe import bpe_train, encode_stage_task
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], split=True)
     merges = bpe_train(ds, num_merges=12)
     bc = Broadcast(list(zip(merges["left"].astype(str), merges["right"].astype(str))))
     return ds.map_batches(
-        BpeEncodeStage,
-        fn_constructor_args=(bc,),
-        batch_format="pyarrow",
-        concurrency=(1, 4),
+        lambda b: encode_stage_task(b, bc), batch_format="pyarrow"
     )
 
 
@@ -6421,7 +6418,7 @@ def q_pretokenize_corpus(sf_dir: str):
     end-to-end contract a user actually runs.  Rows-only (iterative BPE
     inside); the curation prefix is value-oracled via `curate_corpus`
     and the encoder via tests/test_bpe.py."""
-    from ..stages.bpe import BpeEncodeStage, bpe_train
+    from ..stages.bpe import bpe_train, encode_stage_task
     from ..stages.curation import benchmark_gram_set, filter_by_repetition, mark_contaminated
     from ..stages.scan import pack_sequences
     from .tabular import top_k_per_group
@@ -6446,10 +6443,8 @@ def q_pretokenize_corpus(sf_dir: str):
     merges = bpe_train(capped, num_merges=12)
     bc = Broadcast(list(zip(merges["left"].astype(str), merges["right"].astype(str))))
     encoded = capped.map_batches(
-        BpeEncodeStage,
-        fn_constructor_args=(bc, "text", ("source",)),
+        lambda b: encode_stage_task(b, bc, "text", ("source",)),
         batch_format="pyarrow",
-        concurrency=(1, 4),
     )
     counted = encoded.select_columns(["doc_id", "source", "n_tokens"]).rename_columns(
         ["doc_id", "source", "n_tok"]

@@ -39,9 +39,21 @@ from ..state.broadcast import Broadcast
 _END = "</w>"
 
 
-def _word_counts(ds, text_col: str):
-    """Corpus → Dataset(word, cnt): the single pass over raw text."""
+def _word_counts(ds, text_col: str, *, driver_partial_budget: int = 2_000_000):
+    """Corpus → Dataset(word, cnt): the single pass over raw text.
+
+    Per-batch partial counts always run distributed (one row per
+    distinct word per batch).  The cross-batch fold routes by the
+    PARTIAL row count: under ``driver_partial_budget`` rows the fold is
+    one driver-side pandas groupby over the materialized partials —
+    skipping Ray's distributed sort-aggregate, whose fixed cost
+    dominates when the vocabulary is small (the common case: natural-
+    language vocabularies grow ~Heaps' law, far sublinear in corpus
+    size).  Above the budget the fold is the distributed
+    ``grouped_aggregate`` — nothing vocabulary-sized ever lands on the
+    driver at web scale."""
     import pyarrow.compute as pc
+    import ray.data as rd
 
     from ..pipelines.tabular import grouped_aggregate
 
@@ -53,9 +65,11 @@ def _word_counts(ds, text_col: str):
         vc = pd.Series(flat).value_counts()
         return pd.DataFrame({"word": vc.index, "cnt": vc.to_numpy()})
 
-    return grouped_aggregate(
-        ds.map_batches(partial, batch_format="pyarrow"), ["word"], {"cnt": ("sum", "cnt")}
-    )
+    partials = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    if partials.count() <= driver_partial_budget:
+        df = partials.to_pandas().groupby("word", as_index=False, sort=False)["cnt"].sum()
+        return rd.from_pandas(df)
+    return grouped_aggregate(partials, ["word"], {"cnt": ("sum", "cnt")})
 
 
 def _to_symbols(batch: pa.Table) -> pa.Table:
@@ -125,6 +139,25 @@ def _merge_pair(batch: pa.Table, pair: tuple[str, str]) -> pa.Table:
         [batch["word"], pa.array(new_seqs, type=pa.list_(pa.string())), batch["cnt"]],
         names=["word", "symbols", "cnt"],
     )
+
+
+#: per-worker-process encode-stage cache keyed by the merge table's
+#: object-store ref (same trade as dedup._STAGE_CACHE): the stage state
+#: (merge list + word memo) builds once per worker and is shared by all
+#: task batches — actor-pool "state once" without pool startup.
+_ENCODE_CACHE: dict = {}
+
+
+def encode_stage_task(batch: pa.Table, merges_bc: Broadcast,
+                      text_col: str = "text",
+                      passthrough: tuple[str, ...] = ()) -> pa.Table:
+    key = (merges_bc.key(), text_col, passthrough)
+    stage = _ENCODE_CACHE.get(key)
+    if stage is None:
+        stage = _ENCODE_CACHE.setdefault(
+            key, BpeEncodeStage(merges_bc, text_col, passthrough)
+        )
+    return stage(batch)
 
 
 def bpe_train(

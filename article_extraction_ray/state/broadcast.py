@@ -39,6 +39,11 @@ class Broadcast:
             self._value = ray.get(self._ref)
         return self._value
 
+    def key(self) -> str:
+        """Stable identity for per-worker stage caches (the object-store
+        ref hex; falls back to the value's id in Ray-less unit tests)."""
+        return self._ref.hex() if self._ref is not None else f"local-{id(self._value)}"
+
     def __getstate__(self):
         # never ship the resolved value inside pickled closures — only the
         # object-store ref travels; workers re-resolve locally (zero-copy).

@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "cc_redact",
     "triangle_count",
     "cohort_retention",
+    "ssjoin_jaccard",
 ]
 
 
