@@ -37,6 +37,11 @@ import pyarrow as pa
 from ..state.broadcast import Broadcast
 from .similarity import _as_matrix, _normalize
 
+#: n_rows × dim budget for the k-means driver-kernel route (64 MiB of
+#: float64): under it the sweep loop runs on one collected matrix,
+#: above it every sweep is a distributed partial-sum reduce.
+_KMEANS_DRIVER_FLOATS = 8_000_000
+
 
 def _hash_priorities(ids: np.ndarray, seed: int) -> np.ndarray:
     """Deterministic pseudo-uniform priority per id — one vectorized
@@ -124,6 +129,44 @@ def kmeans_fit(
         ds = ds.materialize()
     cents = _init_centroids(ds, k, id_col=id_col, vec_col=vec_col, seed=seed)
     d = cents.shape[1]
+
+    # Size-routed driver kernel (same pattern as triangle_count / the
+    # BPE driver-vocab branch): when the DERIVED vector table fits the
+    # budget, the sweep loop runs on one collected matrix — identical
+    # update rule (argmax c·x − ‖c‖²/2, empty clusters keep their
+    # centroid), none of the per-sweep plan/scheduling overhead that
+    # dominates iterative fits at small scale.  Above the budget every
+    # sweep is the distributed partial-sum reduce below; results differ
+    # only in float summation order (≤1 ulp per coordinate).
+    try:
+        n_rows = ds.count()
+    except Exception:
+        n_rows = None
+    if n_rows is not None and n_rows * d <= _KMEANS_DRIVER_FLOATS:
+        import ray as _ray
+
+        blocks = _ray.get(ds.select_columns([vec_col]).to_arrow_refs())
+        mats = [_as_matrix(b[vec_col]) for b in blocks if b.num_rows]
+        mat = np.vstack(mats) if mats else np.zeros((0, d))
+
+        def sweep_local(cents: np.ndarray, _i: int) -> np.ndarray:
+            if not mat.size:
+                return cents
+            assign = np.argmax(mat @ cents.T - 0.5 * (cents * cents).sum(axis=1), axis=1)
+            sums = np.zeros((k, d))
+            np.add.at(sums, assign, mat)
+            counts = np.bincount(assign, minlength=k).astype(np.int64)
+            new = cents.copy()
+            nz = counts > 0
+            new[nz] = sums[nz] / counts[nz, None]
+            return new
+
+        def converged_local(prev: np.ndarray, new: np.ndarray) -> bool:
+            return float(np.max(np.linalg.norm(new - prev, axis=1))) < tol
+
+        return iterate_with_checkpoint(
+            cents, sweep_local, iters, ckpt_dir=ckpt_dir, should_stop=converged_local
+        )
 
     def sweep(cents: np.ndarray, _i: int) -> np.ndarray:
         handle = Broadcast(cents)

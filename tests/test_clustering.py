@@ -190,3 +190,21 @@ class TestIterateWithCheckpoint:
             0, lambda s, i: min(s + 1, 2), 100, should_stop=lambda a, b: a == b
         )
         assert out == 2
+
+
+class TestKmeansDriverRoute:
+    def test_driver_and_distributed_paths_agree(self, ray_session, monkeypatch):
+        import ray.data as rd
+        import numpy as np
+        from article_extraction_ray.stages import clustering as C
+
+        rng = np.random.default_rng(5)
+        vecs = np.vstack([rng.normal(c, 0.05, size=(40, 8)) for c in (0.0, 1.0, 2.0)])
+        df = __import__("pandas").DataFrame(
+            {"vec_id": np.arange(len(vecs), dtype=np.int64), "embedding": list(vecs)}
+        )
+        ds = rd.from_pandas(df).repartition(4)
+        cents_driver = C.kmeans_fit(ds, 3, iters=6, seed=17)
+        monkeypatch.setattr(C, "_KMEANS_DRIVER_FLOATS", 0)  # force distributed
+        cents_dist = C.kmeans_fit(rd.from_pandas(df).repartition(4), 3, iters=6, seed=17)
+        assert np.allclose(np.sort(cents_driver, axis=0), np.sort(cents_dist, axis=0), atol=1e-9)
