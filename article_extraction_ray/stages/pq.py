@@ -57,6 +57,11 @@ def _prep(mat: np.ndarray, coarse: np.ndarray | None):
     return mat - coarse[a], a
 
 
+#: n_rows × dim budget for the PQ driver-kernel fit route (64 MiB of
+#: float64), mirroring clustering._KMEANS_DRIVER_FLOATS.
+_PQ_DRIVER_FLOATS = 8_000_000
+
+
 def _fit_sample(ds, n_sample: int, *, id_col: str, vec_col: str,
                 coarse: np.ndarray | None = None) -> np.ndarray:
     """Seeded spread sample for codebook init: each batch keeps its
@@ -112,6 +117,48 @@ def pq_fit(
     # init: per subspace, the first ksub sample subvectors in priority order
     books = np.stack([sample[:ksub, j * dsub : (j + 1) * dsub].copy() for j in range(m)])
 
+    def sweep_arrays(mat: np.ndarray, cb: np.ndarray):
+        sums = np.zeros((m, ksub, dsub))
+        counts = np.zeros((m, ksub), dtype=np.int64)
+        for j in range(m):
+            sub = mat[:, j * dsub : (j + 1) * dsub]
+            a = np.argmax(sub @ cb[j].T - 0.5 * (cb[j] * cb[j]).sum(axis=1), axis=1)
+            np.add.at(sums[j], a, sub)
+            counts[j] = np.bincount(a, minlength=ksub)
+        return sums, counts
+
+    def apply_update(cb: np.ndarray, sums: np.ndarray, counts: np.ndarray):
+        new = cb.copy()  # empty codewords keep their previous value
+        nz = counts > 0
+        new[nz] = sums[nz] / counts[nz][:, None]
+        return new, float(np.max(np.linalg.norm(new - cb, axis=2)))
+
+    # Size-routed driver kernel (same pattern and rationale as
+    # clustering.kmeans_fit): under the floats budget the sweep loop
+    # runs on one collected (already _prep-ed) matrix — identical
+    # update rule via the shared sweep helper, none of the per-sweep
+    # plan overhead.  Above it each sweep is the distributed
+    # fixed-width partial-sum reduce.
+    try:
+        n_rows = ds.count()
+    except Exception:
+        n_rows = None
+    if n_rows is not None and n_rows * d <= _PQ_DRIVER_FLOATS:
+        import ray as _ray
+
+        blocks = _ray.get(ds.select_columns([vec_col]).to_arrow_refs())
+        mats = [_as_matrix(b[vec_col]) for b in blocks if b.num_rows]
+        full = np.vstack(mats) if mats else np.zeros((0, d))
+        mat, _ = _prep(full, coarse)
+        for _ in range(iters):
+            if not mat.size:
+                break
+            sums, counts = sweep_arrays(mat, books)
+            books, shift = apply_update(books, sums, counts)
+            if shift < tol:
+                break
+        return books
+
     for _ in range(iters):
         handle = Broadcast((books, coarse))
 
@@ -120,13 +167,7 @@ def pq_fit(
             mat, _ = _prep(_as_matrix(batch[vec_col]), crs)
             if not mat.size:
                 return pd.DataFrame({"sums": [], "counts": []})
-            sums = np.zeros((m, ksub, dsub))
-            counts = np.zeros((m, ksub), dtype=np.int64)
-            for j in range(m):
-                sub = mat[:, j * dsub : (j + 1) * dsub]
-                a = np.argmax(sub @ cb[j].T - 0.5 * (cb[j] * cb[j]).sum(axis=1), axis=1)
-                np.add.at(sums[j], a, sub)
-                counts[j] = np.bincount(a, minlength=ksub)
+            sums, counts = sweep_arrays(mat, cb)
             return pd.DataFrame({"sums": [sums.ravel()], "counts": [counts.ravel()]})
 
         parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
@@ -134,11 +175,7 @@ def pq_fit(
             break
         sums = np.sum(np.stack(parts["sums"].to_numpy()), axis=0).reshape(m, ksub, dsub)
         counts = np.sum(np.stack(parts["counts"].to_numpy()), axis=0).reshape(m, ksub)
-        new = books.copy()  # empty codewords keep their previous value
-        nz = counts > 0
-        new[nz] = sums[nz] / counts[nz][:, None]
-        shift = float(np.max(np.linalg.norm(new - books, axis=2)))
-        books = new
+        books, shift = apply_update(books, sums, counts)
         if shift < tol:
             break
     return books
