@@ -6842,6 +6842,341 @@ ORDER BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: consecutive-day activity streaks per user
+# ---------------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+
+
+def q_event_islands(sf_dir: str):
+    """Gaps-and-islands (consecutive-day activity streaks per user) —
+    the classic row_number-difference trick, distributed: within a
+    user's sorted distinct active days, ``day_index - rank`` is constant
+    exactly along a consecutive run, so that anchor IS the island id.
+
+    Shape: each batch collapses to its distinct (user, day) pairs (a
+    combiner — bounded by users×days, not events), ONE coarse shuffle
+    on ``user_id % 32`` co-locates each user, and the in-bucket pass is
+    a vectorized sort + cumcount + two groupbys.  Event rows never
+    shuffle; a user's state is bounded by their active-day count."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"], split=True)
+
+    def day_pairs(batch: pa.Table) -> pd.DataFrame:
+        us = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view("int64")
+        df = pd.DataFrame(
+            {"user_id": batch["user_id"].to_numpy(zero_copy_only=False), "day": us // _DAY_US}
+        ).drop_duplicates()
+        df["__bucket"] = (df["user_id"] % 32).astype(np.int32)
+        return df
+
+    def islands(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["user_id", "day"]).sort_values(["user_id", "day"], kind="stable")
+        rn = df.groupby("user_id", sort=False).cumcount()
+        runs = (
+            df.assign(anchor=df["day"].to_numpy() - rn.to_numpy())
+            .groupby(["user_id", "anchor"], sort=False)
+            .size()
+            .reset_index(name="len")
+        )
+        out = (
+            runs.groupby("user_id", sort=False)
+            .agg(n_islands=("len", "size"), longest_streak=("len", "max"), active_days=("len", "sum"))
+            .reset_index()
+        )
+        for c in ("n_islands", "longest_streak", "active_days"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return (
+        ds.map_batches(day_pairs, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(lambda df: islands(df.drop(columns=["__bucket"])), batch_format="pandas")
+    )
+
+
+SQL_EVENT_ISLANDS = """
+WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+runs AS (
+  SELECT user_id,
+         day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER) AS anchor
+  FROM days
+),
+islands AS (SELECT user_id, anchor, count(*) AS len FROM runs GROUP BY 1, 2)
+SELECT user_id,
+       CAST(count(*) AS BIGINT)  AS n_islands,
+       CAST(max(len) AS BIGINT)  AS longest_streak,
+       CAST(sum(len) AS BIGINT)  AS active_days
+FROM islands GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Time-spine gap fill: materialize missing buckets, forward-fill values
+# ---------------------------------------------------------------------------
+
+_GAPFILL_BUCKET_US = 3_600_000_000
+
+
+def q_time_gap_fill(sf_dir: str):
+    """Time-spine gap fill (the resample-then-ffill staple): hourly
+    sum(value), with every MISSING hour between the observed min and max
+    materialized and forward-filled from the last present bar.
+
+    Shape: per-batch partials are one row per PRESENT hour — the hour
+    domain is bounded by the time range, not the data size (the same
+    bounded-domain argument as ``grouped_aggregate(small_keys=True)``)
+    — so the final spine build is one vectorized ``reindex + ffill``
+    over the coalesced partial set.  Event rows never shuffle."""
+    ds = read_table(sf_dir, "events", columns=["ts", "value"], split=True)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        us = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view("int64")
+        df = pd.DataFrame(
+            {"h": (us // _GAPFILL_BUCKET_US) * _GAPFILL_BUCKET_US,
+             "v": batch["value"].to_numpy(zero_copy_only=False)}
+        )
+        return df.groupby("h", sort=False)["v"].sum().reset_index()
+
+    def fill(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("h")["v"].sum()
+        idx = np.arange(g.index.min(), g.index.max() + _GAPFILL_BUCKET_US, _GAPFILL_BUCKET_US)
+        s = g.reindex(idx)
+        return pd.DataFrame(
+            {
+                "h": idx.view("datetime64[us]"),
+                "value_filled": s.ffill().round(2).to_numpy(),
+                "was_gap": s.isna().to_numpy(),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(fill, batch_format="pandas")
+    )
+
+
+SQL_TIME_GAP_FILL = """
+WITH hourly AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS h, sum(value) AS v
+  FROM events GROUP BY 1
+),
+spine AS (
+  SELECT unnest(generate_series((SELECT min(h) FROM hourly),
+                                (SELECT max(h) FROM hourly),
+                                INTERVAL '1 hour')) AS h
+),
+j AS (SELECT s.h, v FROM spine s LEFT JOIN hourly USING (h))
+SELECT h,
+       round(last_value(v IGNORE NULLS) OVER (
+             ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS value_filled,
+       (v IS NULL) AS was_gap
+FROM j
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pairwise Pearson correlation matrix from one pass of moment partials
+# ---------------------------------------------------------------------------
+
+_CORR_PAIRS = [
+    ("l_quantity", "l_extendedprice"),
+    ("l_quantity", "l_discount"),
+    ("l_extendedprice", "l_discount"),
+]
+
+
+def q_corr_matrix(sf_dir: str):
+    """Pairwise Pearson correlations across numeric columns in ONE
+    streaming pass: each batch emits fixed-width moment partials
+    (n, Σx, Σy, Σxx, Σyy, Σxy per pair — six numbers per pair per
+    batch), the tiny partial table reduces, and corr finalizes from the
+    merged moments.  No shuffle of fact rows ever; the driver holds
+    6·|pairs| floats regardless of corpus size.  Rounded to 6 on both
+    sides (float policy)."""
+    cols = sorted({c for p in _CORR_PAIRS for c in p})
+    ds = read_table(sf_dir, "lineitem", columns=cols, split=True)
+
+    def moments(batch: pa.Table) -> pd.DataFrame:
+        arr = {c: batch[c].to_numpy(zero_copy_only=False) for c in cols}
+        rows = []
+        for cx, cy in _CORR_PAIRS:
+            x, y = arr[cx], arr[cy]
+            rows.append(
+                {
+                    "col_x": cx, "col_y": cy, "n": float(len(x)),
+                    "sx": x.sum(), "sy": y.sum(),
+                    "sxx": (x * x).sum(), "syy": (y * y).sum(), "sxy": (x * y).sum(),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    merged = grouped_aggregate(
+        ds.map_batches(moments, batch_format="pyarrow"),
+        ["col_x", "col_y"],
+        {k: ("sum", k) for k in ("n", "sx", "sy", "sxx", "syy", "sxy")},
+        small_keys=True,
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy()
+        cov = n * df["sxy"].to_numpy() - df["sx"].to_numpy() * df["sy"].to_numpy()
+        vx = n * df["sxx"].to_numpy() - df["sx"].to_numpy() ** 2
+        vy = n * df["syy"].to_numpy() - df["sy"].to_numpy() ** 2
+        return pd.DataFrame(
+            {
+                "col_x": df["col_x"], "col_y": df["col_y"],
+                "corr": np.round(cov / np.sqrt(vx * vy), 6),
+                "n": n.astype(np.int64),
+            }
+        )
+
+    return merged.map_batches(finalize, batch_format="pandas")
+
+
+SQL_CORR_MATRIX = " UNION ALL ".join(
+    f"""SELECT '{cx}' AS col_x, '{cy}' AS col_y,
+               round(corr({cx}, {cy}), 6) AS corr,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem"""
+    for cx, cy in _CORR_PAIRS
+)
+
+
+# ---------------------------------------------------------------------------
+# Cross-document exact n-gram dedup (ExactSubstr flavor)
+# ---------------------------------------------------------------------------
+
+_SPAN_NGRAM = 8
+_SPAN_KEEP_FRAC = 0.5
+
+
+def q_ngram_span_dedup(sf_dir: str):
+    """Cross-document exact n-gram duplication audit — the ExactSubstr
+    family (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"): an 8-token shingle present in ≥2 DISTINCT
+    documents is duplicated text; per document report its distinct
+    shingle count, how many are cross-doc duplicated, the duplicated
+    fraction, and a keep/drop decision (drop when >50% duplicated).
+
+    Shape: the tokenize stage emits distinct (doc, shingle) pairs
+    pre-bucketed by a stable shingle hash; ONE co-partition on the
+    bucket computes BOTH the ≥2-doc document frequency and the per-doc
+    dup counts inside each bucket (no join-back exchange — a shingle
+    lives in exactly one bucket, so in-bucket df is global df); per-doc
+    partials then reduce through the standard sort-aggregate.  At
+    100 TB the shuffled key becomes a 128-bit content hash (16 bytes,
+    collision P≪1e-15) instead of the raw shingle string — here the
+    raw shingle keeps the DuckDB oracle exact.  Zero-shingle docs
+    (<8 tokens) ride along as null-shingle markers so the output covers
+    every document without a second scan."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+
+    def pairs(batch: pa.Table) -> pd.DataFrame:
+        doc_ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out_doc: list[int] = []
+        out_sh: list[str | None] = []
+        for did, text in zip(doc_ids, texts):
+            toks = text.split()
+            if len(toks) < _SPAN_NGRAM:
+                out_doc.append(did)
+                out_sh.append(None)
+                continue
+            seen = {
+                " ".join(toks[i : i + _SPAN_NGRAM])
+                for i in range(len(toks) - _SPAN_NGRAM + 1)
+            }
+            out_doc.extend([did] * len(seen))
+            out_sh.extend(seen)
+        df = pd.DataFrame({"doc_id": out_doc, "s": out_sh})
+        h = pd.util.hash_array(df["s"].fillna("").to_numpy(dtype=object))
+        df["__bucket"] = np.where(df["s"].isna(), -1, (h % 64).astype(np.int64))
+        return df
+
+    def bucket_df(df: pd.DataFrame) -> pd.DataFrame:
+        nulls = df["s"].isna()
+        zero = df.loc[nulls, ["doc_id"]].drop_duplicates().assign(n_sh=0, n_dup=0)
+        body = df.loc[~nulls].drop_duplicates(["doc_id", "s"])
+        if len(body) == 0:
+            return zero
+        ndocs = body.groupby("s", sort=False)["doc_id"].transform("size")
+        per = body.assign(dup=(ndocs >= 2).astype(np.int64)).groupby("doc_id", sort=False)
+        counts = per.agg(n_sh=("s", "size"), n_dup=("dup", "sum")).reset_index()
+        return pd.concat([counts, zero], ignore_index=True)
+
+    per_doc = grouped_aggregate(
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(lambda df: bucket_df(df.drop(columns=["__bucket"])), batch_format="pandas"),
+        ["doc_id"],
+        {"n_shingles": ("sum", "n_sh"), "n_dup_shingles": ("sum", "n_dup")},
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n_shingles"].to_numpy().astype(np.int64)
+        d = df["n_dup_shingles"].to_numpy().astype(np.int64)
+        frac = np.where(n == 0, 0.0, d / np.where(n == 0, 1, n))
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_shingles": n,
+                "n_dup_shingles": d,
+                "dup_frac": frac,
+                "keep": frac <= _SPAN_KEEP_FRAC,
+            }
+        )
+
+    return per_doc.map_batches(finalize, batch_format="pandas")
+
+
+SQL_NGRAM_SPAN_DEDUP = f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS t
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, t,
+         unnest(generate_series(1, greatest(len(t) - {_SPAN_NGRAM - 1}, 0))) AS i
+  FROM toks
+),
+pairs AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i + {_SPAN_NGRAM - 1}], ' ') AS s FROM idx
+),
+freq AS (SELECT s, count(*) AS ndocs FROM pairs GROUP BY s),
+perdoc AS (
+  SELECT p.doc_id,
+         count(*) AS n_sh,
+         count(*) FILTER (WHERE f.ndocs >= 2) AS n_dup
+  FROM pairs p JOIN freq f USING (s)
+  GROUP BY p.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(n_sh, 0) AS BIGINT)  AS n_shingles,
+       CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_shingles,
+       CASE WHEN coalesce(n_sh, 0) = 0 THEN 0.0
+            ELSE CAST(n_dup AS DOUBLE) / n_sh END AS dup_frac,
+       (CASE WHEN coalesce(n_sh, 0) = 0 THEN 0.0
+             ELSE CAST(n_dup AS DOUBLE) / n_sh END) <= {_SPAN_KEEP_FRAC} AS keep
+FROM (SELECT doc_id FROM documents) d LEFT JOIN perdoc USING (doc_id)
+"""
+
+
+def q_pca_project(sf_dir: str):
+    """Distributed PCA projection (stages/clustering.pca_project): one
+    streaming moment pass fits mean + top-2 components (driver holds
+    d(d+1)+1 floats, eigh is O(d^3) on the d×d covariance), then the
+    projection streams with a (k+1)·d broadcast.  Rows-only (no SQL
+    eigendecomposition); numpy-parity pytest covers the values."""
+    from ..stages.clustering import pca_project
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"], split=True)
+    return pca_project(ds, n_components=2)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "latest_event_per_user": q_latest_event_per_user,
@@ -6992,6 +7327,11 @@ QUERIES = {
     "dense_rank": q_dense_rank,
     "rank_gaps": q_rank_gaps,
     "window_lead_cume": q_window_lead_cume,
+    "event_islands": q_event_islands,
+    "time_gap_fill": q_time_gap_fill,
+    "corr_matrix": q_corr_matrix,
+    "ngram_span_dedup": q_ngram_span_dedup,
+    "pca_project": q_pca_project,
 }
 
 ORACLE_SQL = {
@@ -7111,6 +7451,12 @@ ORACLE_SQL = {
     "dense_rank": SQL_DENSE_RANK,
     "rank_gaps": SQL_RANK_GAPS,
     "window_lead_cume": SQL_WINDOW_LEAD_CUME,
+    "event_islands": SQL_EVENT_ISLANDS,
+    "time_gap_fill": SQL_TIME_GAP_FILL,
+    "corr_matrix": SQL_CORR_MATRIX,
+    "ngram_span_dedup": SQL_NGRAM_SPAN_DEDUP,
+    # pca_project is rows-only (no SQL eigendecomposition) — numpy-parity
+    # pytest covers the values.
     # hll_distinct / price_quantiles_tdigest are approximate sketches —
     # rows-only by design (accuracy pytest-verified)
     # lang_id / winnow / minhash / simhash / knn_lsh / media_* are not

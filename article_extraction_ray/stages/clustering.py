@@ -346,3 +346,67 @@ def semantic_dedup(
         )
 
     return assigned.groupby("cluster").map_groups(prune, batch_format="pyarrow")
+
+
+def pca_fit(ds, *, vec_col: str = "embedding", n_components: int = 2):
+    """Distributed PCA fit: mean vector + top principal components.
+
+    The whole fit is ONE streaming pass of fixed-width partials — each
+    batch contributes ``(n, sum_x (d), sum_xxT (d*d))`` — reduced to a
+    single d×d second-moment matrix; the driver does the O(d^3) ``eigh``
+    on the covariance (d is the embedding width, never the corpus).
+    This is the geometry that holds at 100 TB: rows never shuffle, the
+    driver holds d(d+1)+1 floats.  Eigenvector sign is fixed
+    deterministically (largest-|coordinate| entry made positive) so the
+    projection is reproducible across runs and block orders.
+
+    Returns ``(mean (d,), components (n_components, d))``.
+    """
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        X = _as_matrix(batch[vec_col])
+        d = X.shape[1]
+        row = {
+            "n": float(X.shape[0]),
+            "sum_x": np.asarray(X.sum(axis=0), dtype=np.float64),
+            "sum_xxt": (X.T @ X).reshape(d * d),
+        }
+        return pd.DataFrame([row])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    n = sum(p["n"] for p in parts)
+    sum_x = np.sum([np.asarray(p["sum_x"]) for p in parts], axis=0)
+    sum_xxt = np.sum([np.asarray(p["sum_xxt"]) for p in parts], axis=0)
+    d = sum_x.shape[0]
+    mean = sum_x / n
+    cov = sum_xxt.reshape(d, d) / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    comps = vecs[:, ::-1][:, :n_components].T  # (k, d), top variance first
+    # deterministic sign: the largest-|x| coordinate of each component > 0
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mean, comps
+
+
+def pca_project(ds, *, vec_col: str = "embedding", id_col: str = "vec_id",
+                n_components: int = 2):
+    """Fit PCA on the stream, then project every vector onto the top
+    components (one broadcast of (k+1)·d floats, one vectorized matmul
+    per batch).  Output: ``id_col, pc1..pck``."""
+    import ray
+
+    mean, comps = pca_fit(ds, vec_col=vec_col, n_components=n_components)
+    state = ray.put((mean, comps))
+
+    def project(batch: pa.Table) -> pd.DataFrame:
+        m, c = ray.get(state)
+        X = _as_matrix(batch[vec_col])
+        Y = (X - m) @ c.T
+        out = {id_col: batch[id_col].to_numpy(zero_copy_only=False)}
+        for i in range(Y.shape[1]):
+            out[f"pc{i + 1}"] = Y[:, i]
+        return pd.DataFrame(out)
+
+    return ds.map_batches(project, batch_format="pyarrow")

@@ -208,3 +208,51 @@ class TestKmeansDriverRoute:
         monkeypatch.setattr(C, "_KMEANS_DRIVER_FLOATS", 0)  # force distributed
         cents_dist = C.kmeans_fit(rd.from_pandas(df).repartition(4), 3, iters=6, seed=17)
         assert np.allclose(np.sort(cents_driver, axis=0), np.sort(cents_dist, axis=0), atol=1e-9)
+
+
+class TestPCA:
+    def _ds(self, n=200, d=16, seed=11):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        rng = np.random.default_rng(seed)
+        # anisotropic cloud so the top components are well separated
+        scales = np.linspace(5.0, 0.1, d)
+        X = rng.normal(size=(n, d)) * scales
+        df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64), "embedding": list(X)})
+        return rd.from_pandas(df).repartition(5), X
+
+    def test_matches_numpy_pca(self, ray_session):
+        import numpy as np
+        from article_extraction_ray.stages.clustering import pca_fit, pca_project
+
+        ds, X = self._ds()
+        mean, comps = pca_fit(ds, n_components=3)
+        assert np.allclose(mean, X.mean(axis=0), atol=1e-9)
+
+        # exact numpy reference: eigh of the population covariance
+        Xc = X - X.mean(axis=0)
+        cov = Xc.T @ Xc / len(X)
+        vals, vecs = np.linalg.eigh(cov)
+        ref = vecs[:, ::-1][:, :3].T
+        for i in range(3):
+            j = int(np.argmax(np.abs(ref[i])))
+            if ref[i, j] < 0:
+                ref[i] = -ref[i]
+        assert np.allclose(comps, ref, atol=1e-8)
+
+        out = pca_project(ds, n_components=3).to_pandas().sort_values("vec_id")
+        proj = out[["pc1", "pc2", "pc3"]].to_numpy()
+        assert np.allclose(proj, Xc @ ref.T, atol=1e-7)
+
+    def test_deterministic_across_block_orders(self, ray_session):
+        import numpy as np
+        from article_extraction_ray.stages.clustering import pca_fit
+
+        ds, _ = self._ds(seed=23)
+        m1, c1 = pca_fit(ds, n_components=2)
+        ds2, _ = self._ds(seed=23)
+        m2, c2 = pca_fit(ds2.repartition(9), n_components=2)
+        assert np.allclose(m1, m2, atol=1e-9)
+        assert np.allclose(c1, c2, atol=1e-9)
