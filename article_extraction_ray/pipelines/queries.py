@@ -7107,12 +7107,30 @@ def q_ngram_span_dedup(sf_dir: str):
         counts = per.agg(n_sh=("s", "size"), n_dup=("dup", "sum")).reset_index()
         return pd.concat([counts, zero], ignore_index=True)
 
-    per_doc = grouped_aggregate(
+    partials = (
         ds.map_batches(pairs, batch_format="pyarrow")
         .groupby("__bucket")
-        .map_groups(lambda df: bucket_df(df.drop(columns=["__bucket"])), batch_format="pandas"),
-        ["doc_id"],
-        {"n_shingles": ("sum", "n_sh"), "n_dup_shingles": ("sum", "n_dup")},
+        .map_groups(lambda df: bucket_df(df.drop(columns=["__bucket"])), batch_format="pandas")
+    )
+
+    # Per-doc reduce: coarse doc-hash buckets + one vectorized pandas
+    # sum per bucket (Ray's generic Aggregate combine is per-group
+    # Python — measured 400 rows/s on this partial set; this shape is
+    # the same exchange volume at >100x the reduce speed).
+    def doc_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df["__b2"] = (df["doc_id"].to_numpy() % 64).astype(np.int32)
+        return df
+
+    def doc_sum(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("doc_id", as_index=False, sort=False)
+            .agg(n_shingles=("n_sh", "sum"), n_dup_shingles=("n_dup", "sum"))
+        )
+
+    per_doc = (
+        partials.map_batches(doc_bucket, batch_format="pandas")
+        .groupby("__b2")
+        .map_groups(lambda df: doc_sum(df.drop(columns=["__b2"])), batch_format="pandas")
     )
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:

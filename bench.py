@@ -93,6 +93,11 @@ BENCH_QUERIES = [
     "triangle_count",
     "cohort_retention",
     "ssjoin_jaccard",
+    "ngram_span_dedup",
+    "event_islands",
+    "time_gap_fill",
+    "corr_matrix",
+    "pca_project",
 ]
 
 
