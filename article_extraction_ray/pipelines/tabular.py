@@ -98,9 +98,7 @@ def grouped_aggregate(ds, keys: list[str], specs: dict[str, tuple[str, str | Non
     vectorized ``pa.TableGroupBy`` — the partial set is one row per key
     per block, so the coalesced block is |keys|×|blocks| rows at any
     corpus size.  Leave it False for open-domain keys (user ids, doc
-    ids), where the distributed sort-aggregate is the right shape."""
-    from ray.data.aggregate import Max, Min, Sum
-
+    ids), where the distributed bucketed fold is the right shape."""
     partial_specs: dict[str, tuple[str, str]] = {}  # partial col -> (op, src)
     for out, (op, src) in specs.items():
         if op == "mean":
@@ -143,15 +141,39 @@ def grouped_aggregate(ds, keys: list[str], specs: dict[str, tuple[str, str | Non
             final_combine, batch_format="pyarrow"
         )
     else:
-        final_aggs = []
-        for pcol, (op, _src) in partial_specs.items():
-            if op in ("sum", "count"):
-                final_aggs.append(Sum(pcol, alias_name=pcol))
-            elif op == "min":
-                final_aggs.append(Min(pcol, alias_name=pcol))
-            elif op == "max":
-                final_aggs.append(Max(pcol, alias_name=pcol))
-        merged = partials.groupby(keys).aggregate(*final_aggs)
+        # Open-domain keys: ONE coarse key-hash exchange + a vectorized
+        # pa.TableGroupBy combine per bucket.  Same exchange volume as
+        # Ray's sort-based groupby().aggregate(Sum/Min/Max) but the
+        # combine is columnar — Ray's generic Aggregate merges groups in
+        # per-row Python (measured ~400 rows/s reducing a 145k-row
+        # partial set; the columnar fold is >100× that).  A key lives in
+        # exactly one bucket, so in-bucket totals are global totals.
+        fold = {pcol: ("sum" if op in ("sum", "count") else op)
+                for pcol, (op, _src) in partial_specs.items()}
+
+        def add_kb(batch: pa.Table) -> pa.Table:
+            h = np.zeros(len(batch), dtype=np.int64)
+            for k in keys:
+                h = h * np.int64(1000003) + _bucket_of_column(batch[k], 1 << 30)
+            return batch.append_column(
+                "__kb", pa.array((h % _KEY_BUCKETS).astype(np.int32))
+            )
+
+        def final_combine_bucket(batch: pa.Table) -> pa.Table:
+            batch = batch.drop_columns(["__kb"])
+            grouped = pa.TableGroupBy(batch, keys).aggregate(
+                [(pcol, op) for pcol, op in fold.items()]
+            )
+            renames = {f"{pcol}_{op}": pcol for pcol, op in fold.items()}
+            return grouped.rename_columns(
+                [renames.get(c, c) for c in grouped.column_names]
+            )
+
+        merged = (
+            partials.map_batches(add_kb, batch_format="pyarrow")
+            .groupby("__kb")
+            .map_groups(final_combine_bucket, batch_format="pyarrow")
+        )
 
     def finalize(batch: pa.Table) -> pa.Table:
         out_cols: dict[str, pa.Array] = {k: batch[k] for k in keys}
