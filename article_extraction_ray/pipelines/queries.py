@@ -7183,6 +7183,186 @@ FROM (SELECT doc_id FROM documents) d LEFT JOIN perdoc USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# Markov transition counts / interval-union coverage / debounce
+# ---------------------------------------------------------------------------
+
+
+def q_event_transitions(sf_dir: str):
+    """First-order Markov transition counts over per-user event streams
+    (prev_type → type in (ts, event_id) order) — the behavioral-model
+    fit primitive.  One coarse user-hash exchange; in-bucket the lag is
+    a vectorized groupby shift; the (from, to) count domain is
+    |types|², so the final fold is the bounded-domain fast path."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"], split=True)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = (batch["user_id"].to_numpy() % 32).astype(np.int32)
+        return batch.append_column("__bucket", pa.array(b))
+
+    def transitions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        prev = df.groupby("user_id", sort=False)["event_type"].shift(1)
+        out = (
+            df.assign(from_type=prev)
+            .dropna(subset=["from_type"])
+            .groupby(["from_type", "event_type"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return out.rename(columns={"event_type": "to_type"})
+
+    counted = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(lambda df: transitions(df.drop(columns=["__bucket"])), batch_format="pandas")
+    )
+    out = grouped_aggregate(
+        counted, ["from_type", "to_type"], {"n_transitions": ("sum", "n")}, small_keys=True
+    )
+
+    def typed(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_transitions"] = df["n_transitions"].astype(np.int64)
+        return df
+
+    return out.map_batches(typed, batch_format="pandas")
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH lagged AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+         event_type AS to_type
+  FROM events
+)
+SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
+FROM lagged WHERE from_type IS NOT NULL
+GROUP BY from_type, to_type
+"""
+
+
+_COVER_LEN_US = 1_800_000_000  # each event covers [ts, ts+30min)
+
+
+def q_interval_coverage(sf_dir: str):
+    """Interval-union coverage (sweep line): give each event a 30-minute
+    activity window and report, per user, total covered µs with overlaps
+    merged plus the merged-interval count.  The classic gaps-and-islands
+    on intervals: after the per-user sort, an interval starts a new
+    island exactly when its start exceeds the running max of prior ends
+    — one vectorized cummax per bucket.  Same coarse user-hash exchange
+    as sessionize; event rows shuffle once."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"], split=True)
+
+    def tag(batch: pa.Table) -> pd.DataFrame:
+        us = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view("int64")
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+                "s": us,
+                "__bucket": (batch["user_id"].to_numpy() % 32).astype(np.int32),
+            }
+        )
+
+    def coverage(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "s"], kind="stable")
+        e = df["s"] + _COVER_LEN_US
+        run_end = e.groupby(df["user_id"], sort=False).cummax()
+        prev_end = run_end.groupby(df["user_id"], sort=False).shift(1)
+        new_island = prev_end.isna() | (df["s"] > prev_end)
+        island = new_island.groupby(df["user_id"], sort=False).cumsum()
+        g = (
+            pd.DataFrame({"user_id": df["user_id"], "island": island, "s": df["s"], "e": e})
+            .groupby(["user_id", "island"], sort=False)
+            .agg(start=("s", "min"), end=("e", "max"))
+            .reset_index()
+        )
+        out = (
+            g.assign(length=g["end"] - g["start"])
+            .groupby("user_id", sort=False)
+            .agg(covered_us=("length", "sum"), n_intervals=("length", "size"))
+            .reset_index()
+        )
+        out["covered_us"] = out["covered_us"].astype(np.int64)
+        out["n_intervals"] = out["n_intervals"].astype(np.int64)
+        return out
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(lambda df: coverage(df.drop(columns=["__bucket"])), batch_format="pandas")
+    )
+
+
+SQL_INTERVAL_COVERAGE = f"""
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + {_COVER_LEN_US} AS e FROM events
+),
+marked AS (
+  SELECT user_id, s, e,
+         CASE WHEN s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE CASE WHEN row_number() OVER (PARTITION BY user_id ORDER BY s, e) = 1
+                               THEN 1 ELSE 0 END END AS new_island
+  FROM iv
+),
+islands AS (
+  SELECT user_id, s, e,
+         sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM marked
+),
+merged AS (
+  SELECT user_id, island, max(e) - min(s) AS length FROM islands GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(sum(length) AS BIGINT) AS covered_us,
+       CAST(count(*) AS BIGINT)    AS n_intervals
+FROM merged GROUP BY user_id
+"""
+
+
+_DEBOUNCE_US = 300_000_000  # 5 minutes
+
+
+def q_debounce_events(sf_dir: str):
+    """Debounce filter: drop an event when the same user fired the same
+    event_type less than 5 minutes earlier (lag-based throttle — the
+    dedupe-bursts preprocessing step for clickstreams).  One coarse
+    exchange on user hash; in-bucket one vectorized groupby shift."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"], split=True)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = (batch["user_id"].to_numpy() % 32).astype(np.int32)
+        return batch.append_column("__bucket", pa.array(b))
+
+    def debounce(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        df = df.assign(__us=us).sort_values(["user_id", "event_type", "__us", "event_id"], kind="stable")
+        prev = df.groupby(["user_id", "event_type"], sort=False)["__us"].shift(1)
+        keep = prev.isna() | (df["__us"] - prev >= _DEBOUNCE_US)
+        out = df.loc[keep, ["event_id", "user_id", "ts", "event_type"]]
+        return out
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(lambda df: debounce(df.drop(columns=["__bucket"])), batch_format="pandas")
+    )
+
+
+SQL_DEBOUNCE_EVENTS = f"""
+WITH lagged AS (
+  SELECT event_id, user_id, ts, event_type,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY epoch_us(ts), event_id) AS prev_us
+  FROM events
+)
+SELECT event_id, user_id, ts, event_type
+FROM lagged
+WHERE prev_us IS NULL OR epoch_us(ts) - prev_us >= {_DEBOUNCE_US}
+"""
+
+
 def q_pca_project(sf_dir: str):
     """Distributed PCA projection (stages/clustering.pca_project): one
     streaming moment pass fits mean + top-2 components (driver holds
@@ -7350,6 +7530,9 @@ QUERIES = {
     "corr_matrix": q_corr_matrix,
     "ngram_span_dedup": q_ngram_span_dedup,
     "pca_project": q_pca_project,
+    "event_transitions": q_event_transitions,
+    "interval_coverage": q_interval_coverage,
+    "debounce_events": q_debounce_events,
 }
 
 ORACLE_SQL = {
@@ -7473,6 +7656,9 @@ ORACLE_SQL = {
     "time_gap_fill": SQL_TIME_GAP_FILL,
     "corr_matrix": SQL_CORR_MATRIX,
     "ngram_span_dedup": SQL_NGRAM_SPAN_DEDUP,
+    "event_transitions": SQL_EVENT_TRANSITIONS,
+    "interval_coverage": SQL_INTERVAL_COVERAGE,
+    "debounce_events": SQL_DEBOUNCE_EVENTS,
     # pca_project is rows-only (no SQL eigendecomposition) — numpy-parity
     # pytest covers the values.
     # hll_distinct / price_quantiles_tdigest are approximate sketches —
