@@ -57,7 +57,16 @@ def read_table(
 
         target = int(ray.cluster_resources().get("CPU", 8)) * 2
         if os.path.isfile(path):
-            n_rgs = pq.ParquetFile(path).num_row_groups
+            meta = pq.ParquetFile(path).metadata
+            n_rgs = meta.num_row_groups
+            # Right-size to the data (footer metadata only): a 64-way
+            # split of a 100k-row table gives 1.5k-row blocks — too thin
+            # for vectorized kernels, and every downstream sort exchange
+            # pays blocks² scheduling.  ≥8k rows per block keeps kernels
+            # amortized; the floor keeps small tables parallel.  On a
+            # real multi-file corpus row groups exceed the target and
+            # none of this runs.
+            target = max(8, min(target, meta.num_rows // 8192))
         else:  # directory of shards: count files (≥1 row group each)
             n_rgs = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
         if n_rgs < target:
