@@ -743,16 +743,24 @@ def dedup_exact_min(ds, subset: str, id_col: str):
     """Exact dedupe on ``subset``, keeping the row with the minimal id.
 
     Per-batch combine first (one candidate per key per batch), then a
-    small global groupby-min — reference G2 with deterministic keep rule
+    coarse key-hash bucket reduce with a vectorized in-bucket groupby-min
+    (Ray's built-in Aggregate merges per group in Python — measured
+    ~25 s of remote CPU on a 300k-chunk partial set vs <0.1 s for the
+    columnar fold) — reference G2 with deterministic keep rule
     (/root/reference/tables/hardware_table.py:78 keeps first occurrence;
     a distributed engine needs an order-free rule, so min-id)."""
-    from ray.data.aggregate import Min
 
     def local(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby(subset, as_index=False, sort=False)[[id_col]].min()
 
-    partials = ds.map_batches(local, batch_format="pandas")
-    return partials.groupby(subset).aggregate(Min(id_col, alias_name=id_col))
+    def bucketed(df: pd.DataFrame) -> pd.DataFrame:
+        out = local(df)
+        out["__bucket"] = pd.util.hash_array(out[subset].to_numpy()) % _KEY_BUCKETS
+        return out
+
+    partials = ds.map_batches(bucketed, batch_format="pandas")
+    # local() projects to subset+id_col, so the bucket column drops itself
+    return partials.groupby("__bucket").map_groups(local, batch_format="pandas")
 
 
 def top_k_per_group(ds, group: str, order_by: str, k: int, *, descending: bool = False):
@@ -813,7 +821,6 @@ def set_op(left, right, column: str, op: str):
     """
     if op not in ("intersect", "except"):
         raise ValueError(f"op must be intersect|except, got {op!r}")
-    from ray.data.aggregate import Max
 
     def tag(l_flag: int, r_flag: int):
         def f(batch: pa.Table) -> pa.Table:
@@ -832,8 +839,24 @@ def set_op(left, right, column: str, op: str):
     tagged = left.map_batches(tag(1, 0), batch_format="pyarrow").union(
         right.map_batches(tag(0, 1), batch_format="pyarrow")
     )
-    merged = tagged.groupby(column).aggregate(
-        Max("__l", alias_name="__l"), Max("__r", alias_name="__r")
+    def add_kb(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__kb", pa.array(_bucket_of_column(batch[column], _KEY_BUCKETS))
+        )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(batch.drop_columns(["__kb"]), [column]).aggregate(
+            [("__l", "max"), ("__r", "max")]
+        )
+        return g.rename_columns([column, "__l", "__r"])
+
+    # coarse key-hash bucket + columnar in-bucket max fold (Ray's
+    # built-in Aggregate combine is per-group Python — see
+    # grouped_aggregate for the measurement)
+    merged = (
+        tagged.map_batches(add_kb, batch_format="pyarrow")
+        .groupby("__kb")
+        .map_groups(fold, batch_format="pyarrow")
     )
     def keep(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

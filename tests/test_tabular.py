@@ -310,3 +310,23 @@ class TestShuffleSemiFilter:
         pd.testing.assert_frame_equal(broad, bucketed)
         # the self-checking property holds on BOTH paths
         assert "mutant" not in set(bucketed["origin"])
+
+
+def test_grouped_aggregate_null_string_key(ray_session):
+    """Null keys must form their own group (SQL GROUP BY semantics) and
+    bucket stably across blocks in the open-domain fold path."""
+    import ray.data as rd
+
+    from article_extraction_ray.pipelines.tabular import grouped_aggregate
+
+    df = pd.DataFrame(
+        {"g": ["a", None, "b", None, "a", "b", None] * 40, "x": list(range(280))}
+    )
+    out = (
+        grouped_aggregate(rd.from_pandas(df).repartition(6), ["g"], {"s": ("sum", "x")})
+        .to_pandas()
+    )
+    exp = df.groupby("g", dropna=False)["x"].sum()
+    assert len(out) == 3
+    got = {(None if pd.isna(k) else k): v for k, v in zip(out["g"], out["s"])}
+    assert got == {(None if pd.isna(k) else k): v for k, v in exp.items()}
