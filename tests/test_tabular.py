@@ -330,3 +330,24 @@ def test_grouped_aggregate_null_string_key(ray_session):
     assert len(out) == 3
     got = {(None if pd.isna(k) else k): v for k, v in zip(out["g"], out["s"])}
     assert got == {(None if pd.isna(k) else k): v for k, v in exp.items()}
+
+
+def test_read_table_split_rightsizes_blocks(ray_session, tmp_path):
+    """split=True must scale block count to the table: >=8k rows per
+    block with a floor of 8, capped at 2x cluster CPUs."""
+    import pyarrow.parquet as pq
+
+    from article_extraction_ray.pipelines.tabular import read_table
+
+    small = pa.table({"k": np.arange(1000, dtype=np.int64)})
+    pq.write_table(small, tmp_path / "tiny.parquet")
+    ds = read_table(str(tmp_path), "tiny", split=True)
+    assert ds.materialize().num_blocks() == 8  # floor
+
+    big = pa.table({"k": np.arange(200_000, dtype=np.int64)})
+    pq.write_table(big, tmp_path / "wide.parquet")
+    ds = read_table(str(tmp_path), "wide", split=True)
+    import ray as _ray
+
+    cap = int(_ray.cluster_resources().get("CPU", 8)) * 2
+    assert ds.materialize().num_blocks() == min(cap, 200_000 // 8192)
