@@ -7375,6 +7375,295 @@ def q_pca_project(sf_dir: str):
     return pca_project(ds, n_components=2)
 
 
+# ---------------------------------------------------------------------------
+# TPC-H-shaped multi-join family: Q5 / Q17 / Q18 plan shapes
+# ---------------------------------------------------------------------------
+
+_Q5_REGION = "ASIA"
+_Q5_FROM = "1996-01-01"
+_Q5_TO = "1997-01-01"
+
+
+def q_q5_region_revenue(sf_dir: str):
+    """TPC-H-Q5-shaped five-table join: revenue per nation where the
+    customer and the line's supplier sit in the SAME nation of one
+    region, over a one-year order window.
+
+    Canonical distributed Q5 plan: the two tiny dimensions
+    (region⋈nation, supplier) broadcast once as pre-built lookup
+    arrays; orders⋈customer and lineitem⋈orders route through the
+    size-routed :func:`tabular.join` facade (broadcast under budget,
+    hash exchange above — at TPC-H scale both are fact-fact
+    exchanges, each side moving exactly once).  Lineitem pre-reduces
+    per (orderkey, supplier-nation) inside the batch before the
+    exchange, so the join input is bounded by distinct keys, not line
+    count.  Revenue accumulates in integer 1e-4 dollars (price has 2
+    decimals, discount 2) — exact under any accumulation order."""
+    import pyarrow.compute as pc
+
+    from .tabular import join as join_route
+
+    nat = read_table_arrow(sf_dir, "nation", columns=["n_nationkey", "n_name", "n_regionkey"])
+    reg = read_table_arrow(sf_dir, "region", columns=["r_regionkey", "r_name"])
+    rkey = reg.filter(pc.equal(reg["r_name"], _Q5_REGION))["r_regionkey"][0].as_py()
+    nat_in = nat.filter(pc.equal(nat["n_regionkey"], rkey))
+    nkeys = nat_in["n_nationkey"].to_numpy().astype(np.int64)
+    nname = {int(k): v for k, v in zip(nkeys, nat_in["n_name"].to_pylist())}
+    nkeys_arr_bc = Broadcast(pa.array(nkeys, type=pa.int32()))
+
+    sup = read_table_arrow(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    smap = pd.Series(
+        sup["s_nationkey"].to_numpy().astype(np.int64),
+        index=sup["s_suppkey"].to_numpy().astype(np.int64),
+    )
+    smap_bc = Broadcast(smap)
+
+    lo = np.datetime64(_Q5_FROM, "us")
+    hi = np.datetime64(_Q5_TO, "us")
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"], split=True)
+
+    def pick_orders(batch: pa.Table) -> pa.Table:
+        d = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array((d >= lo) & (d < hi))).select(["o_orderkey", "o_custkey"])
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"], split=True)
+
+    def pick_cust(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["c_nationkey"], value_set=nkeys_arr_bc.get())
+        out = batch.filter(keep)
+        return pa.table(
+            {
+                "o_custkey": out["c_custkey"],
+                "c_nationkey": out["c_nationkey"].cast(pa.int64()),
+            }
+        )
+
+    ojoin, _ = join_route(
+        orders.map_batches(pick_orders, batch_format="pyarrow"),
+        cust.map_batches(pick_cust, batch_format="pyarrow"),
+        on="o_custkey",
+    )
+
+    def drop_cust(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["o_orderkey", "c_nationkey"]]
+
+    odim = ojoin.map_batches(drop_cust, batch_format="pandas")
+
+    li = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        split=True,
+    )
+
+    def li_partial(batch: pa.Table) -> pd.DataFrame:
+        snat = smap_bc.get()[batch["l_suppkey"].to_numpy(zero_copy_only=False)].to_numpy()
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        rev = np.round(price * 10000 * (1.0 - disc)).astype(np.int64)
+        return (
+            pd.DataFrame(
+                {
+                    "o_orderkey": batch["l_orderkey"].to_numpy(zero_copy_only=False),
+                    "s_nationkey": snat,
+                    "rev": rev,
+                }
+            )
+            .groupby(["o_orderkey", "s_nationkey"], as_index=False)["rev"]
+            .sum()
+        )
+
+    lrev = li.map_batches(li_partial, batch_format="pyarrow")
+    joined, _ = join_route(lrev, odim, on="o_orderkey")
+
+    def same_nation(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["s_nationkey"] == df["c_nationkey"]]
+        return df[["c_nationkey", "rev"]]
+
+    per_nation = grouped_aggregate(
+        joined.map_batches(same_nation, batch_format="pandas"),
+        ["c_nationkey"],
+        {"rev": ("sum", "rev")},
+        small_keys=True,
+    ).to_pandas()
+    per_nation["n_name"] = per_nation["c_nationkey"].map(nname)
+    per_nation["revenue"] = np.round(per_nation["rev"] / 10000.0, 2)
+    out = per_nation.sort_values(["rev", "n_name"], ascending=[False, True], kind="stable")
+    return out[["n_name", "revenue"]].reset_index(drop=True)
+
+
+SQL_Q5 = f"""
+SELECT n.n_name,
+       round(sum(CAST(round(l.l_extendedprice * 10000 * (1.0 - l.l_discount)) AS BIGINT)) / 10000.0, 2) AS revenue
+FROM customer c
+JOIN orders   o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation   n ON c.c_nationkey = n.n_nationkey AND s.s_nationkey = n.n_nationkey
+JOIN region   r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = '{_Q5_REGION}'
+  AND o.o_orderdate >= TIMESTAMP '{_Q5_FROM}'
+  AND o.o_orderdate <  TIMESTAMP '{_Q5_TO}'
+GROUP BY n.n_name
+ORDER BY sum(CAST(round(l.l_extendedprice * 10000 * (1.0 - l.l_discount)) AS BIGINT)) DESC, n.n_name
+"""
+
+
+_Q17_BRAND = "Brand#13"
+_Q17_FRACTION = 0.2
+
+
+def q_q17_small_quantity(sf_dir: str):
+    """TPC-H-Q17-shaped correlated-aggregate join: average yearly
+    revenue lost if small-quantity orders (below 20% of the part's own
+    mean quantity) were no longer taken, for one brand.
+
+    Two streaming passes over lineitem, zero row shuffle: pass 1
+    semi-filters on the brand's part keys (broadcast ``pa.array`` +
+    ``pc.is_in``) and reduces exact per-part (sum, count) quantity
+    partials — quantities are whole numbers, so the sums are exact
+    integers in float64 and the 0.2·mean threshold is deterministic
+    under any accumulation order.  The per-part thresholds broadcast
+    (bounded by the brand's part count); pass 2 re-filters and sums
+    matching revenue in integer cents.  Single-row output."""
+    import pyarrow.compute as pc
+
+    part = read_table_arrow(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    pk = part.filter(pc.equal(part["p_brand"], _Q17_BRAND))["p_partkey"].combine_chunks()
+    pk_bc = Broadcast(pk.cast(pa.int64()))
+
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_quantity", "l_extendedprice"], split=True)
+
+    def qty_partial(batch: pa.Table) -> pd.DataFrame:
+        keep = pc.is_in(batch["l_partkey"], value_set=pk_bc.get())
+        b = batch.filter(keep)
+        return (
+            pd.DataFrame(
+                {
+                    "p": b["l_partkey"].to_numpy(zero_copy_only=False),
+                    "q": b["l_quantity"].to_numpy(zero_copy_only=False),
+                }
+            )
+            .groupby("p", as_index=False)
+            .agg(s=("q", "sum"), c=("q", "count"))
+        )
+
+    stats = grouped_aggregate(
+        li.map_batches(qty_partial, batch_format="pyarrow"),
+        ["p"],
+        {"s": ("sum", "s"), "c": ("sum", "c")},
+        small_keys=True,
+    ).to_pandas()
+    thr = pd.Series(
+        _Q17_FRACTION * (stats["s"].to_numpy() / stats["c"].to_numpy()),
+        index=stats["p"].to_numpy(),
+    )
+    thr_bc = Broadcast(thr)
+
+    def rev_partial(batch: pa.Table) -> pd.DataFrame:
+        keep = pc.is_in(batch["l_partkey"], value_set=pk_bc.get()).to_numpy(zero_copy_only=False)
+        b = batch.filter(pa.array(keep))
+        if len(b) == 0:
+            return pd.DataFrame({"cents": pd.Series([], dtype=np.int64)})
+        pkeys = b["l_partkey"].to_numpy(zero_copy_only=False)
+        t = thr_bc.get().reindex(pkeys).to_numpy()
+        q = b["l_quantity"].to_numpy(zero_copy_only=False)
+        small = q < t
+        price = b["l_extendedprice"].to_numpy(zero_copy_only=False)[small]
+        cents = np.round(price * 100).astype(np.int64).sum()
+        return pd.DataFrame({"cents": [cents]})
+
+    total = (
+        li.map_batches(rev_partial, batch_format="pyarrow")
+        .sum("cents")
+    )
+    return pd.DataFrame({"avg_yearly": [round((total / 100.0) / 7.0, 2)]})
+
+
+SQL_Q17 = f"""
+SELECT round((sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) / 100.0) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = '{_Q17_BRAND}'
+  AND l.l_quantity < (
+    SELECT {_Q17_FRACTION} * (sum(l2.l_quantity) / count(l2.l_quantity))
+    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+  )
+"""
+
+
+_Q18_MIN_QTY = 250.0
+
+
+def q_q18_large_orders(sf_dir: str):
+    """TPC-H-Q18-shaped big-order report: orders whose total line
+    quantity exceeds a threshold, with customer name — the
+    HAVING-over-fact-aggregate + two-dimension-join plan.
+
+    Per-orderkey quantity partials pre-reduce inside each batch, fold
+    through the open-domain ``grouped_aggregate`` exchange (exact —
+    whole-number quantities), and the surviving keys (HAVING prunes to
+    a sliver) join orders and customer through the size-routed facade.
+    Top-100 runs through ``topk``'s per-batch prefilter.  Quantities
+    cast to int64 on both sides."""
+    from .tabular import join as join_route, topk
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"], split=True)
+
+    def qty_partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "o_orderkey": batch["l_orderkey"].to_numpy(zero_copy_only=False),
+                "q": batch["l_quantity"].to_numpy(zero_copy_only=False),
+            }
+        )
+        return df.groupby("o_orderkey", as_index=False)["q"].sum()
+
+    per_order = grouped_aggregate(
+        li.map_batches(qty_partial, batch_format="pyarrow"),
+        ["o_orderkey"],
+        {"q": ("sum", "q")},
+    )
+
+    def keep_big(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["q"] > _Q18_MIN_QTY]
+        return df.assign(sum_qty=df["q"].astype(np.int64))[["o_orderkey", "sum_qty"]]
+
+    big = per_order.map_batches(keep_big, batch_format="pandas")
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+        split=True,
+    )
+    j1, _ = join_route(orders, big, on="o_orderkey")
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"], split=True)
+
+    def key_cust(batch: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": batch["c_custkey"], "c_name": batch["c_name"]})
+
+    j2, _ = join_route(j1, cust.map_batches(key_cust, batch_format="pyarrow"), on="o_custkey")
+    top = topk(
+        j2, ["o_totalprice", "o_orderdate", "o_orderkey"], 100, descending=[True, False, False]
+    ).to_pandas()
+    return top[["c_name", "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty"]].reset_index(
+        drop=True
+    )
+
+
+SQL_Q18 = f"""
+SELECT c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       CAST(sum(l.l_quantity) AS BIGINT) AS sum_qty
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+HAVING sum(l.l_quantity) > {_Q18_MIN_QTY}
+ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+LIMIT 100
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "latest_event_per_user": q_latest_event_per_user,
@@ -7533,6 +7822,9 @@ QUERIES = {
     "event_transitions": q_event_transitions,
     "interval_coverage": q_interval_coverage,
     "debounce_events": q_debounce_events,
+    "q5_region_revenue": q_q5_region_revenue,
+    "q17_small_quantity": q_q17_small_quantity,
+    "q18_large_orders": q_q18_large_orders,
 }
 
 ORACLE_SQL = {
@@ -7659,6 +7951,9 @@ ORACLE_SQL = {
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "interval_coverage": SQL_INTERVAL_COVERAGE,
     "debounce_events": SQL_DEBOUNCE_EVENTS,
+    "q5_region_revenue": SQL_Q5,
+    "q17_small_quantity": SQL_Q17,
+    "q18_large_orders": SQL_Q18,
     # pca_project is rows-only (no SQL eigendecomposition) — numpy-parity
     # pytest covers the values.
     # hll_distinct / price_quantiles_tdigest are approximate sketches —
