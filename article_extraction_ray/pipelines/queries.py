@@ -5356,9 +5356,11 @@ def q_pagerank(sf_dir: str):
     orders ⨝ lineitem (stages/graph.pagerank): edge list streams per
     sweep, rank vector broadcasts like k-means centroids, dangling mass
     redistributes uniformly.  Node ids disambiguate the two key spaces
-    as 2·custkey / 2·suppkey+1.  Rows-only (iterative); bit-parity with
-    the single-process power iteration is pytest-verified
-    (tests/test_graph.py::TestPageRank)."""
+    as 2·custkey / 2·suppkey+1.  Value-checked against a chained-CTE
+    power iteration in DuckDB (SQL_PAGERANK — one CTE per sweep, since
+    SQL recursion cannot aggregate in the recursive term); bit-parity
+    with the single-process power iteration is additionally
+    pytest-verified (tests/test_graph.py::TestPageRank)."""
     from ..stages.graph import pagerank
 
     orders = read_table_arrow(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
@@ -5375,7 +5377,10 @@ def q_pagerank(sf_dir: str):
     e = broadcast_join(
         li, orders.rename_columns(["l_orderkey", "o_custkey"]), "l_orderkey"
     ).map_batches(edges, batch_format="pandas")
-    return pagerank(e, iters=8)
+    # value-oracle rounding contract: ONE rounding to 10 dp on both sides
+    # (double rounding 10→8 snaps near-midpoint ranks onto exact 8-dp
+    # midpoints, where numpy's half-even and SQL's half-away disagree)
+    return pagerank(e, iters=8).sort_values("node").reset_index(drop=True)
 
 
 def q_grouped_regression(sf_dir: str):
@@ -7376,6 +7381,453 @@ def q_pca_project(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Market-basket / statistical-testing / drift / graph-traversal family
+# ---------------------------------------------------------------------------
+
+_COPURCHASE_MIN_ORDERS = 2
+
+
+def q_copurchase_pairs(sf_dir: str):
+    """Market-basket pair counts: parts that appear together in the same
+    order, with support ≥ 2 orders — the pairwise A-Priori candidate
+    step of frequent-itemset mining (and the co-occurrence primitive
+    behind item-item recommenders).
+
+    ONE exchange on order-key hash co-locates each order's lines; the
+    in-bucket pair expansion is a vectorized self-merge whose fan-out
+    is bounded by lines-per-order² (≤ ~12² here — the A-Priori
+    assumption that baskets are small while the catalog is huge), and
+    the open-domain (part, part) counts fold through
+    ``grouped_aggregate``'s coarse-bucket columnar reduce.  Pure-int
+    pipeline — deterministic at any scale."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"], split=True)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = (batch["l_orderkey"].to_numpy() % 64).astype(np.int32)
+        return batch.append_column("__bucket", pa.array(b))
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["l_orderkey", "l_partkey"]].drop_duplicates()
+        m = df.merge(df, on="l_orderkey", suffixes=("_a", "_b"))
+        m = m[m["l_partkey_a"] < m["l_partkey_b"]]
+        return (
+            m.groupby(["l_partkey_a", "l_partkey_b"], as_index=False)
+            .size()
+            .rename(columns={"l_partkey_a": "part_a", "l_partkey_b": "part_b", "size": "n"})
+        )
+
+    counted = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(lambda df: pairs(df.drop(columns=["__bucket"])), batch_format="pandas")
+    )
+    folded = grouped_aggregate(
+        counted, ["part_a", "part_b"], {"n_orders": ("sum", "n")}
+    )
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["n_orders"] >= _COPURCHASE_MIN_ORDERS]
+        return df.assign(n_orders=df["n_orders"].astype(np.int64))
+
+    return folded.map_batches(keep, batch_format="pandas")
+
+
+SQL_COPURCHASE = f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+HAVING count(*) >= {_COPURCHASE_MIN_ORDERS}
+"""
+
+
+_AB_THR = "8" + "0" * 31  # md5(user_id) < this hex → arm A (≈50/50)
+
+
+def q_ab_ttest(sf_dir: str):
+    """A/B experiment readout with Welch's t-statistic per metric: users
+    split into two arms by the same deterministic md5-threshold device
+    as ``hash_split_counts`` (no assignment table to join — the split
+    is recomputable on every node), event ``value`` is the metric,
+    ``event_type`` the metric family.
+
+    One streaming pass reduces exact integer-cent moment partials
+    (n, Σc, Σc²) per (metric, arm) — six int64s per metric, immune to
+    accumulation order — and the Welch algebra runs driver-side on the
+    tiny moment table with the SAME operation sequence as the SQL
+    mirror, so the floats are bit-identical before rounding."""
+    from .tabular import md5_lt_mask
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type", "value"], split=True)
+
+    def moments(batch: pa.Table) -> pd.DataFrame:
+        arm_a = md5_lt_mask(batch["user_id"].cast(pa.string()), _AB_THR)
+        cents = np.round(batch["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_pandas(),
+                "arm": np.where(arm_a, 0, 1),
+                "c": cents,
+                "cc": cents * cents,
+            }
+        )
+        g = df.groupby(["event_type", "arm"], as_index=False).agg(
+            n=("c", "count"), s=("c", "sum"), ss=("cc", "sum")
+        )
+        return g
+
+    stats = (
+        grouped_aggregate(
+            ds.map_batches(moments, batch_format="pyarrow"),
+            ["event_type", "arm"],
+            {"n": ("sum", "n"), "s": ("sum", "s"), "ss": ("sum", "ss")},
+            small_keys=True,
+        )
+        .to_pandas()
+        .sort_values(["event_type", "arm"])
+    )
+    a = stats[stats["arm"] == 0].set_index("event_type")
+    b = stats[stats["arm"] == 1].set_index("event_type")
+    types = sorted(set(a.index) & set(b.index))
+    rows = []
+    for t in types:
+        na, nb = float(a.loc[t, "n"]), float(b.loc[t, "n"])
+        sa, sb = float(a.loc[t, "s"]), float(b.loc[t, "s"])
+        ssa, ssb = float(a.loc[t, "ss"]), float(b.loc[t, "ss"])
+        ma, mb = sa / na, sb / nb
+        va = (ssa - sa * sa / na) / (na - 1.0)
+        vb = (ssb - sb * sb / nb) / (nb - 1.0)
+        tstat = (ma - mb) / np.sqrt(va / na + vb / nb)
+        rows.append(
+            {
+                "event_type": t,
+                "n_a": int(na),
+                "n_b": int(nb),
+                "mean_a": round(ma / 100.0, 6),
+                "mean_b": round(mb / 100.0, 6),
+                "t_stat": round(float(tstat), 6),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+SQL_AB_TTEST = f"""
+WITH e AS (
+  SELECT event_type,
+         CASE WHEN md5(cast(user_id AS varchar)) < '{_AB_THR}' THEN 0 ELSE 1 END AS arm,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+g AS (
+  SELECT event_type, arm, count(*) AS n, sum(c) AS s, sum(c * c) AS ss
+  FROM e GROUP BY 1, 2
+)
+SELECT a.event_type,
+       CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+       round((CAST(a.s AS DOUBLE) / a.n) / 100.0, 6) AS mean_a,
+       round((CAST(b.s AS DOUBLE) / b.n) / 100.0, 6) AS mean_b,
+       round((CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n)
+             / sqrt(((a.ss - CAST(a.s AS DOUBLE) * a.s / a.n) / (a.n - 1.0)) / a.n
+                  + ((b.ss - CAST(b.s AS DOUBLE) * b.s / b.n) / (b.n - 1.0)) / b.n), 6) AS t_stat
+FROM g a JOIN g b ON a.event_type = b.event_type AND a.arm = 0 AND b.arm = 1
+ORDER BY a.event_type
+"""
+
+
+_PSI_CUTOFF = "2024-01-16"
+_PSI_BIN_W = 33.0
+_PSI_NBINS = 10
+
+
+def q_psi_drift(sf_dir: str):
+    """Population-stability-index drift monitor: per metric family
+    (event_type), compare the value distribution before vs after a
+    date cutoff over 10 fixed-width bins with +1 smoothing —
+    PSI = Σ (p−q)·ln(p/q), the standard feature-drift gate a training
+    pipeline runs before each refresh.
+
+    One streaming pass reduces per-(type, period, bin) count partials —
+    a bounded 5×2×10 domain, so the fold is the small-keys fast path
+    and only ~100 int64s reach the driver.  All probabilities derive
+    from exact integer counts; the log-expression evaluation order is
+    mirrored in the SQL, and the ≤10-term PSI sum is rounded to 6."""
+    cutoff = np.datetime64(_PSI_CUTOFF, "us")
+
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"], split=True)
+
+    def counts(batch: pa.Table) -> pd.DataFrame:
+        period = (batch["ts"].to_numpy(zero_copy_only=False) >= cutoff).astype(np.int8)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        b = np.minimum(np.floor(v / _PSI_BIN_W), _PSI_NBINS - 1).astype(np.int32)
+        return (
+            pd.DataFrame({"event_type": batch["event_type"].to_pandas(), "period": period, "bin": b})
+            .value_counts(["event_type", "period", "bin"])
+            .reset_index(name="cnt")
+        )
+
+    c = (
+        grouped_aggregate(
+            ds.map_batches(counts, batch_format="pyarrow"),
+            ["event_type", "period", "bin"],
+            {"cnt": ("sum", "cnt")},
+            small_keys=True,
+        )
+        .to_pandas()
+    )
+    rows = []
+    for t, g in c.groupby("event_type"):
+        smoothed = {}
+        for period in (0, 1):
+            gp = g[g["period"] == period].set_index("bin")["cnt"]
+            cnt = np.array(
+                [int(gp.get(i, 0)) + 1 for i in range(_PSI_NBINS)], dtype=np.float64
+            )
+            smoothed[period] = cnt / cnt.sum()
+        p, q = smoothed[0], smoothed[1]
+        rows.append({"event_type": t, "psi": round(float(np.sum((p - q) * np.log(p / q))), 6)})
+    return pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
+
+
+SQL_PSI_DRIFT = f"""
+WITH b AS (
+  SELECT event_type,
+         CASE WHEN ts >= TIMESTAMP '{_PSI_CUTOFF}' THEN 1 ELSE 0 END AS period,
+         CAST(least(floor(value / {_PSI_BIN_W}), {_PSI_NBINS - 1}) AS INT) AS bin
+  FROM events
+),
+c AS (SELECT event_type, period, bin, count(*) AS cnt FROM b GROUP BY 1, 2, 3),
+grid AS (
+  SELECT t.event_type, p.period, r.range AS bin
+  FROM (SELECT DISTINCT event_type FROM events) t,
+       (VALUES (0), (1)) p(period), range({_PSI_NBINS}) r
+),
+f AS (
+  SELECT g.event_type, g.period, g.bin,
+         CAST(coalesce(c.cnt, 0) + 1 AS DOUBLE) AS cnt
+  FROM grid g LEFT JOIN c ON g.event_type = c.event_type
+       AND g.period = c.period AND g.bin = c.bin
+),
+n AS (SELECT event_type, period, sum(cnt) AS tot FROM f GROUP BY 1, 2),
+pq AS (
+  SELECT f.event_type, f.bin,
+         max(CASE WHEN f.period = 0 THEN f.cnt / n.tot END) AS p,
+         max(CASE WHEN f.period = 1 THEN f.cnt / n.tot END) AS q
+  FROM f JOIN n ON f.event_type = n.event_type AND f.period = n.period
+  GROUP BY 1, 2
+)
+SELECT event_type, round(sum((p - q) * ln(p / q)), 6) AS psi
+FROM pq GROUP BY event_type ORDER BY event_type
+"""
+
+
+_ENTROPY_MIN_EVENTS = 5
+
+
+def q_type_entropy(sf_dir: str):
+    """Per-user Shannon entropy of the event-type distribution (users
+    with ≥ 5 events) — the behavioral-diversity feature, and the same
+    shape as per-document topic/vocabulary entropy in corpus curation.
+
+    (user, type) counts fold through the open-domain coarse-bucket
+    exchange; the per-user entropy finalizer is a second, already
+    co-partitioned pass (≤ |types| rows per user).  Counts are exact
+    ints; the ≤5-term −Σ p·ln p sum rounds to 6."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"], split=True)
+
+    def counts(batch: pa.Table) -> pd.DataFrame:
+        return (
+            pd.DataFrame(
+                {
+                    "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+                    "event_type": batch["event_type"].to_pandas(),
+                }
+            )
+            .value_counts(["user_id", "event_type"])
+            .reset_index(name="cnt")
+        )
+
+    folded = grouped_aggregate(
+        ds.map_batches(counts, batch_format="pyarrow"),
+        ["user_id", "event_type"],
+        {"cnt": ("sum", "cnt")},
+    )
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(__bucket=(df["user_id"].to_numpy() % 32).astype(np.int32))
+
+    def entropy(df: pd.DataFrame) -> pd.DataFrame:
+        tot = df.groupby("user_id")["cnt"].transform("sum")
+        keep = tot >= _ENTROPY_MIN_EVENTS
+        df, tot = df[keep], tot[keep]
+        if len(df) == 0:
+            return pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
+                                 "entropy": pd.Series([], dtype=np.float64)})
+        p = df["cnt"].to_numpy(dtype=np.float64) / tot.to_numpy(dtype=np.float64)
+        contrib = pd.DataFrame({"user_id": df["user_id"], "h": p * np.log(p)})
+        out = contrib.groupby("user_id", as_index=False)["h"].sum()
+        out["entropy"] = np.round(-out["h"], 6) + 0.0  # normalize -0.0 → 0.0
+        return out[["user_id", "entropy"]]
+
+    return (
+        folded.map_batches(tag, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(lambda df: entropy(df.drop(columns=["__bucket"])), batch_format="pandas")
+    )
+
+
+SQL_TYPE_ENTROPY = f"""
+WITH c AS (SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY 1, 2),
+n AS (SELECT user_id, sum(cnt) AS tot FROM c GROUP BY 1 HAVING sum(cnt) >= {_ENTROPY_MIN_EVENTS})
+SELECT c.user_id,
+       round(-sum((CAST(cnt AS DOUBLE) / tot) * ln(CAST(cnt AS DOUBLE) / tot)), 6) + 0.0 AS entropy
+FROM c JOIN n USING (user_id)
+GROUP BY c.user_id
+"""
+
+
+_BFS_SOURCE = 2  # node id of custkey 1 in the 2k / 2k+1 bipartite encoding
+_BFS_MAX_HOPS = 4
+
+
+def q_bfs_hops(sf_dir: str):
+    """Pregel-style BFS: minimum hop distance from one customer node
+    over the UNDIRECTED customer↔supplier bipartite graph (edges =
+    orders ⨝ lineitem, the same 2k/2k+1 node encoding as `pagerank`),
+    capped at 4 hops.
+
+    Level-synchronous frontier expansion: the edge list materializes
+    once and stays put; each level ships only the CURRENT FRONTIER
+    (bounded by the reachable-node count, dimension scale here) as a
+    broadcast ``pa.array`` and streams the edges through a vectorized
+    ``pc.is_in`` probe; newly reached nodes drain (they are the next
+    frontier).  At web scale the same loop swaps the broadcast probe
+    for `tabular.shuffle_semi_filter` (frontier ⨝ edges co-partitioned
+    on src) — the iteration structure, which is the operator, is
+    unchanged.  Pure-int pipeline."""
+    import pyarrow.compute as pc
+
+    orders = read_table_arrow(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"], split=True)
+
+    def edges(df: pd.DataFrame) -> pd.DataFrame:
+        c = (df["o_custkey"].to_numpy() * 2).astype(np.int64)
+        s = (df["l_suppkey"].to_numpy() * 2 + 1).astype(np.int64)
+        return pd.DataFrame(
+            {"src": np.concatenate([c, s]), "dst": np.concatenate([s, c])}
+        ).drop_duplicates()
+
+    e = (
+        broadcast_join(li, orders.rename_columns(["l_orderkey", "o_custkey"]), "l_orderkey")
+        .map_batches(edges, batch_format="pandas")
+        .materialize()
+    )
+
+    visited = {_BFS_SOURCE: 0}
+    frontier = np.array([_BFS_SOURCE], dtype=np.int64)
+    for hop in range(1, _BFS_MAX_HOPS + 1):
+        handle = Broadcast(pa.array(frontier, type=pa.int64()))
+
+        def reached(batch: pa.Table) -> pd.DataFrame:
+            keep = pc.is_in(batch["src"], value_set=handle.get())
+            d = batch.filter(keep)["dst"].to_numpy(zero_copy_only=False)
+            return pd.DataFrame({"node": np.unique(d)})
+
+        new_nodes = (
+            grouped_aggregate(
+                e.map_batches(reached, batch_format="pyarrow"), ["node"], {"n": ("count", None)}
+            )
+            .to_pandas()["node"]
+            .to_numpy()
+        )
+        frontier = np.array([x for x in new_nodes if x not in visited], dtype=np.int64)
+        if len(frontier) == 0:
+            break
+        for x in frontier:
+            visited[int(x)] = hop
+    out = pd.DataFrame(
+        {"node": list(visited.keys()), "hop": list(visited.values())}
+    ).astype(np.int64)
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def _bfs_sql() -> str:
+    base = """
+WITH eu AS (
+  SELECT 2 * o.o_custkey AS src, 2 * l.l_suppkey + 1 AS dst
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  UNION
+  SELECT 2 * l.l_suppkey + 1, 2 * o.o_custkey
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+"""
+    parts = [f"v0(node, hop) AS (SELECT {_BFS_SOURCE}, 0)"]
+    for k in range(1, _BFS_MAX_HOPS + 1):
+        parts.append(
+            f"""f{k} AS (
+  SELECT DISTINCT e.dst AS node FROM eu e
+  JOIN v{k - 1} v ON e.src = v.node AND v.hop = {k - 1}
+  WHERE e.dst NOT IN (SELECT node FROM v{k - 1})
+),
+v{k} AS (SELECT node, hop FROM v{k - 1} UNION ALL SELECT node, {k} FROM f{k})"""
+        )
+    return (
+        base
+        + ",\n".join(parts)
+        + f"\nSELECT CAST(node AS BIGINT) AS node, CAST(hop AS BIGINT) AS hop FROM v{_BFS_MAX_HOPS} ORDER BY node"
+    )
+
+
+SQL_BFS_HOPS = _bfs_sql()
+
+
+def _pagerank_sql(iters: int = 8, damping: float = 0.85) -> str:
+    """Chained-CTE power iteration mirroring stages/graph.pagerank on the
+    customer→supplier bipartite edge list — one CTE per sweep (SQL
+    recursion cannot aggregate in the recursive term, so the fixed
+    iteration count unrolls instead)."""
+    head = f"""
+WITH edges AS (
+  SELECT 2 * o.o_custkey AS src, 2 * l.l_suppkey + 1 AS dst
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+deg AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY 1),
+r0 AS (SELECT node, (SELECT 1.0 / n FROM nn) AS rank FROM nodes)"""
+    sweeps = []
+    for k in range(1, iters + 1):
+        p = k - 1
+        sweeps.append(
+            f""",
+d{k} AS (
+  SELECT coalesce(sum(r.rank), 0.0) AS mass FROM r{p} r
+  LEFT JOIN deg ON r.node = deg.node WHERE deg.node IS NULL
+),
+c{k} AS (
+  SELECT e.dst AS node, sum(r.rank / deg.deg) AS contrib
+  FROM edges e JOIN r{p} r ON e.src = r.node JOIN deg ON deg.node = e.src
+  GROUP BY e.dst
+),
+r{k} AS (
+  SELECT n.node,
+         (1.0 - {damping}) / nn.n
+         + {damping} * (coalesce(c.contrib, 0.0) + d.mass / nn.n) AS rank
+  FROM nodes n CROSS JOIN nn CROSS JOIN d{k} d
+  LEFT JOIN c{k} c ON c.node = n.node
+)"""
+        )
+    return (
+        head
+        + "".join(sweeps)
+        + f"\nSELECT CAST(node AS BIGINT) AS node, round(rank, 10) AS rank FROM r{iters} ORDER BY node"
+    )
+
+
+SQL_PAGERANK = _pagerank_sql()
+
+
+# ---------------------------------------------------------------------------
 # TPC-H-shaped multi-join family: Q5 / Q17 / Q18 plan shapes
 # ---------------------------------------------------------------------------
 
@@ -7825,6 +8277,11 @@ QUERIES = {
     "q5_region_revenue": q_q5_region_revenue,
     "q17_small_quantity": q_q17_small_quantity,
     "q18_large_orders": q_q18_large_orders,
+    "copurchase_pairs": q_copurchase_pairs,
+    "ab_ttest": q_ab_ttest,
+    "psi_drift": q_psi_drift,
+    "type_entropy": q_type_entropy,
+    "bfs_hops": q_bfs_hops,
 }
 
 ORACLE_SQL = {
@@ -7954,6 +8411,12 @@ ORACLE_SQL = {
     "q5_region_revenue": SQL_Q5,
     "q17_small_quantity": SQL_Q17,
     "q18_large_orders": SQL_Q18,
+    "copurchase_pairs": SQL_COPURCHASE,
+    "ab_ttest": SQL_AB_TTEST,
+    "psi_drift": SQL_PSI_DRIFT,
+    "type_entropy": SQL_TYPE_ENTROPY,
+    "bfs_hops": SQL_BFS_HOPS,
+    "pagerank": SQL_PAGERANK,
     # pca_project is rows-only (no SQL eigendecomposition) — numpy-parity
     # pytest covers the values.
     # hll_distinct / price_quantiles_tdigest are approximate sketches —
