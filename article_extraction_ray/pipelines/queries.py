@@ -7827,6 +7827,314 @@ r{k} AS (
 SQL_PAGERANK = _pagerank_sql()
 
 
+_LP_SEED_MOD = 5
+_LP_ITERS = 6
+
+
+def q_label_propagation(sf_dir: str):
+    """Semi-supervised label propagation (stages/graph.label_propagation)
+    over the undirected customer↔supplier bipartite graph: every 5th
+    supplier is seeded with its nation key; labels spread by
+    majority-of-labeled-neighbors (ties → smallest label) until
+    convergence or 6 sweeps.  Multi-hop by construction — unseeded
+    suppliers can only be labeled via customers labeled in an earlier
+    sweep.
+
+    Value-checked against an unrolled chained-CTE mirror
+    (SQL_LABEL_PROP): one CTE trio (votes → per-node argmax → merged
+    label state) per sweep.  Unrolling is exact because a converged
+    sweep is a fixpoint no-op, and every quantity is an integer with a
+    deterministic (count DESC, label ASC) tie rule."""
+    from ..stages.graph import label_propagation
+
+    sup = read_table_arrow(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    sk = sup["s_suppkey"].to_numpy()
+    sn = sup["s_nationkey"].to_numpy()
+    m = (sk % _LP_SEED_MOD) == 0
+    seeds = {int(2 * k + 1): int(n) for k, n in zip(sk[m], sn[m])}
+
+    orders = read_table_arrow(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"], split=True)
+
+    def edges(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": (df["o_custkey"].to_numpy() * 2).astype(np.int64),
+                "dst": (df["l_suppkey"].to_numpy() * 2 + 1).astype(np.int64),
+            }
+        )
+
+    e = broadcast_join(
+        li, orders.rename_columns(["l_orderkey", "o_custkey"]), "l_orderkey"
+    ).map_batches(edges, batch_format="pandas")
+    out = label_propagation(e, seeds, max_iters=_LP_ITERS)
+    out = out.astype({"node": np.int64, "label": np.int64})
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def _label_prop_sql(iters: int = _LP_ITERS) -> str:
+    head = f"""
+WITH edges AS (
+  SELECT 2 * o.o_custkey AS src, 2 * l.l_suppkey + 1 AS dst
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+seeds AS (
+  SELECT 2 * s_suppkey + 1 AS node, CAST(s_nationkey AS BIGINT) AS label
+  FROM supplier WHERE s_suppkey % {_LP_SEED_MOD} = 0
+),
+l0 AS (SELECT node, label FROM seeds)"""
+    sweeps = []
+    for k in range(1, iters + 1):
+        p = k - 1
+        sweeps.append(
+            f""",
+v{k} AS (
+  SELECT x.node, l.label, count(*) AS n
+  FROM (SELECT dst AS node, src AS nb FROM edges
+        UNION ALL SELECT src, dst FROM edges) x
+  JOIN l{p} l ON l.node = x.nb
+  GROUP BY x.node, l.label
+),
+b{k} AS (
+  SELECT node, label FROM (
+    SELECT node, label, row_number() OVER (PARTITION BY node ORDER BY n DESC, label) AS rn
+    FROM v{k}
+  ) WHERE rn = 1
+),
+l{k} AS (
+  SELECT coalesce(p.node, b.node) AS node,
+         CASE WHEN s.node IS NOT NULL THEN p.label
+              WHEN b.label IS NOT NULL THEN b.label
+              ELSE p.label END AS label
+  FROM l{p} p FULL OUTER JOIN b{k} b ON p.node = b.node
+  LEFT JOIN seeds s ON coalesce(p.node, b.node) = s.node
+)"""
+        )
+    return (
+        head
+        + "".join(sweeps)
+        + f"\nSELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label FROM l{iters} ORDER BY node"
+    )
+
+
+SQL_LABEL_PROP = _label_prop_sql()
+
+
+def q_pareto_orders(sf_dir: str):
+    """2-D Pareto frontier (skyline): orders not dominated on
+    (earlier-or-equal date, strictly higher price) by any other order —
+    the classic price/recency skyline, and the local-prune + merge
+    shape every distributed skyline uses.
+
+    Stage 1 streams one bounded partial per batch — the per-date max
+    price (date domain ≪ rows) — through the small-keys fold; the
+    driver finalizes the frontier with a single running-max sweep over
+    dates (keep a date iff its max beats every STRICTLY earlier date's
+    max).  Stage 2 re-streams the fact table against the broadcast
+    frontier, keeping every order that attains its date's frontier
+    price (equal (date, price) points don't dominate each other).  No
+    arithmetic touches the floats — comparisons only — so no rounding
+    is needed on either side."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_totalprice"], split=True)
+
+    def date_max(batch: pa.Table) -> pd.DataFrame:
+        return (
+            pd.DataFrame(
+                {
+                    "d": batch["o_orderdate"].to_numpy(zero_copy_only=False),
+                    "p": batch["o_totalprice"].to_numpy(zero_copy_only=False),
+                }
+            )
+            .groupby("d", as_index=False)["p"]
+            .max()
+        )
+
+    dm = (
+        grouped_aggregate(
+            ds.map_batches(date_max, batch_format="pyarrow"),
+            ["d"],
+            {"p": ("max", "p")},
+            small_keys=True,
+        )
+        .to_pandas()
+        .sort_values("d")
+    )
+    prev_max = dm["p"].cummax().shift(1)
+    sky = dm[prev_max.isna() | (dm["p"] > prev_max)]
+    fr = Broadcast(pd.Series(sky["p"].to_numpy(), index=sky["d"].to_numpy()))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        f = fr.get()
+        d = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        p = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        want = f.reindex(d).to_numpy()
+        return batch.filter(pa.array(p == want))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+SQL_PARETO = """
+SELECT a.o_orderkey, a.o_orderdate, a.o_totalprice
+FROM orders a
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders b
+  WHERE (b.o_orderdate <  a.o_orderdate AND b.o_totalprice >= a.o_totalprice)
+     OR (b.o_orderdate <= a.o_orderdate AND b.o_totalprice >  a.o_totalprice)
+)
+"""
+
+
+_AUC_POS_TYPE = "purchase"
+
+
+def q_auc_score(sf_dir: str):
+    """Exact ROC-AUC of `value` as a score for predicting
+    event_type == 'purchase' — the Mann-Whitney U rank statistic, the
+    standard offline-eval metric for a trained ranker.
+
+    The trick that makes an O(N log N) global-rank statistic a
+    STREAMING aggregate: scores are 2-decimal currency values, so the
+    (cents, label) count histogram is bounded by the PRICE DOMAIN, not
+    the row count.  One pass reduces per-(cents, label) count partials;
+    the driver computes U from the ~2·|domain| int64 histogram with a
+    single cumulative sweep (ties get the standard half credit, kept
+    exact by accumulating 2U as an integer).  One float division at
+    the end, mirrored op-for-op in SQL."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"], split=True)
+
+    def counts(batch: pa.Table) -> pd.DataFrame:
+        cents = np.round(batch["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        pos = (batch["event_type"].to_pandas() == _AUC_POS_TYPE).astype(np.int8)
+        return (
+            pd.DataFrame({"cents": cents, "pos": pos})
+            .value_counts(["cents", "pos"])
+            .reset_index(name="n")
+        )
+
+    hist = (
+        grouped_aggregate(
+            ds.map_batches(counts, batch_format="pyarrow"),
+            ["cents", "pos"],
+            {"n": ("sum", "n")},
+        )
+        .to_pandas()
+        .pivot_table(index="cents", columns="pos", values="n", fill_value=0, aggfunc="sum")
+        .reindex(columns=[0, 1], fill_value=0)
+        .sort_index()
+    )
+    n0 = hist[0].to_numpy(dtype=np.int64)
+    n1 = hist[1].to_numpy(dtype=np.int64)
+    cum0 = np.concatenate([[0], np.cumsum(n0)[:-1]])
+    u2 = int(np.sum(n1 * (2 * cum0 + n0)))  # 2·U, exact
+    auc = u2 / (2.0 * int(n1.sum()) * int(n0.sum()))
+    return pd.DataFrame({"auc": [round(auc, 6)]})
+
+
+SQL_AUC = f"""
+WITH c AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+         CASE WHEN event_type = '{_AUC_POS_TYPE}' THEN 1 ELSE 0 END AS pos,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT cents,
+         coalesce(max(CASE WHEN pos = 1 THEN n END), 0) AS n1,
+         coalesce(max(CASE WHEN pos = 0 THEN n END), 0) AS n0
+  FROM c GROUP BY 1
+),
+w AS (
+  SELECT n1, n0,
+         coalesce(sum(n0) OVER (ORDER BY cents
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0
+  FROM s
+)
+SELECT round(sum(n1 * (2 * cum0 + n0))
+             / (2.0 * (SELECT sum(n1) FROM s) * (SELECT sum(n0) FROM s)), 6) AS auc
+FROM w
+"""
+
+
+def q_gini_revenue(sf_dir: str):
+    """Per-nation Gini coefficient of customer revenue concentration —
+    the inequality/skew diagnostic a marketplace (or a per-domain
+    corpus-balance audit) runs over grouped totals.
+
+    Two-level shape: per-customer revenue folds exactly in integer
+    cents through the open-domain exchange; ONE nation-hash exchange
+    co-locates each nation's customers and the in-bucket Gini is a
+    vectorized sorted sweep (Σ i·xᵢ stays int64 — exact).  Tie order
+    cannot change Σ i·xᵢ (equal values commute), so no tie rule is
+    needed for correctness; one float expression at the end, mirrored
+    op-for-op in SQL."""
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"], split=True)
+    cust = read_table_arrow(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    nmap = pd.Series(
+        cust["c_nationkey"].to_numpy().astype(np.int64),
+        index=cust["c_custkey"].to_numpy().astype(np.int64),
+    )
+    nmap_bc = Broadcast(nmap)
+
+    def rev_partial(batch: pa.Table) -> pd.DataFrame:
+        cents = np.round(batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return (
+            pd.DataFrame({"c_custkey": batch["o_custkey"].to_numpy(zero_copy_only=False), "rev": cents})
+            .groupby("c_custkey", as_index=False)["rev"]
+            .sum()
+        )
+
+    per_cust = grouped_aggregate(
+        orders.map_batches(rev_partial, batch_format="pyarrow"),
+        ["c_custkey"],
+        {"rev": ("sum", "rev")},
+    )
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        nk = nmap_bc.get().reindex(df["c_custkey"].to_numpy()).to_numpy()
+        return df.assign(c_nationkey=nk.astype(np.int64))
+
+    def gini(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for nk, g in df.groupby("c_nationkey", sort=True):
+            x = np.sort(g["rev"].to_numpy(dtype=np.int64))
+            n = len(x)
+            s = int(x.sum())
+            a = int(np.sum(np.arange(1, n + 1, dtype=np.int64) * x))
+            rows.append(
+                {
+                    "c_nationkey": int(nk),
+                    "gini": round(2.0 * a / (n * s) - (n + 1.0) / n, 6),
+                    "n_customers": n,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return (
+        per_cust.map_batches(tag, batch_format="pandas")
+        .groupby("c_nationkey")
+        .map_groups(gini, batch_format="pandas")
+    )
+
+
+SQL_GINI = """
+WITH r AS (
+  SELECT c.c_nationkey, o.o_custkey,
+         sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+),
+k AS (
+  SELECT c_nationkey, rev,
+         row_number() OVER (PARTITION BY c_nationkey ORDER BY rev, o_custkey) AS i
+  FROM r
+)
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       round(2.0 * sum(i * rev) / (count(*) * sum(rev)) - (count(*) + 1.0) / count(*), 6) AS gini,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM k GROUP BY c_nationkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-shaped multi-join family: Q5 / Q17 / Q18 plan shapes
 # ---------------------------------------------------------------------------
@@ -8282,6 +8590,10 @@ QUERIES = {
     "psi_drift": q_psi_drift,
     "type_entropy": q_type_entropy,
     "bfs_hops": q_bfs_hops,
+    "label_propagation": q_label_propagation,
+    "pareto_orders": q_pareto_orders,
+    "auc_score": q_auc_score,
+    "gini_revenue": q_gini_revenue,
 }
 
 ORACLE_SQL = {
@@ -8417,6 +8729,10 @@ ORACLE_SQL = {
     "type_entropy": SQL_TYPE_ENTROPY,
     "bfs_hops": SQL_BFS_HOPS,
     "pagerank": SQL_PAGERANK,
+    "label_propagation": SQL_LABEL_PROP,
+    "pareto_orders": SQL_PARETO,
+    "auc_score": SQL_AUC,
+    "gini_revenue": SQL_GINI,
     # pca_project is rows-only (no SQL eigendecomposition) — numpy-parity
     # pytest covers the values.
     # hll_distinct / price_quantiles_tdigest are approximate sketches —

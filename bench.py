@@ -98,6 +98,20 @@ BENCH_QUERIES = [
     "time_gap_fill",
     "corr_matrix",
     "pca_project",
+    "event_transitions",
+    "interval_coverage",
+    "debounce_events",
+    "q5_region_revenue",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "copurchase_pairs",
+    "ab_ttest",
+    "psi_drift",
+    "type_entropy",
+    "bfs_hops",
+    "pagerank",
+    "label_propagation",
+    "pareto_orders",
 ]
 
 
