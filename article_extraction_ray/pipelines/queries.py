@@ -7973,14 +7973,17 @@ def q_pareto_orders(sf_dir: str):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+# Dominance spec: a is dominated iff ∃b with (earlier date, ≥ price) or
+# (≤ date, strictly higher price).  The second branch is exactly "a is
+# not its own date's max", so the NOT EXISTS only needs the per-date-max
+# candidate set — same result as the naive all-pairs form, but the
+# quadratic check runs over |dates|, not |orders| (the OR-disjunction
+# all-pairs form defeats DuckDB's IEJoin and goes nested-loop).
 SQL_PARETO = """
-SELECT a.o_orderkey, a.o_orderdate, a.o_totalprice
-FROM orders a
-WHERE NOT EXISTS (
-  SELECT 1 FROM orders b
-  WHERE (b.o_orderdate <  a.o_orderdate AND b.o_totalprice >= a.o_totalprice)
-     OR (b.o_orderdate <= a.o_orderdate AND b.o_totalprice >  a.o_totalprice)
-)
+WITH dmax AS (SELECT o_orderdate AS d, max(o_totalprice) AS p FROM orders GROUP BY 1)
+SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice
+FROM orders o JOIN dmax m ON o.o_orderdate = m.d AND o.o_totalprice = m.p
+WHERE NOT EXISTS (SELECT 1 FROM dmax b WHERE b.d < m.d AND b.p >= m.p)
 """
 
 
@@ -8132,6 +8135,146 @@ SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
        round(2.0 * sum(i * rev) / (count(*) * sum(rev)) - (count(*) + 1.0) / count(*), 6) AS gini,
        CAST(count(*) AS BIGINT) AS n_customers
 FROM k GROUP BY c_nationkey
+"""
+
+
+_SSJ_WINDOW_US = 600_000_000  # 10 minutes
+
+
+def q_stream_self_join(sf_dir: str):
+    """Stream-stream windowed self-join (Flink interval-join shape):
+    every (view → click) pair by the same user where the click lands
+    within (0, 10 min] after the view.
+
+    ONE user-hash exchange co-locates each user's events; the
+    in-bucket pairing is a vectorized same-user merge + window filter
+    whose fan-out is bounded by per-user×per-window event counts (the
+    interval-join assumption).  At stream scale the SAME shape runs
+    per (user, time-bucket) with one-window overlap replication —
+    noted here because the bucketing key, not the pairing kernel, is
+    what changes.  Pure-int (µs) comparisons."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"], split=True)
+
+    def tag(batch: pa.Table) -> pd.DataFrame:
+        us = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view("int64")
+        return pd.DataFrame(
+            {
+                "event_id": batch["event_id"].to_numpy(zero_copy_only=False),
+                "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+                "us": us,
+                "event_type": batch["event_type"].to_pandas(),
+                "__bucket": (batch["user_id"].to_numpy() % 32).astype(np.int32),
+            }
+        )
+
+    def pair(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[df["event_type"] == "view"][["user_id", "event_id", "us"]]
+        c = df[df["event_type"] == "click"][["user_id", "event_id", "us"]]
+        m = v.merge(c, on="user_id", suffixes=("_v", "_c"))
+        dt = m["us_c"] - m["us_v"]
+        m = m[(dt > 0) & (dt <= _SSJ_WINDOW_US)]
+        return m.rename(columns={"event_id_v": "view_id", "event_id_c": "click_id"})[
+            ["user_id", "view_id", "click_id"]
+        ]
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(lambda df: pair(df.drop(columns=["__bucket"])), batch_format="pandas")
+    )
+
+
+SQL_STREAM_SELF_JOIN = f"""
+SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+FROM events v JOIN events c ON v.user_id = c.user_id
+WHERE v.event_type = 'view' AND c.event_type = 'click'
+  AND epoch_us(c.ts) - epoch_us(v.ts) > 0
+  AND epoch_us(c.ts) - epoch_us(v.ts) <= {_SSJ_WINDOW_US}
+"""
+
+
+_ATTR_WINDOW_US = 1_800_000_000  # 30 minutes
+
+
+def q_attribution_last_touch(sf_dir: str):
+    """Last-touch conversion attribution: each purchase is credited to
+    the LATEST non-purchase event by the same user strictly before it
+    and within 30 minutes (ties at the same µs → highest event_id) —
+    the per-user AS-OF self-join every marketing/reco pipeline runs.
+
+    Same single user-hash exchange as sessionize; in-bucket the as-of
+    match is one ``pandas.merge_asof`` (backward, tolerance, no exact
+    matches) over per-user ordered frames — O(n) after the sort, no
+    pair fan-out at all, which is what distinguishes the as-of shape
+    from the interval join above.  Purchases with no touch in window
+    drop (inner semantics)."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"], split=True)
+
+    def tag(batch: pa.Table) -> pd.DataFrame:
+        us = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view("int64")
+        return pd.DataFrame(
+            {
+                "event_id": batch["event_id"].to_numpy(zero_copy_only=False),
+                "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+                "us": us,
+                "event_type": batch["event_type"].to_pandas(),
+                "__bucket": (batch["user_id"].to_numpy() % 32).astype(np.int32),
+            }
+        )
+
+    def attribute(df: pd.DataFrame) -> pd.DataFrame:
+        p = (
+            df[df["event_type"] == "purchase"][["user_id", "event_id", "us"]]
+            .sort_values("us", kind="stable")
+            .rename(columns={"event_id": "purchase_id"})
+        )
+        t = (
+            df[df["event_type"] != "purchase"][["user_id", "event_id", "us", "event_type"]]
+            .sort_values(["us", "event_id"], kind="stable")
+            .rename(columns={"event_id": "touch_id", "event_type": "touch_type"})
+        )
+        if len(p) == 0 or len(t) == 0:
+            return pd.DataFrame(
+                {
+                    "purchase_id": pd.Series([], dtype=np.int64),
+                    "touch_id": pd.Series([], dtype=np.int64),
+                    "touch_type": pd.Series([], dtype=object),
+                }
+            )
+        m = pd.merge_asof(
+            p,
+            t,
+            on="us",
+            by="user_id",
+            direction="backward",
+            allow_exact_matches=False,
+            tolerance=_ATTR_WINDOW_US,
+        )
+        m = m.dropna(subset=["touch_id"])
+        return m.assign(touch_id=m["touch_id"].astype(np.int64))[
+            ["purchase_id", "touch_id", "touch_type"]
+        ]
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(lambda df: attribute(df.drop(columns=["__bucket"])), batch_format="pandas")
+    )
+
+
+SQL_ATTRIBUTION = f"""
+SELECT p.event_id AS purchase_id, a.event_id AS touch_id, a.event_type AS touch_type
+FROM events p
+JOIN LATERAL (
+  SELECT e.event_id, e.event_type
+  FROM events e
+  WHERE e.user_id = p.user_id AND e.event_type <> 'purchase'
+    AND epoch_us(e.ts) < epoch_us(p.ts)
+    AND epoch_us(e.ts) >= epoch_us(p.ts) - {_ATTR_WINDOW_US}
+  ORDER BY epoch_us(e.ts) DESC, e.event_id DESC
+  LIMIT 1
+) a ON true
+WHERE p.event_type = 'purchase'
 """
 
 
@@ -8594,6 +8737,8 @@ QUERIES = {
     "pareto_orders": q_pareto_orders,
     "auc_score": q_auc_score,
     "gini_revenue": q_gini_revenue,
+    "stream_self_join": q_stream_self_join,
+    "attribution_last_touch": q_attribution_last_touch,
 }
 
 ORACLE_SQL = {
@@ -8733,6 +8878,8 @@ ORACLE_SQL = {
     "pareto_orders": SQL_PARETO,
     "auc_score": SQL_AUC,
     "gini_revenue": SQL_GINI,
+    "stream_self_join": SQL_STREAM_SELF_JOIN,
+    "attribution_last_touch": SQL_ATTRIBUTION,
     # pca_project is rows-only (no SQL eigendecomposition) — numpy-parity
     # pytest covers the values.
     # hll_distinct / price_quantiles_tdigest are approximate sketches —

@@ -112,6 +112,10 @@ BENCH_QUERIES = [
     "pagerank",
     "label_propagation",
     "pareto_orders",
+    "auc_score",
+    "gini_revenue",
+    "stream_self_join",
+    "attribution_last_touch",
 ]
 
 
