@@ -8278,6 +8278,215 @@ WHERE p.event_type = 'purchase'
 """
 
 
+def q_chi2_independence(sf_dir: str):
+    """Pearson chi-square independence test on the (event_type ×
+    md5-arm) contingency table — "did the experiment arms see the same
+    event mix?", the guardrail check run next to `ab_ttest`.
+
+    One streaming pass reduces the bounded |types|×2 contingency counts
+    (ints); the driver evaluates Σ (obs−exp)²/exp with the expected
+    counts derived from exact integer margins, op-sequence-mirrored in
+    SQL.  Output: one row (chi2, dof)."""
+    from .tabular import md5_lt_mask
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"], split=True)
+
+    def counts(batch: pa.Table) -> pd.DataFrame:
+        arm_a = md5_lt_mask(batch["user_id"].cast(pa.string()), _AB_THR)
+        return (
+            pd.DataFrame(
+                {
+                    "event_type": batch["event_type"].to_pandas(),
+                    "arm": np.where(arm_a, 0, 1),
+                }
+            )
+            .value_counts(["event_type", "arm"])
+            .reset_index(name="n")
+        )
+
+    c = (
+        grouped_aggregate(
+            ds.map_batches(counts, batch_format="pyarrow"),
+            ["event_type", "arm"],
+            {"n": ("sum", "n")},
+            small_keys=True,
+        )
+        .to_pandas()
+        .pivot_table(index="event_type", columns="arm", values="n", fill_value=0, aggfunc="sum")
+        .reindex(columns=[0, 1], fill_value=0)
+    )
+    obs = c.to_numpy(dtype=np.float64)
+    row = obs.sum(axis=1, keepdims=True)
+    col = obs.sum(axis=0, keepdims=True)
+    tot = obs.sum()
+    exp = row * col / tot
+    chi2 = float(np.sum((obs - exp) * (obs - exp) / exp))
+    dof = (obs.shape[0] - 1) * (obs.shape[1] - 1)
+    return pd.DataFrame({"chi2": [round(chi2, 6)], "dof": [dof]})
+
+
+SQL_CHI2 = f"""
+WITH e AS (
+  SELECT event_type,
+         CASE WHEN md5(cast(user_id AS varchar)) < '{_AB_THR}' THEN 0 ELSE 1 END AS arm
+  FROM events
+),
+c AS (SELECT event_type, arm, CAST(count(*) AS DOUBLE) AS n FROM e GROUP BY 1, 2),
+m AS (
+  SELECT c.event_type, c.arm, c.n,
+         sum(c.n) OVER (PARTITION BY c.event_type) AS row_n,
+         sum(c.n) OVER (PARTITION BY c.arm) AS col_n,
+         sum(c.n) OVER () AS tot
+  FROM c
+)
+SELECT round(sum((n - row_n * col_n / tot) * (n - row_n * col_n / tot)
+                 / (row_n * col_n / tot)), 6) AS chi2,
+       CAST((count(DISTINCT event_type) - 1) * (count(DISTINCT arm) - 1) AS BIGINT) AS dof
+FROM m
+"""
+
+
+_CLUSTER_COEFF_MIN_ORDERS = 2
+
+
+def q_clustering_coeff(sf_dir: str):
+    """Local clustering coefficient per node of the co-purchase graph
+    (parts as nodes, edge = bought together in ≥ 2 orders): the
+    community-density metric 2·Δ(v) / (deg(v)·(deg(v)−1)) — graph
+    analytics one level past `triangle_count`'s global scalar.
+
+    Three-stage shape on top of the `copurchase_pairs` exchange: (1)
+    the thresholded edge set folds once; (2) ONE node-hash exchange
+    co-locates each node's adjacency and emits its wedges ((a,b)
+    neighbor pairs — fan-out deg², the wedge-join reality every
+    triangle algorithm pays); (3) wedges probe the edge set (broadcast
+    array here, hash-partitioned semi-join at scale — same swap as
+    `bfs_hops`) and closed counts fold back per node.  Integers until
+    the final mirrored division."""
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"], split=True)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = (batch["l_orderkey"].to_numpy() % 64).astype(np.int32)
+        return batch.append_column("__bucket", pa.array(b))
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["l_orderkey", "l_partkey"]].drop_duplicates()
+        m = df.merge(df, on="l_orderkey", suffixes=("_a", "_b"))
+        m = m[m["l_partkey_a"] < m["l_partkey_b"]]
+        return (
+            m.groupby(["l_partkey_a", "l_partkey_b"], as_index=False)
+            .size()
+            .rename(columns={"l_partkey_a": "a", "l_partkey_b": "b", "size": "n"})
+        )
+
+    folded = grouped_aggregate(
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(lambda df: pairs(df.drop(columns=["__bucket"])), batch_format="pandas"),
+        ["a", "b"],
+        {"n": ("sum", "n")},
+    )
+
+    def thresholded(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["n"] >= _CLUSTER_COEFF_MIN_ORDERS][["a", "b"]]
+
+    edges = folded.map_batches(thresholded, batch_format="pandas").materialize()
+
+    import ray
+
+    # edge-key set for the closure probe (part ids < 2^32 by key contract; the
+    # packed key keeps the probe a single int64 is_in)
+    ekeys = pa.concat_tables(
+        [t.select(["a", "b"]) for t in ray.get(edges.to_arrow_refs()) if t.num_rows > 0]
+    )
+    packed = ekeys["a"].to_numpy() * np.int64(1 << 32) + ekeys["b"].to_numpy()
+    probe = Broadcast(pa.array(packed, type=pa.int64()))
+
+    def tag_v(df: pd.DataFrame) -> pd.DataFrame:
+        # co-locate BOTH endpoints' adjacency rows per node bucket:
+        # replicate each edge to its two endpoint buckets
+        both = pd.concat([df, df.rename(columns={"a": "b", "b": "a"})])[["a", "b"]]
+        return both.rename(columns={"a": "v", "b": "w"}).assign(
+            __bucket=lambda x: (x["v"].to_numpy() % 64).astype(np.int32)
+        )
+
+    def node_wedges(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="v", suffixes=("_1", "_2"))
+        m = m[m["w_1"] < m["w_2"]]
+        return m.rename(columns={"w_1": "x", "w_2": "y"})[["v", "x", "y"]]
+
+    wedge_ds = (
+        edges.map_batches(tag_v, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(lambda df: node_wedges(df.drop(columns=["__bucket"])), batch_format="pandas")
+    )
+
+    def closed_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"v": pd.Series([], dtype=np.int64),
+                                 "tri": pd.Series([], dtype=np.int64)})
+        key = df["x"].to_numpy() * np.int64(1 << 32) + df["y"].to_numpy()
+        hit = pc.is_in(pa.array(key, type=pa.int64()), value_set=probe.get()).to_numpy(
+            zero_copy_only=False
+        )
+        out = df.loc[hit].groupby("v", as_index=False).size().rename(columns={"size": "tri"})
+        return out
+
+    tri = grouped_aggregate(
+        wedge_ds.map_batches(closed_partial, batch_format="pandas"),
+        ["v"],
+        {"tri": ("sum", "tri")},
+    ).to_pandas()
+
+    deg = (
+        pd.concat([ekeys.to_pandas().rename(columns={"a": "v"})[["v"]],
+                   ekeys.to_pandas().rename(columns={"b": "v"})[["v"]]])
+        .groupby("v", as_index=False)
+        .size()
+        .rename(columns={"size": "deg"})
+    )
+    out = deg[deg["deg"] >= 2].merge(tri, on="v", how="left").fillna({"tri": 0})
+    out["coeff"] = np.round(
+        2.0 * out["tri"].to_numpy(dtype=np.float64)
+        / (out["deg"].to_numpy(dtype=np.float64) * (out["deg"].to_numpy(dtype=np.float64) - 1.0)),
+        6,
+    )
+    out = out.rename(columns={"v": "part"})
+    return (
+        out[["part", "deg", "tri", "coeff"]]
+        .astype({"part": np.int64, "deg": np.int64, "tri": np.int64})
+        .sort_values("part")
+        .reset_index(drop=True)
+    )
+
+
+SQL_CLUSTERING_COEFF = f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {_CLUSTER_COEFF_MIN_ORDERS}
+),
+adj AS (SELECT a AS v, b AS w FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT v, count(*) AS deg FROM adj GROUP BY 1),
+tri AS (
+  SELECT a1.v, count(*) AS tri
+  FROM adj a1 JOIN adj a2 ON a1.v = a2.v AND a1.w < a2.w
+  JOIN e ON e.a = a1.w AND e.b = a2.w
+  GROUP BY a1.v
+)
+SELECT CAST(d.v AS BIGINT) AS part,
+       CAST(d.deg AS BIGINT) AS deg,
+       CAST(coalesce(t.tri, 0) AS BIGINT) AS tri,
+       round(2.0 * coalesce(t.tri, 0) / (d.deg * (d.deg - 1.0)), 6) AS coeff
+FROM deg d LEFT JOIN tri t ON d.v = t.v
+WHERE d.deg >= 2
+ORDER BY part
+"""
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-shaped multi-join family: Q5 / Q17 / Q18 plan shapes
 # ---------------------------------------------------------------------------
@@ -8739,6 +8948,8 @@ QUERIES = {
     "gini_revenue": q_gini_revenue,
     "stream_self_join": q_stream_self_join,
     "attribution_last_touch": q_attribution_last_touch,
+    "chi2_independence": q_chi2_independence,
+    "clustering_coeff": q_clustering_coeff,
 }
 
 ORACLE_SQL = {
@@ -8880,6 +9091,8 @@ ORACLE_SQL = {
     "gini_revenue": SQL_GINI,
     "stream_self_join": SQL_STREAM_SELF_JOIN,
     "attribution_last_touch": SQL_ATTRIBUTION,
+    "chi2_independence": SQL_CHI2,
+    "clustering_coeff": SQL_CLUSTERING_COEFF,
     # pca_project is rows-only (no SQL eigendecomposition) — numpy-parity
     # pytest covers the values.
     # hll_distinct / price_quantiles_tdigest are approximate sketches —

@@ -388,9 +388,16 @@ def join(left, right, on: str, *, how: str = "inner",
     if rbytes is not None and rbytes <= broadcast_budget:
         import ray
 
-        dim = pa.concat_tables(
-            ray.get(right.to_arrow_refs()) if ray.is_initialized() else [right.to_arrow()]
-        )
+        tabs = ray.get(right.to_arrow_refs()) if ray.is_initialized() else [right.to_arrow()]
+        # high-parallelism runs can emit zero-row blocks with an EMPTY
+        # schema (e.g. a map_groups bucket that saw no rows) — drop them
+        # before concat or the schema check rejects the whole dimension
+        live = [t for t in tabs if t.num_rows > 0]
+        if live:
+            dim = pa.concat_tables(live)
+        else:
+            sch = right.schema()
+            dim = pa.schema(list(zip(sch.names, sch.types))).empty_table()
         return broadcast_join(left, dim, on, how=how), "broadcast"
     if salt_hot_share is not None:
         return (

@@ -184,3 +184,144 @@ class TestEwmaParity:
         )
         want = want.sort_values("event_id").reset_index(drop=True)
         pd.testing.assert_series_equal(got["ewma"], want["ewma"])
+
+
+class TestParetoSkylineProperties:
+    """Dominance-law properties of q_pareto_orders, checked against the
+    raw table with an O(n²) brute force (1500 rows at sf0.001)."""
+
+    @staticmethod
+    def _dominates(b, a):
+        # b dominates a: earlier-or-equal date with >= price, strict in one dim
+        return (b[0] < a[0] and b[1] >= a[1]) or (b[0] <= a[0] and b[1] > a[1])
+
+    def test_skyline_is_exactly_the_nondominated_set(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from article_extraction_ray.pipelines.queries import q_pareto_orders
+
+        sf = "/root/testdata/sf0.001"
+        got = q_pareto_orders(sf).to_pandas()
+        kept = set(got["o_orderkey"])
+
+        t = pq.read_table(sf + "/orders.parquet",
+                          columns=["o_orderkey", "o_orderdate", "o_totalprice"]).to_pandas()
+        pts = list(zip(t["o_orderdate"], t["o_totalprice"], t["o_orderkey"]))
+        for d, p, k in pts:
+            dominated = any(self._dominates((d2, p2), (d, p))
+                            for d2, p2, k2 in pts if k2 != k)
+            assert (k in kept) == (not dominated), f"orderkey {k}"
+
+
+class TestBfsInvariants:
+    """Level-synchronous BFS output must satisfy the relaxation laws on
+    the underlying undirected edge set."""
+
+    def test_hop_labels_are_shortest_within_cap(self, ray_session):
+        import duckdb
+
+        from article_extraction_ray.pipelines.queries import _BFS_MAX_HOPS, _BFS_SOURCE, q_bfs_hops
+
+        sf = "/root/testdata/sf0.001"
+        got = q_bfs_hops(sf)
+        hop = dict(zip(got["node"], got["hop"]))
+        assert hop[_BFS_SOURCE] == 0
+        assert got["hop"].max() <= _BFS_MAX_HOPS
+
+        con = duckdb.connect()
+        e = con.execute(f"""
+            SELECT DISTINCT 2*o.o_custkey AS src, 2*l.l_suppkey+1 AS dst
+            FROM read_parquet('{sf}/orders.parquet') o
+            JOIN read_parquet('{sf}/lineitem.parquet') l ON l.l_orderkey=o.o_orderkey
+        """).df()
+        edges = list(zip(e["src"], e["dst"])) + list(zip(e["dst"], e["src"]))
+        # triangle inequality on every edge with both endpoints labeled
+        for u, v in edges:
+            if u in hop and v in hop:
+                assert hop[v] <= hop[u] + 1
+        # every level-k node (k>0) has a level-(k-1) witness neighbor
+        nbrs = {}
+        for u, v in edges:
+            nbrs.setdefault(v, set()).add(u)
+        for n, h in hop.items():
+            if h > 0:
+                assert any(hop.get(w) == h - 1 for w in nbrs.get(n, ())), n
+
+
+class TestAucBruteForce:
+    def test_matches_pairwise_definition(self, ray_session):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from article_extraction_ray.pipelines.queries import _AUC_POS_TYPE, q_auc_score
+
+        sf = "/root/testdata/sf0.001"
+        got = float(q_auc_score(sf)["auc"].iloc[0])
+
+        t = pq.read_table(sf + "/events.parquet", columns=["event_type", "value"]).to_pandas()
+        s = np.round(t["value"].to_numpy() * 100).astype(np.int64)
+        y = (t["event_type"] == _AUC_POS_TYPE).to_numpy()
+        pos, neg = s[y], s[~y]
+        wins = (pos[:, None] > neg[None, :]).sum()
+        ties = (pos[:, None] == neg[None, :]).sum()
+        want = (wins + 0.5 * ties) / (len(pos) * len(neg))
+        assert abs(got - want) < 1e-6
+
+
+class TestGiniBruteForce:
+    def test_matches_mean_absolute_difference_form(self, ray_session):
+        import duckdb
+        import numpy as np
+
+        from article_extraction_ray.pipelines.queries import q_gini_revenue
+
+        sf = "/root/testdata/sf0.001"
+        got = q_gini_revenue(sf).to_pandas().set_index("c_nationkey")["gini"]
+
+        con = duckdb.connect()
+        r = con.execute(f"""
+            SELECT c.c_nationkey AS nk, o.o_custkey,
+                   sum(CAST(round(o.o_totalprice*100) AS BIGINT)) AS rev
+            FROM read_parquet('{sf}/orders.parquet') o
+            JOIN read_parquet('{sf}/customer.parquet') c ON c.c_custkey=o.o_custkey
+            GROUP BY 1, 2
+        """).df()
+        for nk, g in r.groupby("nk"):
+            x = g["rev"].to_numpy(dtype=np.float64)
+            mad = np.abs(x[:, None] - x[None, :]).mean()
+            want = mad / (2.0 * x.mean())
+            assert abs(float(got.loc[nk]) - want) < 1e-6, nk
+
+
+class TestAttributionLaws:
+    def test_attribution_is_the_latest_eligible_touch(self, ray_session):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from article_extraction_ray.pipelines.queries import (
+            _ATTR_WINDOW_US,
+            q_attribution_last_touch,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = q_attribution_last_touch(sf).to_pandas()
+
+        t = pq.read_table(sf + "/events.parquet").to_pandas()
+        t["us"] = t["ts"].astype("datetime64[us]").astype(np.int64)
+        by_id = t.set_index("event_id")
+        by_user = dict(tuple(t.groupby("user_id")))
+
+        attributed = dict(zip(got["purchase_id"], got["touch_id"]))
+        purchases = t[t["event_type"] == "purchase"]
+        for _, p in purchases.iterrows():
+            cands = by_user[p["user_id"]]
+            m = cands[(cands["event_type"] != "purchase")
+                      & (cands["us"] < p["us"])
+                      & (cands["us"] >= p["us"] - _ATTR_WINDOW_US)]
+            if len(m) == 0:
+                assert p["event_id"] not in attributed
+            else:
+                best = m.sort_values(["us", "event_id"]).iloc[-1]
+                assert attributed[p["event_id"]] == best["event_id"]
+                tid = attributed[p["event_id"]]
+                assert by_id.loc[tid, "event_type"] != "purchase"
