@@ -8487,6 +8487,251 @@ ORDER BY part
 """
 
 
+def q_ngram_novelty(sf_dir: str):
+    """Per-document n-gram novelty score: the fraction of a document's
+    distinct 8-token shingles that NO lower-numbered document contains —
+    the "how much new text does this doc add" curation signal
+    (complementary to `ngram_span_dedup`'s duplication audit; a crawl
+    pipeline sorts by novelty to prioritize ingestion).
+
+    Same single shingle-hash co-partition as `ngram_span_dedup`: a
+    shingle lives in exactly one bucket, so the in-bucket min(doc_id)
+    IS the global first-occurrence — per-doc novel counts come out of
+    the same exchange with no join-back; a doc-hash fold then sums
+    per-doc partials.  The novelty ratio is one exact int/int division
+    (identical on both engines — no rounding needed).  Zero-shingle
+    docs ride along as null markers."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+
+    def pairs(batch: pa.Table) -> pd.DataFrame:
+        doc_ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out_doc: list[int] = []
+        out_sh: list[str | None] = []
+        for did, text in zip(doc_ids, texts):
+            toks = text.split()
+            if len(toks) < _SPAN_NGRAM:
+                out_doc.append(did)
+                out_sh.append(None)
+                continue
+            seen = {
+                " ".join(toks[i : i + _SPAN_NGRAM])
+                for i in range(len(toks) - _SPAN_NGRAM + 1)
+            }
+            out_doc.extend([did] * len(seen))
+            out_sh.extend(seen)
+        df = pd.DataFrame({"doc_id": out_doc, "s": out_sh})
+        h = pd.util.hash_array(df["s"].fillna("").to_numpy(dtype=object))
+        df["__bucket"] = np.where(df["s"].isna(), -1, (h % 64).astype(np.int64))
+        return df
+
+    def bucket_novel(df: pd.DataFrame) -> pd.DataFrame:
+        nulls = df["s"].isna()
+        zero = df.loc[nulls, ["doc_id"]].drop_duplicates().assign(n_sh=0, n_novel=0)
+        body = df.loc[~nulls].drop_duplicates(["doc_id", "s"])
+        if len(body) == 0:
+            return zero
+        first = body.groupby("s", sort=False)["doc_id"].transform("min")
+        per = body.assign(nov=(body["doc_id"] == first).astype(np.int64)).groupby(
+            "doc_id", sort=False
+        )
+        counts = per.agg(n_sh=("s", "size"), n_novel=("nov", "sum")).reset_index()
+        return pd.concat([counts, zero], ignore_index=True)
+
+    partials = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(lambda df: bucket_novel(df.drop(columns=["__bucket"])), batch_format="pandas")
+    )
+
+    def doc_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(__b2=(df["doc_id"].to_numpy() % 32).astype(np.int32))
+
+    def doc_sum(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("doc_id", as_index=False, sort=False).agg(
+            n_shingles=("n_sh", "sum"), n_novel=("n_novel", "sum")
+        )
+        n = out["n_shingles"].to_numpy().astype(np.int64)
+        v = out["n_novel"].to_numpy().astype(np.int64)
+        out["n_shingles"] = n
+        out["n_novel"] = v
+        out["novelty"] = np.where(n == 0, 0.0, v / np.where(n == 0, 1, n))
+        return out
+
+    return (
+        partials.map_batches(doc_bucket, batch_format="pandas")
+        .groupby("__b2")
+        .map_groups(lambda df: doc_sum(df.drop(columns=["__b2"])), batch_format="pandas")
+    )
+
+
+SQL_NGRAM_NOVELTY = f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS t
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, t,
+         unnest(generate_series(1, greatest(len(t) - {_SPAN_NGRAM - 1}, 0))) AS i
+  FROM toks
+),
+pairs AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i + {_SPAN_NGRAM - 1}], ' ') AS s FROM idx
+),
+firsts AS (SELECT s, min(doc_id) AS md FROM pairs GROUP BY s),
+perdoc AS (
+  SELECT p.doc_id,
+         count(*) AS n_sh,
+         count(*) FILTER (WHERE f.md = p.doc_id) AS n_novel
+  FROM pairs p JOIN firsts f USING (s)
+  GROUP BY p.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(n_sh, 0) AS BIGINT)    AS n_shingles,
+       CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
+       CASE WHEN coalesce(n_sh, 0) = 0 THEN 0.0
+            ELSE CAST(n_novel AS DOUBLE) / n_sh END AS novelty
+FROM (SELECT doc_id FROM documents) d LEFT JOIN perdoc USING (doc_id)
+"""
+
+
+_DAY_US = 86_400_000_000
+
+
+def q_rfm_segments(sf_dir: str):
+    """RFM customer segmentation: per customer, Recency (days since
+    last order, vs the corpus max date), Frequency (order count) and
+    Monetary (integer-cent revenue), each scored into exact quintiles —
+    the canonical marketing-segmentation pipeline, and the same
+    quantile-threshold bucketize every feature-binning step uses.
+
+    All three metrics reduce exactly (max / count / int-sum partials)
+    through the open-domain fold; the quintile thresholds come from
+    bounded value-count histograms (recency ≤ date range, frequency ≤
+    max orders/customer, monetary ≤ distinct cent totals — domain-,
+    not row-bounded; t-digest is the in-repo swap when it isn't) via
+    the same `_quantile_from_hist` device that reproduces DuckDB's
+    quantile_cont bit-exactly.  Scores are integer threshold
+    comparisons — recency inverted (recent = high score) — so the
+    output is all-int deterministic."""
+    orders = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"], split=True
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        us = batch["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view("int64")
+        cents = np.round(batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return (
+            pd.DataFrame(
+                {"c_custkey": batch["o_custkey"].to_numpy(zero_copy_only=False), "us": us, "cents": cents}
+            )
+            .groupby("c_custkey", as_index=False)
+            .agg(last_us=("us", "max"), f_orders=("us", "count"), m_cents=("cents", "sum"))
+        )
+
+    per_cust = grouped_aggregate(
+        orders.map_batches(partial, batch_format="pyarrow"),
+        ["c_custkey"],
+        {"last_us": ("max", "last_us"), "f_orders": ("sum", "f_orders"), "m_cents": ("sum", "m_cents")},
+    ).materialize()
+
+    gmax = int(per_cust.max("last_us"))
+
+    def metrics(df: pd.DataFrame) -> pd.DataFrame:
+        r = (gmax - df["last_us"].to_numpy(dtype=np.int64)) // _DAY_US
+        return pd.DataFrame(
+            {
+                "c_custkey": df["c_custkey"],
+                "r_days": r.astype(np.int64),
+                "f_orders": df["f_orders"].to_numpy(dtype=np.int64),
+                "m_cents": df["m_cents"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    base = per_cust.map_batches(metrics, batch_format="pandas").materialize()
+
+    def hist_of(col: str) -> pd.DataFrame:
+        def vc(df: pd.DataFrame) -> pd.DataFrame:
+            return df[[col]].value_counts().reset_index(name="cnt")
+
+        return (
+            grouped_aggregate(
+                base.map_batches(vc, batch_format="pandas"), [col], {"cnt": ("sum", "cnt")},
+                small_keys=True,
+            )
+            .to_pandas()
+            .sort_values(col)
+        )
+
+    thresholds = {}
+    for col in ("r_days", "f_orders", "m_cents"):
+        h = hist_of(col)
+        vals = h[col].to_numpy(dtype=np.float64)
+        cnts = h["cnt"].to_numpy(dtype=np.int64)
+        thresholds[col] = [
+            _quantile_from_hist(vals, cnts, q) for q in (0.2, 0.4, 0.6, 0.8)
+        ]
+    thr_bc = Broadcast(thresholds)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        t = thr_bc.get()
+
+        def quintile(v: np.ndarray, qs) -> np.ndarray:
+            s = np.ones(len(v), dtype=np.int64)
+            for q in qs:
+                s += (v > q).astype(np.int64)
+            return s
+
+        r_q = quintile(df["r_days"].to_numpy(dtype=np.float64), t["r_days"])
+        f_q = quintile(df["f_orders"].to_numpy(dtype=np.float64), t["f_orders"])
+        m_q = quintile(df["m_cents"].to_numpy(dtype=np.float64), t["m_cents"])
+        r_score = 6 - r_q  # recent (small r_days) = high score
+        out = df.assign(r_score=r_score, f_score=f_q, m_score=m_q)
+        out["rfm"] = 100 * out["r_score"] + 10 * out["f_score"] + out["m_score"]
+        return out
+
+    return base.map_batches(score, batch_format="pandas")
+
+
+SQL_RFM = f"""
+WITH g AS (SELECT max(epoch_us(o_orderdate)) AS gmax FROM orders),
+base AS (
+  SELECT o_custkey AS c_custkey,
+         (g.gmax - max(epoch_us(o_orderdate))) // {_DAY_US} AS r_days,
+         CAST(count(*) AS BIGINT) AS f_orders,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS m_cents
+  FROM orders, g
+  GROUP BY o_custkey, g.gmax
+),
+q AS (
+  SELECT
+    quantile_cont(r_days, 0.2) AS r1, quantile_cont(r_days, 0.4) AS r2,
+    quantile_cont(r_days, 0.6) AS r3, quantile_cont(r_days, 0.8) AS r4,
+    quantile_cont(f_orders, 0.2) AS f1, quantile_cont(f_orders, 0.4) AS f2,
+    quantile_cont(f_orders, 0.6) AS f3, quantile_cont(f_orders, 0.8) AS f4,
+    quantile_cont(m_cents, 0.2) AS m1, quantile_cont(m_cents, 0.4) AS m2,
+    quantile_cont(m_cents, 0.6) AS m3, quantile_cont(m_cents, 0.8) AS m4
+  FROM base
+),
+scored AS (
+  SELECT b.c_custkey, b.r_days, b.f_orders, b.m_cents,
+         6 - (1 + CAST(b.r_days > q.r1 AS INT) + CAST(b.r_days > q.r2 AS INT)
+                + CAST(b.r_days > q.r3 AS INT) + CAST(b.r_days > q.r4 AS INT)) AS r_score,
+         1 + CAST(b.f_orders > q.f1 AS INT) + CAST(b.f_orders > q.f2 AS INT)
+           + CAST(b.f_orders > q.f3 AS INT) + CAST(b.f_orders > q.f4 AS INT) AS f_score,
+         1 + CAST(b.m_cents > q.m1 AS INT) + CAST(b.m_cents > q.m2 AS INT)
+           + CAST(b.m_cents > q.m3 AS INT) + CAST(b.m_cents > q.m4 AS INT) AS m_score
+  FROM base b, q
+)
+SELECT c_custkey, CAST(r_days AS BIGINT) AS r_days, f_orders, m_cents,
+       CAST(r_score AS BIGINT) AS r_score, CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       CAST(100 * r_score + 10 * f_score + m_score AS BIGINT) AS rfm
+FROM scored
+"""
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-shaped multi-join family: Q5 / Q17 / Q18 plan shapes
 # ---------------------------------------------------------------------------
@@ -8950,6 +9195,8 @@ QUERIES = {
     "attribution_last_touch": q_attribution_last_touch,
     "chi2_independence": q_chi2_independence,
     "clustering_coeff": q_clustering_coeff,
+    "ngram_novelty": q_ngram_novelty,
+    "rfm_segments": q_rfm_segments,
 }
 
 ORACLE_SQL = {
@@ -9093,6 +9340,8 @@ ORACLE_SQL = {
     "attribution_last_touch": SQL_ATTRIBUTION,
     "chi2_independence": SQL_CHI2,
     "clustering_coeff": SQL_CLUSTERING_COEFF,
+    "ngram_novelty": SQL_NGRAM_NOVELTY,
+    "rfm_segments": SQL_RFM,
     # pca_project is rows-only (no SQL eigendecomposition) — numpy-parity
     # pytest covers the values.
     # hll_distinct / price_quantiles_tdigest are approximate sketches —

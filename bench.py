@@ -116,6 +116,10 @@ BENCH_QUERIES = [
     "gini_revenue",
     "stream_self_join",
     "attribution_last_touch",
+    "chi2_independence",
+    "clustering_coeff",
+    "ngram_novelty",
+    "rfm_segments",
 ]
 
 
