@@ -8732,6 +8732,138 @@ FROM scored
 """
 
 
+def q_label_centroids(sf_dir: str):
+    """Per-label embedding centroids, unnested to (label, dim, centroid)
+    rows — the class-prototype computation behind nearest-centroid
+    classifiers, SemDeDup cluster pruning, and drift monitors.
+
+    One streaming pass reduces (Σx, n) matrix partials per label —
+    |labels|·(d+1) floats per batch, never rows — through the
+    small-keys fold; division and a 6-dp round finalize.  The SQL
+    mirror zips ``unnest(embedding)`` with its subscript stream and
+    averages per (label, dim)."""
+    from ..stages.similarity import _as_matrix
+
+    ds = read_table(sf_dir, "embeddings", columns=["embedding", "label"], split=True)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        m = _as_matrix(batch["embedding"]).astype(np.float64)
+        lab = batch["label"].to_numpy(zero_copy_only=False)
+        rows = []
+        for lb in np.unique(lab):
+            sel = m[lab == lb]
+            s = sel.sum(axis=0)
+            for d in range(m.shape[1]):
+                rows.append((int(lb), d + 1, s[d], len(sel)))
+        return pd.DataFrame(rows, columns=["label", "dim", "s", "n"])
+
+    folded = (
+        grouped_aggregate(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["label", "dim"],
+            {"s": ("sum", "s"), "n": ("sum", "n")},
+            small_keys=True,
+        )
+        .to_pandas()
+    )
+    folded["centroid"] = np.round(folded["s"] / folded["n"], 6)
+    out = folded.astype({"label": np.int64, "dim": np.int64})
+    return out[["label", "dim", "centroid"]].sort_values(["label", "dim"]).reset_index(drop=True)
+
+
+SQL_LABEL_CENTROIDS = """
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(dim AS BIGINT) AS dim,
+       round(sum(CAST(val AS DOUBLE)) / count(*), 6) AS centroid
+FROM (
+  SELECT label,
+         unnest(range(1, len(embedding) + 1)) AS dim,
+         unnest(embedding) AS val
+  FROM embeddings
+)
+GROUP BY label, dim
+ORDER BY label, dim
+"""
+
+
+_MMR_LAMBDA = 0.5
+_MMR_K = 10
+_MMR_POOL = 50
+
+
+def q_mmr_select(sf_dir: str):
+    """Maximal-marginal-relevance diverse top-k: greedily pick 10
+    vectors maximizing λ·relevance − (1−λ)·max-similarity-to-selected,
+    relevance = cosine to the vec_id-0 probe — the diversity-aware
+    retrieval step RAG rerankers and dedup-aware samplers run.
+
+    Scale split: the RELEVANCE scan + top-50 candidate pool is
+    distributed (same per-batch prefilter as `topk`); the greedy MMR
+    loop — inherently sequential, O(k·pool·d) — runs on the driver
+    over the pool only, which is the standard shape (pool size, not
+    corpus size, bounds driver work).  Rows-only (greedy argmax
+    recursion is not SQL-expressible); the greedy invariant is
+    property-tested in tests/test_queries_units.py."""
+    import pyarrow.compute as pc
+
+    from ..stages.similarity import _as_matrix, _normalize
+    from .tabular import topk
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"], split=True)
+
+    # probe vector: distributed filter, one row drains
+    probe_row = ds.filter(expr="vec_id == 0").take(1)[0]
+    qv = np.asarray(probe_row["embedding"], dtype=np.float64)
+    qv /= np.linalg.norm(qv)
+    q_bc = Broadcast(qv)
+
+    def rel(batch: pa.Table) -> pd.DataFrame:
+        m = _normalize(_as_matrix(batch["embedding"]))
+        return pd.DataFrame(
+            {
+                "vec_id": batch["vec_id"].to_numpy(zero_copy_only=False),
+                "rel": m @ q_bc.get(),
+            }
+        )
+
+    pool = (
+        topk(ds.map_batches(rel, batch_format="pyarrow"), ["rel", "vec_id"], _MMR_POOL,
+             descending=[True, False])
+        .to_pandas()
+    )
+    ids = pool["vec_id"].to_numpy()
+    id_bc = Broadcast(pa.array(ids, type=pa.int64()))
+
+    # pool vectors: distributed semi-filter, ≤ pool rows drain
+    def grab(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch["vec_id"], value_set=id_bc.get()))
+
+    vec_df = ds.map_batches(grab, batch_format="pyarrow").to_pandas()
+    order = {int(v): i for i, v in enumerate(vec_df["vec_id"])}
+    mat = _normalize(np.array([np.asarray(e) for e in vec_df["embedding"]], dtype=np.float64))
+    rels = dict(zip(pool["vec_id"], pool["rel"]))
+
+    selected: list[int] = []
+    remaining = list(ids)
+    while len(selected) < _MMR_K and remaining:
+        best, best_score = None, -np.inf
+        for cand in remaining:
+            r = rels[cand]
+            if selected:
+                sim = max(float(mat[order[cand]] @ mat[order[s]]) for s in selected)
+            else:
+                sim = 0.0
+            score = _MMR_LAMBDA * r - (1.0 - _MMR_LAMBDA) * sim
+            if score > best_score or (score == best_score and (best is None or cand < best)):
+                best, best_score = cand, score
+        selected.append(best)
+        remaining.remove(best)
+    return pd.DataFrame(
+        {"rank": np.arange(1, len(selected) + 1, dtype=np.int64),
+         "vec_id": np.array(selected, dtype=np.int64)}
+    )
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-shaped multi-join family: Q5 / Q17 / Q18 plan shapes
 # ---------------------------------------------------------------------------
@@ -9197,6 +9329,8 @@ QUERIES = {
     "clustering_coeff": q_clustering_coeff,
     "ngram_novelty": q_ngram_novelty,
     "rfm_segments": q_rfm_segments,
+    "label_centroids": q_label_centroids,
+    "mmr_select": q_mmr_select,
 }
 
 ORACLE_SQL = {
@@ -9342,6 +9476,10 @@ ORACLE_SQL = {
     "clustering_coeff": SQL_CLUSTERING_COEFF,
     "ngram_novelty": SQL_NGRAM_NOVELTY,
     "rfm_segments": SQL_RFM,
+    "label_centroids": SQL_LABEL_CENTROIDS,
+    # mmr_select is rows-only: the greedy argmax recursion has no SQL
+    # form; the greedy invariant is property-tested in
+    # tests/test_queries_units.py::TestMmrGreedyInvariant.
     # pca_project is rows-only (no SQL eigendecomposition) — numpy-parity
     # pytest covers the values.
     # hll_distinct / price_quantiles_tdigest are approximate sketches —

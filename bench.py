@@ -120,6 +120,8 @@ BENCH_QUERIES = [
     "clustering_coeff",
     "ngram_novelty",
     "rfm_segments",
+    "label_centroids",
+    "mmr_select",
 ]
 
 

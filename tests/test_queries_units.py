@@ -325,3 +325,48 @@ class TestAttributionLaws:
                 assert attributed[p["event_id"]] == best["event_id"]
                 tid = attributed[p["event_id"]]
                 assert by_id.loc[tid, "event_type"] != "purchase"
+
+
+class TestMmrGreedyInvariant:
+    """Each selected item must maximize the MMR objective over the
+    remaining pool at its step (brute-force re-evaluation)."""
+
+    def test_selection_is_greedy_optimal(self, ray_session):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from article_extraction_ray.pipelines.queries import (
+            _MMR_LAMBDA,
+            _MMR_POOL,
+            q_mmr_select,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = q_mmr_select(sf)
+        sel = got.sort_values("rank")["vec_id"].tolist()
+
+        t = pq.read_table(sf + "/embeddings.parquet", columns=["vec_id", "embedding"]).to_pandas()
+        mat = np.array([np.asarray(e) for e in t["embedding"]], dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        idx = {int(v): i for i, v in enumerate(t["vec_id"])}
+        q = mat[idx[0]]
+        rel = mat @ q
+        pool = sorted(range(len(mat)), key=lambda i: (-rel[i], t["vec_id"][i]))[:_MMR_POOL]
+        pool_ids = [int(t["vec_id"][i]) for i in pool]
+
+        chosen = []
+        for step, picked in enumerate(sel):
+            best_score = -np.inf
+            for cand in pool_ids:
+                if cand in chosen:
+                    continue
+                r = rel[idx[cand]]
+                sim = max((float(mat[idx[cand]] @ mat[idx[s]]) for s in chosen), default=0.0)
+                score = _MMR_LAMBDA * r - (1.0 - _MMR_LAMBDA) * sim
+                if score > best_score + 1e-12:
+                    best_score = score
+            r = rel[idx[picked]]
+            sim = max((float(mat[idx[picked]] @ mat[idx[s]]) for s in chosen), default=0.0)
+            picked_score = _MMR_LAMBDA * r - (1.0 - _MMR_LAMBDA) * sim
+            assert picked_score >= best_score - 1e-9, f"step {step}"
+            chosen.append(picked)
