@@ -8864,6 +8864,203 @@ def q_mmr_select(sf_dir: str):
     )
 
 
+_ROLLMED_W = 5
+
+
+def q_rolling_median(sf_dir: str):
+    """Per-user rolling median of the last 5 event values (ordered by
+    ts, event_id) — the robust smoothing window that `moving_avg`'s
+    mean can't provide under outliers.
+
+    Same one-exchange bucketed-ordered-scan as sessionize; in-bucket
+    the window is a vectorized pandas ``rolling(5, min_periods=1)``
+    median per user.  Values are integer cents, and a median is either
+    a cent value or an exact half-sum of two — exact in float64, so
+    the DuckDB windowed ``quantile_cont(0.5)`` mirror matches
+    bit-for-bit after the /100 rescale."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"], split=True)
+
+    def tag(batch: pa.Table) -> pd.DataFrame:
+        us = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view("int64")
+        cents = np.round(batch["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "event_id": batch["event_id"].to_numpy(zero_copy_only=False),
+                "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+                "us": us,
+                "cents": cents,
+                "__bucket": (batch["user_id"].to_numpy() % 32).astype(np.int32),
+            }
+        )
+
+    def roll(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "us", "event_id"], kind="stable")
+        med = (
+            df.groupby("user_id", sort=False)["cents"]
+            .rolling(_ROLLMED_W, min_periods=1)
+            .median()
+            .reset_index(level=0, drop=True)
+        )
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"],
+                "user_id": df["user_id"],
+                "rolling_median": med / 100.0,
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(lambda df: roll(df.drop(columns=["__bucket"])), batch_format="pandas")
+    )
+
+
+SQL_ROLLING_MEDIAN = f"""
+SELECT event_id, user_id,
+       quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ROWS BETWEEN {_ROLLMED_W - 1} PRECEDING AND CURRENT ROW
+       ) / 100.0 AS rolling_median
+FROM events
+"""
+
+
+_DECAY_LAMBDA = 0.1  # per day
+
+
+def q_decayed_value(sf_dir: str):
+    """Exponentially time-decayed value sum per user, decayed to a FIXED
+    reference instant (the corpus max ts) — the freshness-weighted
+    engagement score behind recency-aware rankers.
+
+    The associativity trick that makes this a one-pass streaming
+    aggregate: decaying every event to the same reference time turns
+    the sequential decay recurrence into a plain weighted sum
+    Σ value·exp(−λ·age), which partials-and-folds in any order.  The
+    reference instant comes from one distributed ``max()`` scalar.
+    Weights are floats — both engines evaluate the identical
+    exp expression per row and the per-user sums (≤ dozens of terms)
+    round to 6."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"], split=True)
+
+    ref_us = int(
+        ds.map_batches(
+            lambda b: pd.DataFrame(
+                {"m": [b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view("int64").max()]}
+            ),
+            batch_format="pyarrow",
+        ).max("m")
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        us = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view("int64")
+        age_days = (ref_us - us) / float(_DAY_US)
+        w = np.exp(-_DECAY_LAMBDA * age_days)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return (
+            pd.DataFrame({"user_id": batch["user_id"].to_numpy(zero_copy_only=False), "dv": v * w})
+            .groupby("user_id", as_index=False)["dv"]
+            .sum()
+        )
+
+    out = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"), ["user_id"], {"dv": ("sum", "dv")}
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"user_id": df["user_id"], "decayed_value": np.round(df["dv"], 6)}
+        )
+
+    return out.map_batches(finalize, batch_format="pandas")
+
+
+SQL_DECAYED_VALUE = f"""
+WITH r AS (SELECT max(epoch_us(ts)) AS ref FROM events)
+SELECT user_id,
+       round(sum(value * exp(-{_DECAY_LAMBDA} * ((r.ref - epoch_us(ts)) / {float(_DAY_US)}))), 6)
+         AS decayed_value
+FROM events, r
+GROUP BY user_id
+"""
+
+
+def q_audience_segments(sf_dir: str):
+    """Set-algebra audience builder: per user, membership flags for
+    each event type, then the inclusion-exclusion segment counts a
+    campaign tool reports — purchasers, clickers-who-never-purchased,
+    viewers-without-click-or-purchase, and the grand total.
+
+    Per-(user, type) DISTINCT pairs fold once (the batch is the
+    combiner); a second co-partitioned pass ORs each user's flags; the
+    bounded segment counts fold driver-side.  All integers."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"], split=True)
+
+    def flags(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+                "event_type": batch["event_type"].to_pandas(),
+            }
+        ).drop_duplicates()
+        piv = (
+            df.assign(one=1)
+            .pivot_table(index="user_id", columns="event_type", values="one", fill_value=0,
+                         aggfunc="max")
+            .reset_index()
+        )
+        for c in ("view", "click", "purchase"):
+            if c not in piv.columns:
+                piv[c] = 0
+        return piv[["user_id", "view", "click", "purchase"]]
+
+    per_user = grouped_aggregate(
+        ds.map_batches(flags, batch_format="pyarrow"),
+        ["user_id"],
+        {"view": ("max", "view"), "click": ("max", "click"), "purchase": ("max", "purchase")},
+    )
+
+    def seg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["view"].to_numpy(dtype=bool)
+        c = df["click"].to_numpy(dtype=bool)
+        p = df["purchase"].to_numpy(dtype=bool)
+        return pd.DataFrame(
+            {
+                "purchasers": [int(p.sum())],
+                "clickers_no_purchase": [int((c & ~p).sum())],
+                "viewers_only": [int((v & ~c & ~p).sum())],
+                "any_user": [len(df)],
+            }
+        )
+
+    seg = per_user.map_batches(seg_partial, batch_format="pandas").to_pandas().sum()
+    return pd.DataFrame(
+        {
+            "purchasers": [int(seg["purchasers"])],
+            "clickers_no_purchase": [int(seg["clickers_no_purchase"])],
+            "viewers_only": [int(seg["viewers_only"])],
+            "any_user": [int(seg["any_user"])],
+        }
+    )
+
+
+SQL_AUDIENCE = """
+WITH f AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+  FROM events GROUP BY user_id
+)
+SELECT CAST(sum(p) AS BIGINT) AS purchasers,
+       CAST(sum(CASE WHEN c = 1 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS clickers_no_purchase,
+       CAST(sum(CASE WHEN v = 1 AND c = 0 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS viewers_only,
+       CAST(count(*) AS BIGINT) AS any_user
+FROM f
+"""
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-shaped multi-join family: Q5 / Q17 / Q18 plan shapes
 # ---------------------------------------------------------------------------
@@ -9331,6 +9528,9 @@ QUERIES = {
     "rfm_segments": q_rfm_segments,
     "label_centroids": q_label_centroids,
     "mmr_select": q_mmr_select,
+    "rolling_median": q_rolling_median,
+    "decayed_value": q_decayed_value,
+    "audience_segments": q_audience_segments,
 }
 
 ORACLE_SQL = {
@@ -9477,6 +9677,9 @@ ORACLE_SQL = {
     "ngram_novelty": SQL_NGRAM_NOVELTY,
     "rfm_segments": SQL_RFM,
     "label_centroids": SQL_LABEL_CENTROIDS,
+    "rolling_median": SQL_ROLLING_MEDIAN,
+    "decayed_value": SQL_DECAYED_VALUE,
+    "audience_segments": SQL_AUDIENCE,
     # mmr_select is rows-only: the greedy argmax recursion has no SQL
     # form; the greedy invariant is property-tested in
     # tests/test_queries_units.py::TestMmrGreedyInvariant.

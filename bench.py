@@ -122,6 +122,9 @@ BENCH_QUERIES = [
     "rfm_segments",
     "label_centroids",
     "mmr_select",
+    "rolling_median",
+    "decayed_value",
+    "audience_segments",
 ]
 
 
