@@ -9061,6 +9061,132 @@ FROM f
 """
 
 
+_PATH_LEN = 5
+
+
+def q_user_paths(sf_dir: str):
+    """User-journey path strings: each user's first 5 event types in
+    (ts, event_id) order joined with '>' plus the path's population
+    count — the Sankey/journey-analysis input table.
+
+    One user-hash exchange; the in-bucket ordered head-N concat is a
+    groupby-head + string join (deterministic order), and the
+    open-domain path counts fold through the standard exchange.  The
+    SQL mirror orders inside ``string_agg`` over a ranked head-5
+    subquery."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"], split=True)
+
+    def tag(batch: pa.Table) -> pd.DataFrame:
+        us = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view("int64")
+        return pd.DataFrame(
+            {
+                "event_id": batch["event_id"].to_numpy(zero_copy_only=False),
+                "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+                "us": us,
+                "event_type": batch["event_type"].to_pandas(),
+                "__bucket": (batch["user_id"].to_numpy() % 32).astype(np.int32),
+            }
+        )
+
+    def paths(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "us", "event_id"], kind="stable")
+        head = df.groupby("user_id", sort=False).head(_PATH_LEN)
+        p = head.groupby("user_id", sort=False)["event_type"].agg(">".join).reset_index(name="path")
+        return p.groupby("path", as_index=False).size().rename(columns={"size": "n"})
+
+    counted = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(lambda df: paths(df.drop(columns=["__bucket"])), batch_format="pandas")
+    )
+    out = grouped_aggregate(counted, ["path"], {"n_users": ("sum", "n")})
+
+    def typed(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(n_users=df["n_users"].astype(np.int64))
+
+    return out.map_batches(typed, batch_format="pandas")
+
+
+SQL_USER_PATHS = f"""
+WITH ranked AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn,
+         epoch_us(ts) AS us, event_id
+  FROM events
+),
+p AS (
+  SELECT user_id,
+         string_agg(event_type, '>' ORDER BY us, event_id) AS path
+  FROM ranked WHERE rn <= {_PATH_LEN}
+  GROUP BY user_id
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_users FROM p GROUP BY path
+"""
+
+
+_DBL_WINDOW_DAYS = 7
+
+
+def q_rapid_reorder(sf_dir: str):
+    """Rapid-reorder audit: pairs of orders by the SAME customer placed
+    within 7 days of each other — the double-charge / split-shipment
+    data-quality sweep, and the equality-blocking + time-window verify
+    shape of record linkage (block on the entity key, verify the
+    window).
+
+    ONE exchange on custkey hash co-locates each customer's orders;
+    the in-bucket candidate set is the per-customer self-merge
+    (fan-out bounded by orders-per-customer²) with a vectorized ±7-day
+    check.  Pure ints; pair order normalized (earlier orderkey
+    first)."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"], split=True)
+
+    def tag(batch: pa.Table) -> pd.DataFrame:
+        us = batch["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view("int64")
+        return pd.DataFrame(
+            {
+                "o_orderkey": batch["o_orderkey"].to_numpy(zero_copy_only=False),
+                "o_custkey": batch["o_custkey"].to_numpy(zero_copy_only=False),
+                "us": us,
+                "__bucket": (batch["o_custkey"].to_numpy() % 32).astype(np.int32),
+            }
+        )
+
+    def audit(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="o_custkey", suffixes=("_a", "_b"))
+        m = m[m["o_orderkey_a"] < m["o_orderkey_b"]]
+        dt = np.abs(m["us_a"].to_numpy() - m["us_b"].to_numpy())
+        keep = dt <= _DBL_WINDOW_DAYS * _DAY_US
+        m = m[keep]
+        gap = (np.abs(m["us_a"].to_numpy() - m["us_b"].to_numpy()) // _DAY_US).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "o_custkey": m["o_custkey"].to_numpy(),
+                "order_a": m["o_orderkey_a"].to_numpy(),
+                "order_b": m["o_orderkey_b"].to_numpy(),
+                "gap_days": gap,
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(lambda df: audit(df.drop(columns=["__bucket"])), batch_format="pandas")
+    )
+
+
+SQL_RAPID_REORDER = f"""
+SELECT a.o_custkey,
+       a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+       CAST(abs(epoch_us(a.o_orderdate) - epoch_us(b.o_orderdate)) // {_DAY_US} AS BIGINT) AS gap_days
+FROM orders a
+JOIN orders b
+  ON a.o_custkey = b.o_custkey
+ AND a.o_orderkey < b.o_orderkey
+ AND abs(epoch_us(a.o_orderdate) - epoch_us(b.o_orderdate)) <= {_DBL_WINDOW_DAYS} * {_DAY_US}
+"""
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-shaped multi-join family: Q5 / Q17 / Q18 plan shapes
 # ---------------------------------------------------------------------------
@@ -9531,6 +9657,8 @@ QUERIES = {
     "rolling_median": q_rolling_median,
     "decayed_value": q_decayed_value,
     "audience_segments": q_audience_segments,
+    "user_paths": q_user_paths,
+    "rapid_reorder": q_rapid_reorder,
 }
 
 ORACLE_SQL = {
@@ -9680,6 +9808,8 @@ ORACLE_SQL = {
     "rolling_median": SQL_ROLLING_MEDIAN,
     "decayed_value": SQL_DECAYED_VALUE,
     "audience_segments": SQL_AUDIENCE,
+    "user_paths": SQL_USER_PATHS,
+    "rapid_reorder": SQL_RAPID_REORDER,
     # mmr_select is rows-only: the greedy argmax recursion has no SQL
     # form; the greedy invariant is property-tested in
     # tests/test_queries_units.py::TestMmrGreedyInvariant.

@@ -125,6 +125,8 @@ BENCH_QUERIES = [
     "rolling_median",
     "decayed_value",
     "audience_segments",
+    "user_paths",
+    "rapid_reorder",
 ]
 
 
