@@ -6361,6 +6361,52 @@ FROM documents
 """
 
 
+def q_media_decode_ppm(sf_dir: str):
+    """REAL Netpbm P6 decode round-trip: every document becomes a
+    spec-conformant binary PPM (header tokenizer handles arbitrary
+    whitespace + comments; dims derived from doc_id, pixels from the
+    text bytes) and the actor-pool ImageDecodeStage parses the actual
+    format back.  Closed-form SQL oracle on the planted dimensions —
+    a one-byte header mis-parse fails the value gate."""
+    from ..stages.multimodal import ImageDecodeStage, make_ppm
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        refs = [str(int(i)) for i in ids]
+        payloads = [
+            make_ppm(int(i) % 29 + 1, int(i) % 13 + 1, (t or " ").encode())
+            for i, t in zip(ids, texts)
+        ]
+        return pa.Table.from_arrays(
+            [
+                pa.array(refs, type=pa.string()),
+                pa.array(["image"] * len(refs), type=pa.string()),
+                pa.array(payloads, type=pa.large_binary()),
+            ],
+            names=["media_ref", "media_kind", "payload"],
+        )
+
+    media = ds.map_batches(to_media, batch_format="pyarrow")
+    return media.map_batches(
+        ImageDecodeStage,
+        fn_constructor_args=("ppm",),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+
+SQL_MEDIA_PPM = """
+SELECT CAST(doc_id AS VARCHAR)         AS media_ref,
+       CAST(doc_id % 29 + 1 AS BIGINT) AS width,
+       CAST(doc_id % 13 + 1 AS BIGINT) AS height,
+       CAST(3 AS BIGINT)               AS n_channels
+FROM documents
+"""
+
+
 def q_media_decode_wav(sf_dir: str):
     """REAL audio decode round-trip: every document becomes a PCM WAV
     (sample rate keyed off doc_id, one int16 sample per character) and
@@ -9187,6 +9233,81 @@ JOIN orders b
 """
 
 
+_ZIPF_TOP = 500
+
+
+def q_zipf_slope(sf_dir: str):
+    """Zipf's-law fit over the corpus vocabulary: OLS slope/intercept of
+    ln(freq) vs ln(rank) for the top-500 tokens — the one-number
+    sanity check that a scraped corpus has natural-language token
+    statistics (a slope far from ≈−1 flags boilerplate or spam).
+
+    Token counts fold through the open-domain exchange (the batch is
+    the combiner); the top-500 selection is `topk`'s per-batch
+    prefilter with the deterministic (count DESC, token ASC) rule, and
+    the OLS closed form runs over 500 (ln r, ln f) pairs driver-side —
+    the vocabulary never materializes beyond the top slice.  Mirrored
+    op order; rounded to 6."""
+    from .tabular import topk
+
+    ds = read_table(sf_dir, "documents", columns=["text"], split=True)
+
+    def counts(batch: pa.Table) -> pd.DataFrame:
+        toks: dict[str, int] = {}
+        for t in batch["text"].to_pylist():
+            for w in (t or "").split():
+                toks[w] = toks.get(w, 0) + 1
+        return pd.DataFrame({"token": list(toks.keys()), "n": list(toks.values())})
+
+    vocab = grouped_aggregate(
+        ds.map_batches(counts, batch_format="pyarrow"), ["token"], {"n": ("sum", "n")}
+    )
+    top = (
+        topk(vocab, ["n", "token"], _ZIPF_TOP, descending=[True, False])
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    r = np.log(np.arange(1, len(top) + 1, dtype=np.float64))
+    f = np.log(top["n"].to_numpy(dtype=np.float64))
+    n = float(len(top))
+    sx, sy = r.sum(), f.sum()
+    sxy, sxx = float(np.sum(r * f)), float(np.sum(r * r))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return pd.DataFrame(
+        {
+            "slope": [round(slope, 6)],
+            "intercept": [round(intercept, 6)],
+            "n_points": [int(n)],
+        }
+    )
+
+
+SQL_ZIPF = f"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS token
+  FROM documents
+),
+vocab AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+ranked AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, token) AS DOUBLE)) AS x,
+         ln(CAST(n AS DOUBLE)) AS y
+  FROM vocab
+  ORDER BY n DESC, token
+  LIMIT {_ZIPF_TOP}
+),
+s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM ranked
+)
+SELECT round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept,
+       CAST(n AS BIGINT) AS n_points
+FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-shaped multi-join family: Q5 / Q17 / Q18 plan shapes
 # ---------------------------------------------------------------------------
@@ -9619,6 +9740,7 @@ QUERIES = {
     "funnel_users": q_funnel_users,
     "fk_audit": q_fk_audit,
     "media_decode_bmp": q_media_decode_bmp,
+    "media_decode_ppm": q_media_decode_ppm,
     "media_decode_wav": q_media_decode_wav,
     "global_rank": q_global_rank,
     "pretokenize_corpus": q_pretokenize_corpus,
@@ -9658,6 +9780,7 @@ QUERIES = {
     "decayed_value": q_decayed_value,
     "audience_segments": q_audience_segments,
     "user_paths": q_user_paths,
+    "zipf_slope": q_zipf_slope,
     "rapid_reorder": q_rapid_reorder,
 }
 
@@ -9772,6 +9895,7 @@ ORACLE_SQL = {
     "funnel_users": SQL_FUNNEL,
     "fk_audit": SQL_FK_AUDIT,
     "media_decode_bmp": SQL_MEDIA_BMP,
+    "media_decode_ppm": SQL_MEDIA_PPM,
     "media_decode_wav": SQL_MEDIA_WAV,
     "global_rank": SQL_GLOBAL_RANK,
     "grouped_mode": SQL_GROUPED_MODE,
@@ -9809,6 +9933,7 @@ ORACLE_SQL = {
     "decayed_value": SQL_DECAYED_VALUE,
     "audience_segments": SQL_AUDIENCE,
     "user_paths": SQL_USER_PATHS,
+    "zipf_slope": SQL_ZIPF,
     "rapid_reorder": SQL_RAPID_REORDER,
     # mmr_select is rows-only: the greedy argmax recursion has no SQL
     # form; the greedy invariant is property-tested in

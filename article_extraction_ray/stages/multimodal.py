@@ -85,10 +85,12 @@ def decode_bmp(payload: bytes) -> tuple[int, int, int, float]:
 class ImageDecodeStage:
     """Actor-pool stage: binary image payloads → (width, height, n_channels).
 
-    ``backend="bmp"`` is a REAL stdlib decoder (see :func:`decode_bmp`);
-    ``backend="real"`` (PIL/turbojpeg for compressed formats) is gated in
-    this container; ``backend="fake"`` derives deterministic dimensions
-    from the bytes so downstream stages exercise identical schemas.
+    ``backend="bmp"`` and ``backend="ppm"`` are REAL stdlib decoders
+    (see :func:`decode_bmp` / :func:`decode_ppm` — BMP header walk,
+    Netpbm P6 tokenizer); ``backend="real"`` (PIL/turbojpeg for
+    compressed formats) is gated in this container; ``backend="fake"``
+    derives deterministic dimensions from the bytes so downstream
+    stages exercise identical schemas.
     """
 
     def __init__(self, backend: str = "fake"):
@@ -118,9 +120,10 @@ class ImageDecodeStage:
                     dims.append((im.width, im.height, len(im.getbands())))
             dims = np.array(dims, dtype=np.int64) if dims else np.zeros((0, 3), dtype=np.int64)
             w, h, c = (dims[:, i] for i in range(3))
-        elif self.backend == "bmp":
+        elif self.backend in ("bmp", "ppm"):
+            dec = decode_bmp if self.backend == "bmp" else decode_ppm
             dims = (
-                np.array([decode_bmp(p)[:3] for p in payloads], dtype=np.int64)
+                np.array([dec(p)[:3] for p in payloads], dtype=np.int64)
                 if payloads
                 else np.zeros((0, 3), dtype=np.int64)
             )
@@ -211,6 +214,43 @@ class FrameSampleStage:
             [pa.array(refs, type=pa.string()), pa.array(idxs, type=pa.int32()), pa.array(ts, type=pa.int64())],
             names=["media_ref", "frame_idx", "ts_ms"],
         )
+
+
+def make_ppm(width: int, height: int, pixel_bytes: bytes) -> bytes:
+    """Encode a binary Netpbm P6 (PPM) image: ASCII header
+    ``P6\\n<w> <h>\\n255\\n`` + raw interleaved RGB rows (no padding) —
+    a real, spec-conformant file."""
+    need = width * height * 3
+    src = (pixel_bytes or b"\x00") * (need // max(len(pixel_bytes), 1) + 1)
+    return f"P6\n{width} {height}\n255\n".encode("ascii") + src[:need]
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, int, float]:
+    """Parse a binary P6 PPM → (width, height, n_channels, mean_pixel).
+    Real header tokenizer (arbitrary whitespace + ``#`` comments per the
+    Netpbm spec) + numpy pixel view — stdlib only."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # tokenize header: magic, width, height, maxval; '#' starts a comment
+    pos, tokens = 2, []
+    while len(tokens) < 3 and pos < len(payload):
+        c = payload[pos : pos + 1]
+        if c == b"#":
+            pos = payload.index(b"\n", pos) + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(payload) and not payload[end : end + 1].isspace():
+                end += 1
+            tokens.append(int(payload[pos:end]))
+            pos = end
+    width, height, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    pos += 1  # single whitespace after maxval, then raster
+    px = np.frombuffer(payload, dtype=np.uint8, count=width * height * 3, offset=pos)
+    return width, height, 3, float(px.mean()) if px.size else 0.0
 
 
 def make_wav(sample_rate: int, samples: np.ndarray, n_channels: int = 1) -> bytes:

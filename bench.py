@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "audience_segments",
     "user_paths",
     "rapid_reorder",
+    "zipf_slope",
 ]
 
 

@@ -138,3 +138,32 @@ class TestRealCodecs:
         assert len(out) == 20
         assert set(out["sample_rate"]) == {8000, 9000, 10000, 11000}
         assert out.loc[out["media_ref"] == "a0", "n_samples"].item() == 100
+
+
+class TestPpmCodec:
+    def test_round_trip(self):
+        import numpy as np
+
+        from article_extraction_ray.stages.multimodal import decode_ppm, make_ppm
+
+        w, h = 7, 5
+        px = bytes(range(w * h * 3))
+        payload = make_ppm(w, h, px)
+        gw, gh, gc, mean = decode_ppm(payload)
+        assert (gw, gh, gc) == (w, h, 3)
+        assert abs(mean - np.frombuffer(px, dtype=np.uint8).mean()) < 1e-9
+
+    def test_header_with_comments_and_whitespace(self):
+        from article_extraction_ray.stages.multimodal import decode_ppm
+
+        body = bytes(2 * 3 * 3)
+        payload = b"P6\n# a comment\n  2\t3\n# another\n255\n" + body
+        assert decode_ppm(payload)[:3] == (2, 3, 3)
+
+    def test_rejects_non_p6(self):
+        import pytest
+
+        from article_extraction_ray.stages.multimodal import decode_ppm
+
+        with pytest.raises(ValueError):
+            decode_ppm(b"P5\n2 2\n255\n" + bytes(4))
