@@ -9308,6 +9308,91 @@ FROM s
 """
 
 
+_RDU_WINDOW_H = 24
+
+
+def q_rolling_distinct_users(sf_dir: str):
+    """Trailing-24h distinct active users per hour tick — the windowed
+    COUNT DISTINCT that dashboards call "rolling DAU", and the classic
+    case where a sliding window over a DISTINCT aggregate cannot be
+    post-aggregated from per-hour counts.
+
+    Exact two-level distinct shape: (user, hour) pairs dedupe in-batch,
+    fold once; each active hour then REPLICATES to the ≤24 window
+    ticks it covers (the bounded fan-out every exact sliding-distinct
+    pays — sketch merge via the in-repo HLL is the approximate swap
+    when the window is wide); a second distinct-fold per (tick, user)
+    collapses multi-hour users, and the final per-tick count is exact.
+    Ticks outside the data range are clipped to the observed hour
+    span.  All integers."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"], split=True)
+
+    def user_hours(batch: pa.Table) -> pd.DataFrame:
+        us = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view("int64")
+        hour = us // 3_600_000_000
+        return pd.DataFrame(
+            {"user_id": batch["user_id"].to_numpy(zero_copy_only=False), "hour": hour}
+        ).drop_duplicates()
+
+    uh = grouped_aggregate(
+        ds.map_batches(user_hours, batch_format="pyarrow"),
+        ["user_id", "hour"],
+        {"n": ("count", None)},
+    ).materialize()
+
+    hmin = int(uh.min("hour"))
+    hmax = int(uh.max("hour"))
+
+    def replicate(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["hour"].to_numpy(dtype=np.int64)
+        u = df["user_id"].to_numpy(dtype=np.int64)
+        reps = np.repeat(np.arange(_RDU_WINDOW_H, dtype=np.int64), len(h))
+        ticks = np.tile(h, _RDU_WINDOW_H) + reps
+        users = np.tile(u, _RDU_WINDOW_H)
+        keep = ticks <= hmax
+        return pd.DataFrame({"tick": ticks[keep], "user_id": users[keep]}).drop_duplicates()
+
+    covered = grouped_aggregate(
+        uh.map_batches(replicate, batch_format="pandas"),
+        ["tick", "user_id"],
+        {"n": ("count", None)},
+    )
+
+    def per_tick(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("tick", as_index=False).size().rename(columns={"size": "active_users"})
+        return out
+
+    out = grouped_aggregate(
+        covered.map_batches(per_tick, batch_format="pandas"),
+        ["tick"],
+        {"active_users": ("sum", "active_users")},
+    ).to_pandas()
+    out = out[out["tick"] >= hmin]
+    return (
+        out.astype({"tick": np.int64, "active_users": np.int64})
+        .sort_values("tick")[["tick", "active_users"]]
+        .reset_index(drop=True)
+    )
+
+
+SQL_ROLLING_DISTINCT = f"""
+WITH uh AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 3600000000 AS hour FROM events
+),
+bounds AS (SELECT min(hour) AS hmin, max(hour) AS hmax FROM uh),
+cov AS (
+  SELECT DISTINCT uh.hour + r.range AS tick, uh.user_id
+  FROM uh, range({_RDU_WINDOW_H}) r, bounds b
+  WHERE uh.hour + r.range <= b.hmax
+)
+SELECT CAST(tick AS BIGINT) AS tick,
+       CAST(count(*) AS BIGINT) AS active_users
+FROM cov, bounds b
+WHERE tick >= b.hmin
+GROUP BY tick ORDER BY tick
+"""
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-shaped multi-join family: Q5 / Q17 / Q18 plan shapes
 # ---------------------------------------------------------------------------
@@ -9322,12 +9407,13 @@ def q_q5_region_revenue(sf_dir: str):
     customer and the line's supplier sit in the SAME nation of one
     region, over a one-year order window.
 
-    Canonical distributed Q5 plan: the two tiny dimensions
-    (region⋈nation, supplier) broadcast once as pre-built lookup
-    arrays; orders⋈customer and lineitem⋈orders route through the
-    size-routed :func:`tabular.join` facade (broadcast under budget,
-    hash exchange above — at TPC-H scale both are fact-fact
-    exchanges, each side moving exactly once).  Lineitem pre-reduces
+    Canonical distributed Q5 plan: the dimension chain (region⋈nation,
+    supplier, and the ASIA-filtered custkey→nationkey map — all
+    dimensions by the TPC-H size hierarchy) broadcasts once as
+    pre-built lookups and FUSES into the fact-scan passes; the one
+    genuinely fact-fact exchange, lineitem⋈order-dim, routes through
+    the size-routed :func:`tabular.join` facade (broadcast under
+    budget, hash exchange above).  Lineitem pre-reduces
     per (orderkey, supplier-nation) inside the batch before the
     exchange, so the join input is bounded by distinct keys, not line
     count.  Revenue accumulates in integer 1e-4 dollars (price has 2
@@ -9355,32 +9441,38 @@ def q_q5_region_revenue(sf_dir: str):
     hi = np.datetime64(_Q5_TO, "us")
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"], split=True)
 
-    def pick_orders(batch: pa.Table) -> pa.Table:
-        d = batch["o_orderdate"].to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array((d >= lo) & (d < hi))).select(["o_orderkey", "o_custkey"])
-
+    # customer → nation attach: ASIA-filtered custkey→nationkey map is a
+    # DIMENSION by the TPC-H size hierarchy, so it broadcasts once and the
+    # attach fuses into the order-filter pass (one plan barrier saved vs
+    # routing a dedicated join; the FACT-fact exchange below still routes
+    # through the size-routed facade, which is the part that must scale).
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"], split=True)
 
-    def pick_cust(batch: pa.Table) -> pa.Table:
+    def cust_partial(batch: pa.Table) -> pd.DataFrame:
         keep = pc.is_in(batch["c_nationkey"], value_set=nkeys_arr_bc.get())
         out = batch.filter(keep)
-        return pa.table(
+        return pd.DataFrame(
             {
-                "o_custkey": out["c_custkey"],
-                "c_nationkey": out["c_nationkey"].cast(pa.int64()),
+                "k": out["c_custkey"].to_numpy(zero_copy_only=False),
+                "n": out["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64),
             }
         )
 
-    ojoin, _ = join_route(
-        orders.map_batches(pick_orders, batch_format="pyarrow"),
-        cust.map_batches(pick_cust, batch_format="pyarrow"),
-        on="o_custkey",
-    )
+    cmap_df = cust.map_batches(cust_partial, batch_format="pyarrow").to_pandas()
+    cmap_bc = Broadcast(pd.Series(cmap_df["n"].to_numpy(), index=cmap_df["k"].to_numpy()))
 
-    def drop_cust(df: pd.DataFrame) -> pd.DataFrame:
-        return df[["o_orderkey", "c_nationkey"]]
+    def pick_orders_nation(batch: pa.Table) -> pd.DataFrame:
+        d = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        keep = (d >= lo) & (d < hi)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)[keep]
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False)[keep]
+        nk = cmap_bc.get().reindex(ck).to_numpy()
+        hit = ~np.isnan(nk)
+        return pd.DataFrame(
+            {"o_orderkey": ok[hit], "c_nationkey": nk[hit].astype(np.int64)}
+        )
 
-    odim = ojoin.map_batches(drop_cust, batch_format="pandas")
+    odim = orders.map_batches(pick_orders_nation, batch_format="pyarrow")
 
     li = read_table(
         sf_dir,
@@ -9781,6 +9873,7 @@ QUERIES = {
     "audience_segments": q_audience_segments,
     "user_paths": q_user_paths,
     "zipf_slope": q_zipf_slope,
+    "rolling_distinct_users": q_rolling_distinct_users,
     "rapid_reorder": q_rapid_reorder,
 }
 
@@ -9934,6 +10027,7 @@ ORACLE_SQL = {
     "audience_segments": SQL_AUDIENCE,
     "user_paths": SQL_USER_PATHS,
     "zipf_slope": SQL_ZIPF,
+    "rolling_distinct_users": SQL_ROLLING_DISTINCT,
     "rapid_reorder": SQL_RAPID_REORDER,
     # mmr_select is rows-only: the greedy argmax recursion has no SQL
     # form; the greedy invariant is property-tested in

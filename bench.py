@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "user_paths",
     "rapid_reorder",
     "zipf_slope",
+    "rolling_distinct_users",
 ]
 
 
