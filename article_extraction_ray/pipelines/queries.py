@@ -9393,6 +9393,168 @@ GROUP BY tick ORDER BY tick
 """
 
 
+_PARETO_SHARE = 0.8
+
+
+def q_pareto_8020(sf_dir: str):
+    """Pareto concentration: the smallest number of customers whose
+    revenue sums to ≥ 80% of total, plus their share of the customer
+    base — the 80/20 report every revenue (or per-domain corpus-mass)
+    analysis opens with.
+
+    Per-customer integer-cent revenue folds through the open-domain
+    exchange; the sorted cumulative sweep runs over the per-customer
+    totals (dimension-scale by the fact→entity reduction; the t-digest
+    quantile-of-revenue is the in-repo swap if the entity table itself
+    outgrows a drain).  Deterministic: revenue ties broken by custkey,
+    all integers until the two mirrored final divisions."""
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"], split=True)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        cents = np.round(batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return (
+            pd.DataFrame({"c": batch["o_custkey"].to_numpy(zero_copy_only=False), "rev": cents})
+            .groupby("c", as_index=False)["rev"]
+            .sum()
+        )
+
+    per_cust = (
+        grouped_aggregate(
+            orders.map_batches(partial, batch_format="pyarrow"), ["c"], {"rev": ("sum", "rev")}
+        )
+        .to_pandas()
+        .sort_values(["rev", "c"], ascending=[False, True], kind="stable")
+    )
+    rev = per_cust["rev"].to_numpy(dtype=np.int64)
+    total = int(rev.sum())
+    cum = np.cumsum(rev)
+    k = int(np.searchsorted(cum, int(np.ceil(_PARETO_SHARE * total)), side="left") + 1)
+    n = len(rev)
+    return pd.DataFrame(
+        {
+            "top_customers": [k],
+            "n_customers": [n],
+            "customer_share": [round(k / n, 6)],
+            "revenue_share": [round(int(cum[k - 1]) / total, 6)],
+        }
+    )
+
+
+SQL_PARETO_8020 = f"""
+WITH r AS (
+  SELECT o_custkey AS c, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1
+),
+w AS (
+  SELECT rev,
+         sum(rev) OVER (ORDER BY rev DESC, c
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         row_number() OVER (ORDER BY rev DESC, c) AS k,
+         sum(rev) OVER () AS total,
+         count(*) OVER () AS n
+  FROM r
+)
+SELECT CAST(min(k) AS BIGINT) AS top_customers,
+       CAST(min(n) AS BIGINT) AS n_customers,
+       round(CAST(min(k) AS DOUBLE) / min(n), 6) AS customer_share,
+       round(CAST(min(CASE WHEN cum >= ceil({_PARETO_SHARE} * total) THEN cum END) AS DOUBLE)
+             / min(total), 6) AS revenue_share
+FROM w
+WHERE cum >= ceil({_PARETO_SHARE} * total)
+"""
+
+
+_RECS_K = 3
+
+
+def q_part_recs(sf_dir: str):
+    """Item-item recommendation serving table: for every part, its
+    top-3 co-purchased parts by support (ties → smaller partner key) —
+    the `copurchase_pairs` exchange composed with the grouped top-k
+    prefilter, i.e. the full candidate-generation → ranking path of a
+    neighborhood recommender.
+
+    The pair counts fold once; each undirected pair then votes in BOTH
+    directions (anchor ↔ partner) and `top_k_per_group` keeps 3 per
+    anchor with a deterministic (support DESC, partner ASC) rule."""
+    from .tabular import top_k_per_group
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"], split=True)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = (batch["l_orderkey"].to_numpy() % 64).astype(np.int32)
+        return batch.append_column("__bucket", pa.array(b))
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["l_orderkey", "l_partkey"]].drop_duplicates()
+        m = df.merge(df, on="l_orderkey", suffixes=("_a", "_b"))
+        m = m[m["l_partkey_a"] < m["l_partkey_b"]]
+        return (
+            m.groupby(["l_partkey_a", "l_partkey_b"], as_index=False)
+            .size()
+            .rename(columns={"l_partkey_a": "a", "l_partkey_b": "b", "size": "n"})
+        )
+
+    folded = grouped_aggregate(
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(lambda df: pairs(df.drop(columns=["__bucket"])), batch_format="pandas"),
+        ["a", "b"],
+        {"support": ("sum", "n")},
+    )
+
+    def both_ways(df: pd.DataFrame) -> pd.DataFrame:
+        fwd = df.rename(columns={"a": "part", "b": "rec"})
+        rev = df.rename(columns={"b": "part", "a": "rec"})
+        out = pd.concat([fwd, rev], ignore_index=True)[["part", "rec", "support"]]
+        # order key: high support first, then smaller partner — encoded so
+        # ONE ascending sort inside top_k_per_group is deterministic
+        return out.assign(
+            __ord=-(out["support"].to_numpy(dtype=np.int64) * np.int64(1 << 32))
+            + out["rec"].to_numpy(dtype=np.int64)
+        )
+
+    ranked = top_k_per_group(
+        folded.map_batches(both_ways, batch_format="pandas"),
+        "part",
+        "__ord",
+        _RECS_K,
+        descending=False,
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["part", "__ord"], kind="stable")
+        df["rank"] = df.groupby("part", sort=False).cumcount() + 1
+        return df.astype({"part": np.int64, "rec": np.int64, "support": np.int64, "rank": np.int64})[
+            ["part", "rec", "support", "rank"]
+        ]
+
+    return ranked.map_batches(finalize, batch_format="pandas")
+
+
+SQL_PART_RECS = f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pc AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b, count(*) AS support
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+bi AS (
+  SELECT a AS part, b AS rec, support FROM pc
+  UNION ALL
+  SELECT b, a, support FROM pc
+),
+ranked AS (
+  SELECT part, rec, support,
+         row_number() OVER (PARTITION BY part ORDER BY support DESC, rec) AS rank
+  FROM bi
+)
+SELECT CAST(part AS BIGINT) AS part, CAST(rec AS BIGINT) AS rec,
+       CAST(support AS BIGINT) AS support, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_RECS_K}
+"""
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-shaped multi-join family: Q5 / Q17 / Q18 plan shapes
 # ---------------------------------------------------------------------------
@@ -9874,6 +10036,8 @@ QUERIES = {
     "user_paths": q_user_paths,
     "zipf_slope": q_zipf_slope,
     "rolling_distinct_users": q_rolling_distinct_users,
+    "pareto_8020": q_pareto_8020,
+    "part_recs": q_part_recs,
     "rapid_reorder": q_rapid_reorder,
 }
 
@@ -10028,6 +10192,8 @@ ORACLE_SQL = {
     "user_paths": SQL_USER_PATHS,
     "zipf_slope": SQL_ZIPF,
     "rolling_distinct_users": SQL_ROLLING_DISTINCT,
+    "pareto_8020": SQL_PARETO_8020,
+    "part_recs": SQL_PART_RECS,
     "rapid_reorder": SQL_RAPID_REORDER,
     # mmr_select is rows-only: the greedy argmax recursion has no SQL
     # form; the greedy invariant is property-tested in

@@ -129,6 +129,8 @@ BENCH_QUERIES = [
     "rapid_reorder",
     "zipf_slope",
     "rolling_distinct_users",
+    "pareto_8020",
+    "part_recs",
 ]
 
 
