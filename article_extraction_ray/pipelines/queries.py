@@ -9555,6 +9555,213 @@ FROM ranked WHERE rank <= {_RECS_K}
 """
 
 
+_HR_ANOM_Z = 3.0
+
+
+def q_hourly_anomaly(sf_dir: str):
+    """Seasonal-baseline anomaly flags: each event's value is scored
+    against ITS OWN (event_type, hour-of-day) population — the
+    seasonality-aware variant of a global z-gate, the shape every
+    metrics-monitoring pipeline uses for diurnal traffic.
+
+    One streaming pass reduces exact integer-cent moments per
+    (type, hour) — a bounded 5×24 domain — and a second pass flags
+    |z| > 3 rows with the broadcast baseline.  Same two-pass broadcast
+    shape as `zscore_normalize`, but keyed on a derived seasonal
+    bucket.  Flag counts per (type, hour) keep the output bounded."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"], split=True)
+
+    def moments(batch: pa.Table) -> pd.DataFrame:
+        us = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view("int64")
+        hour = (us // 3_600_000_000) % 24
+        cents = np.round(batch["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return (
+            pd.DataFrame(
+                {"event_type": batch["event_type"].to_pandas(), "hour": hour,
+                 "c": cents, "cc": cents * cents}
+            )
+            .groupby(["event_type", "hour"], as_index=False)
+            .agg(n=("c", "count"), s=("c", "sum"), ss=("cc", "sum"))
+        )
+
+    stats = (
+        grouped_aggregate(
+            ds.map_batches(moments, batch_format="pyarrow"),
+            ["event_type", "hour"],
+            {"n": ("sum", "n"), "s": ("sum", "s"), "ss": ("sum", "ss")},
+            small_keys=True,
+        )
+        .to_pandas()
+    )
+    n = stats["n"].to_numpy(dtype=np.float64)
+    s = stats["s"].to_numpy(dtype=np.float64)
+    ss = stats["ss"].to_numpy(dtype=np.float64)
+    mean = s / n
+    sd = np.sqrt((ss - s * s / n) / (n - 1.0))
+    base = {
+        (t, int(h)): (m, d)
+        for t, h, m, d in zip(stats["event_type"], stats["hour"], mean, sd)
+    }
+    bc = Broadcast(base)
+
+    def flag(batch: pa.Table) -> pd.DataFrame:
+        b = bc.get()
+        us = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view("int64")
+        hour = (us // 3_600_000_000) % 24
+        cents = np.round(batch["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        types = batch["event_type"].to_pandas()
+        ms = np.array([b[(t, int(h))][0] for t, h in zip(types, hour)])
+        sds = np.array([b[(t, int(h))][1] for t, h in zip(types, hour)])
+        z = (cents - ms) / sds
+        anom = np.abs(z) > _HR_ANOM_Z
+        return (
+            pd.DataFrame({"event_type": types, "hour": hour, "anom": anom.astype(np.int64)})
+            .groupby(["event_type", "hour"], as_index=False)["anom"]
+            .sum()
+        )
+
+    out = grouped_aggregate(
+        ds.map_batches(flag, batch_format="pyarrow"),
+        ["event_type", "hour"],
+        {"n_anomalies": ("sum", "anom")},
+        small_keys=True,
+    )
+
+    def typed(df: pd.DataFrame) -> pd.DataFrame:
+        return df.astype({"hour": np.int64, "n_anomalies": np.int64})
+
+    return out.map_batches(typed, batch_format="pandas")
+
+
+SQL_HOURLY_ANOMALY = f"""
+WITH e AS (
+  SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hour,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+g AS (
+  SELECT event_type, hour, CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(c) AS DOUBLE) AS s, CAST(sum(c * c) AS DOUBLE) AS ss
+  FROM e GROUP BY 1, 2
+)
+SELECT e.event_type, CAST(e.hour AS BIGINT) AS hour,
+       CAST(sum(CASE WHEN abs((e.c - g.s / g.n) / sqrt((g.ss - g.s * g.s / g.n) / (g.n - 1.0)))
+                          > {_HR_ANOM_Z} THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+FROM e JOIN g ON e.event_type = g.event_type AND e.hour = g.hour
+GROUP BY e.event_type, e.hour
+"""
+
+
+def q_readability_score(sf_dir: str):
+    """Flesch-style readability per document from three vectorizable
+    counts — words, sentence marks, vowel-group "syllables" — the
+    text-quality feature corpus filters use alongside `quality_score`.
+
+    score = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words),
+    with sentence count floored at 1.  Pure streaming map; the three
+    counts are Arrow regex kernels (`pc.count_substring_regex`), and
+    the SQL mirror uses the identical regexes so the integer counts
+    match exactly; one mirrored float expression, rounded to 6."""
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        words = pc.count_substring_regex(batch["text"], r"\S+").to_numpy(zero_copy_only=False).astype(np.float64)
+        sents = pc.count_substring_regex(batch["text"], r"[.!?]").to_numpy(zero_copy_only=False).astype(np.float64)
+        syll = pc.count_substring_regex(batch["text"], r"[aeiouyAEIOUY]+").to_numpy(zero_copy_only=False).astype(np.float64)
+        sents = np.maximum(sents, 1.0)
+        w = np.maximum(words, 1.0)
+        val = 206.835 - 1.015 * (w / sents) - 84.6 * (syll / w)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False),
+                "n_words": words.astype(np.int64),
+                "n_syllables": syll.astype(np.int64),
+                "readability": np.round(val, 6),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+SQL_READABILITY = """
+WITH c AS (
+  SELECT doc_id,
+         coalesce(array_length(regexp_extract_all(text, '\\S+')), 0) AS words,
+         coalesce(array_length(regexp_extract_all(text, '[.!?]')), 0) AS sents,
+         coalesce(array_length(regexp_extract_all(text, '[aeiouyAEIOUY]+')), 0) AS syll
+  FROM documents
+)
+SELECT doc_id,
+       CAST(words AS BIGINT) AS n_words,
+       CAST(syll AS BIGINT) AS n_syllables,
+       round(206.835 - 1.015 * (greatest(words, 1) / greatest(CAST(sents AS DOUBLE), 1.0))
+                     - 84.6 * (syll / greatest(CAST(words AS DOUBLE), 1.0)), 6) AS readability
+FROM c
+"""
+
+
+_K_ANON = 5
+
+
+def q_k_anonymity(sf_dir: str):
+    """k-anonymity audit over the (nation, market-segment)
+    quasi-identifier: equivalence-class sizes, the violating classes
+    (size < 5), and the re-identifiable population — the privacy gate
+    a release pipeline runs before publishing joined demographics.
+
+    Quasi-ID class counts are a bounded-domain fold (|nations| ×
+    |segments|); the audit summary is one driver pass over the tiny
+    class table.  All integers."""
+    ds = read_table(sf_dir, "customer", columns=["c_nationkey", "c_mktsegment"], split=True)
+
+    def counts(batch: pa.Table) -> pd.DataFrame:
+        return (
+            pd.DataFrame(
+                {
+                    "c_nationkey": batch["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    "c_mktsegment": batch["c_mktsegment"].to_pandas(),
+                }
+            )
+            .value_counts(["c_nationkey", "c_mktsegment"])
+            .reset_index(name="n")
+        )
+
+    cls = (
+        grouped_aggregate(
+            ds.map_batches(counts, batch_format="pyarrow"),
+            ["c_nationkey", "c_mktsegment"],
+            {"class_size": ("sum", "n")},
+            small_keys=True,
+        )
+        .to_pandas()
+    )
+    viol = cls[cls["class_size"] < _K_ANON]
+    return pd.DataFrame(
+        {
+            "n_classes": [len(cls)],
+            "min_class_size": [int(cls["class_size"].min())],
+            "violating_classes": [len(viol)],
+            "reidentifiable_rows": [int(viol["class_size"].sum())],
+        }
+    )
+
+
+SQL_K_ANON = f"""
+WITH cls AS (
+  SELECT c_nationkey, c_mktsegment, count(*) AS class_size
+  FROM customer GROUP BY 1, 2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(min(class_size) AS BIGINT) AS min_class_size,
+       CAST(count(*) FILTER (WHERE class_size < {_K_ANON}) AS BIGINT) AS violating_classes,
+       CAST(coalesce(sum(class_size) FILTER (WHERE class_size < {_K_ANON}), 0) AS BIGINT)
+         AS reidentifiable_rows
+FROM cls
+"""
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-shaped multi-join family: Q5 / Q17 / Q18 plan shapes
 # ---------------------------------------------------------------------------
@@ -10037,6 +10244,9 @@ QUERIES = {
     "zipf_slope": q_zipf_slope,
     "rolling_distinct_users": q_rolling_distinct_users,
     "pareto_8020": q_pareto_8020,
+    "hourly_anomaly": q_hourly_anomaly,
+    "readability_score": q_readability_score,
+    "k_anonymity": q_k_anonymity,
     "part_recs": q_part_recs,
     "rapid_reorder": q_rapid_reorder,
 }
@@ -10193,6 +10403,9 @@ ORACLE_SQL = {
     "zipf_slope": SQL_ZIPF,
     "rolling_distinct_users": SQL_ROLLING_DISTINCT,
     "pareto_8020": SQL_PARETO_8020,
+    "hourly_anomaly": SQL_HOURLY_ANOMALY,
+    "readability_score": SQL_READABILITY,
+    "k_anonymity": SQL_K_ANON,
     "part_recs": SQL_PART_RECS,
     "rapid_reorder": SQL_RAPID_REORDER,
     # mmr_select is rows-only: the greedy argmax recursion has no SQL

@@ -131,6 +131,9 @@ BENCH_QUERIES = [
     "rolling_distinct_users",
     "pareto_8020",
     "part_recs",
+    "hourly_anomaly",
+    "readability_score",
+    "k_anonymity",
 ]
 
 
