@@ -9762,6 +9762,178 @@ FROM cls
 """
 
 
+def q_seq_patterns(sf_dir: str):
+    """Sequential-pattern support counts: for every ordered event-type
+    pair (A, B), how many users have SOME A occurring before SOME B —
+    the 2-sequence support table of GSP/PrefixSpan-style mining.
+
+    The containment trick that avoids per-user pair enumeration: in
+    the per-user (ts, event_id) ranking, "∃ A before B" ⟺
+    min_rank(A) < max_rank(B) — so one user-hash exchange reduces each
+    user to a |types|-row (min, max) summary and the pair join runs on
+    THAT (|types|² per user, not events²).  All integers."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"], split=True)
+
+    def tag(batch: pa.Table) -> pd.DataFrame:
+        us = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view("int64")
+        return pd.DataFrame(
+            {
+                "event_id": batch["event_id"].to_numpy(zero_copy_only=False),
+                "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+                "us": us,
+                "event_type": batch["event_type"].to_pandas(),
+                "__bucket": (batch["user_id"].to_numpy() % 32).astype(np.int32),
+            }
+        )
+
+    def support(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "us", "event_id"], kind="stable")
+        df["rk"] = df.groupby("user_id", sort=False).cumcount() + 1
+        mm = (
+            df.groupby(["user_id", "event_type"], sort=False)["rk"]
+            .agg(mn="min", mx="max")
+            .reset_index()
+        )
+        m = mm.merge(mm, on="user_id", suffixes=("_a", "_b"))
+        m = m[m["mn_a"] < m["mx_b"]]
+        return (
+            m.groupby(["event_type_a", "event_type_b"], as_index=False)
+            .size()
+            .rename(columns={"event_type_a": "type_a", "event_type_b": "type_b", "size": "n"})
+        )
+
+    counted = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(lambda df: support(df.drop(columns=["__bucket"])), batch_format="pandas")
+    )
+    out = grouped_aggregate(
+        counted, ["type_a", "type_b"], {"n_users": ("sum", "n")}, small_keys=True
+    )
+
+    def typed(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(n_users=df["n_users"].astype(np.int64))
+
+    return out.map_batches(typed, batch_format="pandas")
+
+
+SQL_SEQ_PATTERNS = """
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rk
+  FROM events
+),
+mm AS (
+  SELECT user_id, event_type, min(rk) AS mn, max(rk) AS mx
+  FROM r GROUP BY 1, 2
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM mm a JOIN mm b ON a.user_id = b.user_id AND a.mn < b.mx
+GROUP BY 1, 2
+"""
+
+
+_DIV_TOP = 200
+
+
+def q_source_divergence(sf_dir: str):
+    """Corpus-mixture diagnostics: Jensen–Shannon divergence between
+    each source's token distribution and the corpus-wide distribution,
+    over the global top-200 tokens with +1 smoothing — the "is this
+    domain drifting from the mix" gate a pre-training data pipeline
+    runs per snapshot.
+
+    (source, token) counts fold through the open-domain exchange; the
+    top-token slice comes from `topk`'s prefilter on the corpus
+    marginal; the JS algebra runs on the |sources|×200 slice
+    driver-side with the SAME expression sequence as the SQL mirror.
+    Counts are exact ints; the ≤400-term log sums round to 6."""
+    from .tabular import topk
+
+    ds = read_table(sf_dir, "documents", columns=["source", "text"], split=True)
+
+    def counts(batch: pa.Table) -> pd.DataFrame:
+        rows: dict[tuple[str, str], int] = {}
+        for src, t in zip(batch["source"].to_pylist(), batch["text"].to_pylist()):
+            for w in (t or "").split():
+                rows[(src, w)] = rows.get((src, w), 0) + 1
+        if not rows:
+            return pd.DataFrame({"source": [], "token": [], "n": []})
+        ks = list(rows.keys())
+        return pd.DataFrame(
+            {"source": [k[0] for k in ks], "token": [k[1] for k in ks], "n": list(rows.values())}
+        )
+
+    st = grouped_aggregate(
+        ds.map_batches(counts, batch_format="pyarrow"), ["source", "token"], {"n": ("sum", "n")}
+    ).materialize()
+
+    def marginal(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("token", as_index=False)["n"].sum()
+
+    corpus = grouped_aggregate(
+        st.map_batches(marginal, batch_format="pandas"), ["token"], {"n": ("sum", "n")}
+    )
+    top = (
+        topk(corpus, ["n", "token"], _DIV_TOP, descending=[True, False])
+        .to_pandas()
+        .sort_values(["n", "token"], ascending=[False, True], kind="stable")
+        .reset_index(drop=True)
+    )
+    top_tokens = top["token"].tolist()
+    tok_bc = Broadcast(set(top_tokens))
+
+    def in_top(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["token"].isin(tok_bc.get())]
+
+    slice_df = st.map_batches(in_top, batch_format="pandas").to_pandas()
+
+    qc = top.set_index("token")["n"].reindex(top_tokens).to_numpy(dtype=np.float64)
+    qn = qc.sum()
+    q = (qc + 1.0) / (qn + float(_DIV_TOP))
+
+    rows = []
+    for src, g in sorted(slice_df.groupby("source"), key=lambda kv: kv[0]):
+        cs = g.set_index("token")["n"].reindex(top_tokens).fillna(0).to_numpy(dtype=np.float64)
+        ns = cs.sum()
+        p = (cs + 1.0) / (ns + float(_DIV_TOP))
+        m = 0.5 * (p + q)
+        js = 0.5 * float(np.sum(p * np.log(p / m))) + 0.5 * float(np.sum(q * np.log(q / m)))
+        rows.append({"source": src, "js_divergence": round(js, 6)})
+    return pd.DataFrame(rows)
+
+
+SQL_SOURCE_DIVERGENCE = f"""
+WITH toks AS (
+  SELECT source,
+         unnest(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS token
+  FROM documents
+),
+stc AS (SELECT source, token, count(*) AS n FROM toks GROUP BY 1, 2),
+corpus AS (SELECT token, sum(n) AS n FROM stc GROUP BY 1),
+top AS (SELECT token, n FROM corpus ORDER BY n DESC, token LIMIT {_DIV_TOP}),
+qn AS (SELECT sum(n) AS tot FROM top),
+grid AS (SELECT s.source, t.token, t.n AS cn FROM (SELECT DISTINCT source FROM documents) s, top t),
+f AS (
+  SELECT g.source, g.token,
+         (coalesce(stc.n, 0) + 1.0) AS cs1, g.cn + 1.0 AS cq1
+  FROM grid g LEFT JOIN stc ON stc.source = g.source AND stc.token = g.token
+),
+ns AS (SELECT source, sum(cs1 - 1.0) AS tot FROM f GROUP BY 1),
+pq AS (
+  SELECT f.source,
+         f.cs1 / (ns.tot + {float(_DIV_TOP)}) AS p,
+         f.cq1 / (qn.tot + {float(_DIV_TOP)}) AS q
+  FROM f JOIN ns ON f.source = ns.source CROSS JOIN qn
+)
+SELECT source,
+       round(0.5 * sum(p * ln(p / (0.5 * (p + q))))
+           + 0.5 * sum(q * ln(q / (0.5 * (p + q)))), 6) AS js_divergence
+FROM pq GROUP BY source ORDER BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-shaped multi-join family: Q5 / Q17 / Q18 plan shapes
 # ---------------------------------------------------------------------------
@@ -10245,6 +10417,8 @@ QUERIES = {
     "rolling_distinct_users": q_rolling_distinct_users,
     "pareto_8020": q_pareto_8020,
     "hourly_anomaly": q_hourly_anomaly,
+    "seq_patterns": q_seq_patterns,
+    "source_divergence": q_source_divergence,
     "readability_score": q_readability_score,
     "k_anonymity": q_k_anonymity,
     "part_recs": q_part_recs,
@@ -10404,6 +10578,8 @@ ORACLE_SQL = {
     "rolling_distinct_users": SQL_ROLLING_DISTINCT,
     "pareto_8020": SQL_PARETO_8020,
     "hourly_anomaly": SQL_HOURLY_ANOMALY,
+    "seq_patterns": SQL_SEQ_PATTERNS,
+    "source_divergence": SQL_SOURCE_DIVERGENCE,
     "readability_score": SQL_READABILITY,
     "k_anonymity": SQL_K_ANON,
     "part_recs": SQL_PART_RECS,

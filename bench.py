@@ -134,6 +134,8 @@ BENCH_QUERIES = [
     "hourly_anomaly",
     "readability_score",
     "k_anonymity",
+    "seq_patterns",
+    "source_divergence",
 ]
 
 
