@@ -9934,6 +9934,70 @@ FROM pq GROUP BY source ORDER BY source
 """
 
 
+def q_snapshot_reads(sf_dir: str):
+    """Snapshot-log time travel (state/snapshots.py — Iceberg-lite):
+    build a versioned table from documents (v0 = first half appended,
+    v1 = second half appended, v2 = compaction REWRITE of the same
+    rows), then time-travel-read every version and report its exact
+    (row count, doc_id checksum).
+
+    The property under test is the core table-format invariant: a
+    replacement commit changes the file membership but NOT the logical
+    table, and historical versions stay readable after it.  All three
+    version states are closed-form over the source table, so the
+    whole lifecycle is value-oracled.  Reads/writes are distributed
+    (Dataset.write_parquet / read_parquet over manifest-listed
+    files); only file paths touch the driver."""
+    import os
+    import shutil
+
+    import ray.data
+
+    from ..state.snapshots import commit_snapshot, read_snapshot
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"], split=True)
+    mid = (int(ds.max("doc_id")) + 1) // 2
+
+    table_dir = f"/tmp/ae_snap_table_{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(table_dir, ignore_errors=True)
+    os.makedirs(table_dir, exist_ok=True)
+
+    def rel_files(sub: str) -> list[str]:
+        return sorted(
+            os.path.join(sub, f)
+            for f in os.listdir(os.path.join(table_dir, sub))
+            if f.endswith(".parquet")
+        )
+
+    ds.filter(expr=f"doc_id < {mid}").write_parquet(os.path.join(table_dir, "a"))
+    commit_snapshot(table_dir, rel_files("a"), op="append")
+    ds.filter(expr=f"doc_id >= {mid}").write_parquet(os.path.join(table_dir, "b"))
+    commit_snapshot(table_dir, rel_files("a") + rel_files("b"), op="append")
+    read_snapshot(table_dir, 1).repartition(2).write_parquet(os.path.join(table_dir, "c"))
+    commit_snapshot(table_dir, rel_files("c"), op="compact")
+
+    rows = []
+    for v in (0, 1, 2):
+        snap = read_snapshot(table_dir, v)
+        rows.append(
+            {"version": v, "n_rows": int(snap.count()), "sum_doc_id": int(snap.sum("doc_id"))}
+        )
+    return pd.DataFrame(rows).astype(np.int64)
+
+
+SQL_SNAPSHOT_READS = """
+WITH m AS (SELECT (max(doc_id) + 1) // 2 AS mid FROM documents)
+SELECT CAST(0 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+FROM documents, m WHERE doc_id < m.mid
+UNION ALL
+SELECT 1, count(*), sum(doc_id) FROM documents
+UNION ALL
+SELECT 2, count(*), sum(doc_id) FROM documents
+ORDER BY version
+"""
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-shaped multi-join family: Q5 / Q17 / Q18 plan shapes
 # ---------------------------------------------------------------------------
@@ -10418,6 +10482,7 @@ QUERIES = {
     "pareto_8020": q_pareto_8020,
     "hourly_anomaly": q_hourly_anomaly,
     "seq_patterns": q_seq_patterns,
+    "snapshot_reads": q_snapshot_reads,
     "source_divergence": q_source_divergence,
     "readability_score": q_readability_score,
     "k_anonymity": q_k_anonymity,
@@ -10579,6 +10644,7 @@ ORACLE_SQL = {
     "pareto_8020": SQL_PARETO_8020,
     "hourly_anomaly": SQL_HOURLY_ANOMALY,
     "seq_patterns": SQL_SEQ_PATTERNS,
+    "snapshot_reads": SQL_SNAPSHOT_READS,
     "source_divergence": SQL_SOURCE_DIVERGENCE,
     "readability_score": SQL_READABILITY,
     "k_anonymity": SQL_K_ANON,

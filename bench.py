@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "k_anonymity",
     "seq_patterns",
     "source_divergence",
+    "snapshot_reads",
 ]
 
 

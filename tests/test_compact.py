@@ -74,3 +74,53 @@ class TestCompactParquet:
         s2 = compact_parquet(src, dst, target_bytes=64 * 1024)
         assert s1["files_out"] == s2["files_out"]
         assert len(pq.read_table(dst)) == len(want)
+import pytest
+
+
+class TestSnapshotLog:
+    def test_commit_read_replace_expire(self, tmp_path, ray_session):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from article_extraction_ray.state.snapshots import (
+            commit_snapshot,
+            expire_versions,
+            latest_version,
+            read_snapshot,
+            snapshot_files,
+            versions,
+        )
+
+        d = tmp_path / "tbl"
+        (d / "data").mkdir(parents=True)
+        pq.write_table(pa.table({"x": [1, 2, 3]}), d / "data" / "f1.parquet")
+        v0 = commit_snapshot(d, ["data/f1.parquet"], op="append")
+        assert v0 == 0
+        pq.write_table(pa.table({"x": [4, 5]}), d / "data" / "f2.parquet")
+        v1 = commit_snapshot(d, ["data/f1.parquet", "data/f2.parquet"], op="append")
+        # replacement rewrite
+        pq.write_table(pa.table({"x": [1, 2, 3, 4, 5]}), d / "data" / "c1.parquet")
+        v2 = commit_snapshot(d, ["data/c1.parquet"], op="compact")
+        assert versions(d) == [0, 1, 2] and latest_version(d) == 2
+
+        # logical table identical across v1 and v2; v0 still readable
+        assert sorted(r["x"] for r in read_snapshot(d, 0).take_all()) == [1, 2, 3]
+        assert sorted(r["x"] for r in read_snapshot(d, 1).take_all()) == [1, 2, 3, 4, 5]
+        assert sorted(r["x"] for r in read_snapshot(d, 2).take_all()) == [1, 2, 3, 4, 5]
+        assert snapshot_files(d, 2) != snapshot_files(d, 1)
+
+        # retention: keep only latest; old files gone, latest intact
+        out = expire_versions(d, keep_latest=1)
+        assert out["versions_dropped"] == [0, 1]
+        assert set(out["files_deleted"]) == {"data/f1.parquet", "data/f2.parquet"}
+        assert sorted(r["x"] for r in read_snapshot(d).take_all()) == [1, 2, 3, 4, 5]
+        with pytest.raises(FileNotFoundError):
+            read_snapshot(d, 0)
+
+    def test_commit_refuses_missing_file(self, tmp_path):
+        import pytest as _pytest
+
+        from article_extraction_ray.state.snapshots import commit_snapshot
+
+        with _pytest.raises(FileNotFoundError):
+            commit_snapshot(tmp_path, ["nope.parquet"], op="append")
