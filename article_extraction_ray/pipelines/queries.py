@@ -9998,6 +9998,142 @@ ORDER BY version
 """
 
 
+def q_schema_evolution(sf_dir: str):
+    """Schema-evolution read: half the table's files were written
+    BEFORE a column existed (doc_id < mid, no ``lang``), half after —
+    the union-by-name read fills the missing column with nulls and the
+    downstream aggregate sees one schema.  The lakehouse add-column
+    migration, exercised end-to-end through real parquet files.
+
+    Old and new file sets are written distributedly; the evolved read
+    is ``read_parquet`` over both sets with a vectorized
+    fill-missing-with-null normalizer (the same shape
+    `multi_format_union` uses for CSV+JSONL).  Output: per-lang doc
+    counts with the legacy files in the NULL bucket — closed-form
+    over the source table, so the whole migration is value-oracled."""
+    import os
+    import shutil
+
+    import ray.data
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"], split=True)
+    mid = (int(ds.max("doc_id")) + 1) // 2
+
+    base = f"/tmp/ae_schema_evo_{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(base, ignore_errors=True)
+    ds.filter(expr=f"doc_id < {mid}").drop_columns(["lang"]).write_parquet(
+        os.path.join(base, "v1")
+    )
+    ds.filter(expr=f"doc_id >= {mid}").write_parquet(os.path.join(base, "v2"))
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        if "lang" not in batch.column_names:
+            batch = batch.append_column("lang", pa.nulls(len(batch), type=pa.string()))
+        return batch.select(["doc_id", "lang"])
+
+    old = ray.data.read_parquet(os.path.join(base, "v1")).map_batches(
+        normalize, batch_format="pyarrow"
+    )
+    new = ray.data.read_parquet(os.path.join(base, "v2")).map_batches(
+        normalize, batch_format="pyarrow"
+    )
+    unioned = old.union(new)
+
+    def counts(batch: pa.Table) -> pd.DataFrame:
+        s = batch["lang"].to_pandas()
+        return (
+            pd.DataFrame({"lang": s.where(s.notna(), "<legacy>")})
+            .value_counts(["lang"])
+            .reset_index(name="n")
+        )
+
+    out = grouped_aggregate(
+        unioned.map_batches(counts, batch_format="pyarrow"), ["lang"], {"n_docs": ("sum", "n")},
+        small_keys=True,
+    )
+
+    def typed(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(n_docs=df["n_docs"].astype(np.int64))
+
+    return out.map_batches(typed, batch_format="pandas")
+
+
+SQL_SCHEMA_EVOLUTION = """
+WITH m AS (SELECT (max(doc_id) + 1) // 2 AS mid FROM documents)
+SELECT CASE WHEN doc_id < m.mid THEN '<legacy>' ELSE lang END AS lang,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents, m
+GROUP BY 1
+"""
+
+
+def q_cdc_apply(sf_dir: str):
+    """CDC apply with deletes: fold an ordered change log
+    (upsert/delete ops per key) into the final table state — the
+    Debezium-style merge every lakehouse sink runs, one step past
+    `merge_upsert` (which has no tombstones).
+
+    The change log derives from orders: each order upserts its
+    customer's latest amount; 'F'-status orders are tombstones.  The
+    fold is `latest_per_key`'s shape — per-batch latest partial by the
+    (orderdate, orderkey) ordinal, one coarse key-hash reduce — then a
+    vectorized tombstone filter.  Survivors carry the amount in exact
+    cents."""
+    ds = read_table(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderstatus", "o_totalprice"],
+        split=True,
+    )
+
+    def tag(batch: pa.Table) -> pd.DataFrame:
+        us = batch["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view("int64")
+        cents = np.round(batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "key": batch["o_custkey"].to_numpy(zero_copy_only=False),
+                "us": us,
+                "ok": batch["o_orderkey"].to_numpy(zero_copy_only=False),
+                "del_": (batch["o_orderstatus"].to_pandas() == "F").astype(np.int8),
+                "cents": cents,
+                "__bucket": (batch["o_custkey"].to_numpy() % 32).astype(np.int32),
+            }
+        )
+        # per-batch latest partial: one row per key per batch
+        df = df.sort_values(["key", "us", "ok"], kind="stable")
+        return df.groupby(["key", "__bucket"], as_index=False).tail(1)
+
+    def latest(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["key", "us", "ok"], kind="stable")
+        last = df.groupby("key", as_index=False).tail(1)
+        live = last[last["del_"] == 0]
+        return pd.DataFrame(
+            {
+                "c_custkey": live["key"].to_numpy(),
+                "last_amount": live["cents"].to_numpy() / 100.0,
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(lambda df: latest(df.drop(columns=["__bucket"])), batch_format="pandas")
+    )
+
+
+SQL_CDC_APPLY = """
+WITH log AS (
+  SELECT o_custkey AS key, epoch_us(o_orderdate) AS us, o_orderkey AS ok,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS del_,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY epoch_us(o_orderdate) DESC, o_orderkey DESC) AS rn
+  FROM orders
+)
+SELECT key AS c_custkey, cents / 100.0 AS last_amount
+FROM log WHERE rn = 1 AND del_ = 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-shaped multi-join family: Q5 / Q17 / Q18 plan shapes
 # ---------------------------------------------------------------------------
@@ -10483,6 +10619,8 @@ QUERIES = {
     "hourly_anomaly": q_hourly_anomaly,
     "seq_patterns": q_seq_patterns,
     "snapshot_reads": q_snapshot_reads,
+    "schema_evolution": q_schema_evolution,
+    "cdc_apply": q_cdc_apply,
     "source_divergence": q_source_divergence,
     "readability_score": q_readability_score,
     "k_anonymity": q_k_anonymity,
@@ -10645,6 +10783,8 @@ ORACLE_SQL = {
     "hourly_anomaly": SQL_HOURLY_ANOMALY,
     "seq_patterns": SQL_SEQ_PATTERNS,
     "snapshot_reads": SQL_SNAPSHOT_READS,
+    "schema_evolution": SQL_SCHEMA_EVOLUTION,
+    "cdc_apply": SQL_CDC_APPLY,
     "source_divergence": SQL_SOURCE_DIVERGENCE,
     "readability_score": SQL_READABILITY,
     "k_anonymity": SQL_K_ANON,

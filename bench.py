@@ -137,6 +137,8 @@ BENCH_QUERIES = [
     "seq_patterns",
     "source_divergence",
     "snapshot_reads",
+    "schema_evolution",
+    "cdc_apply",
 ]
 
 
