@@ -435,13 +435,16 @@ def pagerank(
         rank = pd.Series(rank_arr, index=nodes)
         share = (rank / degs).fillna(0.0)  # dangling nodes emit nothing here
         dangling = rank[degs.isna()].sum()
-        handle = Broadcast(dict(zip(share.index, share.to_numpy())))
+        # broadcast (sorted node ids, aligned share values): the per-batch
+        # lookup is then ONE vectorized searchsorted instead of a Python
+        # dict walk over every edge (measured hot path at 600k edges/sweep)
+        handle = Broadcast((np.asarray(nodes), share.to_numpy()))
 
         def contrib(t: pa.Table) -> pd.DataFrame:
-            m = handle.get()
+            keys, vals = handle.get()
             s = t[src_col].to_numpy(zero_copy_only=False)
             d = t[dst_col].to_numpy(zero_copy_only=False)
-            w = np.fromiter((m[x] for x in s), dtype=np.float64, count=len(s))
+            w = vals[np.searchsorted(keys, s)]  # every src IS a node
             uniq, inv = np.unique(d, return_inverse=True)
             return pd.DataFrame({"node": uniq, "c": np.bincount(inv, weights=w)})
 
@@ -699,20 +702,27 @@ def label_propagation(
     fixed = set(labels)
 
     for _ in range(max_iters):
-        handle = Broadcast(labels)
+        # broadcast (sorted labeled-node ids, aligned labels): per-batch
+        # lookup is one vectorized searchsorted + equality mask instead of
+        # a Python dict walk over every vote (2 × edges per sweep)
+        lkeys = np.array(sorted(labels), dtype=np.int64)
+        lvals = np.array([labels[k] for k in lkeys], dtype=np.int64)
+        handle = Broadcast((lkeys, lvals))
 
         def votes(batch: pa.Table) -> pd.DataFrame:
-            lm = handle.get()
+            keys, vals = handle.get()
             s = batch[src_col].to_numpy(zero_copy_only=False)
             d = batch[dst_col].to_numpy(zero_copy_only=False)
             # undirected: votes flow both ways
             frames = []
             for a, b in ((s, d), (d, s)):
-                lab = pd.Series(a).map(lm)
-                m = lab.notna().to_numpy()
+                if len(keys) == 0:
+                    continue
+                idx = np.minimum(np.searchsorted(keys, a), len(keys) - 1)
+                m = keys[idx] == a
                 if m.any():
                     frames.append(
-                        pd.DataFrame({"node": b[m], "label": lab[m].astype(np.int64)})
+                        pd.DataFrame({"node": b[m], "label": vals[idx[m]]})
                     )
             if not frames:
                 return pd.DataFrame({"node": [], "label": [], "n": []})
