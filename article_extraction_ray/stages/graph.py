@@ -676,8 +676,9 @@ def label_propagation(
     - **broadcast** (small graphs): the label map broadcasts via
       ``ray.put`` once per sweep, the edge list STREAMS — each batch
       emits per-(node, label) vote counts (the batch is the combiner)
-      and one ``grouped_aggregate`` sum reduces them; the driver only
-      folds the per-node majorities.
+      and the bounded partials drain straight to a driver groupby fold
+      (same shape as :func:`pagerank`'s broadcast sweep — no
+      distributed exchange per sweep under the budget).
     - **bucketed** (above ``node_budget`` edges — the web-scale path):
       the label map stays a Dataset (node, label, fixed); each sweep
       co-partitions (edges ⨝ labels) on the voting endpoint, the vote
@@ -690,7 +691,6 @@ def label_propagation(
     Converges when a sweep changes no label."""
     import pyarrow as pa
 
-    from ..pipelines.tabular import grouped_aggregate
     from ..state.broadcast import Broadcast
 
     edges = edges.materialize()  # streamed once per sweep
@@ -730,13 +730,16 @@ def label_propagation(
             out = df.groupby(["node", "label"], as_index=False).size()
             return out.rename(columns={"size": "n"})
 
-        counts = grouped_aggregate(
-            edges.map_batches(votes, batch_format="pyarrow"),
-            ["node", "label"],
-            {"n": ("sum", "n")},
-        ).to_pandas()
-        if not len(counts):
+        # broadcast path = graph under node_budget, so the per-batch
+        # vote partials (≤ distinct (node,label) pairs per block) drain
+        # straight to the driver and fold in one vectorized groupby —
+        # same shape as pagerank's broadcast sweep; skipping the
+        # distributed exchange saves a whole plan launch per sweep
+        # (the bucketed path above the budget keeps the exchange)
+        got = edges.map_batches(votes, batch_format="pyarrow").to_pandas()
+        if not len(got):
             break
+        counts = got.groupby(["node", "label"], as_index=False)["n"].sum()
         best = (
             counts.sort_values(["node", "n", "label"], ascending=[True, False, True])
             .groupby("node", sort=False)
