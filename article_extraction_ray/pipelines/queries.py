@@ -7779,14 +7779,16 @@ def q_bfs_hops(sf_dir: str):
             d = batch.filter(keep)["dst"].to_numpy(zero_copy_only=False)
             return pd.DataFrame({"node": np.unique(d)})
 
+        # per-batch outputs are already unique and bounded by the
+        # reachable-node set (dimension scale on the broadcast path), so
+        # they drain straight to a driver np.unique fold — no distributed
+        # exchange per hop (same shape as pagerank's broadcast sweep)
+        got = e.map_batches(reached, batch_format="pyarrow").to_pandas()
         new_nodes = (
-            grouped_aggregate(
-                e.map_batches(reached, batch_format="pyarrow"), ["node"], {"n": ("count", None)}
-            )
-            .to_pandas()["node"]
-            .to_numpy()
+            np.unique(got["node"].to_numpy()) if len(got) else np.array([], dtype=np.int64)
         )
-        frontier = np.array([x for x in new_nodes if x not in visited], dtype=np.int64)
+        seen = np.fromiter(visited.keys(), dtype=np.int64, count=len(visited))
+        frontier = new_nodes[~np.isin(new_nodes, seen)]
         if len(frontier) == 0:
             break
         for x in frontier:
