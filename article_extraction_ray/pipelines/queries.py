@@ -7763,11 +7763,16 @@ def q_bfs_hops(sf_dir: str):
             {"src": np.concatenate([c, s]), "dst": np.concatenate([s, c])}
         ).drop_duplicates()
 
+    from ..stages.graph import _SWEEP_EDGE_BLOCKS
+
     e = (
         broadcast_join(li, orders.rename_columns(["l_orderkey", "o_custkey"]), "l_orderkey")
         .map_batches(edges, batch_format="pandas")
         .materialize()
     )
+    # bound the per-hop re-scan task count (see graph._SWEEP_EDGE_BLOCKS)
+    if e.num_blocks() > _SWEEP_EDGE_BLOCKS:
+        e = e.repartition(_SWEEP_EDGE_BLOCKS).materialize()
 
     visited = {_BFS_SOURCE: 0}
     frontier = np.array([_BFS_SOURCE], dtype=np.int64)

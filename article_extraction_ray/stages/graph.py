@@ -349,6 +349,13 @@ def canonical_per_component(labels, members, *, id_col: str, num_buckets: int = 
 #: each sweep beats one extra co-partitioned exchange.
 PAGERANK_NODE_BUDGET = 5_000_000
 
+#: block budget for edge lists that iterative sweep loops (pagerank,
+#: label propagation, BFS) re-scan every iteration: enough blocks to
+#: keep every core busy on one box, few enough that 8-10 re-scans
+#: aren't task-launch-bound.  Web scale: edge lists above the node
+#: budget take the bucketed paths, which manage their own block counts.
+_SWEEP_EDGE_BLOCKS = 16
+
 
 def pagerank(
     edges,
@@ -421,6 +428,13 @@ def pagerank(
             src_col=src_col, dst_col=dst_col,
             damping=damping, iters=iters, ckpt_dir=ckpt_dir,
         )
+
+    # the sweep loop re-scans the edge list once per iteration, so the
+    # per-sweep task count is block count × iters; inherited read splits
+    # are sized for ONE-shot scans — a metadata-only coalesce (paid once,
+    # amortized over all sweeps) bounds the re-scan overhead
+    if edges.num_blocks() > _SWEEP_EDGE_BLOCKS:
+        edges = edges.repartition(_SWEEP_EDGE_BLOCKS).materialize()
 
     deg = deg_ds.to_pandas()
     nodes = np.sort(nodes_ds.to_pandas()["node"].to_numpy())
@@ -698,6 +712,10 @@ def label_propagation(
         return _label_propagation_bucketed(
             edges, seeds, src_col=src_col, dst_col=dst_col, max_iters=max_iters
         )
+    # bound the per-sweep re-scan task count (see _SWEEP_EDGE_BLOCKS)
+    if edges.num_blocks() > _SWEEP_EDGE_BLOCKS:
+        edges = edges.repartition(_SWEEP_EDGE_BLOCKS).materialize()
+
     labels: dict[int, int] = {int(k): int(v) for k, v in seeds.items()}
     fixed = set(labels)
 
