@@ -9604,7 +9604,12 @@ def q_hourly_anomaly(sf_dir: str):
     s = stats["s"].to_numpy(dtype=np.float64)
     ss = stats["ss"].to_numpy(dtype=np.float64)
     mean = s / n
-    sd = np.sqrt((ss - s * s / n) / (n - 1.0))
+    # degenerate groups (n==1 or zero variance) get sd=0 and are never
+    # flagged — mirrored by the CASE guard in SQL_HOURLY_ANOMALY (numpy
+    # NaN comparisons are False while DuckDB orders NaN above numbers,
+    # so an unguarded NaN z-score silently flips the two sides)
+    var = np.where(n >= 2.0, (ss - s * s / n) / np.maximum(n - 1.0, 1.0), 0.0)
+    sd = np.sqrt(np.maximum(var, 0.0))
     base = {
         (t, int(h)): (m, d)
         for t, h, m, d in zip(stats["event_type"], stats["hour"], mean, sd)
@@ -9619,8 +9624,9 @@ def q_hourly_anomaly(sf_dir: str):
         types = batch["event_type"].to_pandas()
         ms = np.array([b[(t, int(h))][0] for t, h in zip(types, hour)])
         sds = np.array([b[(t, int(h))][1] for t, h in zip(types, hour)])
-        z = (cents - ms) / sds
-        anom = np.abs(z) > _HR_ANOM_Z
+        ok = sds > 0.0
+        z = np.divide(cents - ms, sds, out=np.zeros_like(ms), where=ok)
+        anom = (np.abs(z) > _HR_ANOM_Z) & ok
         return (
             pd.DataFrame({"event_type": types, "hour": hour, "anom": anom.astype(np.int64)})
             .groupby(["event_type", "hour"], as_index=False)["anom"]
@@ -9652,8 +9658,12 @@ g AS (
   FROM e GROUP BY 1, 2
 )
 SELECT e.event_type, CAST(e.hour AS BIGINT) AS hour,
-       CAST(sum(CASE WHEN abs((e.c - g.s / g.n) / sqrt((g.ss - g.s * g.s / g.n) / (g.n - 1.0)))
-                          > {_HR_ANOM_Z} THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+       CAST(sum(CASE
+                  WHEN g.n < 2 OR (g.ss - g.s * g.s / g.n) <= 0 THEN 0
+                  WHEN abs((e.c - g.s / g.n) / sqrt((g.ss - g.s * g.s / g.n) / (g.n - 1.0)))
+                       > {_HR_ANOM_Z} THEN 1
+                  ELSE 0
+                END) AS BIGINT) AS n_anomalies
 FROM e JOIN g ON e.event_type = g.event_type AND e.hour = g.hour
 GROUP BY e.event_type, e.hour
 """
@@ -9957,6 +9967,7 @@ def q_snapshot_reads(sf_dir: str):
     files); only file paths touch the driver."""
     import os
     import shutil
+    import tempfile
 
     import ray.data
 
@@ -9965,9 +9976,9 @@ def q_snapshot_reads(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id"], split=True)
     mid = (int(ds.max("doc_id")) + 1) // 2
 
-    table_dir = f"/tmp/ae_snap_table_{os.path.basename(os.path.normpath(sf_dir))}"
-    shutil.rmtree(table_dir, ignore_errors=True)
-    os.makedirs(table_dir, exist_ok=True)
+    # private per-run scratch (mkdtemp): concurrent runs at the same
+    # scale (pytest + bench) must not race on a shared fixed path
+    table_dir = tempfile.mkdtemp(prefix="ae_snap_table_")
 
     def rel_files(sub: str) -> list[str]:
         return sorted(
@@ -9976,20 +9987,23 @@ def q_snapshot_reads(sf_dir: str):
             if f.endswith(".parquet")
         )
 
-    ds.filter(expr=f"doc_id < {mid}").write_parquet(os.path.join(table_dir, "a"))
-    commit_snapshot(table_dir, rel_files("a"), op="append")
-    ds.filter(expr=f"doc_id >= {mid}").write_parquet(os.path.join(table_dir, "b"))
-    commit_snapshot(table_dir, rel_files("a") + rel_files("b"), op="append")
-    read_snapshot(table_dir, 1).repartition(2).write_parquet(os.path.join(table_dir, "c"))
-    commit_snapshot(table_dir, rel_files("c"), op="compact")
+    try:
+        ds.filter(expr=f"doc_id < {mid}").write_parquet(os.path.join(table_dir, "a"))
+        commit_snapshot(table_dir, rel_files("a"), op="append")
+        ds.filter(expr=f"doc_id >= {mid}").write_parquet(os.path.join(table_dir, "b"))
+        commit_snapshot(table_dir, rel_files("a") + rel_files("b"), op="append")
+        read_snapshot(table_dir, 1).repartition(2).write_parquet(os.path.join(table_dir, "c"))
+        commit_snapshot(table_dir, rel_files("c"), op="compact")
 
-    rows = []
-    for v in (0, 1, 2):
-        snap = read_snapshot(table_dir, v)
-        rows.append(
-            {"version": v, "n_rows": int(snap.count()), "sum_doc_id": int(snap.sum("doc_id"))}
-        )
-    return pd.DataFrame(rows).astype(np.int64)
+        rows = []
+        for v in (0, 1, 2):
+            snap = read_snapshot(table_dir, v)
+            rows.append(
+                {"version": v, "n_rows": int(snap.count()), "sum_doc_id": int(snap.sum("doc_id"))}
+            )
+        return pd.DataFrame(rows).astype(np.int64)
+    finally:
+        shutil.rmtree(table_dir, ignore_errors=True)
 
 
 SQL_SNAPSHOT_READS = """
@@ -10020,49 +10034,53 @@ def q_schema_evolution(sf_dir: str):
     over the source table, so the whole migration is value-oracled."""
     import os
     import shutil
+    import tempfile
 
     import ray.data
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"], split=True)
     mid = (int(ds.max("doc_id")) + 1) // 2
 
-    base = f"/tmp/ae_schema_evo_{os.path.basename(os.path.normpath(sf_dir))}"
-    shutil.rmtree(base, ignore_errors=True)
-    ds.filter(expr=f"doc_id < {mid}").drop_columns(["lang"]).write_parquet(
-        os.path.join(base, "v1")
-    )
-    ds.filter(expr=f"doc_id >= {mid}").write_parquet(os.path.join(base, "v2"))
-
-    def normalize(batch: pa.Table) -> pa.Table:
-        if "lang" not in batch.column_names:
-            batch = batch.append_column("lang", pa.nulls(len(batch), type=pa.string()))
-        return batch.select(["doc_id", "lang"])
-
-    old = ray.data.read_parquet(os.path.join(base, "v1")).map_batches(
-        normalize, batch_format="pyarrow"
-    )
-    new = ray.data.read_parquet(os.path.join(base, "v2")).map_batches(
-        normalize, batch_format="pyarrow"
-    )
-    unioned = old.union(new)
-
-    def counts(batch: pa.Table) -> pd.DataFrame:
-        s = batch["lang"].to_pandas()
-        return (
-            pd.DataFrame({"lang": s.where(s.notna(), "<legacy>")})
-            .value_counts(["lang"])
-            .reset_index(name="n")
+    # private per-run scratch (mkdtemp): concurrent runs at the same
+    # scale must not race on a shared fixed path; the lazy evolved read
+    # targets this dir, so the tiny per-lang result is materialized
+    # before the finally-cleanup
+    base = tempfile.mkdtemp(prefix="ae_schema_evo_")
+    try:
+        ds.filter(expr=f"doc_id < {mid}").drop_columns(["lang"]).write_parquet(
+            os.path.join(base, "v1")
         )
+        ds.filter(expr=f"doc_id >= {mid}").write_parquet(os.path.join(base, "v2"))
 
-    out = grouped_aggregate(
-        unioned.map_batches(counts, batch_format="pyarrow"), ["lang"], {"n_docs": ("sum", "n")},
-        small_keys=True,
-    )
+        def normalize(batch: pa.Table) -> pa.Table:
+            if "lang" not in batch.column_names:
+                batch = batch.append_column("lang", pa.nulls(len(batch), type=pa.string()))
+            return batch.select(["doc_id", "lang"])
 
-    def typed(df: pd.DataFrame) -> pd.DataFrame:
+        old = ray.data.read_parquet(os.path.join(base, "v1")).map_batches(
+            normalize, batch_format="pyarrow"
+        )
+        new = ray.data.read_parquet(os.path.join(base, "v2")).map_batches(
+            normalize, batch_format="pyarrow"
+        )
+        unioned = old.union(new)
+
+        def counts(batch: pa.Table) -> pd.DataFrame:
+            s = batch["lang"].to_pandas()
+            return (
+                pd.DataFrame({"lang": s.where(s.notna(), "<legacy>")})
+                .value_counts(["lang"])
+                .reset_index(name="n")
+            )
+
+        out = grouped_aggregate(
+            unioned.map_batches(counts, batch_format="pyarrow"), ["lang"], {"n_docs": ("sum", "n")},
+            small_keys=True,
+        )
+        df = out.to_pandas()
         return df.assign(n_docs=df["n_docs"].astype(np.int64))
-
-    return out.map_batches(typed, batch_format="pandas")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 SQL_SCHEMA_EVOLUTION = """

@@ -395,9 +395,22 @@ def join(left, right, on: str, *, how: str = "inner",
         live = [t for t in tabs if t.num_rows > 0]
         if live:
             dim = pa.concat_tables(live)
-        else:
-            sch = right.schema()
-            dim = pa.schema(list(zip(sch.names, sch.types))).empty_table()
+            return broadcast_join(left, dim, on, how=how), "broadcast"
+        # all-blocks-empty degenerate case: Dataset.schema() may itself
+        # be None (a dataset of only zero-row empty-schema blocks) or
+        # lack the join key — synthesize an empty dimension only when
+        # the key is actually present; without it the join's output
+        # schema is unknowable on ANY physical path, so fail loudly
+        # instead of letting shuffle_join crash opaquely downstream
+        sch = right.schema()
+        names = list(getattr(sch, "names", []) or [])
+        if on not in names:
+            raise ValueError(
+                f"join: right side is empty and its schema "
+                f"{'is unknown' if not names else f'lacks the join key {on!r}'} "
+                f"(columns={names}); cannot derive the join output schema"
+            )
+        dim = pa.schema(list(zip(names, sch.types))).empty_table()
         return broadcast_join(left, dim, on, how=how), "broadcast"
     if salt_hot_share is not None:
         return (

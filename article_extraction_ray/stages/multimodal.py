@@ -241,14 +241,46 @@ def decode_ppm(payload: bytes) -> tuple[int, int, int, float]:
             pos += 1
         else:
             end = pos
-            while end < len(payload) and not payload[end : end + 1].isspace():
+            while (
+                end < len(payload)
+                and not payload[end : end + 1].isspace()
+                and payload[end : end + 1] != b"#"
+            ):
                 end += 1
             tokens.append(int(payload[pos:end]))
             pos = end
     width, height, maxval = tokens
     if maxval != 255:
         raise ValueError(f"unsupported maxval {maxval}")
-    pos += 1  # single whitespace after maxval, then raster
+    # Raster delimiter: the spec allows comments after the maxval token,
+    # and exactly ONE whitespace char then starts the raster.  A bare
+    # pos += 1 mis-offsets headers like ``255 #c\n`` or ``255\r\n`` and
+    # silently skews mean_pixel (dims stay right, so value oracles on
+    # dims alone can't catch it).  Skip comment lines first — whitespace
+    # directly preceding a '#' still belongs to the header — then
+    # consume the single delimiter (a comment's terminating newline
+    # already served as it; a \r\n pair is tolerated as one delimiter).
+    comment_nl_was_delim = False
+    while pos < len(payload):
+        c = payload[pos : pos + 1]
+        if c == b"#":
+            pos = payload.index(b"\n", pos) + 1
+            comment_nl_was_delim = True
+        elif c in b" \t\r" and payload[pos + 1 : pos + 2] == b"#":
+            # non-newline whitespace preceding a '#' is header-internal;
+            # a newline always ends the header (it IS the delimiter, so
+            # a raster whose first byte is '#' is never eaten)
+            pos += 1
+            comment_nl_was_delim = False
+        else:
+            break
+    if not comment_nl_was_delim:
+        if payload[pos : pos + 2] == b"\r\n":
+            pos += 2
+        elif payload[pos : pos + 1].isspace():
+            pos += 1
+        else:
+            raise ValueError("malformed P6 header: missing raster delimiter")
     px = np.frombuffer(payload, dtype=np.uint8, count=width * height * 3, offset=pos)
     return width, height, 3, float(px.mean()) if px.size else 0.0
 

@@ -9,9 +9,13 @@ compaction REPLACES the membership list while the old files stay on disk
 — so any historical version remains readable (time travel) until a
 retention sweep removes unreferenced files.
 
-Commit protocol: write `v{N}.json.tmp`, fsync-free atomic `os.replace`
-to `v{N}.json` — the same tmp-then-rename discipline as
-state/lineage.write_manifests (reference parity: the reference's
+Commit protocol: write a private tmp manifest, then publish it with
+EXCLUSIVE semantics — `os.link(tmp, v{N}.json)` fails with EEXIST if
+another committer won version N, in which case the commit retries at
+N+1 (optimistic concurrency, the same rename-fail-if-exists rule
+Iceberg's HadoopTableOperations uses).  A racing pair of committers
+therefore serializes into versions N and N+1 instead of one silently
+overwriting the other.  (Reference parity: the reference's
 upsert/resume sinks at `tables/paper_information_table.py` keep one
 mutable state; the snapshot log is the at-scale replacement that makes
 every historical state immutable and addressable).
@@ -77,19 +81,33 @@ def commit_snapshot(
     for f in files:
         if not (table_dir / f).exists():
             raise FileNotFoundError(f"snapshot member missing on disk: {f}")
-    prev = latest_version(table_dir)
-    version = 0 if prev is None else prev + 1
-    manifest = {
-        "version": version,
-        "parent": prev,
-        "op": op,
-        "files": sorted(files),
-        "rows": rows,
-    }
-    tmp = d / f"v{version}.json.tmp"
-    tmp.write_text(json.dumps(manifest, indent=1))
-    os.replace(tmp, d / f"v{version}.json")
-    return version
+    # optimistic-concurrency publish: os.link refuses to overwrite an
+    # existing v{N}.json (EEXIST), so a racing committer can never
+    # silently clobber a committed version — it retries at N+1
+    tmp = d / f".commit-{os.getpid()}-{id(files)}.tmp"
+    try:
+        for _ in range(64):
+            prev = latest_version(table_dir)
+            version = 0 if prev is None else prev + 1
+            manifest = {
+                "version": version,
+                "parent": prev,
+                "op": op,
+                "files": sorted(files),
+                "rows": rows,
+            }
+            tmp.write_text(json.dumps(manifest, indent=1))
+            try:
+                os.link(tmp, d / f"v{version}.json")
+            except FileExistsError:
+                continue  # lost the race for this version; retry at N+1
+            return version
+        raise RuntimeError(
+            f"commit_snapshot: could not claim a version under {d} "
+            "after 64 attempts (livelock or stale v*.json files)"
+        )
+    finally:
+        tmp.unlink(missing_ok=True)
 
 
 def snapshot_files(table_dir: str | Path, version: int | None = None) -> list[str]:

@@ -124,3 +124,46 @@ class TestSnapshotLog:
 
         with _pytest.raises(FileNotFoundError):
             commit_snapshot(tmp_path, ["nope.parquet"], op="append")
+
+    def test_racing_commits_never_lose_a_version(self, tmp_path):
+        """Optimistic-concurrency commit (ADVICE r3): two committers
+        racing for the same version number must serialize into distinct
+        versions — no silent manifest overwrite.  os.link's EEXIST is
+        the arbiter; losers retry at N+1."""
+        import json
+        import threading
+
+        from article_extraction_ray.state.snapshots import (
+            commit_snapshot,
+            read_manifest,
+            versions,
+        )
+
+        d = tmp_path / "tbl"
+        d.mkdir()
+        n_threads, n_commits = 4, 8
+        results: list[list[int]] = [[] for _ in range(n_threads)]
+        barrier = threading.Barrier(n_threads)
+
+        def committer(tid: int) -> None:
+            barrier.wait()
+            for i in range(n_commits):
+                fname = f"t{tid}_{i}.parquet"
+                (d / fname).write_bytes(b"")
+                results[tid].append(commit_snapshot(d, [fname], op=f"t{tid}"))
+
+        threads = [threading.Thread(target=committer, args=(t,)) for t in range(n_threads)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+        got = sorted(v for r in results for v in r)
+        assert got == list(range(n_threads * n_commits))  # every commit kept
+        # every manifest is intact valid JSON claiming its own version
+        for v in versions(d):
+            man = read_manifest(d, v)
+            assert man["version"] == v and len(man["files"]) == 1
+        # each version's file tag matches exactly one committer's op
+        ops = {read_manifest(d, v)["op"] for v in versions(d)}
+        assert ops == {f"t{t}" for t in range(n_threads)}

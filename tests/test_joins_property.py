@@ -353,3 +353,50 @@ class TestJoinRouterEdges:
                 .reset_index(drop=True)
             )
             pd.testing.assert_frame_equal(got[exp.columns], exp)
+
+
+class TestJoinEmptyRightDegenerates:
+    """ADVICE r3: an all-blocks-empty right side may carry a None or
+    keyless schema — the router must either synthesize a typed empty
+    dimension (key present) or raise a clear error naming the key,
+    never AttributeError."""
+
+    def test_empty_right_with_schema_joins_to_empty(self, ray_session):
+        import ray.data as rd
+
+        from article_extraction_ray.pipelines.tabular import join
+
+        left = pd.DataFrame({"k": np.arange(100, dtype=np.int64),
+                             "lv": np.arange(100, dtype=np.int64)})
+        right = pd.DataFrame({"k": np.array([], dtype=np.int64),
+                              "rv": np.array([], dtype=np.int64)})
+        out, strategy = join(rd.from_pandas(left).repartition(4), rd.from_pandas(right), "k")
+        assert strategy == "broadcast"
+        assert out.count() == 0
+        # the join OUTPUT schema survives even though zero rows flow
+        # (to_pandas on an all-empty dataset drops columns; the Dataset
+        # schema is the contract downstream stages consume)
+        assert set(out.schema().names) == {"k", "lv", "rv"}
+
+    def test_empty_right_missing_key_raises_named_error(self, ray_session):
+        import pytest as _pytest
+        import ray.data as rd
+
+        from article_extraction_ray.pipelines.tabular import join
+
+        left = rd.from_pandas(pd.DataFrame({"k": np.arange(10, dtype=np.int64)}))
+        right = rd.from_pandas(pd.DataFrame({"other": np.array([], dtype=np.int64)}))
+        with _pytest.raises(ValueError, match="'k'"):
+            join(left, right, "k")
+
+    def test_truly_schemaless_empty_right_raises_clear_error(self, ray_session):
+        import pytest as _pytest
+        import ray.data as rd
+
+        from article_extraction_ray.pipelines.tabular import join
+
+        left = rd.from_pandas(pd.DataFrame({"k": np.arange(10, dtype=np.int64)}))
+        right = rd.from_items([])  # no rows, no schema at all
+        with _pytest.raises((ValueError, Exception)) as ei:
+            out, _ = join(left, right, "k")
+        assert not isinstance(ei.value, AttributeError)

@@ -167,3 +167,34 @@ class TestPpmCodec:
 
         with pytest.raises(ValueError):
             decode_ppm(b"P5\n2 2\n255\n" + bytes(4))
+
+    def test_raster_delimiter_variants(self):
+        """Comment after maxval and \\r\\n delimiters must not skew the
+        raster offset (ADVICE r3: a bare pos+=1 mis-offsets these while
+        dims stay right, silently corrupting mean_pixel)."""
+        import numpy as np
+
+        from article_extraction_ray.stages.multimodal import decode_ppm
+
+        body = bytes(range(2 * 2 * 3))
+        want = float(np.frombuffer(body, dtype=np.uint8).mean())
+        for header in (
+            b"P6\n2 2\n255\n",  # spec form
+            b"P6\n2 2\n255 # trailing comment\n",  # comment after maxval
+            b"P6\n2 2\n255\r\n",  # CRLF delimiter
+            b"P6\n2 2\n255# tight comment\n",  # comment abuts maxval
+        ):
+            w, h, c, mean = decode_ppm(header + body)
+            assert (w, h, c) == (2, 2, 3), header
+            assert abs(mean - want) < 1e-9, header
+
+    def test_raster_first_byte_may_be_whitespace_or_hash(self):
+        """Raster bytes that LOOK like whitespace/'#' must survive: only
+        the single delimiter is consumed, never raster content."""
+        from article_extraction_ray.stages.multimodal import decode_ppm
+
+        for first in (b"#", b" ", b"\n"):
+            body = first + bytes(2 * 2 * 3 - 1)
+            w, h, c, mean = decode_ppm(b"P6\n2 2\n255\n" + body)
+            assert (w, h, c) == (2, 2, 3)
+            assert abs(mean - first[0] / 12.0) < 1e-9

@@ -370,3 +370,62 @@ class TestMmrGreedyInvariant:
             picked_score = _MMR_LAMBDA * r - (1.0 - _MMR_LAMBDA) * sim
             assert picked_score >= best_score - 1e-9, f"step {step}"
             chosen.append(picked)
+
+
+class TestHourlyAnomalyDegenerateGroups:
+    """ADVICE r3: zero-variance and n==1 (type, hour) groups must flag
+    ZERO anomalies on BOTH sides — numpy NaN comparisons are False
+    while DuckDB orders NaN above all numbers, so an unguarded NaN
+    z-score silently diverges the two implementations."""
+
+    def test_matches_oracle_with_planted_degenerates(self, ray_session, tmp_path):
+        import duckdb
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from article_extraction_ray.pipelines.queries import (
+            SQL_HOURLY_ANOMALY,
+            q_hourly_anomaly,
+        )
+
+        rng = np.random.default_rng(11)
+        base = pd.Timestamp("2024-03-01")  # 00:00 → hour buckets well-defined
+        rows = []
+        # normal group: (view, hour 0), spread values incl. outliers
+        for i in range(200):
+            rows.append(("view", base + pd.Timedelta(seconds=int(rng.integers(0, 3600))),
+                         float(rng.normal(50, 5))))
+        rows.append(("view", base + pd.Timedelta(seconds=10), 500.0))  # clear outlier
+        # zero-variance group: (click, hour 1) — all values identical
+        for i in range(50):
+            rows.append(("click", base + pd.Timedelta(hours=1, seconds=i), 7.0))
+        # n==1 group: (purchase, hour 2)
+        rows.append(("purchase", base + pd.Timedelta(hours=2), 9.0))
+        df = pd.DataFrame(rows, columns=["event_type", "ts", "value"])
+        t = pa.Table.from_pandas(df, preserve_index=False)
+        t = t.set_column(1, "ts", t["ts"].cast(pa.timestamp("us")))
+        pq.write_table(t, tmp_path / "events.parquet")
+
+        got = (
+            q_hourly_anomaly(str(tmp_path))
+            .to_pandas()
+            .sort_values(["event_type", "hour"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+        )
+        want = (
+            con.execute(SQL_HOURLY_ANOMALY)
+            .df()
+            .sort_values(["event_type", "hour"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        g = got.set_index(["event_type", "hour"])["n_anomalies"]
+        assert g.loc[("click", 1)] == 0     # zero variance → never flagged
+        assert g.loc[("purchase", 2)] == 0  # n == 1 → never flagged
+        assert g.loc[("view", 0)] >= 1      # the planted outlier still fires
