@@ -4030,7 +4030,17 @@ def q_anti_join_bloom(sf_dir: str):
 _PMI_MIN_PAIR = 20
 
 
+#: distinct unigrams above which the PMI unigram table stops
+#: broadcasting and pair→unigram resolution routes through two
+#: bucketed hash joins (on w1, then w2)
+PMI_VOCAB_BUDGET = 20_000_000
+
+
 def q_bigram_pmi(sf_dir: str):
+    return _bigram_pmi(sf_dir)
+
+
+def _bigram_pmi(sf_dir: str, *, vocab_budget: int = PMI_VOCAB_BUDGET):
     """Bigram PMI (collocation mining): pointwise mutual information of
     adjacent token pairs, ln((c_xy/B) / ((c_x/T)(c_y/T))), pairs with
     ≥ _PMI_MIN_PAIR occurrences.
@@ -4039,10 +4049,16 @@ def q_bigram_pmi(sf_dir: str):
     boundary mask over the flattened token values — no per-doc Python);
     per-batch value_counts partials shrink each stream to its distinct
     keys before the only shuffles, two ``grouped_aggregate`` sums (pair
-    and unigram counts).  The vocab-bounded unigram table broadcasts
-    back and PMI evaluates vectorized over the distributed pair-count
-    dataset.  (At web scale the pair→unigram resolution would swap the
-    broadcast for two hash joins on w1/w2; the arithmetic is unchanged.)"""
+    and unigram counts).
+
+    Unigram routing: at or under ``vocab_budget`` distinct tokens the
+    unigram table collects once and broadcasts back as the PMI map.
+    Above it — a vocab that outgrows the object store — the thresholded
+    pair counts resolve c_x/c_y through two bucketed
+    ``tabular.shuffle_join``s on w1 then w2; only the two scalars T and
+    B (fixed-width aggregates) touch the driver.  Both routes are
+    proven identical by pytest (``vocab_budget=0`` forces the join
+    route on the same corpus); the arithmetic is unchanged."""
     import pyarrow.compute as pc
 
     ds = read_table(sf_dir, "documents", columns=["text"], split=True)
@@ -4075,31 +4091,66 @@ def q_bigram_pmi(sf_dir: str):
         ["w1", "w2"],
         {"n_pair": ("sum", "cnt")},
     ).materialize()
-    uni = (
-        grouped_aggregate(
-            ds.map_batches(uni_partial, batch_format="pyarrow"),
-            ["w"],
-            {"n": ("sum", "cnt")},
-        )
-        .to_pandas()  # vocab-bounded
-    )
-    T = float(uni["n"].sum())
-    uni_map = dict(zip(uni["w"], uni["n"].astype(np.float64)))
+    uni_ds = grouped_aggregate(
+        ds.map_batches(uni_partial, batch_format="pyarrow"),
+        ["w"],
+        {"n": ("sum", "cnt")},
+    ).materialize()
+    T = float(uni_ds.sum("n"))
     B = float(pair_counts.sum("n_pair"))
-    handle = Broadcast((uni_map, T, B))
 
-    def pmi(batch: pd.DataFrame) -> pd.DataFrame:
-        umap, t, b = handle.get()
-        batch = batch[batch["n_pair"] >= _PMI_MIN_PAIR].copy()
+    if uni_ds.count() <= vocab_budget:
+        uni = uni_ds.to_pandas()  # vocab-bounded on this route
+        uni_map = dict(zip(uni["w"], uni["n"].astype(np.float64)))
+        handle = Broadcast((uni_map, T, B))
+
+        def pmi(batch: pd.DataFrame) -> pd.DataFrame:
+            umap, t, b = handle.get()
+            batch = batch[batch["n_pair"] >= _PMI_MIN_PAIR].copy()
+            if not len(batch):
+                return pd.DataFrame({"w1": [], "w2": [], "n_pair": [], "pmi": []})
+            cx = batch["w1"].map(umap).to_numpy(dtype=np.float64)
+            cy = batch["w2"].map(umap).to_numpy(dtype=np.float64)
+            c = batch["n_pair"].to_numpy(dtype=np.float64)
+            batch["pmi"] = np.round(np.log((c / b) / ((cx / t) * (cy / t))), 6)
+            return batch[["w1", "w2", "n_pair", "pmi"]]
+
+        return pair_counts.map_batches(pmi, batch_format="pandas")
+
+    # bucketed-join route (web scale): two hash joins resolve c_x / c_y
+    from .tabular import shuffle_join
+
+    def threshold(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["n_pair"] >= _PMI_MIN_PAIR]
+
+    kept = pair_counts.map_batches(threshold, batch_format="pandas")
+    j1 = shuffle_join(
+        kept,
+        uni_ds.map_batches(
+            lambda t: t.rename_columns(["w1", "__c1"]), batch_format="pyarrow"
+        ),
+        "w1",
+    )
+    j2 = shuffle_join(
+        j1,
+        uni_ds.map_batches(
+            lambda t: t.rename_columns(["w2", "__c2"]), batch_format="pyarrow"
+        ),
+        "w2",
+    )
+
+    def pmi_joined(batch: pd.DataFrame) -> pd.DataFrame:
         if not len(batch):
             return pd.DataFrame({"w1": [], "w2": [], "n_pair": [], "pmi": []})
-        cx = batch["w1"].map(umap).to_numpy(dtype=np.float64)
-        cy = batch["w2"].map(umap).to_numpy(dtype=np.float64)
+        cx = batch["__c1"].to_numpy(dtype=np.float64)
+        cy = batch["__c2"].to_numpy(dtype=np.float64)
         c = batch["n_pair"].to_numpy(dtype=np.float64)
-        batch["pmi"] = np.round(np.log((c / b) / ((cx / t) * (cy / t))), 6)
-        return batch[["w1", "w2", "n_pair", "pmi"]]
+        out = batch[["w1", "w2"]].copy()
+        out["n_pair"] = batch["n_pair"].astype(np.int64)
+        out["pmi"] = np.round(np.log((c / B) / ((cx / T) * (cy / T))), 6)
+        return out
 
-    return pair_counts.map_batches(pmi, batch_format="pandas")
+    return j2.map_batches(pmi_joined, batch_format="pandas")
 
 
 SQL_BIGRAM_PMI = f"""
@@ -4798,16 +4849,30 @@ def _doc_token_pairs(batch: pa.Table) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": docs, "token": flat})
 
 
+#: vocabulary size above which the idf map stops broadcasting and the
+#: tf→df resolution routes through the bucketed token join
+TFIDF_VOCAB_BUDGET = 20_000_000
+
+
 def q_tfidf_top_terms(sf_dir: str):
+    return _tfidf_top_terms(sf_dir)
+
+
+def _tfidf_top_terms(sf_dir: str, *, vocab_budget: int = TFIDF_VOCAB_BUDGET):
     """TF-IDF top-3 terms per document.  tf needs NO shuffle (a doc's
     text lives in one row, so per-batch groupby is complete); df is one
-    partial-combined token aggregate whose result (≤ vocab rows) is
-    broadcast back as the idf map.  Ranking is integer-deterministic
+    partial-combined token aggregate.  Ranking is integer-deterministic
     (tf desc, df asc, token) — tfidf is reported, never compared as a
-    sort key, so float ties can't flip rows vs the oracle.  At web
-    scale swap the idf broadcast for a bucketed join on token when the
-    vocab outgrows the object store (same propose/confirm shape as
-    heavy_tokens_sketch)."""
+    sort key, so float ties can't flip rows vs the oracle.
+
+    idf routing: at or under ``vocab_budget`` distinct tokens the df
+    table collects once and broadcasts as the idf map (zero further
+    shuffles — each batch resolves its own docs).  Above it — a vocab
+    that outgrows the object store — the tf rows resolve df through a
+    bucketed ``tabular.shuffle_join`` on token, and the per-doc top-3
+    re-groups with one doc-hash exchange; no vocab-order state touches
+    the driver.  Both routes are proven identical by pytest
+    (``vocab_budget=0`` forces the join route on the same corpus)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], split=True)
     n_docs = ds.count()
 
@@ -4816,30 +4881,69 @@ def q_tfidf_top_terms(sf_dir: str):
         vc = pairs["token"].value_counts()
         return pd.DataFrame({"token": vc.index, "dfc": vc.to_numpy()})
 
-    df_tbl = (
-        grouped_aggregate(
-            ds.map_batches(df_partial, batch_format="pyarrow"), ["token"], {"dfc": ("sum", "dfc")}
-        )
-        .to_pandas()
+    df_ds = grouped_aggregate(
+        ds.map_batches(df_partial, batch_format="pyarrow"), ["token"], {"dfc": ("sum", "dfc")}
     )
-    idf = Broadcast(dict(zip(df_tbl["token"], df_tbl["dfc"].astype(np.int64))))
 
-    def tfidf(batch: pa.Table) -> pd.DataFrame:
-        dfm = idf.get()
-        tf = (
-            _doc_token_pairs(batch)
-            .groupby(["doc_id", "token"], as_index=False)
-            .size()
-            .rename(columns={"size": "tf"})
-        )
-        tf["df"] = tf["token"].map(dfm).astype(np.int64)
-        tf["tfidf"] = (tf["tf"] * np.log(n_docs / tf["df"])).round(6)
+    def head3(tf: pd.DataFrame) -> pd.DataFrame:
         tf = tf.sort_values(
             ["doc_id", "tf", "df", "token"], ascending=[True, False, True, True], kind="stable"
         )
         return tf.groupby("doc_id", sort=False).head(3)
 
-    return ds.map_batches(tfidf, batch_format="pyarrow")
+    if df_ds.count() <= vocab_budget:
+        df_tbl = df_ds.to_pandas()
+        idf = Broadcast(dict(zip(df_tbl["token"], df_tbl["dfc"].astype(np.int64))))
+
+        def tfidf(batch: pa.Table) -> pd.DataFrame:
+            dfm = idf.get()
+            tf = (
+                _doc_token_pairs(batch)
+                .groupby(["doc_id", "token"], as_index=False)
+                .size()
+                .rename(columns={"size": "tf"})
+            )
+            tf["df"] = tf["token"].map(dfm).astype(np.int64)
+            tf["tfidf"] = (tf["tf"] * np.log(n_docs / tf["df"])).round(6)
+            return head3(tf)
+
+        return ds.map_batches(tfidf, batch_format="pyarrow")
+
+    # bucketed-join route (web scale): tf rows resolve df on token
+    from .tabular import shuffle_join
+
+    def tf_partial(batch: pa.Table) -> pd.DataFrame:
+        return (
+            _doc_token_pairs(batch)
+            .groupby(["doc_id", "token"], as_index=False)
+            .size()
+            .rename(columns={"size": "tf"})
+        )
+
+    joined = shuffle_join(
+        ds.map_batches(tf_partial, batch_format="pyarrow"),
+        df_ds,
+        "token",
+    )
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns={"dfc": "df"})
+        df["df"] = df["df"].astype(np.int64)
+        df["tfidf"] = (df["tf"] * np.log(n_docs / df["df"])).round(6)
+        return df[["doc_id", "token", "tf", "df", "tfidf"]]
+
+    def tag_doc(batch: pa.Table) -> pa.Table:
+        b = (batch["doc_id"].to_numpy() % 64).astype(np.int32)
+        return batch.append_column("__bucket", pa.array(b))
+
+    return (
+        joined.map_batches(score, batch_format="pandas")
+        .map_batches(tag_doc, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(
+            lambda df: head3(df.drop(columns=["__bucket"])), batch_format="pandas"
+        )
+    )
 
 
 SQL_TFIDF = """
@@ -7735,22 +7839,34 @@ GROUP BY c.user_id
 _BFS_SOURCE = 2  # node id of custkey 1 in the 2k / 2k+1 bipartite encoding
 _BFS_MAX_HOPS = 4
 
+#: frontier size above which each BFS level stops broadcasting the
+#: frontier array and routes to the co-partitioned semi-join sweep
+BFS_FRONTIER_BUDGET = 5_000_000
+
 
 def q_bfs_hops(sf_dir: str):
+    return _bfs_hops(sf_dir)
+
+
+def _bfs_hops(sf_dir: str, *, frontier_budget: int = BFS_FRONTIER_BUDGET):
     """Pregel-style BFS: minimum hop distance from one customer node
     over the UNDIRECTED customer↔supplier bipartite graph (edges =
     orders ⨝ lineitem, the same 2k/2k+1 node encoding as `pagerank`),
     capped at 4 hops.
 
     Level-synchronous frontier expansion: the edge list materializes
-    once and stays put; each level ships only the CURRENT FRONTIER
-    (bounded by the reachable-node count, dimension scale here) as a
-    broadcast ``pa.array`` and streams the edges through a vectorized
-    ``pc.is_in`` probe; newly reached nodes drain (they are the next
-    frontier).  At web scale the same loop swaps the broadcast probe
-    for `tabular.shuffle_semi_filter` (frontier ⨝ edges co-partitioned
-    on src) — the iteration structure, which is the operator, is
-    unchanged.  Pure-int pipeline."""
+    once and stays put; each level ships only the CURRENT FRONTIER.
+    While the frontier fits ``frontier_budget`` it travels as a
+    broadcast ``pa.array`` and the edges stream through a vectorized
+    ``pc.is_in`` probe, newly reached nodes draining to a driver
+    unique fold.  The moment a level's frontier exceeds the budget the
+    SAME loop switches to the web-scale sweep: frontier and visited
+    stay Datasets, the probe is ``tabular.shuffle_semi_filter``
+    (frontier ⨝ edges co-partitioned on ``src``) and the
+    visited-exclusion is its anti twin — no node-order state ever
+    collects on the driver.  Both routes are proven identical by
+    pytest (``frontier_budget=0`` forces the semi-join sweep on the
+    same graph).  Pure-int pipeline."""
     import pyarrow.compute as pc
 
     orders = read_table_arrow(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
@@ -7774,33 +7890,89 @@ def q_bfs_hops(sf_dir: str):
     if e.num_blocks() > _SWEEP_EDGE_BLOCKS:
         e = e.repartition(_SWEEP_EDGE_BLOCKS).materialize()
 
-    visited = {_BFS_SOURCE: 0}
-    frontier = np.array([_BFS_SOURCE], dtype=np.int64)
-    for hop in range(1, _BFS_MAX_HOPS + 1):
-        handle = Broadcast(pa.array(frontier, type=pa.int64()))
+    import ray.data as rd
 
-        def reached(batch: pa.Table) -> pd.DataFrame:
-            keep = pc.is_in(batch["src"], value_set=handle.get())
-            d = batch.filter(keep)["dst"].to_numpy(zero_copy_only=False)
-            return pd.DataFrame({"node": np.unique(d)})
+    from .tabular import shuffle_semi_filter
 
-        # per-batch outputs are already unique and bounded by the
-        # reachable-node set (dimension scale on the broadcast path), so
-        # they drain straight to a driver np.unique fold — no distributed
-        # exchange per hop (same shape as pagerank's broadcast sweep)
-        got = e.map_batches(reached, batch_format="pyarrow").to_pandas()
-        new_nodes = (
-            np.unique(got["node"].to_numpy()) if len(got) else np.array([], dtype=np.int64)
+    def distinct_nodes(ds):
+        # distinct via the partial-combining grouped_aggregate (one
+        # coarse key-hash exchange), then drop the count column
+        return grouped_aggregate(ds, ["node"], {"__c": ("count", None)}).select_columns(
+            ["node"]
         )
-        seen = np.fromiter(visited.keys(), dtype=np.int64, count=len(visited))
-        frontier = new_nodes[~np.isin(new_nodes, seen)]
-        if len(frontier) == 0:
+
+    visited = {_BFS_SOURCE: 0}  # broadcast route's driver fold
+    visited_ds = None  # semi-join route's distributed state
+    frontier = np.array([_BFS_SOURCE], dtype=np.int64)
+    frontier_ds = None
+    for hop in range(1, _BFS_MAX_HOPS + 1):
+        on_broadcast = frontier_ds is None and len(frontier) <= frontier_budget
+        if on_broadcast:
+            handle = Broadcast(pa.array(frontier, type=pa.int64()))
+
+            def reached(batch: pa.Table) -> pd.DataFrame:
+                keep = pc.is_in(batch["src"], value_set=handle.get())
+                d = batch.filter(keep)["dst"].to_numpy(zero_copy_only=False)
+                return pd.DataFrame({"node": np.unique(d)})
+
+            # per-batch outputs are already unique and bounded by the
+            # reachable-node set (dimension scale on this route), so they
+            # drain straight to a driver np.unique fold — no distributed
+            # exchange per hop (same shape as pagerank's broadcast sweep)
+            got = e.map_batches(reached, batch_format="pyarrow").to_pandas()
+            new_nodes = (
+                np.unique(got["node"].to_numpy()) if len(got) else np.array([], dtype=np.int64)
+            )
+            seen = np.fromiter(visited.keys(), dtype=np.int64, count=len(visited))
+            frontier = new_nodes[~np.isin(new_nodes, seen)]
+            if len(frontier) == 0:
+                break
+            for x in frontier:
+                visited[int(x)] = hop
+            continue
+        # semi-join sweep (web scale): frontier/visited stay Datasets
+        if frontier_ds is None:  # first over-budget level: promote state
+            frontier_ds = rd.from_arrow(
+                pa.table({"node": pa.array(frontier, type=pa.int64())})
+            )
+            visited_ds = rd.from_arrow(
+                pa.table(
+                    {
+                        "node": pa.array(list(visited.keys()), type=pa.int64()),
+                        "hop": pa.array(list(visited.values()), type=pa.int64()),
+                    }
+                )
+            ).materialize()
+        reached_ds = distinct_nodes(
+            shuffle_semi_filter(
+                e.map_batches(
+                    lambda t: t.rename_columns(["node", "dst"]), batch_format="pyarrow"
+                ),
+                frontier_ds,
+                "node",
+            ).map_batches(
+                lambda t: pa.table({"node": t["dst"]}), batch_format="pyarrow"
+            )
+        )
+        frontier_ds = shuffle_semi_filter(
+            reached_ds, visited_ds.select_columns(["node"]), "node", anti=True
+        ).materialize()
+        if frontier_ds.count() == 0:
             break
-        for x in frontier:
-            visited[int(x)] = hop
-    out = pd.DataFrame(
-        {"node": list(visited.keys()), "hop": list(visited.values())}
-    ).astype(np.int64)
+        visited_ds = visited_ds.union(
+            frontier_ds.map_batches(
+                lambda t, h=hop: t.append_column(
+                    "hop", pa.array(np.full(len(t), h, dtype=np.int64))
+                ),
+                batch_format="pyarrow",
+            )
+        ).materialize()
+    if visited_ds is not None:
+        out = visited_ds.to_pandas().astype(np.int64)
+    else:
+        out = pd.DataFrame(
+            {"node": list(visited.keys()), "hop": list(visited.values())}
+        ).astype(np.int64)
     return out.sort_values("node").reset_index(drop=True)
 
 
@@ -8402,7 +8574,17 @@ FROM m
 _CLUSTER_COEFF_MIN_ORDERS = 2
 
 
+#: edges above which the clustering-coefficient closure probe stops
+#: broadcasting the packed edge-key array and routes to the
+#: hash-partitioned semi-join (16 B/edge ⇒ ~128 MB at the budget)
+CLUSTER_COEFF_EDGE_BUDGET = 8_000_000
+
+
 def q_clustering_coeff(sf_dir: str):
+    return _clustering_coeff(sf_dir)
+
+
+def _clustering_coeff(sf_dir: str, *, edge_budget: int = CLUSTER_COEFF_EDGE_BUDGET):
     """Local clustering coefficient per node of the co-purchase graph
     (parts as nodes, edge = bought together in ≥ 2 orders): the
     community-density metric 2·Δ(v) / (deg(v)·(deg(v)−1)) — graph
@@ -8412,10 +8594,19 @@ def q_clustering_coeff(sf_dir: str):
     the thresholded edge set folds once; (2) ONE node-hash exchange
     co-locates each node's adjacency and emits its wedges ((a,b)
     neighbor pairs — fan-out deg², the wedge-join reality every
-    triangle algorithm pays); (3) wedges probe the edge set (broadcast
-    array here, hash-partitioned semi-join at scale — same swap as
-    `bfs_hops`) and closed counts fold back per node.  Integers until
-    the final mirrored division."""
+    triangle algorithm pays); (3) wedges probe the edge set and closed
+    counts fold back per node.  Integers until the final mirrored
+    division.
+
+    Closure-probe routing: at or under ``edge_budget`` edges the packed
+    edge-key array broadcasts once (``ray.put`` + vectorized
+    ``pc.is_in`` per batch); above it the probe is
+    ``tabular.shuffle_semi_filter`` — wedges and edge keys co-partition
+    on the packed key, so no edge-order state ever collects on the
+    driver, and node degrees fold distributedly (node-domain-bounded)
+    instead of concatenating the edge table driver-side.  Both paths
+    are proven identical by pytest (``edge_budget=0`` forces the
+    semi-join route on the same graph)."""
     import pyarrow.compute as pc
 
     ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"], split=True)
@@ -8446,16 +8637,7 @@ def q_clustering_coeff(sf_dir: str):
         return df[df["n"] >= _CLUSTER_COEFF_MIN_ORDERS][["a", "b"]]
 
     edges = folded.map_batches(thresholded, batch_format="pandas").materialize()
-
-    import ray
-
-    # edge-key set for the closure probe (part ids < 2^32 by key contract; the
-    # packed key keeps the probe a single int64 is_in)
-    ekeys = pa.concat_tables(
-        [t.select(["a", "b"]) for t in ray.get(edges.to_arrow_refs()) if t.num_rows > 0]
-    )
-    packed = ekeys["a"].to_numpy() * np.int64(1 << 32) + ekeys["b"].to_numpy()
-    probe = Broadcast(pa.array(packed, type=pa.int64()))
+    n_edges = edges.count()
 
     def tag_v(df: pd.DataFrame) -> pd.DataFrame:
         # co-locate BOTH endpoints' adjacency rows per node bucket:
@@ -8476,30 +8658,87 @@ def q_clustering_coeff(sf_dir: str):
         .map_groups(lambda df: node_wedges(df.drop(columns=["__bucket"])), batch_format="pandas")
     )
 
-    def closed_partial(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return pd.DataFrame({"v": pd.Series([], dtype=np.int64),
-                                 "tri": pd.Series([], dtype=np.int64)})
-        key = df["x"].to_numpy() * np.int64(1 << 32) + df["y"].to_numpy()
-        hit = pc.is_in(pa.array(key, type=pa.int64()), value_set=probe.get()).to_numpy(
-            zero_copy_only=False
+    if n_edges <= edge_budget:
+        import ray
+
+        # broadcast route: edge-key set ships once (part ids < 2^32 by
+        # key contract; the packed key keeps the probe one int64 is_in)
+        ekeys = pa.concat_tables(
+            [t.select(["a", "b"]) for t in ray.get(edges.to_arrow_refs()) if t.num_rows > 0]
         )
-        out = df.loc[hit].groupby("v", as_index=False).size().rename(columns={"size": "tri"})
-        return out
+        packed = ekeys["a"].to_numpy() * np.int64(1 << 32) + ekeys["b"].to_numpy()
+        probe = Broadcast(pa.array(packed, type=pa.int64()))
+
+        def closed_partial(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return pd.DataFrame({"v": pd.Series([], dtype=np.int64),
+                                     "tri": pd.Series([], dtype=np.int64)})
+            key = df["x"].to_numpy() * np.int64(1 << 32) + df["y"].to_numpy()
+            hit = pc.is_in(pa.array(key, type=pa.int64()), value_set=probe.get()).to_numpy(
+                zero_copy_only=False
+            )
+            out = df.loc[hit].groupby("v", as_index=False).size().rename(columns={"size": "tri"})
+            return out
+
+        closed_counts = wedge_ds.map_batches(closed_partial, batch_format="pandas")
+        deg = (
+            pd.concat([ekeys.to_pandas().rename(columns={"a": "v"})[["v"]],
+                       ekeys.to_pandas().rename(columns={"b": "v"})[["v"]]])
+            .groupby("v", as_index=False)
+            .size()
+            .rename(columns={"size": "deg"})
+        )
+    else:
+        from .tabular import shuffle_semi_filter
+
+        # semi-join route (web scale): wedges and edge keys co-partition
+        # on the packed key — the edge table never touches the driver
+        def pack_wedge(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return pd.DataFrame({"v": pd.Series([], dtype=np.int64),
+                                     "__ek": pd.Series([], dtype=np.int64)})
+            return pd.DataFrame(
+                {"v": df["v"].to_numpy(),
+                 "__ek": df["x"].to_numpy() * np.int64(1 << 32) + df["y"].to_numpy()}
+            )
+
+        def pack_edge(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"__ek": df["a"].to_numpy() * np.int64(1 << 32) + df["b"].to_numpy()}
+            )
+
+        closed = shuffle_semi_filter(
+            wedge_ds.map_batches(pack_wedge, batch_format="pandas"),
+            edges.map_batches(pack_edge, batch_format="pandas"),
+            "__ek",
+        )
+
+        def count_v(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby("v", as_index=False).size().rename(columns={"size": "tri"})
+
+        closed_counts = closed.map_batches(count_v, batch_format="pandas")
+        # node degrees fold distributedly; the result is node-bounded
+        deg = (
+            grouped_aggregate(
+                edges.map_batches(
+                    lambda df: pd.concat(
+                        [df[["a"]].rename(columns={"a": "v"}),
+                         df[["b"]].rename(columns={"b": "v"})]
+                    ).assign(one=np.int64(1)),
+                    batch_format="pandas",
+                ),
+                ["v"],
+                {"deg": ("sum", "one")},
+            )
+            .to_pandas()
+            .astype({"v": np.int64, "deg": np.int64})
+        )
 
     tri = grouped_aggregate(
-        wedge_ds.map_batches(closed_partial, batch_format="pandas"),
+        closed_counts,
         ["v"],
         {"tri": ("sum", "tri")},
     ).to_pandas()
-
-    deg = (
-        pd.concat([ekeys.to_pandas().rename(columns={"a": "v"})[["v"]],
-                   ekeys.to_pandas().rename(columns={"b": "v"})[["v"]]])
-        .groupby("v", as_index=False)
-        .size()
-        .rename(columns={"size": "deg"})
-    )
     out = deg[deg["deg"] >= 2].merge(tri, on="v", how="left").fillna({"tri": 0})
     out["coeff"] = np.round(
         2.0 * out["tri"].to_numpy(dtype=np.float64)

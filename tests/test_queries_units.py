@@ -429,3 +429,45 @@ class TestHourlyAnomalyDegenerateGroups:
         assert g.loc[("click", 1)] == 0     # zero variance → never flagged
         assert g.loc[("purchase", 2)] == 0  # n == 1 → never flagged
         assert g.loc[("view", 0)] >= 1      # the planted outlier still fires
+
+
+class TestScaleRouteParity:
+    """Every documented at-scale swap must be RUNNING code: forcing the
+    budget to 0 routes the same query through the web-scale path
+    (co-partitioned semi-join / bucketed hash join) and the result must
+    be identical to the default broadcast route."""
+
+    SF = "/root/testdata/sf0.001"
+
+    @staticmethod
+    def _canon(r, keys):
+        df = r.to_pandas() if not isinstance(r, pd.DataFrame) else r
+        return df.sort_values(keys).reset_index(drop=True)[sorted(df.columns)]
+
+    def test_clustering_coeff_semi_join_route(self, ray_session):
+        from article_extraction_ray.pipelines.queries import _clustering_coeff
+
+        a = self._canon(_clustering_coeff(self.SF), ["part"])
+        b = self._canon(_clustering_coeff(self.SF, edge_budget=0), ["part"])
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    def test_bfs_semi_join_sweep(self, ray_session):
+        from article_extraction_ray.pipelines.queries import _bfs_hops
+
+        a = self._canon(_bfs_hops(self.SF), ["node"])
+        b = self._canon(_bfs_hops(self.SF, frontier_budget=0), ["node"])
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    def test_tfidf_bucketed_join_route(self, ray_session):
+        from article_extraction_ray.pipelines.queries import _tfidf_top_terms
+
+        a = self._canon(_tfidf_top_terms(self.SF), ["doc_id", "token"])
+        b = self._canon(_tfidf_top_terms(self.SF, vocab_budget=0), ["doc_id", "token"])
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    def test_bigram_pmi_hash_join_route(self, ray_session):
+        from article_extraction_ray.pipelines.queries import _bigram_pmi
+
+        a = self._canon(_bigram_pmi(self.SF), ["w1", "w2"])
+        b = self._canon(_bigram_pmi(self.SF, vocab_budget=0), ["w1", "w2"])
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
