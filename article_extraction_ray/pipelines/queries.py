@@ -887,15 +887,28 @@ FROM nation
 """
 
 
+#: group-key cardinality above which ratio-to-report style totals maps
+#: stop broadcasting and resolve through a bucketed join on the key
+GROUP_MAP_BUDGET = 10_000_000
+
+
 def q_share_of_total(sf_dir: str):
+    return _share_of_total(sf_dir)
+
+
+def _share_of_total(sf_dir: str, *, key_budget: int = GROUP_MAP_BUDGET):
     """Ratio-to-report window: each event's share of its type's total
     value — the no-sort window: one partial-combine pass builds the
-    per-type totals (exact int64 cents, order-independent), the tiny
-    totals map broadcasts back, and a second streaming pass divides.
-    No event row ever shuffles.  The SQL mirror also sums cents so both
-    engines perform the identical final float division.  Past the
-    broadcast budget the totals map becomes a bucketed join on the
-    group key — the two streaming passes are unchanged."""
+    per-type totals (exact int64 cents, order-independent), then a
+    second pass divides.  The SQL mirror also sums cents so both
+    engines perform the identical final float division.
+
+    Totals routing: at or under ``key_budget`` distinct group keys the
+    totals map broadcasts back and no event row ever shuffles; above it
+    the totals resolve through a bucketed ``tabular.shuffle_join`` on
+    the group key (one hash exchange of the event rows) — the
+    arithmetic is unchanged, proven identical by pytest
+    (``key_budget=0`` forces the join route)."""
     ds = read_table(sf_dir, "events", columns=["event_id", "event_type", "value"], split=True)
 
     def partial(batch: pa.Table) -> pd.DataFrame:
@@ -907,22 +920,43 @@ def q_share_of_total(sf_dir: str):
         )
         return df.groupby("event_type", as_index=False).sum()
 
-    totals = grouped_aggregate(
+    totals_ds = grouped_aggregate(
         ds.map_batches(partial, batch_format="pyarrow"), ["event_type"], {"t": ("sum", "cents")},
         small_keys=True,
-    ).to_pandas()
-    handle = Broadcast(dict(zip(totals["event_type"], totals["t"])))
+    )
 
-    def share(batch: pa.Table) -> pa.Table:
-        m = handle.get()
-        t = pd.Series(batch["event_type"].to_pandas()).map(m).to_numpy(dtype=np.float64)
-        v = batch["value"].to_numpy(zero_copy_only=False)
-        return pa.Table.from_arrays(
-            [batch["event_id"], batch["event_type"], pa.array(v / (t / 100.0))],
-            names=["event_id", "event_type", "share"],
+    if totals_ds.count() <= key_budget:
+        totals = totals_ds.to_pandas()
+        handle = Broadcast(dict(zip(totals["event_type"], totals["t"])))
+
+        def share(batch: pa.Table) -> pa.Table:
+            m = handle.get()
+            t = pd.Series(batch["event_type"].to_pandas()).map(m).to_numpy(dtype=np.float64)
+            v = batch["value"].to_numpy(zero_copy_only=False)
+            return pa.Table.from_arrays(
+                [batch["event_id"], batch["event_type"], pa.array(v / (t / 100.0))],
+                names=["event_id", "event_type", "share"],
+            )
+
+        return ds.map_batches(share, batch_format="pyarrow")
+
+    # bucketed-join route (group-key domain outgrew the object store)
+    from .tabular import shuffle_join
+
+    joined = shuffle_join(ds, totals_ds, "event_type")
+
+    def share_joined(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch["t"].to_numpy(dtype=np.float64)
+        v = batch["value"].to_numpy(dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "event_id": batch["event_id"].astype(np.int64),
+                "event_type": batch["event_type"],
+                "share": v / (t / 100.0),
+            }
         )
 
-    return ds.map_batches(share, batch_format="pyarrow")
+    return joined.map_batches(share_joined, batch_format="pandas")
 
 
 SQL_SHARE_OF_TOTAL = """
@@ -1093,14 +1127,22 @@ _WATERMARK_S = 1800
 
 
 def q_late_events(sf_dir: str):
+    return _late_events(sf_dir)
+
+
+def _late_events(sf_dir: str, *, key_budget: int = GROUP_MAP_BUDGET):
     """Watermark-style late-data detection: events older than 30 min
     behind their user's high-water mark (max ts seen).  The streaming
     primitive behind late-arrival routing, expressed batch: the
     per-user watermark is a `grouped_aggregate` max over int64 epoch-µs
-    (partials only — event rows never shuffle), broadcast back as a
-    user→watermark map, and one vectorized second pass flags stragglers.
-    Past the broadcast budget the watermark map becomes a bucketed join
-    on user_id — the two streaming passes are unchanged."""
+    (partials only), then one vectorized second pass flags stragglers.
+
+    Watermark routing: at or under ``key_budget`` distinct users the
+    user→watermark map broadcasts back and no event row ever shuffles;
+    above it the watermarks resolve through a bucketed
+    ``tabular.shuffle_join`` on user_id (one hash exchange of the event
+    rows) — the flag arithmetic is unchanged, proven identical by
+    pytest (``key_budget=0`` forces the join route)."""
     ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"], split=True)
 
     def to_us(batch: pa.Table) -> pa.Table:
@@ -1111,28 +1153,52 @@ def q_late_events(sf_dir: str):
         )
 
     us_ds = ds.map_batches(to_us, batch_format="pyarrow")
-    wm = grouped_aggregate(us_ds, ["user_id"], {"wm": ("max", "ts_us")}).to_pandas()
-    handle = Broadcast(dict(zip(wm["user_id"], wm["wm"])))
+    wm_ds = grouped_aggregate(us_ds, ["user_id"], {"wm": ("max", "ts_us")})
 
-    def late(batch: pa.Table) -> pa.Table:
-        m = handle.get()
-        uid = batch["user_id"].to_numpy(zero_copy_only=False)
-        ts = batch["ts_us"].to_numpy(zero_copy_only=False)
-        wmv = pd.Series(uid).map(m).to_numpy(dtype=np.int64)
+    if wm_ds.count() <= key_budget:
+        wm = wm_ds.to_pandas()
+        handle = Broadcast(dict(zip(wm["user_id"], wm["wm"])))
+
+        def late(batch: pa.Table) -> pa.Table:
+            m = handle.get()
+            uid = batch["user_id"].to_numpy(zero_copy_only=False)
+            ts = batch["ts_us"].to_numpy(zero_copy_only=False)
+            wmv = pd.Series(uid).map(m).to_numpy(dtype=np.int64)
+            keep = ts < wmv - _WATERMARK_S * 1_000_000
+            kept = batch.filter(pa.array(keep))
+            lag = (
+                pd.Series(kept["user_id"].to_numpy(zero_copy_only=False)).map(m).to_numpy(dtype=np.int64)
+                - kept["ts_us"].to_numpy(zero_copy_only=False)
+            )  # exact µs — timestamps carry sub-second parts, so a seconds
+            #    boundary count (date_diff('second')) would NOT equal a
+            #    division here; both sides agree on microseconds instead
+            return pa.Table.from_arrays(
+                [kept["event_id"], kept["user_id"], pa.array(lag)],
+                names=["event_id", "user_id", "lag_us"],
+            )
+
+        return us_ds.map_batches(late, batch_format="pyarrow")
+
+    # bucketed-join route (user domain outgrew the object store)
+    from .tabular import shuffle_join
+
+    joined = shuffle_join(us_ds, wm_ds, "user_id")
+
+    def late_joined(batch: pd.DataFrame) -> pd.DataFrame:
+        ts = batch["ts_us"].to_numpy(dtype=np.int64)
+        wmv = batch["wm"].to_numpy(dtype=np.int64)
         keep = ts < wmv - _WATERMARK_S * 1_000_000
-        kept = batch.filter(pa.array(keep))
-        lag = (
-            pd.Series(kept["user_id"].to_numpy(zero_copy_only=False)).map(m).to_numpy(dtype=np.int64)
-            - kept["ts_us"].to_numpy(zero_copy_only=False)
-        )  # exact µs — timestamps carry sub-second parts, so a seconds
-        #    boundary count (date_diff('second')) would NOT equal a
-        #    division here; both sides agree on microseconds instead
-        return pa.Table.from_arrays(
-            [kept["event_id"], kept["user_id"], pa.array(lag)],
-            names=["event_id", "user_id", "lag_us"],
+        kept = batch.loc[keep]
+        return pd.DataFrame(
+            {
+                "event_id": kept["event_id"].astype(np.int64),
+                "user_id": kept["user_id"].astype(np.int64),
+                "lag_us": (kept["wm"].to_numpy(dtype=np.int64)
+                           - kept["ts_us"].to_numpy(dtype=np.int64)),
+            }
         )
 
-    return us_ds.map_batches(late, batch_format="pyarrow")
+    return joined.map_batches(late_joined, batch_format="pandas")
 
 
 SQL_LATE_EVENTS = f"""
@@ -8891,7 +8957,17 @@ FROM (SELECT doc_id FROM documents) d LEFT JOIN perdoc USING (doc_id)
 _DAY_US = 86_400_000_000
 
 
+#: distinct histogram values above which a quantile-threshold metric
+#: stops collecting its exact value-count histogram and routes through
+#: the mergeable t-digest (≤1% rank error, fixed-width partials)
+RFM_HIST_BUDGET = 20_000_000
+
+
 def q_rfm_segments(sf_dir: str):
+    return _rfm_segments(sf_dir)
+
+
+def _rfm_segments(sf_dir: str, *, hist_domain_budget: int = RFM_HIST_BUDGET):
     """RFM customer segmentation: per customer, Recency (days since
     last order, vs the corpus max date), Frequency (order count) and
     Monetary (integer-cent revenue), each scored into exact quintiles —
@@ -8899,12 +8975,15 @@ def q_rfm_segments(sf_dir: str):
     quantile-threshold bucketize every feature-binning step uses.
 
     All three metrics reduce exactly (max / count / int-sum partials)
-    through the open-domain fold; the quintile thresholds come from
-    bounded value-count histograms (recency ≤ date range, frequency ≤
-    max orders/customer, monetary ≤ distinct cent totals — domain-,
-    not row-bounded; t-digest is the in-repo swap when it isn't) via
-    the same `_quantile_from_hist` device that reproduces DuckDB's
-    quantile_cont bit-exactly.  Scores are integer threshold
+    through the open-domain fold.  Threshold routing, per metric: while
+    the value-count histogram stays under ``hist_domain_budget``
+    distinct values (recency ≤ date range, frequency ≤ max
+    orders/customer, monetary ≤ distinct cent totals) it collects
+    exactly and `_quantile_from_hist` reproduces DuckDB's quantile_cont
+    bit-exactly; past the budget the metric's quintile thresholds come
+    from the in-repo mergeable t-digest (fixed-width centroid partials,
+    values never shuffle, ≤1% rank error — pytest forces this route
+    and bounds the rank drift).  Scores are integer threshold
     comparisons — recency inverted (recent = high score) — so the
     output is all-int deterministic."""
     orders = read_table(
@@ -8943,27 +9022,34 @@ def q_rfm_segments(sf_dir: str):
 
     base = per_cust.map_batches(metrics, batch_format="pandas").materialize()
 
-    def hist_of(col: str) -> pd.DataFrame:
+    def hist_ds_of(col: str):
         def vc(df: pd.DataFrame) -> pd.DataFrame:
             return df[[col]].value_counts().reset_index(name="cnt")
 
-        return (
-            grouped_aggregate(
-                base.map_batches(vc, batch_format="pandas"), [col], {"cnt": ("sum", "cnt")},
-                small_keys=True,
-            )
-            .to_pandas()
-            .sort_values(col)
+        return grouped_aggregate(
+            base.map_batches(vc, batch_format="pandas"), [col], {"cnt": ("sum", "cnt")},
+            small_keys=True,
         )
 
     thresholds = {}
     for col in ("r_days", "f_orders", "m_cents"):
-        h = hist_of(col)
-        vals = h[col].to_numpy(dtype=np.float64)
-        cnts = h["cnt"].to_numpy(dtype=np.int64)
-        thresholds[col] = [
-            _quantile_from_hist(vals, cnts, q) for q in (0.2, 0.4, 0.6, 0.8)
-        ]
+        h_ds = hist_ds_of(col)
+        if h_ds.count() <= hist_domain_budget:
+            h = h_ds.to_pandas().sort_values(col)
+            vals = h[col].to_numpy(dtype=np.float64)
+            cnts = h["cnt"].to_numpy(dtype=np.int64)
+            thresholds[col] = [
+                _quantile_from_hist(vals, cnts, q) for q in (0.2, 0.4, 0.6, 0.8)
+            ]
+        else:
+            # t-digest route: the metric's value domain outgrew the
+            # exact histogram — mergeable centroids, values never shuffle
+            from ..stages.tdigest import tdigest_column, tdigest_quantile
+
+            digest = tdigest_column(base, col)
+            thresholds[col] = [
+                float(x) for x in tdigest_quantile(digest, [0.2, 0.4, 0.6, 0.8])
+            ]
     thr_bc = Broadcast(thresholds)
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
@@ -9557,21 +9643,45 @@ FROM s
 _RDU_WINDOW_H = 24
 
 
+#: window width (hours) above which the exact sliding-distinct's
+#: ×window replication fan-out is traded for HLL register merges
+RDU_EXACT_WINDOW_BUDGET = 168  # one week of hourly ticks
+
+
 def q_rolling_distinct_users(sf_dir: str):
+    return _rolling_distinct_users(sf_dir)
+
+
+def _rolling_distinct_users(
+    sf_dir: str,
+    *,
+    window_h: int | None = None,
+    exact_window_budget: int = RDU_EXACT_WINDOW_BUDGET,
+):
     """Trailing-24h distinct active users per hour tick — the windowed
     COUNT DISTINCT that dashboards call "rolling DAU", and the classic
     case where a sliding window over a DISTINCT aggregate cannot be
     post-aggregated from per-hour counts.
 
     Exact two-level distinct shape: (user, hour) pairs dedupe in-batch,
-    fold once; each active hour then REPLICATES to the ≤24 window
-    ticks it covers (the bounded fan-out every exact sliding-distinct
-    pays — sketch merge via the in-repo HLL is the approximate swap
-    when the window is wide); a second distinct-fold per (tick, user)
-    collapses multi-hour users, and the final per-tick count is exact.
-    Ticks outside the data range are clipped to the observed hour
-    span.  All integers."""
+    fold once; each active hour then REPLICATES to the ≤window ticks
+    it covers (the bounded fan-out every exact sliding-distinct pays);
+    a second distinct-fold per (tick, user) collapses multi-hour users,
+    and the final per-tick count is exact.  Ticks outside the data
+    range are clipped to the observed hour span.  All integers.
+
+    Window routing: past ``exact_window_budget`` hours the ×window
+    replication fan-out is no longer worth exactness and the sweep
+    swaps to the in-repo HLL — per-hour user registers fold once
+    (hour-bounded, not row-bounded), each tick MERGES its window's
+    registers (register max, not row replication) and reports the HLL
+    estimate.  A pytest forces the sketch route on the 24 h window and
+    bounds its error against the exact counts (±2% at p=14)."""
     ds = read_table(sf_dir, "events", columns=["user_id", "ts"], split=True)
+    if window_h is None:
+        window_h = _RDU_WINDOW_H
+    if window_h > exact_window_budget:
+        return _rolling_distinct_users_hll(ds, window_h)
 
     def user_hours(batch: pa.Table) -> pd.DataFrame:
         us = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view("int64")
@@ -9592,9 +9702,9 @@ def q_rolling_distinct_users(sf_dir: str):
     def replicate(df: pd.DataFrame) -> pd.DataFrame:
         h = df["hour"].to_numpy(dtype=np.int64)
         u = df["user_id"].to_numpy(dtype=np.int64)
-        reps = np.repeat(np.arange(_RDU_WINDOW_H, dtype=np.int64), len(h))
-        ticks = np.tile(h, _RDU_WINDOW_H) + reps
-        users = np.tile(u, _RDU_WINDOW_H)
+        reps = np.repeat(np.arange(window_h, dtype=np.int64), len(h))
+        ticks = np.tile(h, window_h) + reps
+        users = np.tile(u, window_h)
         keep = ticks <= hmax
         return pd.DataFrame({"tick": ticks[keep], "user_id": users[keep]}).drop_duplicates()
 
@@ -9621,6 +9731,46 @@ def q_rolling_distinct_users(sf_dir: str):
     )
 
 
+def _rolling_distinct_users_hll(ds, window_h: int):
+    """Sketch route of :func:`_rolling_distinct_users` — per-hour HLL
+    registers fold distributedly (one fixed-width register array per
+    ACTIVE HOUR, not per row), each tick merges its trailing window's
+    registers by register-max on the driver (hour-bounded state) and
+    reports the estimate.  Used when the window width makes the exact
+    ×window replication fan-out uneconomical."""
+    from ..stages.sketch import hll_estimate, hll_merge, hll_partial
+
+    def hour_regs(batch: pa.Table) -> pd.DataFrame:
+        us = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view("int64")
+        hour = us // 3_600_000_000
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        rows = []
+        for h in np.unique(hour):
+            regs = hll_partial(uid[hour == h])
+            rows.append({"hour": int(h), "regs": regs.tobytes()})
+        return pd.DataFrame(rows)
+
+    partials = ds.map_batches(hour_regs, batch_format="pyarrow").to_pandas()
+    # register-max fold per hour: hour-bounded driver state (the same
+    # footprint class as the exact path's hmin/hmax scalars × |hours|)
+    by_hour: dict[int, np.ndarray] = {}
+    for h, blob in zip(partials["hour"], partials["regs"]):
+        regs = np.frombuffer(blob, dtype=np.uint8)
+        cur = by_hour.get(int(h))
+        by_hour[int(h)] = regs if cur is None else np.maximum(cur, regs)
+    hours = sorted(by_hour)
+    hmin, hmax = hours[0], hours[-1]
+    out_rows = []
+    for tick in range(hmin, hmax + 1):
+        window = [by_hour[h] for h in range(tick - window_h + 1, tick + 1) if h in by_hour]
+        if not window:
+            continue
+        out_rows.append(
+            {"tick": tick, "active_users": int(round(hll_estimate(hll_merge(window))))}
+        )
+    return pd.DataFrame(out_rows).astype(np.int64)
+
+
 SQL_ROLLING_DISTINCT = f"""
 WITH uh AS (
   SELECT DISTINCT user_id, epoch_us(ts) // 3600000000 AS hour FROM events
@@ -9642,18 +9792,35 @@ GROUP BY tick ORDER BY tick
 _PARETO_SHARE = 0.8
 
 
+#: entity rows above which the Pareto sweep stops draining the
+#: per-entity totals and runs the bucketed two-pass rank instead
+PARETO_DRAIN_BUDGET = 20_000_000
+
+
 def q_pareto_8020(sf_dir: str):
+    return _pareto_8020(sf_dir)
+
+
+def _pareto_8020(sf_dir: str, *, drain_budget: int = PARETO_DRAIN_BUDGET):
     """Pareto concentration: the smallest number of customers whose
     revenue sums to ≥ 80% of total, plus their share of the customer
     base — the 80/20 report every revenue (or per-domain corpus-mass)
     analysis opens with.
 
     Per-customer integer-cent revenue folds through the open-domain
-    exchange; the sorted cumulative sweep runs over the per-customer
-    totals (dimension-scale by the fact→entity reduction; the t-digest
-    quantile-of-revenue is the in-repo swap if the entity table itself
-    outgrows a drain).  Deterministic: revenue ties broken by custkey,
-    all integers until the two mirrored final divisions."""
+    exchange.  Sweep routing: at or under ``drain_budget`` entities the
+    sorted cumulative sweep runs over a driver drain of the totals
+    (dimension-scale by the fact→entity reduction); above it the SAME
+    answer comes EXACTLY from the bucketed two-pass rank (the
+    `vocab_build` device): revenues fold into order-aligned log2
+    buckets (≤64 (count, sum) partials — every value in a higher
+    bucket outranks every value in a lower one by construction), the
+    crossing bucket is located on ≤64 integers, and a second pass
+    drains ONLY that bucket's rows to resolve the exact k and
+    boundary-cumulative.  Both routes are proven identical by pytest
+    (``drain_budget=0`` forces the bucketed rank).  Deterministic:
+    revenue ties broken by custkey, all integers until the two
+    mirrored final divisions."""
     orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"], split=True)
 
     def partial(batch: pa.Table) -> pd.DataFrame:
@@ -9664,24 +9831,67 @@ def q_pareto_8020(sf_dir: str):
             .sum()
         )
 
-    per_cust = (
-        grouped_aggregate(
-            orders.map_batches(partial, batch_format="pyarrow"), ["c"], {"rev": ("sum", "rev")}
+    per_cust_ds = grouped_aggregate(
+        orders.map_batches(partial, batch_format="pyarrow"), ["c"], {"rev": ("sum", "rev")}
+    ).materialize()
+    n = int(per_cust_ds.count())
+
+    if n <= drain_budget:
+        per_cust = per_cust_ds.to_pandas().sort_values(
+            ["rev", "c"], ascending=[False, True], kind="stable"
         )
-        .to_pandas()
-        .sort_values(["rev", "c"], ascending=[False, True], kind="stable")
-    )
-    rev = per_cust["rev"].to_numpy(dtype=np.int64)
-    total = int(rev.sum())
-    cum = np.cumsum(rev)
-    k = int(np.searchsorted(cum, int(np.ceil(_PARETO_SHARE * total)), side="left") + 1)
-    n = len(rev)
+        rev = per_cust["rev"].to_numpy(dtype=np.int64)
+        total = int(rev.sum())
+        cum = np.cumsum(rev)
+        k = int(np.searchsorted(cum, int(np.ceil(_PARETO_SHARE * total)), side="left") + 1)
+        cum_at_k = int(cum[k - 1])
+    else:
+        # bucketed two-pass exact rank (entity table outgrew the drain)
+        total = int(per_cust_ds.sum("rev"))
+        target = int(np.ceil(_PARETO_SHARE * total))
+
+        def bucket_partial(df: pd.DataFrame) -> pd.DataFrame:
+            r = df["rev"].to_numpy(dtype=np.int64)
+            b = np.log2(np.maximum(r, 1)).astype(np.int64)
+            return (
+                pd.DataFrame({"b": b, "cnt": np.int64(1), "s": r})
+                .groupby("b", as_index=False)
+                .agg(cnt=("cnt", "sum"), s=("s", "sum"))
+            )
+
+        buckets = (
+            grouped_aggregate(
+                per_cust_ds.map_batches(bucket_partial, batch_format="pandas"),
+                ["b"],
+                {"cnt": ("sum", "cnt"), "s": ("sum", "s")},
+                small_keys=True,  # ≤64 log2 buckets
+            )
+            .to_pandas()
+            .sort_values("b", ascending=False)
+        )
+        cum_s = buckets["s"].cumsum().to_numpy(dtype=np.int64)
+        cum_n = buckets["cnt"].cumsum().to_numpy(dtype=np.int64)
+        i = int(np.searchsorted(cum_s, target, side="left"))
+        bb = int(buckets["b"].iloc[i])  # the crossing bucket
+        sum_above = int(cum_s[i - 1]) if i > 0 else 0
+        n_above = int(cum_n[i - 1]) if i > 0 else 0
+        # second pass: only the crossing bucket's rows drain
+        boundary = per_cust_ds.filter(
+            expr=f"rev >= {1 << bb} and rev < {1 << (bb + 1)}"
+            if bb > 0
+            else f"rev < {1 << (bb + 1)}"
+        ).to_pandas().sort_values(["rev", "c"], ascending=[False, True], kind="stable")
+        bcum = sum_above + np.cumsum(boundary["rev"].to_numpy(dtype=np.int64))
+        j = int(np.searchsorted(bcum, target, side="left"))
+        k = n_above + j + 1
+        cum_at_k = int(bcum[j])
+
     return pd.DataFrame(
         {
             "top_customers": [k],
             "n_customers": [n],
             "customer_share": [round(k / n, 6)],
-            "revenue_share": [round(int(cum[k - 1]) / total, 6)],
+            "revenue_share": [round(cum_at_k / total, 6)],
         }
     )
 

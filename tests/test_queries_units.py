@@ -471,3 +471,54 @@ class TestScaleRouteParity:
         a = self._canon(_bigram_pmi(self.SF), ["w1", "w2"])
         b = self._canon(_bigram_pmi(self.SF, vocab_budget=0), ["w1", "w2"])
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    def test_share_of_total_bucketed_join_route(self, ray_session):
+        from article_extraction_ray.pipelines.queries import _share_of_total
+
+        a = self._canon(_share_of_total(self.SF), ["event_id"])
+        b = self._canon(_share_of_total(self.SF, key_budget=0), ["event_id"])
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    def test_late_events_bucketed_join_route(self, ray_session):
+        from article_extraction_ray.pipelines.queries import _late_events
+
+        a = self._canon(_late_events(self.SF), ["event_id"])
+        b = self._canon(_late_events(self.SF, key_budget=0), ["event_id"])
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    def test_rolling_distinct_hll_route_error_bound(self, ray_session):
+        import numpy as np
+
+        from article_extraction_ray.pipelines.queries import _rolling_distinct_users
+
+        exact = _rolling_distinct_users(self.SF)
+        approx = _rolling_distinct_users(self.SF, exact_window_budget=0)
+        assert list(exact["tick"]) == list(approx["tick"])
+        m = exact.merge(approx, on="tick", suffixes=("_e", "_a"))
+        rel = np.abs(m["active_users_a"] - m["active_users_e"]) / np.maximum(
+            m["active_users_e"], 1
+        )
+        assert float(rel.max()) <= 0.02  # HLL p=14 ≈ 0.8% std error
+
+    def test_rfm_tdigest_route_rank_bound(self, ray_session):
+        import numpy as np
+
+        from article_extraction_ray.pipelines.queries import _rfm_segments
+
+        exact = _rfm_segments(self.SF).to_pandas()
+        approx = _rfm_segments(self.SF, hist_domain_budget=0).to_pandas()
+        assert len(exact) == len(approx)
+        m = exact.merge(approx, on="c_custkey", suffixes=("_e", "_a"))
+        # the t-digest's ≤1% rank error can only flip customers sitting
+        # within that rank band of a quintile boundary; bound the flip
+        # rate per score dimension
+        for s in ("r_score", "f_score", "m_score"):
+            flips = float((m[f"{s}_e"] != m[f"{s}_a"]).mean())
+            assert flips <= 0.05, (s, flips)
+
+    def test_pareto_bucketed_rank_route(self, ray_session):
+        from article_extraction_ray.pipelines.queries import _pareto_8020
+
+        a = _pareto_8020(self.SF).reset_index(drop=True)
+        b = _pareto_8020(self.SF, drain_budget=0).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
