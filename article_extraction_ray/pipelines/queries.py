@@ -222,8 +222,11 @@ def q_robust_zscore(sf_dir: str):
 
     def z(batch: pa.Table) -> pa.Table:
         p = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        # MAD == 0 (half the values identical): DuckDB emits NULL for
+        # x/0.0 while numpy would emit ±inf — mirror with NaN ≡ NULL
+        rz = (p - med) / mad if mad > 0 else np.full(len(p), np.nan)
         return pa.Table.from_arrays(
-            [batch["l_orderkey"], batch["l_linenumber"], pa.array((p - med) / mad)],
+            [batch["l_orderkey"], batch["l_linenumber"], pa.array(rz)],
             names=["l_orderkey", "l_linenumber", "robust_z"],
         )
 
@@ -5588,18 +5591,28 @@ def q_grouped_regression(sf_dir: str):
     )
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        n = df["n"].astype(np.float64)
-        cxy = df["xy"] - df["x"] * df["y"] / n
-        cxx = df["xx"] - df["x"] * df["x"] / n
-        cyy = df["yy"] - df["y"] * df["y"] / n
+        n = df["n"].astype(np.float64).to_numpy()
+        cxy = (df["xy"] - df["x"] * df["y"] / n).to_numpy()
+        cxx = (df["xx"] - df["x"] * df["x"] / n).to_numpy()
+        cyy = (df["yy"] - df["y"] * df["y"] / n).to_numpy()
+        # degenerate-group parity with DuckDB's builtins: corr() NULLs
+        # when either variance is 0, regr_slope/intercept NULL when
+        # var(x)=0, stddev_samp NULLs only n==1 (zero variance → 0.0);
+        # numpy would emit ±inf/nan from raw division instead
+        x_ok = cxx > 0
+        xy_ok = x_ok & (cyy > 0)
+        corr = np.where(xy_ok, cxy / np.sqrt(np.where(xy_ok, cxx * cyy, 1.0)), np.nan)
+        slope = np.where(x_ok, cxy / np.where(x_ok, cxx, 1.0), np.nan)
+        intercept = np.where(x_ok, (df["y"].to_numpy() - slope * df["x"].to_numpy()) / n, np.nan)
+        sd = np.where(n >= 2, np.sqrt(np.maximum(cyy, 0.0) / np.maximum(n - 1, 1.0)), np.nan)
         out = pd.DataFrame(
             {
                 "l_returnflag": df["g"],
                 "n": df["n"].astype(np.int64),
-                "corr_qty_price": (cxy / np.sqrt(cxx * cyy)).round(4),
-                "slope": (cxy / cxx).round(4),
-                "intercept": ((df["y"] - (cxy / cxx) * df["x"]) / n).round(4),
-                "sd_price": np.sqrt(cyy / (n - 1)).round(4),
+                "corr_qty_price": np.round(corr, 4),
+                "slope": np.round(slope, 4),
+                "intercept": np.round(intercept, 4),
+                "sd_price": np.round(sd, 4),
             }
         )
         return out
@@ -5718,11 +5731,17 @@ def q_zscore_normalize(sf_dir: str):
         ms = pri.map(lambda g: t[g][0]).to_numpy(dtype=np.float64)
         sds = pri.map(lambda g: t[g][1]).to_numpy(dtype=np.float64)
         x = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        # degenerate-group parity: DuckDB emits NULL for x/0.0 (zero
+        # variance) and propagates NULL for n==1 (stddev_samp NULL);
+        # numpy would emit ±inf for the former — NaN ≡ NULL to the
+        # comparer, inf is not
+        ok = sds > 0.0
+        zval = np.where(ok, (x - ms) / np.where(ok, sds, 1.0), np.nan)
         return pd.DataFrame(
             {
                 "o_orderkey": batch["o_orderkey"].to_numpy(zero_copy_only=False),
                 "o_orderpriority": pri,
-                "zscore": np.round((x - ms) / sds, 6),
+                "zscore": np.round(zval, 6),
             }
         )
 
@@ -7246,10 +7265,14 @@ def q_corr_matrix(sf_dir: str):
         cov = n * df["sxy"].to_numpy() - df["sx"].to_numpy() * df["sy"].to_numpy()
         vx = n * df["sxx"].to_numpy() - df["sx"].to_numpy() ** 2
         vy = n * df["syy"].to_numpy() - df["sy"].to_numpy() ** 2
+        # constant-column parity: DuckDB corr() NULLs when either
+        # variance is 0; numpy raw division would emit ±inf
+        ok = (vx > 0) & (vy > 0)
+        corr = np.where(ok, cov / np.sqrt(np.where(ok, vx * vy, 1.0)), np.nan)
         return pd.DataFrame(
             {
                 "col_x": df["col_x"], "col_y": df["col_y"],
-                "corr": np.round(cov / np.sqrt(vx * vy), 6),
+                "corr": np.round(corr, 6),
                 "n": n.astype(np.int64),
             }
         )
@@ -7714,7 +7737,10 @@ def q_ab_ttest(sf_dir: str):
         ma, mb = sa / na, sb / nb
         va = (ssa - sa * sa / na) / (na - 1.0)
         vb = (ssb - sb * sb / nb) / (nb - 1.0)
-        tstat = (ma - mb) / np.sqrt(va / na + vb / nb)
+        denom = np.sqrt(va / na + vb / nb)
+        # zero-variance-both-arms parity: DuckDB emits NULL for x/0.0,
+        # Python would emit ±inf; NaN ≡ NULL to the comparer
+        tstat = (ma - mb) / denom if denom > 0 else float("nan")
         rows.append(
             {
                 "event_type": t,

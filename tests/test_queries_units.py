@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 
@@ -522,3 +523,106 @@ class TestScaleRouteParity:
         a = _pareto_8020(self.SF).reset_index(drop=True)
         b = _pareto_8020(self.SF, drain_budget=0).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+class TestDegenerateGroupParity:
+    """DuckDB emits NULL for float division by zero while numpy emits
+    ±inf — NaN ≡ NULL to the driver's comparer, inf is not.  Every
+    stat query with a variance/denominator must therefore guard
+    degenerate groups (n==1, zero variance, MAD==0) to NaN.  These
+    plant the degenerates and compare both engines directly."""
+
+    @staticmethod
+    def _cmp(got, con, sql, sort_keys):
+        got = got.to_pandas() if not isinstance(got, pd.DataFrame) else got
+        want = con.execute(sql).df()
+        a = got[sorted(got.columns)].sort_values(sort_keys).reset_index(drop=True)
+        b = want[sorted(want.columns)].sort_values(sort_keys).reset_index(drop=True)
+        assert len(a) == len(b)
+        for c in a.columns:
+            av, bv = a[c], b[c]
+            if av.dtype.kind == "f" or bv.dtype.kind == "f":
+                av, bv = av.astype(float), bv.astype(float)
+                ok = ((av.isna() & bv.isna()) | ((av - bv).abs() <= 1e-9 + 1e-9 * bv.abs())).all()
+            else:
+                ok = av.astype(object).where(~av.isna(), None).equals(
+                    bv.astype(object).where(~bv.isna(), None))
+            assert ok, (c, a[c].head(), b[c].head())
+
+    def test_zscore_zero_variance_and_singleton_groups(self, ray_session, tmp_path):
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from article_extraction_ray.pipelines.queries import SQL_ZSCORE, q_zscore_normalize
+
+        rng = np.random.default_rng(7)
+        orders = pd.DataFrame(
+            {
+                "o_orderkey": np.arange(60, dtype=np.int64),
+                "o_orderpriority": (["1-URGENT"] * 40) + (["2-HIGH"] * 19) + ["3-SOLO"],
+                "o_totalprice": np.concatenate(
+                    [rng.uniform(10, 500, 40).round(2), np.full(19, 77.77), [12.34]]
+                ),
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(orders, preserve_index=False), tmp_path / "orders.parquet")
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW orders AS SELECT * FROM read_parquet('{tmp_path}/orders.parquet')")
+        self._cmp(q_zscore_normalize(str(tmp_path)), con, SQL_ZSCORE, ["o_orderkey"])
+
+    def test_ab_ttest_zero_variance_metric(self, ray_session, tmp_path):
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from article_extraction_ray.pipelines.queries import SQL_AB_TTEST, q_ab_ttest
+
+        rng = np.random.default_rng(8)
+        n = 400
+        events = pd.DataFrame(
+            {
+                "user_id": np.arange(n, dtype=np.int64),
+                "event_type": np.where(np.arange(n) % 2 == 0, "flat", "varied"),
+                "value": np.where(
+                    np.arange(n) % 2 == 0, 5.0, rng.uniform(1, 9, n).round(2)
+                ),
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(events, preserve_index=False), tmp_path / "events.parquet")
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')")
+        got = q_ab_ttest(str(tmp_path))
+        got = got.to_pandas() if not isinstance(got, pd.DataFrame) else got
+        assert got.loc[got["event_type"] == "flat", "t_stat"].isna().all()
+        self._cmp(got, con, SQL_AB_TTEST, ["event_type"])
+
+    def test_regression_and_corr_constant_columns(self, ray_session, tmp_path):
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from article_extraction_ray.pipelines.queries import (
+            SQL_CORR_MATRIX,
+            SQL_GROUPED_REGRESSION,
+            q_corr_matrix,
+            q_grouped_regression,
+        )
+
+        rng = np.random.default_rng(9)
+        n = 300
+        lineitem = pd.DataFrame(
+            {
+                "l_returnflag": (["A"] * 150) + (["C"] * 149) + ["S"],  # S = singleton
+                "l_quantity": np.concatenate(
+                    [np.full(150, 4.0), rng.integers(1, 50, 149).astype(float), [7.0]]
+                ),  # group A: constant x
+                "l_extendedprice": rng.uniform(100, 9000, n).round(2),
+                "l_discount": np.full(n, 0.05),  # constant everywhere
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(lineitem, preserve_index=False), tmp_path / "lineitem.parquet")
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{tmp_path}/lineitem.parquet')")
+        self._cmp(q_grouped_regression(str(tmp_path)), con, SQL_GROUPED_REGRESSION, ["l_returnflag"])
+        self._cmp(q_corr_matrix(str(tmp_path)), con, SQL_CORR_MATRIX, ["col_x", "col_y"])
