@@ -383,6 +383,47 @@ def q_zorder_prune(sf_dir: str):
     )
 
 
+#: fixed probe set for the bloom point-lookup demo: three present keys
+#: (every sf has doc_ids 0..N-1) and two definitively-absent ones
+_BLOOM_PROBE_KEYS = [1, 7, 123, -5, 10**9]
+
+
+def q_bloom_point_lookup(sf_dir: str):
+    """Point-lookup through the per-file Bloom index
+    (state/bloom_index.py): documents hash-partition once into 16
+    bloom-sidecarred files (cached per scale factor), then a 5-key
+    probe reads ONLY candidate files and exact-filters — the
+    needle-in-100TB read path where footer min/max can't prune.
+    Returns the looked-up (doc_id, lang, source) rows, value-oracled
+    against a plain ``WHERE doc_id IN``; the files_read < files_total
+    payoff and the no-false-negative property are pytest-asserted
+    (tests/test_bloom_index.py)."""
+    import os
+    import tempfile
+
+    from ..state.bloom_index import point_lookup, write_bloom_indexed
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    bdir = os.path.join(tempfile.gettempdir(), f"ae_bloomidx_{tag}")
+    if not os.path.isdir(os.path.join(bdir, "_bloom")) or not any(
+        f.endswith(".parquet") for f in os.listdir(bdir)
+    ):
+        ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "source"], split=True)
+        write_bloom_indexed(ds, bdir, "doc_id", num_files=16)
+    tbl = point_lookup(bdir, "doc_id", np.array(_BLOOM_PROBE_KEYS, dtype=np.int64))
+    df = tbl.to_pandas() if tbl.num_rows or tbl.num_columns else pd.DataFrame(
+        {"doc_id": pd.Series([], dtype=np.int64), "lang": [], "source": []}
+    )
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_BLOOM_POINT_LOOKUP = f"""
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id IN ({", ".join(str(k) for k in _BLOOM_PROBE_KEYS)})
+ORDER BY doc_id
+"""
+
+
 def q_table_diff(sf_dir: str):
     """Snapshot diff (data-diff): classify every key across two table
     versions as added / removed / changed / same and count each class.
@@ -10948,6 +10989,7 @@ QUERIES = {
     "scd2_history": q_scd2_history,
     "table_diff": q_table_diff,
     "zorder_prune": q_zorder_prune,
+    "bloom_point_lookup": q_bloom_point_lookup,
     "compact_roundtrip": q_compact_roundtrip,
     "rag_index_search": q_rag_index_search,
     "robust_zscore": q_robust_zscore,
@@ -11249,6 +11291,7 @@ ORACLE_SQL = {
     "event_islands": SQL_EVENT_ISLANDS,
     "time_gap_fill": SQL_TIME_GAP_FILL,
     "corr_matrix": SQL_CORR_MATRIX,
+    "bloom_point_lookup": SQL_BLOOM_POINT_LOOKUP,
     "ngram_span_dedup": SQL_NGRAM_SPAN_DEDUP,
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "interval_coverage": SQL_INTERVAL_COVERAGE,

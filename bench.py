@@ -171,7 +171,13 @@ def _corpus_docs() -> int:
 #: engine.  Both pairs can be requested; the corpus is sized so parse
 #: compute dominates fixed barriers, and AE_POOL_FRACTION pins the same
 #: parser-pool fraction at both sizes for a fair ratio.
-SCALING_DOCS = int(os.environ.get("AE_SCALING_DOCS", "300000"))
+#: sized so parse compute dominates the ~fixed per-execution barriers:
+#: the round-3 kernel rework made 300k docs finish in ~seconds at 8
+#: CPUs (barriers ≈ 30-40% of wall → efficiency reads ~0.75 even though
+#: the parallel fraction scales at ~0.95); 900k keeps the measured
+#: ratio about the ENGINE, not the barrier constant (see BASELINE.md
+#: round-3 close: 900k → 0.864 on the 2→8 pair)
+SCALING_DOCS = int(os.environ.get("AE_SCALING_DOCS", "900000"))
 SCALING_CPUS = tuple(
     int(x) for x in os.environ.get("AE_SCALING_CPUS", "2,8").split(",")
 )
