@@ -6491,39 +6491,72 @@ _FK_EDGES = [
 ]
 
 
+#: dimension rows above which an FK edge's keyset stops broadcasting
+#: and the orphan count routes through the co-partitioned anti-join
+FK_DIM_BUDGET = 20_000_000
+
+
 def q_fk_audit(sf_dir: str):
+    return _fk_audit(sf_dir)
+
+
+def _fk_audit(sf_dir: str, *, dim_budget: int = FK_DIM_BUDGET):
     """Referential-integrity audit: orphan-row counts for every declared
     FK edge — the data-quality gate a pipeline runs before training
-    joins.  Per edge the dimension keyset broadcasts once (``ray.put``;
-    at dimension scale the in-repo BloomFilter is the prefilter) and the
-    fact table streams through a vectorized ``pc.is_in`` anti-mask with
-    per-batch partial counts — a count-only anti-join, no shuffle, no
-    row materialization.  The four edges are independent, so their
-    executions OVERLAP in driver threads (the same second-driver-thread
-    trick as the flagship's giant phase): wall time is the heaviest
-    edge, not the sum of four.  Output: one row per edge."""
+    joins.
+
+    Per-edge routing on the dimension's parquet-footer row count
+    (metadata only, no scan): at or under ``dim_budget`` rows the
+    keyset broadcasts once (``ray.put``) and the fact table streams
+    through a vectorized ``pc.is_in`` anti-mask with per-batch partial
+    counts — a count-only anti-join, no shuffle, no row
+    materialization.  Above the budget the edge routes through
+    ``tabular.shuffle_semi_filter(anti=True)``: fact keys and dimension
+    keys co-partition once and the orphan count folds per bucket — no
+    dimension-order state on the driver.  Both routes are proven
+    identical by pytest (``dim_budget=0`` forces the anti-join on every
+    edge).  The edges are independent, so their executions OVERLAP in
+    driver threads (the same second-driver-thread trick as the
+    flagship's giant phase): wall time is the heaviest edge, not the
+    sum of four.  Output: one row per edge."""
+    import os
     from concurrent.futures import ThreadPoolExecutor
 
     import pyarrow.compute as pc
+    import pyarrow.parquet as pqt
+
+    from .tabular import shuffle_semi_filter
 
     def build_edge(edge):
         # plan construction stays on the main thread: concurrent
         # read_parquet calls race fsspec's lazy module import
         name, fact, fcol, dim, dcol = edge
-        keys = read_table_arrow(sf_dir, dim, columns=[dcol])[dcol]
-        kset = Broadcast(keys)
+        dim_rows = pqt.ParquetFile(
+            os.path.join(sf_dir, f"{dim}.parquet")
+        ).metadata.num_rows
         ds = read_table(sf_dir, fact, columns=[fcol], split=True)
+        if dim_rows <= dim_budget:
+            keys = read_table_arrow(sf_dir, dim, columns=[dcol])[dcol]
+            kset = Broadcast(keys)
 
-        def orphans(batch: pa.Table) -> pd.DataFrame:
-            hit = pc.is_in(batch[fcol], value_set=kset.get())
-            n = len(batch) - pc.sum(pc.cast(hit, pa.int64())).as_py()
-            return pd.DataFrame({"n": [n]})
+            def orphans(batch: pa.Table) -> pd.DataFrame:
+                hit = pc.is_in(batch[fcol], value_set=kset.get())
+                n = len(batch) - pc.sum(pc.cast(hit, pa.int64())).as_py()
+                return pd.DataFrame({"n": [n]})
 
-        return name, ds.map_batches(orphans, batch_format="pyarrow")
+            return name, ds.map_batches(orphans, batch_format="pyarrow")
+        # co-partitioned anti-join route (dimension outgrew the budget)
+        dim_ds = read_table(sf_dir, dim, columns=[dcol], split=True).map_batches(
+            lambda t, f=fcol: t.rename_columns([f]), batch_format="pyarrow"
+        )
+        orphan_rows = shuffle_semi_filter(ds, dim_ds, fcol, anti=True)
+        return name, orphan_rows.map_batches(
+            lambda t: pd.DataFrame({"n": [len(t)]}), batch_format="pyarrow"
+        )
 
     prepared = [build_edge(e) for e in _FK_EDGES]
     with ThreadPoolExecutor(max_workers=len(prepared)) as pool:
-        counts = list(pool.map(lambda p: int(p[1].sum("n")), prepared))
+        counts = list(pool.map(lambda p: int(p[1].sum("n") or 0), prepared))
     return pd.DataFrame(
         [{"fk": name, "n_orphans": n} for (name, _), n in zip(prepared, counts)]
     )

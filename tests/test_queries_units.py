@@ -626,3 +626,11 @@ class TestDegenerateGroupParity:
         con.execute(f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{tmp_path}/lineitem.parquet')")
         self._cmp(q_grouped_regression(str(tmp_path)), con, SQL_GROUPED_REGRESSION, ["l_returnflag"])
         self._cmp(q_corr_matrix(str(tmp_path)), con, SQL_CORR_MATRIX, ["col_x", "col_y"])
+
+    def test_fk_audit_anti_join_route(self, ray_session):
+        from article_extraction_ray.pipelines.queries import _fk_audit
+
+        sf = "/root/testdata/sf0.001"
+        a = _fk_audit(sf).reset_index(drop=True)
+        b = _fk_audit(sf, dim_budget=0).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
