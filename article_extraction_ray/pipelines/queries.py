@@ -104,45 +104,82 @@ FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_
 WHERE rn = 1
 """
 
+#: dimension rows above which an FK keyset stops broadcasting and the
+#: orphan/dangling count routes through the co-partitioned anti-join
+#: (shared by q_validate_orders and q_fk_audit)
+FK_DIM_BUDGET = 20_000_000
+
+
 def q_validate_orders(sf_dir: str):
+    return _validate_orders(sf_dir)
+
+
+def _validate_orders(sf_dir: str, *, dim_budget: int = FK_DIM_BUDGET):
     """Data-quality validation gate (expectations audit): per-rule
     violation counts over orders — non-negative price, bounded date
     range, non-null priority, duplicate order keys, dangling customer
     FK.  Row rules are one vectorized per-batch pass emitting a single
     count row per rule (a fixed-width partial regardless of batch
     size); uniqueness reuses the dedup-count shape (per-batch key
-    value_counts → grouped sum → count of keys seen >1); the FK rule is
-    a broadcast anti-join count.  The gate a 100 TB ingest runs before
-    promoting a snapshot."""
+    value_counts → grouped sum → count of keys seen >1).  The FK rule
+    routes like `_fk_audit`: keyset broadcast at or under ``dim_budget``
+    dimension rows (footer metadata), co-partitioned shuffle anti-join
+    count above it (``dim_budget=0`` parity pytest).  The gate a
+    100 TB ingest runs before promoting a snapshot."""
+    import os
+
     import pyarrow.compute as pc
+    import pyarrow.parquet as pqt
 
     ds = read_table(
         sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
         split=True,
     )
-    cust = read_table_arrow(sf_dir, "customer", ["c_custkey"])
-    ckeys = Broadcast(cust["c_custkey"].combine_chunks())
+    dim_rows = pqt.ParquetFile(
+        os.path.join(sf_dir, "customer.parquet")
+    ).metadata.num_rows
+    fk_broadcast = dim_rows <= dim_budget
+    if fk_broadcast:
+        cust = read_table_arrow(sf_dir, "customer", ["c_custkey"])
+        ckeys = Broadcast(cust["c_custkey"].combine_chunks())
 
     def row_rules(batch: pa.Table) -> pd.DataFrame:
         price = batch["o_totalprice"].to_numpy(zero_copy_only=False)
-        fk_ok = pc.is_in(batch["o_custkey"], value_set=ckeys.get()).to_numpy(
-            zero_copy_only=False
-        )
-        return pd.DataFrame(
-            {
-                "rule": ["negative_price", "null_orderdate", "dangling_custkey"],
-                "n_bad": [
-                    int((price < 0).sum()),
-                    int(batch["o_orderdate"].null_count),
-                    int((~fk_ok).sum()),
-                ],
-            }
-        )
+        rules = ["negative_price", "null_orderdate"]
+        bad = [int((price < 0).sum()), int(batch["o_orderdate"].null_count)]
+        if fk_broadcast:
+            fk_ok = pc.is_in(batch["o_custkey"], value_set=ckeys.get()).to_numpy(
+                zero_copy_only=False
+            )
+            rules.append("dangling_custkey")
+            bad.append(int((~fk_ok).sum()))
+        return pd.DataFrame({"rule": rules, "n_bad": bad})
 
     counts = grouped_aggregate(
         ds.map_batches(row_rules, batch_format="pyarrow"), ["rule"], {"n_violations": ("sum", "n_bad")},
         small_keys=True,
     )
+    if not fk_broadcast:
+        # co-partitioned anti-join count (dimension outgrew the budget)
+        import ray.data as rd
+
+        from .tabular import shuffle_semi_filter
+
+        dim_ds = read_table(sf_dir, "customer", columns=["c_custkey"], split=True).map_batches(
+            lambda t: t.rename_columns(["o_custkey"]), batch_format="pyarrow"
+        )
+        n_dangling = int(
+            shuffle_semi_filter(
+                ds.select_columns(["o_custkey"]), dim_ds, "o_custkey", anti=True
+            ).count()
+        )
+        counts = counts.union(
+            rd.from_arrow(
+                pa.table(
+                    {"rule": ["dangling_custkey"], "n_violations": pa.array([n_dangling], type=pa.int64())}
+                )
+            )
+        )
 
     def key_counts(batch: pa.Table) -> pd.DataFrame:
         # per-batch combiner: one (key, count) row per distinct key, plus
@@ -6489,11 +6526,6 @@ _FK_EDGES = [
     ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
     ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
 ]
-
-
-#: dimension rows above which an FK edge's keyset stops broadcasting
-#: and the orphan count routes through the co-partitioned anti-join
-FK_DIM_BUDGET = 20_000_000
 
 
 def q_fk_audit(sf_dir: str):

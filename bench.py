@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "snapshot_reads",
     "schema_evolution",
     "cdc_apply",
+    "bloom_point_lookup",
 ]
 
 

@@ -634,3 +634,14 @@ class TestDegenerateGroupParity:
         a = _fk_audit(sf).reset_index(drop=True)
         b = _fk_audit(sf, dim_budget=0).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    def test_validate_orders_anti_join_route(self, ray_session):
+        from article_extraction_ray.pipelines.queries import _validate_orders
+
+        sf = "/root/testdata/sf0.001"
+        def canon(r):
+            df = r.to_pandas() if not isinstance(r, pd.DataFrame) else r
+            return df.sort_values("rule").reset_index(drop=True)
+        a = canon(_validate_orders(sf))
+        b = canon(_validate_orders(sf, dim_budget=0))
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
