@@ -10881,6 +10881,114 @@ ORDER BY sum(CAST(round(l.l_extendedprice * 10000 * (1.0 - l.l_discount)) AS BIG
 """
 
 
+_Q10_FROM = "1996-01-01"
+_Q10_TO = "1996-04-01"
+_Q10_TOPN = 20
+
+
+def q_q10_returned_items(sf_dir: str):
+    """TPC-H-Q10-shaped returned-item report: the top-20 customers by
+    revenue lost to returned lineitems over one quarter, with their
+    nation attached — the complaint-triage join chain (fact filter →
+    fact-fact join → two dimension attaches → grouped top-k).
+
+    Plan: lineitem filters ``l_returnflag='R'`` AT THE SCAN (predicate
+    in the batch pass, only 3 columns read) and pre-reduces integer
+    1e-4-dollar revenue per orderkey; the quarter-filtered orders side
+    carries (orderkey → custkey); the one fact-fact exchange routes
+    through the size-routed :func:`tabular.join` facade.  Per-customer
+    revenue folds through the open-domain exchange, the nation name
+    attaches from a broadcast dimension map, and the top-20 runs
+    through :func:`tabular.topk`'s per-batch prefilter with a
+    deterministic (revenue DESC, custkey ASC) rule.  Integer cents
+    end-to-end — the top-20 boundary cannot shift with accumulation
+    order."""
+    import pyarrow.compute as pc
+
+    from .tabular import join as join_route
+    from .tabular import topk
+
+    nat = read_table_arrow(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    nname = {
+        int(k): v
+        for k, v in zip(nat["n_nationkey"].to_numpy(), nat["n_name"].to_pylist())
+    }
+    lo = np.datetime64(_Q10_FROM, "us")
+    hi = np.datetime64(_Q10_TO, "us")
+
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+        split=True,
+    )
+
+    def returned_rev(batch: pa.Table) -> pd.DataFrame:
+        keep = pc.equal(batch["l_returnflag"], "R")
+        b = batch.filter(keep)
+        price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        rev = np.round(price * 10000 * (1.0 - disc)).astype(np.int64)
+        return (
+            pd.DataFrame(
+                {"o_orderkey": b["l_orderkey"].to_numpy(zero_copy_only=False), "rev": rev}
+            )
+            .groupby("o_orderkey", as_index=False)["rev"]
+            .sum()
+        )
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"], split=True)
+
+    def quarter_orders(batch: pa.Table) -> pd.DataFrame:
+        d = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        keep = (d >= lo) & (d < hi)
+        return pd.DataFrame(
+            {
+                "o_orderkey": batch["o_orderkey"].to_numpy(zero_copy_only=False)[keep],
+                "c_custkey": batch["o_custkey"].to_numpy(zero_copy_only=False)[keep],
+            }
+        )
+
+    joined, _ = join_route(
+        li.map_batches(returned_rev, batch_format="pyarrow"),
+        orders.map_batches(quarter_orders, batch_format="pyarrow"),
+        on="o_orderkey",
+    )
+    per_cust = grouped_aggregate(
+        joined.map_batches(
+            lambda df: df[["c_custkey", "rev"]], batch_format="pandas"
+        ),
+        ["c_custkey"],
+        {"rev": ("sum", "rev")},
+    )
+    top = (
+        topk(per_cust, ["rev", "c_custkey"], k=_Q10_TOPN, descending=[True, False])
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    cust = read_table_arrow(sf_dir, "customer", columns=["c_custkey", "c_name", "c_nationkey"])
+    cdf = cust.to_pandas().set_index("c_custkey")
+    top["c_name"] = top["c_custkey"].map(cdf["c_name"])
+    top["n_name"] = top["c_custkey"].map(cdf["c_nationkey"]).map(nname)
+    top["revenue"] = np.round(top["rev"] / 10000.0, 2)
+    return top[["c_custkey", "c_name", "n_name", "revenue"]].astype({"c_custkey": np.int64})
+
+
+SQL_Q10 = f"""
+SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey, c.c_name, n.n_name,
+       round(sum(CAST(round(l.l_extendedprice * 10000 * (1.0 - l.l_discount)) AS BIGINT)) / 10000.0, 2) AS revenue
+FROM customer c
+JOIN orders   o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation   n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '{_Q10_FROM}'
+  AND o.o_orderdate <  TIMESTAMP '{_Q10_TO}'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY sum(CAST(round(l.l_extendedprice * 10000 * (1.0 - l.l_discount)) AS BIGINT)) DESC, c.c_custkey
+LIMIT {_Q10_TOPN}
+"""
+
+
 _Q17_BRAND = "Brand#13"
 _Q17_FRACTION = 0.2
 
@@ -11055,6 +11163,7 @@ QUERIES = {
     "table_diff": q_table_diff,
     "zorder_prune": q_zorder_prune,
     "bloom_point_lookup": q_bloom_point_lookup,
+    "q10_returned_items": q_q10_returned_items,
     "compact_roundtrip": q_compact_roundtrip,
     "rag_index_search": q_rag_index_search,
     "robust_zscore": q_robust_zscore,
@@ -11357,6 +11466,7 @@ ORACLE_SQL = {
     "time_gap_fill": SQL_TIME_GAP_FILL,
     "corr_matrix": SQL_CORR_MATRIX,
     "bloom_point_lookup": SQL_BLOOM_POINT_LOOKUP,
+    "q10_returned_items": SQL_Q10,
     "ngram_span_dedup": SQL_NGRAM_SPAN_DEDUP,
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "interval_coverage": SQL_INTERVAL_COVERAGE,

@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "schema_evolution",
     "cdc_apply",
     "bloom_point_lookup",
+    "q10_returned_items",
 ]
 
 
@@ -166,18 +167,16 @@ def _corpus_docs() -> int:
 
 #: --scaling configuration.  The N→4N pair defaults to (2, 8) CPUs:
 #: this sandbox's DRAM bandwidth saturates at ~8-10 concurrent parsers
-#: (measured: a plain multiprocessing pool running the same parse
-#: kernel with NO Ray scales 2→8 procs at 0.97 efficiency but 8→32 at
-#: only 0.31), so 8→32 measures the memory wall of one box, not the
-#: engine.  Both pairs can be requested; the corpus is sized so parse
-#: compute dominates fixed barriers, and AE_POOL_FRACTION pins the same
-#: parser-pool fraction at both sizes for a fair ratio.
-#: sized so parse compute dominates the ~fixed per-execution barriers:
-#: the round-3 kernel rework made 300k docs finish in ~seconds at 8
-#: CPUs (barriers ≈ 30-40% of wall → efficiency reads ~0.75 even though
-#: the parallel fraction scales at ~0.95); 900k keeps the measured
-#: ratio about the ENGINE, not the barrier constant (see BASELINE.md
-#: round-3 close: 900k → 0.864 on the 2→8 pair)
+#: (a Ray-free multiprocessing control of the same kernel shows the
+#: same knee), so 8→32 measures the memory wall of one box, not the
+#: engine; both pairs are still reported.  AE_POOL_FRACTION pins the
+#: same parser-pool fraction at both sizes for a fair ratio.  The
+#: corpus is sized so parse compute dominates the ~fixed per-execution
+#: barriers: the round-3 kernel rework made 300k docs finish in ~13 s
+#: at 8 CPUs (barriers ≈ 30-40% of wall → efficiency reads ~0.75 even
+#: though the parallel fraction scales at ~0.95); 900k keeps the
+#: measured ratio about the ENGINE, not the barrier constant
+#: (BASELINE.md round-3 close: 900k → 0.864; round 4: 0.869)
 SCALING_DOCS = int(os.environ.get("AE_SCALING_DOCS", "900000"))
 SCALING_CPUS = tuple(
     int(x) for x in os.environ.get("AE_SCALING_CPUS", "2,8").split(",")
