@@ -324,10 +324,17 @@ def q_rag_index_search(sf_dir: str):
     ).materialize()
     coarse = kmeans_fit(vecs, 8, iters=3, cache=False)
     books = pq_fit(vecs, m=8, ksub=16, iters=3, coarse=coarse)
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    idx_path = os.path.join(tempfile.gettempdir(), f"ae_rag_index_{tag}.parquet")
-    save_pq_index(idx_path, books, coarse)
-    books2, coarse2 = load_pq_index(idx_path)
+    # private per-run index path: a fixed per-scale file would race
+    # write-vs-reload between concurrent runs (the snapshot_reads
+    # advice class); the persist/reload round-trip is what's under
+    # test, not cross-run caching
+    fd, idx_path = tempfile.mkstemp(prefix="ae_rag_index_", suffix=".parquet")
+    os.close(fd)
+    try:
+        save_pq_index(idx_path, books, coarse)
+        books2, coarse2 = load_pq_index(idx_path)
+    finally:
+        os.unlink(idx_path)
 
     enc = _HashEncoder(dim)
     queries = enc.encode(["the fast key order", "spark window scan", "image token table"])
@@ -352,11 +359,27 @@ def q_compact_roundtrip(sf_dir: str):
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     src = os.path.join(tempfile.gettempdir(), f"ae_smallfiles_{tag}")
-    dst = os.path.join(tempfile.gettempdir(), f"ae_compacted_{tag}")
+    # compaction output must be private per run: compact_parquet
+    # rewrites dst, and two concurrent runs at the same scale would
+    # race delete-vs-read on a shared fixed path (the snapshot_reads
+    # advice class)
+    dst = tempfile.mkdtemp(prefix=f"ae_compacted_{tag}_")
     if not os.path.isdir(src) or not any(f.endswith(".parquet") for f in os.listdir(src)):
+        stage = tempfile.mkdtemp(prefix=f"ae_smallfiles_{tag}_stage_")
         read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"], split=True)\
-            .repartition(24).write_parquet(src)
-    summary = compact_parquet(src, dst, target_bytes=4 * 1024 * 1024)
+            .repartition(24).write_parquet(stage)
+        try:
+            os.rename(stage, src)  # atomic publish; loser keeps winner's
+        except OSError:
+            import shutil
+
+            shutil.rmtree(stage, ignore_errors=True)
+    try:
+        summary = compact_parquet(src, dst, target_bytes=4 * 1024 * 1024)
+    finally:
+        import shutil
+
+        shutil.rmtree(dst, ignore_errors=True)
     return rd.from_pandas(
         pd.DataFrame(
             {
@@ -389,7 +412,17 @@ def q_zorder_prune(sf_dir: str):
         sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_quantity"], split=True
     )
     if not os.path.isdir(zdir) or not any(f.endswith(".parquet") for f in os.listdir(zdir)):
-        write_zordered(ds, zdir, "l_extendedprice", "l_quantity", num_files=16)
+        # private build + atomic publish: a concurrent run at the same
+        # scale either wins the rename or reads the winner's complete
+        # layout, never a half-written one
+        stage = tempfile.mkdtemp(prefix=f"ae_zorder_{tag}_stage_")
+        write_zordered(ds, stage, "l_extendedprice", "l_quantity", num_files=16)
+        try:
+            os.rename(stage, zdir)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(stage, ignore_errors=True)
     x_box, y_box = (1000.0, 20000.0), (5.0, 20.0)
     keep = prune_files(zdir, "l_extendedprice", "l_quantity", x_box, y_box)
     files_total = sum(1 for f in os.listdir(zdir) if f.endswith(".parquet"))
@@ -445,8 +478,19 @@ def q_bloom_point_lookup(sf_dir: str):
     if not os.path.isdir(os.path.join(bdir, "_bloom")) or not any(
         f.endswith(".parquet") for f in os.listdir(bdir)
     ):
+        # build in a private dir, publish with one atomic rename — a
+        # concurrent run at the same scale either wins the rename or
+        # reads the winner's complete index, never a half-written one
+        # (the same race class as the snapshot_reads advice finding)
         ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "source"], split=True)
-        write_bloom_indexed(ds, bdir, "doc_id", num_files=16)
+        stage = tempfile.mkdtemp(prefix=f"ae_bloomidx_{tag}_stage_")
+        write_bloom_indexed(ds, stage, "doc_id", num_files=16)
+        try:
+            os.rename(stage, bdir)
+        except OSError:  # a concurrent builder won; use theirs
+            import shutil
+
+            shutil.rmtree(stage, ignore_errors=True)
     tbl = point_lookup(bdir, "doc_id", np.array(_BLOOM_PROBE_KEYS, dtype=np.int64))
     df = tbl.to_pandas() if tbl.num_rows or tbl.num_columns else pd.DataFrame(
         {"doc_id": pd.Series([], dtype=np.int64), "lang": [], "source": []}
