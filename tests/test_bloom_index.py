@@ -80,3 +80,37 @@ class TestBloomIndex:
             got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
         )
         assert len(got) == 3  # the two absent probes return nothing
+
+    def test_concurrent_cache_builders_converge(self, ray_session, tmp_path, monkeypatch):
+        """Two threads racing to build the per-scale index must both
+        return correct rows — the atomic mkdtemp+rename publish means
+        the loser adopts the winner's complete artifact, never a
+        half-written one."""
+        import shutil
+        import tempfile
+        import threading
+
+        from article_extraction_ray.pipelines.queries import q_bloom_point_lookup
+
+        sf = "/root/testdata/sf0.001"
+        cache = tempfile.gettempdir() + "/ae_bloomidx_sf0.001"
+        shutil.rmtree(cache, ignore_errors=True)
+
+        results, errors = {}, {}
+
+        def run(tid):
+            try:
+                results[tid] = q_bloom_point_lookup(sf)
+            except Exception as exc:  # pragma: no cover - the assertion target
+                errors[tid] = exc
+
+        threads = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, errors
+        assert len(results) == 2
+        a, b = results[0].reset_index(drop=True), results[1].reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+        assert len(a) == 3 and sorted(a["doc_id"]) == [1, 7, 123]
