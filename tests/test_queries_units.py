@@ -645,3 +645,125 @@ class TestDegenerateGroupParity:
         a = canon(_validate_orders(sf))
         b = canon(_validate_orders(sf, dim_budget=0))
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+class TestRouterParityRandomTables:
+    """Route parity on randomized tiny tables (three seeds each):
+    adversarial shapes — singleton groups, empty joins sides, skewed
+    keys — that the fixed sf0.001 data can't produce."""
+
+    @staticmethod
+    def _write(tmp_path, name, df, ts_cols=()):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t = pa.Table.from_pandas(df, preserve_index=False)
+        for c in ts_cols:
+            t = t.set_column(
+                t.column_names.index(c), c, t[c].cast(pa.timestamp("us"))
+            )
+        pq.write_table(t, tmp_path / f"{name}.parquet")
+
+    def test_share_of_total_routes_on_random_events(self, ray_session, tmp_path):
+        from article_extraction_ray.pipelines.queries import _share_of_total
+
+        for seed in (1, 2, 3):
+            rng = np.random.default_rng(seed)
+            n = int(rng.integers(5, 400))
+            d = tmp_path / f"s{seed}"
+            d.mkdir()
+            types = rng.choice(["a", "b", "c", "solo"], n)
+            types[0] = "solo"  # guarantee a possibly-singleton group
+            self._write(
+                d, "events",
+                pd.DataFrame({
+                    "event_id": np.arange(n, dtype=np.int64),
+                    "event_type": types,
+                    "value": np.round(rng.uniform(0.01, 99.99, n), 2),
+                }),
+            )
+            a = _share_of_total(str(d)).to_pandas().sort_values("event_id").reset_index(drop=True)
+            b = _share_of_total(str(d), key_budget=0).to_pandas().sort_values("event_id").reset_index(drop=True)
+            pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
+
+    def test_late_events_routes_on_random_events(self, ray_session, tmp_path):
+        from article_extraction_ray.pipelines.queries import _late_events
+
+        for seed in (4, 5, 6):
+            rng = np.random.default_rng(seed)
+            n = int(rng.integers(5, 400))
+            d = tmp_path / f"s{seed}"
+            d.mkdir()
+            self._write(
+                d, "events",
+                pd.DataFrame({
+                    "event_id": np.arange(n, dtype=np.int64),
+                    "user_id": rng.integers(0, max(2, n // 10), n),
+                    "ts": pd.to_datetime("2024-01-01")
+                    + pd.to_timedelta(rng.integers(0, 10**5, n), unit="s"),
+                }),
+                ts_cols=("ts",),
+            )
+            a = _late_events(str(d)).to_pandas().sort_values("event_id").reset_index(drop=True)
+            b = _late_events(str(d), key_budget=0).to_pandas().sort_values("event_id").reset_index(drop=True)
+            pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
+
+    def test_clustering_coeff_routes_on_random_baskets(self, ray_session, tmp_path):
+        from article_extraction_ray.pipelines.queries import _clustering_coeff
+
+        for seed in (7, 8):
+            rng = np.random.default_rng(seed)
+            n = int(rng.integers(30, 500))
+            d = tmp_path / f"s{seed}"
+            d.mkdir()
+            self._write(
+                d, "lineitem",
+                pd.DataFrame({
+                    "l_orderkey": rng.integers(0, max(3, n // 4), n).astype(np.int64),
+                    "l_partkey": rng.integers(0, 30, n).astype(np.int64),  # dense → triangles
+                }),
+            )
+            a = _clustering_coeff(str(d)).reset_index(drop=True)
+            b = _clustering_coeff(str(d), edge_budget=0).reset_index(drop=True)
+            pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    def test_fk_audit_routes_on_random_tables(self, ray_session, tmp_path):
+        from article_extraction_ray.pipelines.queries import _fk_audit
+
+        for seed in (9, 10):
+            rng = np.random.default_rng(seed)
+            d = tmp_path / f"s{seed}"
+            d.mkdir()
+            no, nl = int(rng.integers(5, 200)), int(rng.integers(5, 300))
+            self._write(d, "customer", pd.DataFrame({"c_custkey": np.arange(20, dtype=np.int64)}))
+            self._write(d, "nation", pd.DataFrame({"n_nationkey": np.arange(5, dtype=np.int64)}))
+            self._write(d, "part", pd.DataFrame({"p_partkey": np.arange(30, dtype=np.int64)}))
+            self._write(
+                d, "orders",
+                pd.DataFrame({
+                    "o_orderkey": np.arange(no, dtype=np.int64),
+                    "o_custkey": rng.integers(0, 28, no).astype(np.int64),  # some dangle
+                }),
+            )
+            self._write(
+                d, "lineitem",
+                pd.DataFrame({
+                    "l_orderkey": rng.integers(0, no + 10, nl).astype(np.int64),
+                    "l_partkey": rng.integers(0, 40, nl).astype(np.int64),
+                }),
+            )
+            self._write(
+                d, "customer2", pd.DataFrame({"x": [1]})
+            )  # unused; keeps layout simple
+            # customer table needs c_nationkey for the customer->nation edge
+            self._write(
+                d, "customer",
+                pd.DataFrame({
+                    "c_custkey": np.arange(20, dtype=np.int64),
+                    "c_nationkey": rng.integers(0, 8, 20).astype(np.int64),  # some dangle
+                }),
+            )
+            a = _fk_audit(str(d)).reset_index(drop=True)
+            b = _fk_audit(str(d), dim_budget=0).reset_index(drop=True)
+            pd.testing.assert_frame_equal(a, b, check_dtype=False)
+            assert (a["n_orphans"] > 0).any()  # the planted dangles fire
