@@ -84,7 +84,9 @@ def commit_snapshot(
     # optimistic-concurrency publish: os.link refuses to overwrite an
     # existing v{N}.json (EEXIST), so a racing committer can never
     # silently clobber a committed version — it retries at N+1
-    tmp = d / f".commit-{os.getpid()}-{id(files)}.tmp"
+    import uuid
+
+    tmp = d / f".commit-{os.getpid()}-{uuid.uuid4().hex}.tmp"
     try:
         for _ in range(64):
             prev = latest_version(table_dir)
