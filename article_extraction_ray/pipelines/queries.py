@@ -135,10 +135,10 @@ def _validate_orders(sf_dir: str, *, dim_budget: int = FK_DIM_BUDGET):
         sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
         split=True,
     )
-    dim_rows = pqt.ParquetFile(
-        os.path.join(sf_dir, "customer.parquet")
-    ).metadata.num_rows
-    fk_broadcast = dim_rows <= dim_budget
+    from ..sources.io import corpus_num_rows
+
+    dim_rows = corpus_num_rows(os.path.join(sf_dir, "customer.parquet"))
+    fk_broadcast = dim_rows is not None and dim_rows <= dim_budget
     if fk_broadcast:
         cust = read_table_arrow(sf_dir, "customer", ["c_custkey"])
         ckeys = Broadcast(cust["c_custkey"].combine_chunks())
@@ -6603,13 +6603,18 @@ def _fk_audit(sf_dir: str, *, dim_budget: int = FK_DIM_BUDGET):
 
     from .tabular import shuffle_semi_filter
 
+    from ..sources.io import corpus_num_rows
+
     def build_edge(edge):
         # plan construction stays on the main thread: concurrent
         # read_parquet calls race fsspec's lazy module import
         name, fact, fcol, dim, dcol = edge
-        dim_rows = pqt.ParquetFile(
-            os.path.join(sf_dir, f"{dim}.parquet")
-        ).metadata.num_rows
+        # metadata-only row count; works for single files AND shard
+        # directories.  None (can't answer cheaply) routes to the
+        # anti-join — the conservative choice for an unknown-size side.
+        dim_rows = corpus_num_rows(os.path.join(sf_dir, f"{dim}.parquet"))
+        if dim_rows is None:
+            dim_rows = dim_budget + 1
         ds = read_table(sf_dir, fact, columns=[fcol], split=True)
         if dim_rows <= dim_budget:
             keys = read_table_arrow(sf_dir, dim, columns=[dcol])[dcol]
