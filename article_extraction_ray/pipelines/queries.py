@@ -7170,6 +7170,189 @@ FROM e x JOIN e y ON y.a = x.b JOIN e z ON z.a = x.a AND z.b = y.b
 """
 
 
+_KCORE_K = 2
+_KCORE_ROUNDS = 6
+_KCORE_MIN_ORDERS = 2  # same edge rule as clustering_coeff
+
+#: node count above which k-core peeling keeps the alive set a Dataset
+#: (per-round co-partitioned semi-joins) instead of a driver fold
+KCORE_NODE_BUDGET = 5_000_000
+
+
+def q_kcore_members(sf_dir: str):
+    return _kcore_members(sf_dir)
+
+
+def _kcore_members(sf_dir: str, *, node_budget: int = KCORE_NODE_BUDGET):
+    """k-core decomposition of the co-purchase graph (parts as nodes,
+    edge = bought together in ≥ 2 orders): repeatedly peel nodes of
+    degree < k — the classic community-density filter (Seidman 1983)
+    used to isolate a graph's cohesive core, and the graph analogue of
+    a quality gate.  Fixed ``_KCORE_ROUNDS`` peel rounds (both engines
+    run exactly this many, so an unconverged graph still compares
+    bit-exactly), then one final degree pass filtered to ≥ k; output
+    is (part, core_deg) for the surviving core.
+
+    Routing, same template as ``stages/graph.pagerank``: at or under
+    ``node_budget`` nodes the removed-set lives on the driver and each
+    round is one streaming degree fold (per-batch partials, bounded by
+    the node domain); above it the alive set stays a Dataset and each
+    round is two co-partitioned ``shuffle_semi_filter``s + one
+    open-domain degree fold — no node-order state on the driver.
+    Both routes are proven identical by pytest (``node_budget=0``
+    forces the distributed peel).  Pure-int pipeline."""
+    import pyarrow.compute as pc
+
+    from .tabular import shuffle_semi_filter
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"], split=True)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = (batch["l_orderkey"].to_numpy() % 64).astype(np.int32)
+        return batch.append_column("__bucket", pa.array(b))
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["l_orderkey", "l_partkey"]].drop_duplicates()
+        m = df.merge(df, on="l_orderkey", suffixes=("_a", "_b"))
+        m = m[m["l_partkey_a"] < m["l_partkey_b"]]
+        return (
+            m.groupby(["l_partkey_a", "l_partkey_b"], as_index=False)
+            .size()
+            .rename(columns={"l_partkey_a": "a", "l_partkey_b": "b", "size": "n"})
+        )
+
+    folded = grouped_aggregate(
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(lambda df: pairs(df.drop(columns=["__bucket"])), batch_format="pandas"),
+        ["a", "b"],
+        {"n": ("sum", "n")},
+    )
+    edges = folded.map_batches(
+        lambda df: df[df["n"] >= _KCORE_MIN_ORDERS][["a", "b"]],
+        batch_format="pandas",
+    ).materialize()
+
+    k = _KCORE_K
+
+    def deg_partial_all(df: pd.DataFrame) -> pd.DataFrame:
+        both = pd.concat(
+            [df[["a"]].rename(columns={"a": "node"}),
+             df[["b"]].rename(columns={"b": "node"})]
+        )
+        return both.value_counts(["node"]).reset_index(name="d")
+
+    n_nodes = int(
+        grouped_aggregate(
+            edges.map_batches(deg_partial_all, batch_format="pandas"),
+            ["node"],
+            {"d": ("sum", "d")},
+        ).count()
+    )
+
+    if n_nodes <= node_budget:
+        # driver-fold peel: removed set is node-bounded by construction
+        removed: np.ndarray = np.array([], dtype=np.int64)
+        deg = None
+        for _ in range(_KCORE_ROUNDS + 1):  # final pass = the output degree
+            gone = Broadcast(pa.array(removed, type=pa.int64()))
+
+            def alive_deg(batch: pa.Table) -> pd.DataFrame:
+                keep = pc.and_(
+                    pc.invert(pc.is_in(batch["a"], value_set=gone.get())),
+                    pc.invert(pc.is_in(batch["b"], value_set=gone.get())),
+                )
+                df = batch.filter(keep).to_pandas()
+                return deg_partial_all(df)
+
+            got = edges.map_batches(alive_deg, batch_format="pyarrow").to_pandas()
+            deg = (
+                got.groupby("node")["d"].sum()
+                if len(got)
+                else pd.Series([], dtype=np.int64)
+            )
+            low = deg[deg < k].index.to_numpy(dtype=np.int64)
+            if len(low) == 0:
+                break  # fixpoint — further rounds are no-ops on both engines
+            removed = np.concatenate([removed, low])
+        core = deg[deg >= k]
+        out = pd.DataFrame(
+            {"part": core.index.to_numpy(dtype=np.int64),
+             "core_deg": core.to_numpy(dtype=np.int64)}
+        )
+        return out.sort_values("part").reset_index(drop=True)
+
+    # distributed peel (node domain outgrew the driver): alive stays a
+    # Dataset; each round = 2 co-partitioned semi-joins + 1 degree fold
+    def dist_deg(alive_edges):
+        return grouped_aggregate(
+            alive_edges.map_batches(deg_partial_all, batch_format="pandas"),
+            ["node"],
+            {"core_deg": ("sum", "d")},
+        )
+
+    alive_edges = edges
+    for _ in range(_KCORE_ROUNDS):
+        deg_ds = dist_deg(alive_edges).materialize()
+        alive_nodes = deg_ds.filter(expr=f"core_deg >= {k}").select_columns(["node"]).materialize()
+        if deg_ds.filter(expr=f"core_deg < {k}").count() == 0:
+            break
+        alive_edges = shuffle_semi_filter(
+            shuffle_semi_filter(
+                alive_edges.map_batches(
+                    lambda t: t.rename_columns(["node", "b"]), batch_format="pyarrow"
+                ),
+                alive_nodes,
+                "node",
+            ).map_batches(
+                lambda t: t.rename_columns(["a", "node"]), batch_format="pyarrow"
+            ),
+            alive_nodes,
+            "node",
+        ).map_batches(
+            lambda t: t.rename_columns(["a", "b"]), batch_format="pyarrow"
+        ).materialize()
+    final = dist_deg(alive_edges).filter(expr=f"core_deg >= {k}").to_pandas()
+    return (
+        final.rename(columns={"node": "part"})
+        .astype({"part": np.int64, "core_deg": np.int64})
+        .sort_values("part")
+        .reset_index(drop=True)
+    )
+
+
+def _kcore_sql() -> str:
+    k, rounds = _KCORE_K, _KCORE_ROUNDS
+    head = f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {_KCORE_MIN_ORDERS}
+),
+und AS (SELECT a AS s, b AS t FROM e UNION ALL SELECT b, a FROM e),
+alive0 AS (SELECT DISTINCT s AS node FROM und)"""
+    parts = []
+    for r in range(1, rounds + 2):  # the (rounds+1)th degree pass is the output
+        p = r - 1
+        parts.append(
+            f""",
+d{r} AS (
+  SELECT u.s AS node, count(*) AS deg FROM und u
+  JOIN alive{p} x ON u.s = x.node JOIN alive{p} y ON u.t = y.node
+  GROUP BY 1
+),
+alive{r} AS (SELECT node FROM d{r} WHERE deg >= {k})"""
+        )
+    tail = f"""
+SELECT CAST(node AS BIGINT) AS part, CAST(deg AS BIGINT) AS core_deg
+FROM d{rounds + 1} WHERE deg >= {k} ORDER BY part"""
+    return head + "".join(parts) + tail
+
+
+SQL_KCORE = _kcore_sql()
+
+
 _WEEK_US = 7 * 86400 * 10**6
 
 
@@ -11213,6 +11396,7 @@ QUERIES = {
     "zorder_prune": q_zorder_prune,
     "bloom_point_lookup": q_bloom_point_lookup,
     "q10_returned_items": q_q10_returned_items,
+    "kcore_members": q_kcore_members,
     "compact_roundtrip": q_compact_roundtrip,
     "rag_index_search": q_rag_index_search,
     "robust_zscore": q_robust_zscore,
@@ -11516,6 +11700,7 @@ ORACLE_SQL = {
     "corr_matrix": SQL_CORR_MATRIX,
     "bloom_point_lookup": SQL_BLOOM_POINT_LOOKUP,
     "q10_returned_items": SQL_Q10,
+    "kcore_members": SQL_KCORE,
     "ngram_span_dedup": SQL_NGRAM_SPAN_DEDUP,
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "interval_coverage": SQL_INTERVAL_COVERAGE,

@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "cdc_apply",
     "bloom_point_lookup",
     "q10_returned_items",
+    "kcore_members",
 ]
 
 

@@ -767,3 +767,12 @@ class TestRouterParityRandomTables:
             b = _fk_audit(str(d), dim_budget=0).reset_index(drop=True)
             pd.testing.assert_frame_equal(a, b, check_dtype=False)
             assert (a["n_orphans"] > 0).any()  # the planted dangles fire
+
+    def test_kcore_distributed_peel_route(self, ray_session):
+        from article_extraction_ray.pipelines.queries import _kcore_members
+
+        sf = "/root/testdata/sf0.001"
+        a = _kcore_members(sf).reset_index(drop=True)
+        b = _kcore_members(sf, node_budget=0).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+        assert len(a) > 0 and (a["core_deg"] >= 2).all()
