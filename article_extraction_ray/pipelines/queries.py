@@ -129,7 +129,6 @@ def _validate_orders(sf_dir: str, *, dim_budget: int = FK_DIM_BUDGET):
     import os
 
     import pyarrow.compute as pc
-    import pyarrow.parquet as pqt
 
     ds = read_table(
         sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
@@ -6599,11 +6598,9 @@ def _fk_audit(sf_dir: str, *, dim_budget: int = FK_DIM_BUDGET):
     from concurrent.futures import ThreadPoolExecutor
 
     import pyarrow.compute as pc
-    import pyarrow.parquet as pqt
-
-    from .tabular import shuffle_semi_filter
 
     from ..sources.io import corpus_num_rows
+    from .tabular import shuffle_semi_filter
 
     def build_edge(edge):
         # plan construction stays on the main thread: concurrent
