@@ -8479,6 +8479,89 @@ r{k} AS (
 SQL_PAGERANK = _pagerank_sql()
 
 
+_PPR_SOURCE = 2  # node id of custkey 1 (same encoding as BFS/pagerank)
+
+
+def q_ppr_scores(sf_dir: str):
+    """Personalized PageRank from one source node over the same
+    customer→supplier bipartite graph as `pagerank` — random-walk-with-
+    restart proximity, the graph-similarity primitive behind
+    who-is-close-to-X recommendations.  The teleport vector (and the
+    dangling mass) concentrates on the source instead of spreading
+    uniformly; everything else — sweep loop, routing, checkpointing —
+    is `stages/graph.pagerank` with ``restart_node`` set.  Value-checked
+    against the chained-CTE unroll (SQL_PPR) with the same single
+    10-dp rounding contract as `pagerank`."""
+    from ..stages.graph import pagerank
+
+    orders = read_table_arrow(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"], split=True)
+
+    def edges(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": (df["o_custkey"].to_numpy() * 2).astype(np.int64),
+                "dst": (df["l_suppkey"].to_numpy() * 2 + 1).astype(np.int64),
+            }
+        )
+
+    e = broadcast_join(
+        li, orders.rename_columns(["l_orderkey", "o_custkey"]), "l_orderkey"
+    ).map_batches(edges, batch_format="pandas")
+    out = pagerank(e, iters=8, restart_node=_PPR_SOURCE)
+    # drop exact zeros (nodes the walk never reaches): keeps the output
+    # support-bounded and the comparison meaningful on both engines
+    out = out[out["rank"] > 0.0]
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def _ppr_sql(source: int, iters: int = 8, damping: float = 0.85) -> str:
+    """Chained-CTE personalized-PageRank unroll mirroring
+    stages/graph.pagerank(restart_node=source): teleport and dangling
+    mass land on the source node only."""
+    head = f"""
+WITH edges AS (
+  SELECT 2 * o.o_custkey AS src, 2 * l.l_suppkey + 1 AS dst
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+deg AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY 1),
+r0 AS (SELECT node, CASE WHEN node = {source} THEN 1.0 ELSE 0.0 END AS rank FROM nodes)"""
+    sweeps = []
+    for k in range(1, iters + 1):
+        p = k - 1
+        sweeps.append(
+            f""",
+d{k} AS (
+  SELECT coalesce(sum(r.rank), 0.0) AS mass FROM r{p} r
+  LEFT JOIN deg ON r.node = deg.node WHERE deg.node IS NULL
+),
+c{k} AS (
+  SELECT e.dst AS node, sum(r.rank / deg.deg) AS contrib
+  FROM edges e JOIN r{p} r ON e.src = r.node JOIN deg ON deg.node = e.src
+  GROUP BY e.dst
+),
+r{k} AS (
+  SELECT n.node,
+         (1.0 - {damping}) * (CASE WHEN n.node = {source} THEN 1.0 ELSE 0.0 END)
+         + {damping} * (coalesce(c.contrib, 0.0)
+                        + d.mass * (CASE WHEN n.node = {source} THEN 1.0 ELSE 0.0 END)) AS rank
+  FROM nodes n CROSS JOIN d{k} d
+  LEFT JOIN c{k} c ON c.node = n.node
+)"""
+        )
+    return (
+        head
+        + "".join(sweeps)
+        + f"""
+SELECT CAST(node AS BIGINT) AS node, round(rank, 10) AS rank
+FROM r{iters} WHERE round(rank, 10) > 0.0 ORDER BY node"""
+    )
+
+
+SQL_PPR = _ppr_sql(_PPR_SOURCE)
+
+
 _LP_SEED_MOD = 5
 _LP_ITERS = 6
 
@@ -11394,6 +11477,7 @@ QUERIES = {
     "bloom_point_lookup": q_bloom_point_lookup,
     "q10_returned_items": q_q10_returned_items,
     "kcore_members": q_kcore_members,
+    "ppr_scores": q_ppr_scores,
     "compact_roundtrip": q_compact_roundtrip,
     "rag_index_search": q_rag_index_search,
     "robust_zscore": q_robust_zscore,
@@ -11698,6 +11782,7 @@ ORACLE_SQL = {
     "bloom_point_lookup": SQL_BLOOM_POINT_LOOKUP,
     "q10_returned_items": SQL_Q10,
     "kcore_members": SQL_KCORE,
+    "ppr_scores": SQL_PPR,
     "ngram_span_dedup": SQL_NGRAM_SPAN_DEDUP,
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "interval_coverage": SQL_INTERVAL_COVERAGE,

@@ -367,8 +367,17 @@ def pagerank(
     ckpt_dir: str | None = None,
     node_budget: int = PAGERANK_NODE_BUDGET,
     path: str = "auto",
+    restart_node: int | None = None,
 ):
     """Distributed PageRank → pandas DataFrame(node, rank).
+
+    ``restart_node`` switches to PERSONALIZED PageRank: the teleport
+    vector concentrates on that one node (rank starts as e_s, the
+    (1−d) restart mass and the dangling mass both teleport to the
+    source instead of spreading uniformly) — the random-walk-with-
+    restart proximity measure recommender/similarity pipelines use.
+    Both physical plans honor it; ``None`` keeps the standard uniform
+    teleport, byte-identical to before.
 
     With ``ckpt_dir``, each sweep's rank vector checkpoints atomically
     and a rerun resumes after the last complete sweep
@@ -427,6 +436,7 @@ def pagerank(
             edges, nodes_ds, deg_ds, n,
             src_col=src_col, dst_col=dst_col,
             damping=damping, iters=iters, ckpt_dir=ckpt_dir,
+            restart_node=restart_node,
         )
 
     # the sweep loop re-scans the edge list once per iteration, so the
@@ -438,7 +448,13 @@ def pagerank(
 
     deg = deg_ds.to_pandas()
     nodes = np.sort(nodes_ds.to_pandas()["node"].to_numpy())
-    rank = pd.Series(np.full(n, 1.0 / n), index=nodes)
+    if restart_node is None:
+        restart = np.full(n, 1.0 / n)  # uniform teleport (standard)
+    else:
+        restart = (nodes == restart_node).astype(np.float64)
+        if restart.sum() == 0.0:
+            raise ValueError(f"restart_node {restart_node} is not in the graph")
+    rank = pd.Series(restart.copy(), index=nodes)
     degs = pd.Series(deg["deg"].to_numpy(dtype=np.float64), index=deg[src_col]).reindex(
         nodes
     )  # NaN = dangling
@@ -469,7 +485,13 @@ def pagerank(
         # the bucketed path above the budget keeps the exchange)
         got = edges.map_batches(contrib, batch_format="pyarrow").to_pandas()
         c = got.groupby("node")["c"].sum().reindex(nodes).fillna(0.0)
-        return ((1.0 - damping) / n + damping * (c + dangling / n)).to_numpy()
+        if restart_node is None:
+            # classic uniform teleport — expression kept EXACTLY as
+            # before ((1-d)/n, dangling/n) so ranks stay bit-identical
+            # to the oracle's float sequence
+            return ((1.0 - damping) / n + damping * (c + dangling / n)).to_numpy()
+        # personalized: restart mass AND dangling mass land on the source
+        return (1.0 - damping) * restart + damping * (c.to_numpy() + dangling * restart)
 
     final = iterate_with_checkpoint(rank.to_numpy(), sweep, iters, ckpt_dir=ckpt_dir)
     return pd.DataFrame({"node": nodes, "rank": np.round(final, 10)})
@@ -531,6 +553,7 @@ def _pagerank_bucketed(
     iters: int,
     ckpt_dir: str | None,
     num_buckets: int = _N_BUCKETS,
+    restart_node: int | None = None,
 ):
     """PageRank with node state as a co-partitioned Dataset — the path
     :func:`pagerank` routes to when the rank vector outgrows a
@@ -559,14 +582,16 @@ def _pagerank_bucketed(
     # deg must be float64 in EVERY block (null ⇒ NaN ⇒ dangling): a
     # bucket with no dangling nodes would otherwise keep int64 and the
     # per-block schemas diverge
+    def init_rank(df: pd.DataFrame) -> pd.DataFrame:
+        if restart_node is None:
+            r = np.full(len(df), 1.0 / n)
+        else:
+            r = (df["node"].to_numpy() == restart_node).astype(np.float64)
+        return df.assign(deg=df["deg"].astype(np.float64), rank=r)
+
     state = shuffle_join(
         nodes_ds, deg_named, "node", how="left", num_buckets=num_buckets
-    ).map_batches(
-        lambda df: df.assign(
-            deg=df["deg"].astype(np.float64), rank=np.full(len(df), 1.0 / n)
-        ),
-        batch_format="pandas",
-    )
+    ).map_batches(init_rank, batch_format="pandas")
 
     start = 0
     if ckpt_dir is not None:
@@ -631,11 +656,16 @@ def _pagerank_bucketed(
         def update(df: pd.DataFrame) -> pd.DataFrame:
             c = df["c"].to_numpy(dtype=np.float64)
             c = np.where(np.isnan(c), 0.0, c)
+            if restart_node is None:
+                new_rank = base + damping * (c + dangling / n)
+            else:
+                e_s = (df["node"].to_numpy() == restart_node).astype(np.float64)
+                new_rank = (1.0 - damping) * e_s + damping * (c + dangling * e_s)
             return pd.DataFrame(
                 {
                     "node": df["node"],
                     "deg": df["deg"].astype(np.float64),
-                    "rank": base + damping * (c + dangling / n),
+                    "rank": new_rank,
                 }
             )
 
@@ -651,21 +681,28 @@ def _pagerank_bucketed(
 
 
 def pagerank_local(src: np.ndarray, dst: np.ndarray, *, damping: float = 0.85,
-                   iters: int = 10) -> pd.DataFrame:
+                   iters: int = 10, restart_node: int | None = None) -> pd.DataFrame:
     """Single-process reference (test oracle) — same formula and
-    iteration count as :func:`pagerank`."""
+    iteration count as :func:`pagerank`, including the personalized
+    restart variant."""
     nodes = np.sort(np.unique(np.concatenate([src, dst])))
     idx = {v: i for i, v in enumerate(nodes)}
     n = len(nodes)
     s = np.fromiter((idx[v] for v in src), dtype=np.int64, count=len(src))
     d = np.fromiter((idx[v] for v in dst), dtype=np.int64, count=len(dst))
     deg = np.bincount(s, minlength=n).astype(np.float64)
-    rank = np.full(n, 1.0 / n)
+    restart = (
+        None if restart_node is None else (nodes == restart_node).astype(np.float64)
+    )
+    rank = np.full(n, 1.0 / n) if restart is None else restart.copy()
     for _ in range(iters):
         share = np.where(deg > 0, rank / np.where(deg > 0, deg, 1.0), 0.0)
         dangling = rank[deg == 0].sum()
         c = np.bincount(d, weights=share[s], minlength=n)
-        rank = (1.0 - damping) / n + damping * (c + dangling / n)
+        if restart is None:
+            rank = (1.0 - damping) / n + damping * (c + dangling / n)
+        else:
+            rank = (1.0 - damping) * restart + damping * (c + dangling * restart)
     return pd.DataFrame({"node": nodes, "rank": np.round(rank, 10)})
 
 

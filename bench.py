@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "bloom_point_lookup",
     "q10_returned_items",
     "kcore_members",
+    "ppr_scores",
 ]
 
 

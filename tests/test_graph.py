@@ -325,3 +325,57 @@ class TestTriangleCount:
         )
         assert triangle_count(rd.from_pandas(k4)) == 4
         assert triangle_count(rd.from_pandas(k4), driver_edge_budget=0) == 4
+
+
+class TestPersonalizedPageRank:
+    """restart_node concentrates teleport + dangling mass on the source;
+    both physical plans and the local reference must agree, and the
+    standard uniform path must be byte-unchanged."""
+
+    def _edges(self, rd):
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(21)
+        n = 400
+        df = pd.DataFrame(
+            {
+                "src": rng.integers(0, 60, n).astype(np.int64),
+                "dst": rng.integers(0, 60, n).astype(np.int64),
+            }
+        )
+        df = df[df["src"] != df["dst"]].drop_duplicates()
+        return df, rd.from_pandas(df).repartition(4)
+
+    def test_plans_and_local_reference_agree(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from article_extraction_ray.stages.graph import pagerank, pagerank_local
+
+        df, ds = self._edges(rd)
+        src_node = int(df["src"].iloc[0])
+        bc = pagerank(ds, iters=6, restart_node=src_node, path="broadcast")
+        bu = pagerank(ds, iters=6, restart_node=src_node, path="bucketed")
+        lo = pagerank_local(
+            df["src"].to_numpy(), df["dst"].to_numpy(), iters=6, restart_node=src_node
+        )
+        pd.testing.assert_frame_equal(
+            bc.reset_index(drop=True), bu.reset_index(drop=True), check_dtype=False
+        )
+        pd.testing.assert_frame_equal(
+            bc.reset_index(drop=True), lo.reset_index(drop=True), check_dtype=False
+        )
+        # restart mass concentrates: the source outranks the median node
+        ranks = bc.set_index("node")["rank"]
+        assert ranks.loc[src_node] > ranks.median()
+
+    def test_unknown_source_raises(self, ray_session):
+        import pytest as _pytest
+        import ray.data as rd
+
+        from article_extraction_ray.stages.graph import pagerank
+
+        _df, ds = self._edges(rd)
+        with _pytest.raises(ValueError, match="restart_node"):
+            pagerank(ds, iters=2, restart_node=10**9, path="broadcast")
