@@ -11456,6 +11456,859 @@ LIMIT 100
 """
 
 
+_Q4_FROM = "1997-07-01"
+_Q4_TO = "1997-10-01"
+
+
+def q_q4_order_priority(sf_dir: str):
+    """TPC-H-Q4-shaped EXISTS semi-join: orders placed in one quarter
+    that had at least one line shipped AFTER the order date, counted per
+    priority class (the commit/receipt columns aren't in this schema, so
+    the late-line predicate substitutes — same correlated-EXISTS plan).
+
+    The EXISTS rewrites to an aggregate semi-join: lineitem pre-reduces
+    per orderkey to max(l_shipdate) inside each batch (combiner), folds
+    through the open-domain exchange, and the QUARTER-windowed order
+    sliver joins it through the size-routed facade — the window side is
+    the small one, so it broadcasts under budget and hash-exchanges
+    above.  Priority counts finalize on the bounded 5-value domain."""
+    from .tabular import join as join_route
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"], split=True)
+
+    def max_ship(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "o_orderkey": batch["l_orderkey"].to_numpy(zero_copy_only=False),
+                "ship": batch["l_shipdate"].to_numpy(zero_copy_only=False),
+            }
+        )
+        return df.groupby("o_orderkey", as_index=False)["ship"].max()
+
+    per_order = grouped_aggregate(
+        li.map_batches(max_ship, batch_format="pyarrow"),
+        ["o_orderkey"],
+        {"ship": ("max", "ship")},
+    )
+
+    lo, hi = np.datetime64(_Q4_FROM, "us"), np.datetime64(_Q4_TO, "us")
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"], split=True
+    )
+
+    def window(batch: pa.Table) -> pa.Table:
+        d = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array((d >= lo) & (d < hi)))
+
+    j, _ = join_route(per_order, orders.map_batches(window, batch_format="pyarrow"), on="o_orderkey")
+
+    def late_only(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df["ship"].to_numpy() > df["o_orderdate"].to_numpy()
+        return df.loc[keep, ["o_orderpriority"]]
+
+    out = grouped_aggregate(
+        j.map_batches(late_only, batch_format="pandas"),
+        ["o_orderpriority"],
+        {"order_count": ("count", None)},
+        small_keys=True,
+    ).to_pandas()
+    out["order_count"] = out["order_count"].astype(np.int64)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+SQL_Q4 = f"""
+SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '{_Q4_FROM}'
+  AND o.o_orderdate <  TIMESTAMP '{_Q4_TO}'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+_Q6_FROM = "1997-01-01"
+_Q6_TO = "1998-01-01"
+
+
+def q_q6_forecast_revenue(sf_dir: str):
+    """TPC-H-Q6-shaped forecast: revenue delta from discounts in a band,
+    one shipping year, small quantities — the pure filter-aggregate scan.
+
+    Single streaming pass, zero shuffle: each batch reduces to ONE
+    int64 partial in 1e-4-dollar units (price has 2 decimals, discount
+    2, so price·10000·discount is an exact integer) and the partials
+    fold through ``Dataset.sum``.  The only data leaving a worker is
+    8 bytes per block — the canonical shape for a 100-TB filter-agg."""
+    li = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+        split=True,
+    )
+    lo, hi = np.datetime64(_Q6_FROM, "us"), np.datetime64(_Q6_TO, "us")
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        d = batch["l_shipdate"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        keep = (d >= lo) & (d < hi) & (disc >= 0.02) & (disc <= 0.04) & (q < 24)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        units = np.round(price * 10000 * disc[keep]).astype(np.int64).sum()
+        return pd.DataFrame({"u": [units]})
+
+    total = li.map_batches(partial, batch_format="pyarrow").sum("u")
+    return pd.DataFrame({"revenue": [np.round(total / 10000.0, 2)]})
+
+
+SQL_Q6 = f"""
+SELECT round(sum(CAST(round(l_extendedprice * 10000 * l_discount) AS BIGINT)) / 10000.0, 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{_Q6_FROM}'
+  AND l_shipdate <  TIMESTAMP '{_Q6_TO}'
+  AND l_discount BETWEEN 0.02 AND 0.04
+  AND l_quantity < 24
+"""
+
+
+_Q7_N1 = 3
+_Q7_N2 = 8
+_Q7_FROM = "1998-01-01"
+_Q7_TO = "2000-01-01"
+
+
+def q_q7_volume_shipping(sf_dir: str):
+    """TPC-H-Q7-shaped volume shipping: revenue between a NATION PAIR
+    (supplier in one, customer in the other, both directions) per ship
+    year over a two-year window.
+
+    Supplier→nation and the pair-filtered customer→nation maps are
+    dimensions (TPC-H size hierarchy) and broadcast once as pandas
+    index lookups; lineitem pre-reduces per (orderkey, supp-nation,
+    ship-year) INSIDE the batch so the one fact-fact exchange —
+    lineitem⋈order-dimension on orderkey, via the size-routed
+    :func:`tabular.join` facade — carries distinct keys, not lines.
+    Revenue in exact 1e-4-dollar int64; the 2×2×2 final groupby
+    finalizes on the bounded domain."""
+    from .tabular import join as join_route
+
+    nat = read_table_arrow(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    nname = {int(k): v for k, v in zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist())}
+
+    sup = read_table_arrow(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    sk = sup["s_suppkey"].to_numpy().astype(np.int64)
+    sn = sup["s_nationkey"].to_numpy().astype(np.int64)
+    m = (sn == _Q7_N1) | (sn == _Q7_N2)
+    smap_bc = Broadcast(pd.Series(sn[m], index=sk[m]))
+
+    cust = read_table_arrow(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    ck = cust["c_custkey"].to_numpy().astype(np.int64)
+    cn = cust["c_nationkey"].to_numpy().astype(np.int64)
+    cm = (cn == _Q7_N1) | (cn == _Q7_N2)
+    cmap_bc = Broadcast(pd.Series(cn[cm], index=ck[cm]))
+
+    lo, hi = np.datetime64(_Q7_FROM, "us"), np.datetime64(_Q7_TO, "us")
+    li = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        split=True,
+    )
+
+    def li_partial(batch: pa.Table) -> pd.DataFrame:
+        d = batch["l_shipdate"].to_numpy(zero_copy_only=False)
+        b = batch.filter(pa.array((d >= lo) & (d < hi)))
+        snat = smap_bc.get().reindex(b["l_suppkey"].to_numpy(zero_copy_only=False)).to_numpy()
+        hit = ~np.isnan(snat)
+        b = b.filter(pa.array(hit))
+        price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        rev = np.round(price * 10000 * (1.0 - disc)).astype(np.int64)
+        yr = b["l_shipdate"].to_numpy(zero_copy_only=False).astype("datetime64[Y]").astype(np.int64) + 1970
+        return (
+            pd.DataFrame(
+                {
+                    "o_orderkey": b["l_orderkey"].to_numpy(zero_copy_only=False),
+                    "supp_nat": snat[hit].astype(np.int64),
+                    "l_year": yr,
+                    "rev": rev,
+                }
+            )
+            .groupby(["o_orderkey", "supp_nat", "l_year"], as_index=False)["rev"]
+            .sum()
+        )
+
+    lrev = li.map_batches(li_partial, batch_format="pyarrow")
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"], split=True)
+
+    def odim_fn(batch: pa.Table) -> pd.DataFrame:
+        cnat = cmap_bc.get().reindex(batch["o_custkey"].to_numpy(zero_copy_only=False)).to_numpy()
+        hit = ~np.isnan(cnat)
+        return pd.DataFrame(
+            {
+                "o_orderkey": batch["o_orderkey"].to_numpy(zero_copy_only=False)[hit],
+                "cust_nat": cnat[hit].astype(np.int64),
+            }
+        )
+
+    odim = orders.map_batches(odim_fn, batch_format="pyarrow")
+    j, _ = join_route(lrev, odim, on="o_orderkey")
+
+    def pair_filter(df: pd.DataFrame) -> pd.DataFrame:
+        keep = ((df["supp_nat"] == _Q7_N1) & (df["cust_nat"] == _Q7_N2)) | (
+            (df["supp_nat"] == _Q7_N2) & (df["cust_nat"] == _Q7_N1)
+        )
+        return df.loc[keep, ["supp_nat", "cust_nat", "l_year", "rev"]]
+
+    out = grouped_aggregate(
+        j.map_batches(pair_filter, batch_format="pandas"),
+        ["supp_nat", "cust_nat", "l_year"],
+        {"rev": ("sum", "rev")},
+        small_keys=True,
+    ).to_pandas()
+    out["supp_nation"] = out["supp_nat"].map(nname)
+    out["cust_nation"] = out["cust_nat"].map(nname)
+    out["revenue"] = np.round(out["rev"] / 10000.0, 2)
+    return (
+        out.sort_values(["supp_nation", "cust_nation", "l_year"])
+        .reset_index(drop=True)[["supp_nation", "cust_nation", "l_year", "revenue"]]
+    )
+
+
+SQL_Q7 = f"""
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(extract(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+       round(sum(CAST(round(l.l_extendedprice * 10000 * (1.0 - l.l_discount)) AS BIGINT)) / 10000.0, 2) AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+WHERE l.l_shipdate >= TIMESTAMP '{_Q7_FROM}'
+  AND l.l_shipdate <  TIMESTAMP '{_Q7_TO}'
+  AND ((s.s_nationkey = {_Q7_N1} AND c.c_nationkey = {_Q7_N2})
+    OR (s.s_nationkey = {_Q7_N2} AND c.c_nationkey = {_Q7_N1}))
+GROUP BY ns.n_name, nc.n_name, CAST(extract(year FROM l.l_shipdate) AS BIGINT)
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+_Q8_REGION = "EUROPE"
+_Q8_TYPE = "STANDARD"
+_Q8_NATION = 3
+_Q8_FROM = "1998-01-01"
+_Q8_TO = "2000-01-01"
+
+
+def q_q8_market_share(sf_dir: str):
+    """TPC-H-Q8-shaped national market share: of the revenue for one
+    part type sold to customers of one region over two years, the
+    fraction supplied from one target nation, per order year.
+
+    Dimension chain (type-filtered part keys, region-filtered customer
+    keys, supplier→nation) broadcasts once and fuses into the two fact
+    scans; lineitem pre-reduces per (orderkey, is-target-nation) so the
+    fact-fact exchange (size-routed facade) carries two rows per
+    distinct order at most.  Numerator and denominator accumulate as
+    exact int64 1e-4-dollar units; the share divides once per year
+    group (identical correctly-rounded IEEE division on both engines)
+    and rounds to 6 places on both sides."""
+    import pyarrow.compute as pc
+
+    from .tabular import join as join_route
+
+    part = read_table_arrow(sf_dir, "part", columns=["p_partkey", "p_type"])
+    pk_bc = Broadcast(
+        part.filter(pc.equal(part["p_type"], _Q8_TYPE))["p_partkey"].combine_chunks().cast(pa.int64())
+    )
+
+    nat = read_table_arrow(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"])
+    reg = read_table_arrow(sf_dir, "region", columns=["r_regionkey", "r_name"])
+    rkey = reg.filter(pc.equal(reg["r_name"], _Q8_REGION))["r_regionkey"][0].as_py()
+    nkeys = nat.filter(pc.equal(nat["n_regionkey"], rkey))["n_nationkey"].to_numpy().astype(np.int64)
+
+    cust = read_table_arrow(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    ck = cust["c_custkey"].to_numpy().astype(np.int64)
+    cn = cust["c_nationkey"].to_numpy().astype(np.int64)
+    ckeys_bc = Broadcast(pa.array(ck[np.isin(cn, nkeys)]))
+
+    sup = read_table_arrow(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    smap_bc = Broadcast(
+        pd.Series(
+            sup["s_nationkey"].to_numpy().astype(np.int64),
+            index=sup["s_suppkey"].to_numpy().astype(np.int64),
+        )
+    )
+
+    lo, hi = np.datetime64(_Q8_FROM, "us"), np.datetime64(_Q8_TO, "us")
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"], split=True)
+
+    def odim_fn(batch: pa.Table) -> pd.DataFrame:
+        d = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        b = batch.filter(pa.array((d >= lo) & (d < hi)))
+        inr = pc.is_in(b["o_custkey"], value_set=ckeys_bc.get())
+        b = b.filter(inr)
+        yr = b["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[Y]").astype(np.int64) + 1970
+        return pd.DataFrame(
+            {"o_orderkey": b["o_orderkey"].to_numpy(zero_copy_only=False), "o_year": yr}
+        )
+
+    odim = orders.map_batches(odim_fn, batch_format="pyarrow")
+
+    li = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        split=True,
+    )
+
+    def li_partial(batch: pa.Table) -> pd.DataFrame:
+        b = batch.filter(pc.is_in(batch["l_partkey"], value_set=pk_bc.get()))
+        price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        rev = np.round(price * 10000 * (1.0 - disc)).astype(np.int64)
+        snat = smap_bc.get().reindex(b["l_suppkey"].to_numpy(zero_copy_only=False)).to_numpy()
+        return (
+            pd.DataFrame(
+                {
+                    "o_orderkey": b["l_orderkey"].to_numpy(zero_copy_only=False),
+                    "tgt": (snat == _Q8_NATION).astype(np.int64),
+                    "rev": rev,
+                }
+            )
+            .groupby(["o_orderkey", "tgt"], as_index=False)["rev"]
+            .sum()
+        )
+
+    lrev = li.map_batches(li_partial, batch_format="pyarrow")
+    j, _ = join_route(lrev, odim, on="o_orderkey")
+    per = grouped_aggregate(
+        j, ["o_year", "tgt"], {"rev": ("sum", "rev")}, small_keys=True
+    ).to_pandas()
+    tot = per.groupby("o_year")["rev"].sum()
+    tgt = per[per["tgt"] == 1].set_index("o_year")["rev"].reindex(tot.index).fillna(0).astype(np.int64)
+    out = pd.DataFrame(
+        {
+            "o_year": tot.index.to_numpy().astype(np.int64),
+            "mkt_share": np.round(tgt.to_numpy() / tot.to_numpy(), 6),
+        }
+    )
+    return out.sort_values("o_year").reset_index(drop=True)
+
+
+SQL_Q8 = f"""
+SELECT CAST(extract(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+       round(sum(CASE WHEN s.s_nationkey = {_Q8_NATION}
+                      THEN CAST(round(l.l_extendedprice * 10000 * (1.0 - l.l_discount)) AS BIGINT)
+                      ELSE 0 END)
+             / sum(CAST(round(l.l_extendedprice * 10000 * (1.0 - l.l_discount)) AS BIGINT)), 6) AS mkt_share
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+JOIN part p     ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+WHERE r.r_name = '{_Q8_REGION}'
+  AND p.p_type = '{_Q8_TYPE}'
+  AND o.o_orderdate >= TIMESTAMP '{_Q8_FROM}'
+  AND o.o_orderdate <  TIMESTAMP '{_Q8_TO}'
+GROUP BY CAST(extract(year FROM o.o_orderdate) AS BIGINT)
+ORDER BY o_year
+"""
+
+
+_Q12_FROM = "1998-01-01"
+_Q12_TO = "1999-01-01"
+_Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+def q_q12_priority_lines(sf_dir: str):
+    """TPC-H-Q12-shaped priority split: lines shipped in one year,
+    counted per line status, split into high-priority (urgent/high
+    order) vs low-priority line counts — the fact-fact join with CASE
+    aggregation (this schema has no shipmode, so line status keys the
+    report; same plan shape).
+
+    Lineitem pre-reduces per (orderkey, linestatus) counts inside each
+    batch; the orders side projects to (orderkey, is_high) — both fact-
+    sized, so the exchange routes through the size-routed facade
+    (broadcast under budget, hash exchange above).  The CASE split is a
+    vectorized multiply; the 2-value final groupby is bounded-domain."""
+    from .tabular import join as join_route
+
+    lo, hi = np.datetime64(_Q12_FROM, "us"), np.datetime64(_Q12_TO, "us")
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_linestatus", "l_shipdate"], split=True)
+
+    def li_partial(batch: pa.Table) -> pd.DataFrame:
+        d = batch["l_shipdate"].to_numpy(zero_copy_only=False)
+        b = batch.filter(pa.array((d >= lo) & (d < hi)))
+        df = pd.DataFrame(
+            {
+                "o_orderkey": b["l_orderkey"].to_numpy(zero_copy_only=False),
+                "l_linestatus": b["l_linestatus"].to_numpy(zero_copy_only=False),
+            }
+        )
+        return (
+            df.groupby(["o_orderkey", "l_linestatus"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+
+    lcnt = li.map_batches(li_partial, batch_format="pyarrow")
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"], split=True)
+
+    def odim_fn(batch: pa.Table) -> pd.DataFrame:
+        pri = batch["o_orderpriority"].to_numpy(zero_copy_only=False)
+        return pd.DataFrame(
+            {
+                "o_orderkey": batch["o_orderkey"].to_numpy(zero_copy_only=False),
+                "is_high": np.isin(pri, list(_Q12_HIGH)).astype(np.int64),
+            }
+        )
+
+    odim = orders.map_batches(odim_fn, batch_format="pyarrow")
+    j, _ = join_route(lcnt, odim, on="o_orderkey")
+
+    def split(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_linestatus": df["l_linestatus"],
+                "h": df["n"] * df["is_high"],
+                "l": df["n"] * (1 - df["is_high"]),
+            }
+        )
+
+    out = grouped_aggregate(
+        j.map_batches(split, batch_format="pandas"),
+        ["l_linestatus"],
+        {"high_line_count": ("sum", "h"), "low_line_count": ("sum", "l")},
+        small_keys=True,
+    ).to_pandas()
+    out["high_line_count"] = out["high_line_count"].astype(np.int64)
+    out["low_line_count"] = out["low_line_count"].astype(np.int64)
+    return out.sort_values("l_linestatus").reset_index(drop=True)
+
+
+SQL_Q12 = f"""
+SELECT l.l_linestatus,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '{_Q12_FROM}'
+  AND l.l_shipdate <  TIMESTAMP '{_Q12_TO}'
+GROUP BY l.l_linestatus
+ORDER BY l.l_linestatus
+"""
+
+
+_Q13_CUTOFF = "2000-01-01"
+
+
+def q_q13_order_counts(sf_dir: str):
+    """TPC-H-Q13-shaped customer order-count distribution: how many
+    customers placed exactly N orders on/after a cutoff date —
+    including the zero bucket (the LEFT-JOIN semantics).
+
+    Two-level aggregation: orders pre-reduce per custkey inside each
+    batch, fold through the open-domain exchange, and the count
+    HISTOGRAM finalizes on the bounded count domain.  The zero bucket
+    is arithmetic — total customers from the parquet FOOTER (no data
+    read) minus the number of per-customer groups — so the left join
+    never materializes; at 100 TB that replaces a customer×orders
+    outer exchange with one metadata probe."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    lo = np.datetime64(_Q13_CUTOFF, "us")
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderdate"], split=True)
+
+    def per_cust(batch: pa.Table) -> pd.DataFrame:
+        d = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"o_custkey": batch["o_custkey"].to_numpy(zero_copy_only=False)[d >= lo]})
+        return df.groupby("o_custkey", as_index=False).size().rename(columns={"size": "n"})
+
+    per = grouped_aggregate(
+        orders.map_batches(per_cust, batch_format="pyarrow"),
+        ["o_custkey"],
+        {"c_count": ("sum", "n")},
+    )
+    hist = grouped_aggregate(
+        per, ["c_count"], {"custdist": ("count", None)}, small_keys=True
+    ).to_pandas()
+    total_cust = pq.ParquetFile(os.path.join(sf_dir, "customer.parquet")).metadata.num_rows
+    n_zero = total_cust - int(hist["custdist"].sum())
+    if n_zero > 0:
+        hist = pd.concat(
+            [hist, pd.DataFrame({"c_count": [0], "custdist": [n_zero]})], ignore_index=True
+        )
+    hist["c_count"] = hist["c_count"].astype(np.int64)
+    hist["custdist"] = hist["custdist"].astype(np.int64)
+    return (
+        hist.sort_values(["custdist", "c_count"], ascending=[False, False]).reset_index(drop=True)
+    )
+
+
+SQL_Q13 = f"""
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, CAST(count(o.o_custkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '{_Q13_CUTOFF}'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+_Q14_FROM = "1998-09-01"
+_Q14_TO = "1998-10-01"
+
+
+def q_q14_promo_revenue(sf_dir: str):
+    """TPC-H-Q14-shaped promotion effect: percentage of one month's
+    revenue from promo-type parts.
+
+    The promo part-key set is a dimension and broadcasts once as a
+    pre-built Arrow array; each lineitem batch reduces to TWO int64
+    partials (promo revenue, total revenue, exact 1e-4-dollar units),
+    so the exchange is 16 bytes per block.  One double division at the
+    end, identical on both engines; rounded to 6 on both sides."""
+    import pyarrow.compute as pc
+
+    part = read_table_arrow(sf_dir, "part", columns=["p_partkey", "p_type"])
+    promo_bc = Broadcast(
+        part.filter(pc.equal(part["p_type"], "PROMO"))["p_partkey"].combine_chunks().cast(pa.int64())
+    )
+
+    lo, hi = np.datetime64(_Q14_FROM, "us"), np.datetime64(_Q14_TO, "us")
+    li = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        split=True,
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        d = batch["l_shipdate"].to_numpy(zero_copy_only=False)
+        b = batch.filter(pa.array((d >= lo) & (d < hi)))
+        price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        rev = np.round(price * 10000 * (1.0 - disc)).astype(np.int64)
+        isp = pc.is_in(b["l_partkey"], value_set=promo_bc.get()).to_numpy(zero_copy_only=False)
+        return pd.DataFrame({"p": [rev[isp].sum()], "t": [rev.sum()]})
+
+    parts = li.map_batches(partial, batch_format="pyarrow").to_pandas()
+    promo, total = int(parts["p"].sum()), int(parts["t"].sum())
+    return pd.DataFrame({"promo_revenue": [np.round(100.0 * promo / total, 6)]})
+
+
+SQL_Q14 = f"""
+SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                              THEN CAST(round(l.l_extendedprice * 10000 * (1.0 - l.l_discount)) AS BIGINT)
+                              ELSE 0 END)
+             / sum(CAST(round(l.l_extendedprice * 10000 * (1.0 - l.l_discount)) AS BIGINT)), 6) AS promo_revenue
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '{_Q14_FROM}'
+  AND l.l_shipdate <  TIMESTAMP '{_Q14_TO}'
+"""
+
+
+_Q15_FROM = "1997-01-01"
+_Q15_TO = "1997-04-01"
+
+
+def q_q15_top_supplier(sf_dir: str):
+    """TPC-H-Q15-shaped top supplier: the supplier(s) with maximum
+    revenue in one quarter (ties kept, per the spec's view + max plan).
+
+    Suppliers are a dimension, so the per-supplier revenue fold uses
+    the bounded-domain fast path (one int64 partial row per supplier
+    per block, exact 1e-4-dollar units); max + tie filter + the name
+    attach all happen on the supplier-sized result.  Nothing
+    fact-sized leaves the workers."""
+    li = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        split=True,
+    )
+    lo, hi = np.datetime64(_Q15_FROM, "us"), np.datetime64(_Q15_TO, "us")
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        d = batch["l_shipdate"].to_numpy(zero_copy_only=False)
+        keep = (d >= lo) & (d < hi)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False)[keep]
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)[keep]
+        rev = np.round(price * 10000 * (1.0 - disc)).astype(np.int64)
+        return pd.DataFrame({"l_suppkey": sk, "r": rev}).groupby("l_suppkey", as_index=False)["r"].sum()
+
+    per_supp = grouped_aggregate(
+        li.map_batches(partial, batch_format="pyarrow"),
+        ["l_suppkey"],
+        {"r": ("sum", "r")},
+        small_keys=True,
+    ).to_pandas()
+    best = per_supp[per_supp["r"] == per_supp["r"].max()]
+    sup = read_table_arrow(sf_dir, "supplier", columns=["s_suppkey", "s_name"]).to_pandas()
+    out = best.merge(sup, left_on="l_suppkey", right_on="s_suppkey")
+    out["total_revenue"] = np.round(out["r"] / 10000.0, 2)
+    return (
+        out.sort_values("s_suppkey")[["s_suppkey", "s_name", "total_revenue"]].reset_index(drop=True)
+    )
+
+
+SQL_Q15 = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(CAST(round(l_extendedprice * 10000 * (1.0 - l_discount)) AS BIGINT)) AS r
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{_Q15_FROM}'
+    AND l_shipdate <  TIMESTAMP '{_Q15_TO}'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, round(r.r / 10000.0, 2) AS total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.r = (SELECT max(r) FROM revenue)
+ORDER BY s.s_suppkey
+"""
+
+
+_Q16_EXCL_BRAND = "Brand#13"
+_Q16_SIZES = (1, 5, 9, 14, 20, 28, 36, 45)
+
+
+def q_q16_supplier_variety(sf_dir: str):
+    """TPC-H-Q16-shaped supplier variety: distinct suppliers that
+    shipped parts of each (brand, type, size) combination, over parts
+    outside one brand and within a size set (no partsupp table in this
+    schema — lineitem supplies the part↔supplier relation; same
+    COUNT(DISTINCT) plan).
+
+    Part attributes broadcast once as index lookups (dimension); each
+    lineitem batch emits its DISTINCT (brand, type, size, suppkey)
+    tuples — the per-batch combiner for a distinct-count — so the
+    exchange is bounded by groups×suppliers, not line count.  The
+    global dedupe folds through the open-domain exchange keyed on the
+    full tuple; the final count per (brand, type, size) is a bounded-
+    domain row count."""
+    import pyarrow.compute as pc
+
+    part = read_table_arrow(
+        sf_dir, "part", columns=["p_partkey", "p_brand", "p_type", "p_size"]
+    ).to_pandas()
+    qual = part[(part["p_brand"] != _Q16_EXCL_BRAND) & (part["p_size"].isin(_Q16_SIZES))]
+    pk = qual["p_partkey"].to_numpy().astype(np.int64)
+    pk_bc = Broadcast(pa.array(pk))
+    attr_bc = Broadcast(
+        (
+            pd.Series(qual["p_brand"].to_numpy(), index=pk),
+            pd.Series(qual["p_type"].to_numpy(), index=pk),
+            pd.Series(qual["p_size"].to_numpy().astype(np.int64), index=pk),
+        )
+    )
+
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"], split=True)
+
+    def pairs(batch: pa.Table) -> pd.DataFrame:
+        b = batch.filter(pc.is_in(batch["l_partkey"], value_set=pk_bc.get()))
+        pkeys = b["l_partkey"].to_numpy(zero_copy_only=False)
+        br, ty, sz = attr_bc.get()
+        df = pd.DataFrame(
+            {
+                "p_brand": br.reindex(pkeys).to_numpy(),
+                "p_type": ty.reindex(pkeys).to_numpy(),
+                "p_size": sz.reindex(pkeys).to_numpy().astype(np.int64),
+                "s": b["l_suppkey"].to_numpy(zero_copy_only=False),
+            }
+        )
+        return df.drop_duplicates()
+
+    distinct = grouped_aggregate(
+        li.map_batches(pairs, batch_format="pyarrow"),
+        ["p_brand", "p_type", "p_size", "s"],
+        {"c": ("count", None)},
+    )
+    out = grouped_aggregate(
+        distinct,
+        ["p_brand", "p_type", "p_size"],
+        {"supplier_cnt": ("count", None)},
+        small_keys=True,
+    ).to_pandas()
+    out["supplier_cnt"] = out["supplier_cnt"].astype(np.int64)
+    out["p_size"] = out["p_size"].astype(np.int64)
+    return (
+        out.sort_values(
+            ["supplier_cnt", "p_brand", "p_type", "p_size"], ascending=[False, True, True, True]
+        ).reset_index(drop=True)
+    )
+
+
+SQL_Q16 = f"""
+SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part p
+JOIN lineitem l ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> '{_Q16_EXCL_BRAND}'
+  AND p.p_size IN {_Q16_SIZES}
+GROUP BY p.p_brand, p.p_type, CAST(p.p_size AS BIGINT)
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p_size
+"""
+
+
+_Q19_CLAUSES = (
+    ("Brand#3", 1, 5, 1, 11),
+    ("Brand#14", 1, 10, 10, 20),
+    ("Brand#21", 1, 15, 20, 30),
+)
+
+
+def q_q19_special_revenue(sf_dir: str):
+    """TPC-H-Q19-shaped discounted revenue: an OR of three
+    (brand, size-range, quantity-range) conjunctions — the disjunctive
+    multi-predicate scan (no container column in this schema; size
+    stands in, same plan shape).
+
+    Each clause's qualifying part-key set resolves driver-side against
+    the part DIMENSION and broadcasts as a pre-built Arrow array; a
+    single lineitem pass evaluates the three-way OR vectorized
+    (``pc.is_in`` + quantity band per clause) and reduces to one int64
+    partial per batch.  Zero shuffle."""
+    import pyarrow.compute as pc
+
+    part = read_table_arrow(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"]).to_pandas()
+    sets = []
+    for brand, slo, shi, _qlo, _qhi in _Q19_CLAUSES:
+        m = (part["p_brand"] == brand) & (part["p_size"] >= slo) & (part["p_size"] <= shi)
+        sets.append(pa.array(part["p_partkey"].to_numpy()[m.to_numpy()].astype(np.int64)))
+    sets_bc = Broadcast(tuple(sets))
+
+    li = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        split=True,
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(q), dtype=bool)
+        for (_b, _slo, _shi, qlo, qhi), pkset in zip(_Q19_CLAUSES, sets_bc.get()):
+            inset = pc.is_in(batch["l_partkey"], value_set=pkset).to_numpy(zero_copy_only=False)
+            keep |= inset & (q >= qlo) & (q <= qhi)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)[keep]
+        units = np.round(price * 10000 * (1.0 - disc)).astype(np.int64).sum()
+        return pd.DataFrame({"u": [units]})
+
+    total = li.map_batches(partial, batch_format="pyarrow").sum("u")
+    return pd.DataFrame({"revenue": [np.round(total / 10000.0, 2)]})
+
+
+SQL_Q19 = f"""
+SELECT round(sum(CAST(round(l.l_extendedprice * 10000 * (1.0 - l.l_discount)) AS BIGINT)) / 10000.0, 2) AS revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE ({" OR ".join(
+    f"(p.p_brand = '{b}' AND p.p_size BETWEEN {slo} AND {shi} "
+    f"AND l.l_quantity BETWEEN {qlo} AND {qhi})"
+    for b, slo, shi, qlo, qhi in _Q19_CLAUSES
+)})
+"""
+
+
+_Q22_CUTOFF = "2000-06-01"
+
+
+def q_q22_dormant_customers(sf_dir: str):
+    """TPC-H-Q22-shaped sales opportunity: customers with above-average
+    positive account balance and NO orders on/after a cutoff, counted
+    and totalled per nation (no phone column in this schema; the
+    nation keys the report — same scalar-subquery + anti-join plan).
+
+    The balance threshold computes once over the customer DIMENSION in
+    exact integer cents (sum/100.0/count, the identical expression the
+    oracle evaluates).  The anti-join's probe side — distinct custkeys
+    with a recent order — pre-reduces per batch on the orders FACT
+    scan and folds through the open-domain exchange; the drained
+    keyset is customer-bounded (a dimension by the size hierarchy), so
+    the exclusion is a vectorized isin on the dimension frame."""
+    cust = read_table_arrow(
+        sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"]
+    ).to_pandas()
+    bal = cust["c_acctbal"].to_numpy()
+    cents = np.round(bal * 100).astype(np.int64)
+    pos = bal > 0
+    thr = (cents[pos].sum() / 100.0) / int(pos.sum())
+    rich = cust[bal > thr]
+
+    lo = np.datetime64(_Q22_CUTOFF, "us")
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderdate"], split=True)
+
+    def active(batch: pa.Table) -> pd.DataFrame:
+        d = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        return pd.DataFrame(
+            {"k": np.unique(batch["o_custkey"].to_numpy(zero_copy_only=False)[d >= lo])}
+        )
+
+    act = grouped_aggregate(
+        orders.map_batches(active, batch_format="pyarrow"), ["k"], {"c": ("count", None)}
+    ).to_pandas()
+
+    dormant = rich[~rich["c_custkey"].isin(act["k"])]
+    g = dormant.groupby("c_nationkey", as_index=False).agg(
+        numcust=("c_custkey", "count"), bal_cents=("c_acctbal", "sum")
+    )
+    g["numcust"] = g["numcust"].astype(np.int64)
+    g["totacctbal"] = np.round(
+        np.array(
+            [
+                np.round(dormant.loc[dormant["c_nationkey"] == nk, "c_acctbal"].to_numpy() * 100)
+                .astype(np.int64)
+                .sum()
+                for nk in g["c_nationkey"]
+            ]
+        )
+        / 100.0,
+        2,
+    )
+    g["c_nationkey"] = g["c_nationkey"].astype(np.int64)
+    return g.sort_values("c_nationkey").reset_index(drop=True)[
+        ["c_nationkey", "numcust", "totacctbal"]
+    ]
+
+
+SQL_Q22 = f"""
+SELECT CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(count(*) AS BIGINT) AS numcust,
+       round(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) / 100.0, 2) AS totacctbal
+FROM customer c
+WHERE c.c_acctbal > (
+    SELECT sum(CAST(round(c2.c_acctbal * 100) AS BIGINT)) / 100.0 / count(*)
+    FROM customer c2 WHERE c2.c_acctbal > 0
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= TIMESTAMP '{_Q22_CUTOFF}'
+  )
+GROUP BY c.c_nationkey
+ORDER BY c_nationkey
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "latest_event_per_user": q_latest_event_per_user,
@@ -11622,6 +12475,17 @@ QUERIES = {
     "q5_region_revenue": q_q5_region_revenue,
     "q17_small_quantity": q_q17_small_quantity,
     "q18_large_orders": q_q18_large_orders,
+    "q4_order_priority": q_q4_order_priority,
+    "q6_forecast_revenue": q_q6_forecast_revenue,
+    "q7_volume_shipping": q_q7_volume_shipping,
+    "q8_market_share": q_q8_market_share,
+    "q12_priority_lines": q_q12_priority_lines,
+    "q13_order_counts": q_q13_order_counts,
+    "q14_promo_revenue": q_q14_promo_revenue,
+    "q15_top_supplier": q_q15_top_supplier,
+    "q16_supplier_variety": q_q16_supplier_variety,
+    "q19_special_revenue": q_q19_special_revenue,
+    "q22_dormant_customers": q_q22_dormant_customers,
     "copurchase_pairs": q_copurchase_pairs,
     "ab_ttest": q_ab_ttest,
     "psi_drift": q_psi_drift,
@@ -11790,6 +12654,17 @@ ORACLE_SQL = {
     "q5_region_revenue": SQL_Q5,
     "q17_small_quantity": SQL_Q17,
     "q18_large_orders": SQL_Q18,
+    "q4_order_priority": SQL_Q4,
+    "q6_forecast_revenue": SQL_Q6,
+    "q7_volume_shipping": SQL_Q7,
+    "q8_market_share": SQL_Q8,
+    "q12_priority_lines": SQL_Q12,
+    "q13_order_counts": SQL_Q13,
+    "q14_promo_revenue": SQL_Q14,
+    "q15_top_supplier": SQL_Q15,
+    "q16_supplier_variety": SQL_Q16,
+    "q19_special_revenue": SQL_Q19,
+    "q22_dormant_customers": SQL_Q22,
     "copurchase_pairs": SQL_COPURCHASE,
     "ab_ttest": SQL_AB_TTEST,
     "psi_drift": SQL_PSI_DRIFT,
