@@ -12309,6 +12309,564 @@ ORDER BY c_nationkey
 """
 
 
+_Q2_REGION = "EUROPE"
+_Q2_TYPE = "PROMO"
+_Q2_MAX_SIZE = 25
+
+
+def q_q2_min_cost_supplier(sf_dir: str):
+    """TPC-H-Q2-shaped correlated-min join, re-targeted at this schema:
+    there is no partsupp table, so the (part, supplier) supply relation
+    is DERIVED from lineitem history and a pair's "supply cost" is its
+    total billed cents; Q2's ``ps_supplycost = (SELECT min ...)``
+    correlated subquery then picks, per qualifying part, the cheapest
+    REGION supplier.
+
+    Plan: the region-supplier keyset and the size/type part keyset are
+    dimensions — both broadcast once as pre-built ``pa.array`` value
+    sets and fuse into ONE lineitem pass that semi-filters and reduces
+    exact integer-cent partials per (part, supplier).  The partials fold
+    through the open-domain exchange; the surviving pair table is
+    bounded by |qualifying parts| × |region suppliers| (dimension-sized
+    at any corpus scale), so the correlated per-part min and the final
+    4-column ordering finalize driver-side on that bounded set."""
+    import pyarrow.compute as pc
+
+    nat = read_table_arrow(sf_dir, "nation", columns=["n_nationkey", "n_name", "n_regionkey"])
+    reg = read_table_arrow(sf_dir, "region", columns=["r_regionkey", "r_name"])
+    rkey = reg.filter(pc.equal(reg["r_name"], _Q2_REGION))["r_regionkey"][0].as_py()
+    nat_in = nat.filter(pc.equal(nat["n_regionkey"], rkey))
+    nname = pd.Series(
+        nat_in["n_name"].to_pylist(),
+        index=nat_in["n_nationkey"].to_numpy().astype(np.int64),
+    )
+
+    sup = read_table_arrow(
+        sf_dir, "supplier", columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]
+    )
+    sdf = sup.to_pandas()
+    sdf["s_nationkey"] = sdf["s_nationkey"].astype(np.int64)
+    sdf = sdf[sdf["s_nationkey"].isin(nname.index)]
+    skeys_bc = Broadcast(pa.array(sdf["s_suppkey"].to_numpy(), type=pa.int64()))
+
+    part = read_table_arrow(sf_dir, "part", columns=["p_partkey", "p_type", "p_size"])
+    pqual = part.filter(
+        pc.and_(
+            pc.equal(part["p_type"], _Q2_TYPE),
+            pc.less_equal(part["p_size"], _Q2_MAX_SIZE),
+        )
+    )
+    pkeys_bc = Broadcast(pqual["p_partkey"].combine_chunks().cast(pa.int64()))
+
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_partkey", "l_suppkey", "l_extendedprice"], split=True
+    )
+
+    def pair_partial(batch: pa.Table) -> pd.DataFrame:
+        keep = pc.and_(
+            pc.is_in(batch["l_partkey"], value_set=pkeys_bc.get()),
+            pc.is_in(batch["l_suppkey"], value_set=skeys_bc.get()),
+        )
+        b = batch.filter(keep)
+        cents = np.round(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return (
+            pd.DataFrame(
+                {
+                    "p_partkey": b["l_partkey"].to_numpy(zero_copy_only=False),
+                    "s_suppkey": b["l_suppkey"].to_numpy(zero_copy_only=False),
+                    "cost_cents": cents,
+                }
+            )
+            .groupby(["p_partkey", "s_suppkey"], as_index=False)["cost_cents"]
+            .sum()
+        )
+
+    pairs = grouped_aggregate(
+        li.map_batches(pair_partial, batch_format="pyarrow"),
+        ["p_partkey", "s_suppkey"],
+        {"cost_cents": ("sum", "cost_cents")},
+    ).to_pandas()
+
+    mins = pairs.groupby("p_partkey")["cost_cents"].transform("min")
+    win = pairs[pairs["cost_cents"] == mins].merge(sdf, on="s_suppkey")
+    win["n_name"] = nname.reindex(win["s_nationkey"]).to_numpy()
+    win["cost"] = np.round(win["cost_cents"].to_numpy() / 100.0, 2)
+    win["p_partkey"] = win["p_partkey"].astype(np.int64)
+    out = win.sort_values(
+        ["s_acctbal", "n_name", "s_name", "p_partkey"],
+        ascending=[False, True, True, True],
+    ).head(100)
+    return out[["s_acctbal", "s_name", "n_name", "p_partkey", "cost"]].reset_index(drop=True)
+
+
+SQL_Q2 = f"""
+WITH ps AS (
+  SELECT l.l_partkey AS p_partkey, l.l_suppkey AS s_suppkey,
+         sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS cost_cents
+  FROM lineitem l GROUP BY 1, 2
+)
+SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, round(ps.cost_cents / 100.0, 2) AS cost
+FROM ps
+JOIN part p ON p.p_partkey = ps.p_partkey
+JOIN supplier s ON s.s_suppkey = ps.s_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = '{_Q2_REGION}' AND p.p_type = '{_Q2_TYPE}' AND p.p_size <= {_Q2_MAX_SIZE}
+  AND ps.cost_cents = (
+    SELECT min(ps2.cost_cents)
+    FROM ps ps2
+    JOIN supplier s2 ON s2.s_suppkey = ps2.s_suppkey
+    JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+    JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+    WHERE r2.r_name = '{_Q2_REGION}' AND ps2.p_partkey = p.p_partkey
+  )
+ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+LIMIT 100
+"""
+
+
+_Q9_PATTERN = "widget"
+
+
+def q_q9_product_profit(sf_dir: str):
+    """TPC-H-Q9-shaped product-type profit: per (supplier nation, order
+    year), the margin on every line whose part name matches a pattern.
+    This schema has no partsupp, so ``p_retailprice`` stands in for
+    ``ps_supplycost`` — same five-table star plan, same column shape.
+
+    Plan: part→retail-cents and supplier→nation are dimension lookups
+    (broadcast once, pre-built); one lineitem pass computes the exact
+    1e-4-dollar margin (price and retail have 2 decimals, discount 2,
+    quantity whole — every term integer) and pre-reduces per
+    (orderkey, nation) INSIDE the batch, so the only fact-fact exchange
+    — attaching the order year — moves one row per distinct key, not
+    per line, through the size-routed join facade.  The (nation, year)
+    finalize runs on a bounded 25×|years| domain."""
+    import pyarrow.compute as pc
+
+    from .tabular import join as join_route
+
+    part = read_table_arrow(sf_dir, "part", columns=["p_partkey", "p_name", "p_retailprice"])
+    pq = part.filter(pc.match_substring(part["p_name"], _Q9_PATTERN))
+    retail = pd.Series(
+        np.round(pq["p_retailprice"].to_numpy() * 100).astype(np.int64),
+        index=pq["p_partkey"].to_numpy().astype(np.int64),
+    )
+    retail_bc = Broadcast(retail)
+
+    sup = read_table_arrow(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    smap_bc = Broadcast(
+        pd.Series(
+            sup["s_nationkey"].to_numpy().astype(np.int64),
+            index=sup["s_suppkey"].to_numpy().astype(np.int64),
+        )
+    )
+
+    li = read_table(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        ],
+        split=True,
+    )
+
+    def profit_partial(batch: pa.Table) -> pd.DataFrame:
+        r = retail_bc.get().reindex(batch["l_partkey"].to_numpy(zero_copy_only=False))
+        m = r.notna().to_numpy()
+        if not m.any():
+            return pd.DataFrame(
+                {
+                    "o_orderkey": pd.Series([], dtype=np.int64),
+                    "n_nationkey": pd.Series([], dtype=np.int64),
+                    "amount_e4": pd.Series([], dtype=np.int64),
+                }
+            )
+        cents = np.round(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)[m] * 100
+        ).astype(np.int64)
+        disc = np.round(batch["l_discount"].to_numpy(zero_copy_only=False)[m] * 100).astype(
+            np.int64
+        )
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)[m].astype(np.int64)
+        amount = cents * (100 - disc) - r.to_numpy()[m].astype(np.int64) * 100 * qty
+        nation = (
+            smap_bc.get()
+            .reindex(batch["l_suppkey"].to_numpy(zero_copy_only=False)[m])
+            .to_numpy()
+            .astype(np.int64)
+        )
+        return (
+            pd.DataFrame(
+                {
+                    "o_orderkey": batch["l_orderkey"].to_numpy(zero_copy_only=False)[m],
+                    "n_nationkey": nation,
+                    "amount_e4": amount,
+                }
+            )
+            .groupby(["o_orderkey", "n_nationkey"], as_index=False)["amount_e4"]
+            .sum()
+        )
+
+    partials = grouped_aggregate(
+        li.map_batches(profit_partial, batch_format="pyarrow"),
+        ["o_orderkey", "n_nationkey"],
+        {"amount_e4": ("sum", "amount_e4")},
+    )
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"], split=True)
+
+    def year_of(batch: pa.Table) -> pa.Table:
+        d = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        yr = d.astype("datetime64[Y]").astype(np.int64) + 1970
+        return pa.table({"o_orderkey": batch["o_orderkey"], "o_year": pa.array(yr)})
+
+    j, _ = join_route(partials, orders.map_batches(year_of, batch_format="pyarrow"), on="o_orderkey")
+
+    out = grouped_aggregate(
+        j, ["n_nationkey", "o_year"], {"amount_e4": ("sum", "amount_e4")}, small_keys=True
+    ).to_pandas()
+    nat = read_table_arrow(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    names = pd.Series(
+        nat["n_name"].to_pylist(), index=nat["n_nationkey"].to_numpy().astype(np.int64)
+    )
+    out["n_name"] = names.reindex(out["n_nationkey"].astype(np.int64)).to_numpy()
+    out["profit"] = np.round(out["amount_e4"].to_numpy() / 10000.0, 2)
+    out["o_year"] = out["o_year"].astype(np.int64)
+    return (
+        out.sort_values(["n_name", "o_year"], ascending=[True, False])
+        .reset_index(drop=True)[["n_name", "o_year", "profit"]]
+    )
+
+
+SQL_Q9 = f"""
+SELECT n.n_name, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                 - CAST(round(p.p_retailprice * 100) AS BIGINT) * 100 * CAST(l.l_quantity AS BIGINT)) / 10000.0, 2) AS profit
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%{_Q9_PATTERN}%'
+GROUP BY 1, 2
+ORDER BY n.n_name, o_year DESC
+"""
+
+
+_Q11_NATIONS = 8
+_Q11_FACTOR = 1.5
+
+
+def q_q11_important_parts(sf_dir: str):
+    """TPC-H-Q11-shaped important-stock scan: parts whose billed value
+    from suppliers in a nation band exceeds a multiple of the band's
+    MEAN per-part value — the global-scalar-subquery (HAVING > SELECT)
+    plan.  No partsupp in this schema, so value is billed lineitem
+    cents rather than availqty·supplycost; the mean-relative threshold
+    replaces Q11's 0.0001/SF fraction so the selectivity is scale-free.
+
+    Plan: the nation-band supplier keyset broadcasts; ONE lineitem pass
+    semi-filters and reduces exact per-part cent partials; the partials
+    fold through the open-domain exchange ONCE and the result (one row
+    per part — dimension-bounded) is materialized so the grand-total
+    fold and the threshold filter reuse the same blocks instead of
+    re-running the scan."""
+    import pyarrow.compute as pc
+
+    sup = read_table_arrow(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    band = sup.filter(pc.less(sup["s_nationkey"], _Q11_NATIONS))
+    skeys_bc = Broadcast(band["s_suppkey"].combine_chunks().cast(pa.int64()))
+
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_partkey", "l_suppkey", "l_extendedprice"], split=True
+    )
+
+    def value_partial(batch: pa.Table) -> pd.DataFrame:
+        b = batch.filter(pc.is_in(batch["l_suppkey"], value_set=skeys_bc.get()))
+        cents = np.round(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return (
+            pd.DataFrame(
+                {"p_partkey": b["l_partkey"].to_numpy(zero_copy_only=False), "cents": cents}
+            )
+            .groupby("p_partkey", as_index=False)["cents"]
+            .sum()
+        )
+
+    vals = grouped_aggregate(
+        li.map_batches(value_partial, batch_format="pyarrow"),
+        ["p_partkey"],
+        {"cents": ("sum", "cents")},
+    ).materialize()
+
+    total = vals.sum("cents")
+    nparts = vals.count()
+    thr = (total / nparts) * _Q11_FACTOR
+
+    def above(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch["cents"], pa.scalar(thr)))
+
+    out = vals.map_batches(above, batch_format="pyarrow").to_pandas()
+    if "cents" not in out.columns:
+        out = pd.DataFrame(
+            {"p_partkey": pd.Series([], dtype=np.int64), "cents": pd.Series([], dtype=np.int64)}
+        )
+    out["value"] = np.round(out["cents"].to_numpy() / 100.0, 2)
+    out["p_partkey"] = out["p_partkey"].astype(np.int64)
+    return (
+        out.sort_values(["value", "p_partkey"], ascending=[False, True])
+        .reset_index(drop=True)[["p_partkey", "value"]]
+    )
+
+
+SQL_Q11 = f"""
+WITH pv AS (
+  SELECT l.l_partkey AS p_partkey,
+         sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS cents
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  WHERE s.s_nationkey < {_Q11_NATIONS}
+  GROUP BY 1
+)
+SELECT CAST(p_partkey AS BIGINT) AS p_partkey, round(cents / 100.0, 2) AS value
+FROM pv
+WHERE cents > (SELECT sum(cents) / count(*) FROM pv) * {_Q11_FACTOR}
+ORDER BY value DESC, p_partkey
+"""
+
+
+_Q20_PATTERN = "bolt"
+_Q20_FROM = "1997-01-01"
+_Q20_TO = "1998-01-01"
+_Q20_SHARE = 0.3
+
+
+def q_q20_dominant_suppliers(sf_dir: str):
+    """TPC-H-Q20-shaped nested semi-join: suppliers who, for SOME part
+    matching a name pattern, shipped more than a SHARE of that part's
+    total quantity in one year.  Q20's availqty-vs-half-demand
+    comparison becomes share-of-demand (no partsupp here); the
+    IN (SELECT ... correlated threshold) nesting is preserved.
+
+    Plan: the pattern-part keyset broadcasts; one windowed lineitem
+    pass reduces whole-number quantity partials per (part, supplier);
+    per-part totals derive from THOSE partials (no second scan) on the
+    pattern-bounded domain and broadcast back; the dominant-supplier
+    filter then runs distributed over the pair table and only distinct
+    supplier ids — dimension-bounded — reach the driver for the name
+    attach and final sort."""
+    import pyarrow.compute as pc
+
+    part = read_table_arrow(sf_dir, "part", columns=["p_partkey", "p_name"])
+    pq = part.filter(pc.match_substring(part["p_name"], _Q20_PATTERN))
+    pkeys_bc = Broadcast(pq["p_partkey"].combine_chunks().cast(pa.int64()))
+
+    lo, hi = np.datetime64(_Q20_FROM, "us"), np.datetime64(_Q20_TO, "us")
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"], split=True
+    )
+
+    def qty_partial(batch: pa.Table) -> pd.DataFrame:
+        d = batch["l_shipdate"].to_numpy(zero_copy_only=False)
+        b = batch.filter(
+            pc.and_(
+                pa.array((d >= lo) & (d < hi)),
+                pc.is_in(batch["l_partkey"], value_set=pkeys_bc.get()),
+            )
+        )
+        return (
+            pd.DataFrame(
+                {
+                    "p_partkey": b["l_partkey"].to_numpy(zero_copy_only=False),
+                    "s_suppkey": b["l_suppkey"].to_numpy(zero_copy_only=False),
+                    "qty": b["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64),
+                }
+            )
+            .groupby(["p_partkey", "s_suppkey"], as_index=False)["qty"]
+            .sum()
+        )
+
+    pairs = grouped_aggregate(
+        li.map_batches(qty_partial, batch_format="pyarrow"),
+        ["p_partkey", "s_suppkey"],
+        {"qty": ("sum", "qty")},
+    ).materialize()
+
+    totals = grouped_aggregate(
+        pairs, ["p_partkey"], {"tq": ("sum", "qty")}, small_keys=True
+    ).to_pandas()
+    tq_bc = Broadcast(
+        pd.Series(totals["tq"].to_numpy(), index=totals["p_partkey"].to_numpy())
+    )
+
+    def dominant(batch: pa.Table) -> pd.DataFrame:
+        tq = tq_bc.get().reindex(batch["p_partkey"].to_numpy(zero_copy_only=False)).to_numpy()
+        keep = batch["qty"].to_numpy(zero_copy_only=False) > _Q20_SHARE * tq
+        return pd.DataFrame(
+            {"s_suppkey": np.unique(batch["s_suppkey"].to_numpy(zero_copy_only=False)[keep])}
+        )
+
+    supp_ids = grouped_aggregate(
+        pairs.map_batches(dominant, batch_format="pyarrow"),
+        ["s_suppkey"],
+        {"c": ("count", None)},
+        small_keys=True,
+    ).to_pandas()
+
+    sup = read_table_arrow(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    names = pd.Series(
+        sup["s_name"].to_pylist(), index=sup["s_suppkey"].to_numpy().astype(np.int64)
+    )
+    out = pd.DataFrame(
+        {"s_name": names.reindex(supp_ids["s_suppkey"].astype(np.int64)).to_numpy()}
+    )
+    return out.sort_values("s_name").reset_index(drop=True)
+
+
+SQL_Q20 = f"""
+WITH pq AS (
+  SELECT l.l_partkey AS p, l.l_suppkey AS s, sum(CAST(l.l_quantity AS BIGINT)) AS q
+  FROM lineitem l
+  WHERE l.l_shipdate >= TIMESTAMP '{_Q20_FROM}' AND l.l_shipdate < TIMESTAMP '{_Q20_TO}'
+    AND l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%{_Q20_PATTERN}%')
+  GROUP BY 1, 2
+),
+pt AS (SELECT p, sum(q) AS tq FROM pq GROUP BY 1)
+SELECT DISTINCT s.s_name
+FROM pq JOIN pt USING (p) JOIN supplier s ON s.s_suppkey = pq.s
+WHERE pq.q > {_Q20_SHARE} * pt.tq
+ORDER BY s.s_name
+"""
+
+
+_Q21_LATE_DAYS = 60
+_Q21_NATIONS = 13
+
+
+def q_q21_waiting_suppliers(sf_dir: str):
+    """TPC-H-Q21-shaped double-EXISTS anti-join: for finalized orders,
+    count per supplier the multi-supplier orders where THIS supplier was
+    the only late one.  No commit/receipt dates in this schema, so
+    "late" is shipping more than LATE_DAYS after the order date — the
+    EXISTS(other supplier) AND NOT EXISTS(other LATE supplier) plan is
+    preserved.
+
+    Plan: lineitem pre-reduces per (order, supplier) to max(shipdate)
+    — one row per pair — and that pair table joins the F-status order
+    dates through the size-routed facade (the one fact-fact exchange).
+    The double EXISTS collapses into a per-order aggregate: n_supp,
+    n_late, and sum(late·suppkey) (which IS the lone late supplier's id
+    when n_late = 1), so no self-join runs.  Per-supplier counts
+    finalize on the dimension-bounded supplier domain."""
+    from .tabular import join as join_route
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_shipdate"], split=True)
+
+    def max_ship(batch: pa.Table) -> pd.DataFrame:
+        return (
+            pd.DataFrame(
+                {
+                    "o_orderkey": batch["l_orderkey"].to_numpy(zero_copy_only=False),
+                    "s_suppkey": batch["l_suppkey"].to_numpy(zero_copy_only=False),
+                    "ms": batch["l_shipdate"].to_numpy(zero_copy_only=False),
+                }
+            )
+            .groupby(["o_orderkey", "s_suppkey"], as_index=False)["ms"]
+            .max()
+        )
+
+    pairs = grouped_aggregate(
+        li.map_batches(max_ship, batch_format="pyarrow"),
+        ["o_orderkey", "s_suppkey"],
+        {"ms": ("max", "ms")},
+    )
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderstatus"], split=True
+    )
+
+    def final_only(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = batch.filter(pc.equal(batch["o_orderstatus"], "F"))
+        return b.select(["o_orderkey", "o_orderdate"])
+
+    j, _ = join_route(pairs, orders.map_batches(final_only, batch_format="pyarrow"), on="o_orderkey")
+
+    late_delta = np.timedelta64(_Q21_LATE_DAYS, "D")
+
+    def late_flags(df: pd.DataFrame) -> pd.DataFrame:
+        late = (
+            df["ms"].to_numpy() > df["o_orderdate"].to_numpy() + late_delta
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].to_numpy().astype(np.int64),
+                "late": late,
+                "late_sk": late * df["s_suppkey"].to_numpy().astype(np.int64),
+            }
+        )
+
+    stats = grouped_aggregate(
+        j.map_batches(late_flags, batch_format="pandas"),
+        ["o_orderkey"],
+        {"n_supp": ("count", None), "n_late": ("sum", "late"), "late_sk": ("sum", "late_sk")},
+    )
+
+    def lone_late(df: pd.DataFrame) -> pd.DataFrame:
+        keep = (df["n_supp"].to_numpy() >= 2) & (df["n_late"].to_numpy() == 1)
+        return pd.DataFrame({"late_sk": df["late_sk"].to_numpy()[keep].astype(np.int64)})
+
+    waits = grouped_aggregate(
+        stats.map_batches(lone_late, batch_format="pandas"),
+        ["late_sk"],
+        {"numwait": ("count", None)},
+    ).to_pandas()
+
+    sup = read_table_arrow(sf_dir, "supplier", columns=["s_suppkey", "s_name", "s_nationkey"])
+    sdf = sup.to_pandas()
+    sdf["s_suppkey"] = sdf["s_suppkey"].astype(np.int64)
+    out = waits.merge(sdf, left_on="late_sk", right_on="s_suppkey")
+    out = out[out["s_nationkey"].astype(np.int64) < _Q21_NATIONS]
+    out["numwait"] = out["numwait"].astype(np.int64)
+    out = out.sort_values(["numwait", "s_name"], ascending=[False, True]).head(100)
+    return out[["s_name", "numwait"]].reset_index(drop=True)
+
+
+SQL_Q21 = f"""
+WITH ls AS (
+  SELECT l_orderkey AS ok, l_suppkey AS sk, max(l_shipdate) AS ms
+  FROM lineitem GROUP BY 1, 2
+),
+j AS (
+  SELECT ls.ok, ls.sk, ls.ms, o.o_orderdate AS od
+  FROM ls JOIN orders o ON o.o_orderkey = ls.ok
+  WHERE o.o_orderstatus = 'F'
+),
+st AS (
+  SELECT ok, count(*) AS n_supp,
+         sum(CASE WHEN ms > od + INTERVAL {_Q21_LATE_DAYS} DAY THEN 1 ELSE 0 END) AS n_late,
+         sum(CASE WHEN ms > od + INTERVAL {_Q21_LATE_DAYS} DAY THEN sk ELSE 0 END) AS late_sk
+  FROM j GROUP BY 1
+)
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM st JOIN supplier s ON s.s_suppkey = st.late_sk
+WHERE st.n_supp >= 2 AND st.n_late = 1 AND s.s_nationkey < {_Q21_NATIONS}
+GROUP BY 1
+ORDER BY numwait DESC, s.s_name
+LIMIT 100
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "latest_event_per_user": q_latest_event_per_user,
@@ -12486,6 +13044,11 @@ QUERIES = {
     "q16_supplier_variety": q_q16_supplier_variety,
     "q19_special_revenue": q_q19_special_revenue,
     "q22_dormant_customers": q_q22_dormant_customers,
+    "q2_min_cost_supplier": q_q2_min_cost_supplier,
+    "q9_product_profit": q_q9_product_profit,
+    "q11_important_parts": q_q11_important_parts,
+    "q20_dominant_suppliers": q_q20_dominant_suppliers,
+    "q21_waiting_suppliers": q_q21_waiting_suppliers,
     "copurchase_pairs": q_copurchase_pairs,
     "ab_ttest": q_ab_ttest,
     "psi_drift": q_psi_drift,
@@ -12665,6 +13228,11 @@ ORACLE_SQL = {
     "q16_supplier_variety": SQL_Q16,
     "q19_special_revenue": SQL_Q19,
     "q22_dormant_customers": SQL_Q22,
+    "q2_min_cost_supplier": SQL_Q2,
+    "q9_product_profit": SQL_Q9,
+    "q11_important_parts": SQL_Q11,
+    "q20_dominant_suppliers": SQL_Q20,
+    "q21_waiting_suppliers": SQL_Q21,
     "copurchase_pairs": SQL_COPURCHASE,
     "ab_ttest": SQL_AB_TTEST,
     "psi_drift": SQL_PSI_DRIFT,

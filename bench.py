@@ -151,6 +151,22 @@ BENCH_QUERIES = [
     "q10_returned_items",
     "kcore_members",
     "ppr_scores",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_priority_lines",
+    "q13_order_counts",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q19_special_revenue",
+    "q20_dominant_suppliers",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
 ]
 
 
