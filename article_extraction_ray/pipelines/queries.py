@@ -12867,8 +12867,359 @@ LIMIT 100
 """
 
 
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval over the documents corpus
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "join", "hash", "scan")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+
+
+def _bm25_term_freqs(texts, terms) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized per-doc term frequencies + doc lengths for one batch:
+    one Arrow split, then per-term boolean mask + offset-windowed cumsum
+    — no Python loop over docs or tokens."""
+    import pyarrow.compute as pc
+
+    arr = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
+    split = pc.split_pattern(arr, " ")
+    offs = np.asarray(split.offsets)
+    dl = (offs[1:] - offs[:-1]).astype(np.int64)
+    tf = np.empty((len(terms), dl.size), dtype=np.int64)
+    for i, term in enumerate(terms):
+        m = pc.equal(split.values, term).to_numpy(zero_copy_only=False).astype(np.int64)
+        c = np.concatenate([[0], np.cumsum(m)])
+        tf[i] = c[offs[1:]] - c[offs[:-1]]
+    return tf, dl
+
+
+def q_bm25_search(sf_dir: str):
+    """BM25 ranked retrieval (Lucene idf variant, k1=1.2, b=0.75) for a
+    fixed term query over the documents corpus — the sparse-retrieval
+    scorer complementing the dense ``rag_index_search`` path.
+
+    Two streaming passes, nothing materializes: pass 1 folds bounded
+    per-batch partials (doc count, total length, per-term doc
+    frequencies — ONE row per block) into global idf/avgdl; those
+    broadcast once and pass 2 re-reads the corpus, scores each batch
+    with the vectorized tf kernel, and keeps a per-batch top-k so only
+    blocks × k candidate rows reach the driver's final cut.  Scores are
+    float64 rounded to 6 dp on BOTH engines before the (score desc,
+    doc_id) cut, so the top-k boundary is deterministic."""
+    terms = list(_BM25_TERMS)
+    k1, b = _BM25_K1, _BM25_B
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        tf, dl = _bm25_term_freqs(batch["text"], terms)
+        row: dict = {"n": [dl.size], "sum_dl": [int(dl.sum())]}
+        for i in range(len(terms)):
+            row[f"df{i}"] = [int((tf[i] > 0).sum())]
+        return pa.table(row)
+
+    stats = ds.map_batches(stats_partial, batch_format="pyarrow").to_pandas().sum()
+    n = float(stats["n"])
+    avgdl = float(stats["sum_dl"]) / n
+    df = np.asarray([stats[f"df{i}"] for i in range(len(terms))], dtype=np.float64)
+    idf = np.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    handle = Broadcast((idf, avgdl))
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        idf_vec, avg = handle.get()
+        tf, dl = _bm25_term_freqs(batch["text"], terms)
+        tff = tf.astype(np.float64)
+        denom = tff + k1 * (1.0 - b + b * dl.astype(np.float64) / avg)
+        s = np.round((idf_vec[:, None] * tff * (k1 + 1.0) / denom).sum(axis=0), 6)
+        keep = s > 0.0
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)[keep]
+        s = s[keep]
+        order = np.lexsort((ids, -s))[:_BM25_TOPK]
+        return pd.DataFrame({"doc_id": ids[order], "score": s[order]})
+
+    cands = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    cands = cands.sort_values(["score", "doc_id"], ascending=[False, True])
+    return cands.head(_BM25_TOPK).reset_index(drop=True)
+
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+SQL_BM25 = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT avg(dl) AS avgdl, (SELECT count(*) FROM documents) AS n FROM dl),
+qt AS (SELECT unnest([{_BM25_TERMS_SQL}]) AS term),
+df AS (SELECT t.tok AS term, count(DISTINCT t.doc_id) AS df
+       FROM toks t JOIN qt ON qt.term = t.tok GROUP BY 1),
+tf AS (SELECT t.doc_id, t.tok AS term, count(*) AS tf
+       FROM toks t JOIN qt ON qt.term = t.tok GROUP BY 1, 2),
+scores AS (
+  SELECT tf.doc_id,
+         sum(ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * tf.tf * ({_BM25_K1} + 1.0)
+             / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl))) AS s
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 6) AS score
+FROM scores ORDER BY round(s, 6) DESC, doc_id LIMIT {_BM25_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution: dirty records → blocked JW match → CC → canonical
+# ---------------------------------------------------------------------------
+
+_ER_THRESHOLD = 0.93
+_ER_VOCAB_BLOCKS = 8
+
+
+def q_entity_resolution(sf_dir: str):
+    """Entity resolution end-to-end: deterministic "dirty" variants of
+    part names (identity / drop-last-char / plural-s / capitalize, keyed
+    on p_partkey % 4 — SQL-expressible typo rules) are resolved back to
+    entities by blocked pairwise Jaro-Winkler (≥ 0.93 on lowercase,
+    first-letter blocks), connected components over the match graph, and
+    canonical-record election (min p_partkey per entity).  Output:
+    (p_partkey, entity_id, entity_size) for every record.
+
+    Scale shape — the similarity work runs over the DISTINCT-name set,
+    which is vocabulary-bounded, not corpus-bounded: per-block unique
+    partials fold to the name list once; pair generation fans the
+    name-id range back out through ``map_batches`` (each task compares
+    its id slice against the broadcast name array within blocks —
+    O(V²/P) per task, no driver loop); components go through
+    stages.graph.connected_components' size-routed kernel; and the
+    name→entity map broadcasts back over the streaming record scan, so
+    the record corpus itself never shuffles.  Our JW is bit-identical
+    to DuckDB's ``jaro_winkler_similarity`` (§2h oracles), so match
+    decisions agree exactly."""
+    import ray.data as rd
+
+    import pyarrow.compute as pc
+
+    from ..functions.strings import jaro_winkler_similarity
+    from ..stages.graph import connected_components
+
+    ds = read_table(sf_dir, "part", columns=["p_partkey", "p_name"], split=True)
+
+    def dirty(batch: pa.Table) -> pa.Table:
+        names = np.asarray(batch["p_name"].to_pylist(), dtype=object)
+        keys = batch["p_partkey"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(names.astype(str), return_inverse=True)
+        variants = np.empty((uniq.size, 4), dtype=object)
+        for i, nm in enumerate(uniq):
+            variants[i] = (nm, nm[:-1], nm + "s", nm[:1].upper() + nm[1:])
+        rec = variants[inv, keys % 4]
+        return pa.table(
+            {
+                "p_partkey": batch["p_partkey"],
+                "rec_name": pa.array(list(rec), type=pa.string()),
+            }
+        )
+
+    recs = ds.map_batches(dirty, batch_format="pyarrow")
+
+    def name_partial(batch: pa.Table) -> pa.Table:
+        return pa.table({"rec_name": pc.unique(batch["rec_name"])})
+
+    # vocabulary-bounded: one unique-partial per block drains to the fold
+    vocab = np.asarray(
+        sorted(set(recs.map_batches(name_partial, batch_format="pyarrow").to_pandas()["rec_name"])),
+        dtype=object,
+    )
+    names_bc = Broadcast(vocab)
+
+    def pair_edges(batch: pa.Table) -> pa.Table:
+        arr = names_bc.get()
+        lows = np.asarray([s.lower() for s in arr], dtype=object)
+        out_s: list[int] = []
+        out_d: list[int] = []
+        for i in batch["id"].to_numpy(zero_copy_only=False):
+            la = lows[i]
+            b0 = la[:1]
+            for j in range(i + 1, arr.size):
+                lb = lows[j]
+                if lb[:1] == b0 and jaro_winkler_similarity(la, lb) >= _ER_THRESHOLD:
+                    out_s.append(i)
+                    out_d.append(j)
+        return pa.table(
+            {
+                "src": pa.array(out_s, type=pa.int64()),
+                "dst": pa.array(out_d, type=pa.int64()),
+            }
+        )
+
+    ids_ds = rd.range(len(vocab), override_num_blocks=_ER_VOCAB_BLOCKS)
+    edges = ids_ds.map_batches(pair_edges, batch_format="pyarrow")
+    nodes = ids_ds.map_batches(
+        lambda t: pa.table({"node": pc.cast(t["id"], pa.int64())}), batch_format="pyarrow"
+    )
+    comp = connected_components(edges, nodes=nodes).to_pandas()  # ≤ |vocab| rows
+    comp_of = np.empty(len(vocab), dtype=np.int64)
+    comp_of[comp["node"].to_numpy(dtype=np.int64)] = comp["component"].to_numpy(dtype=np.int64)
+    comp_bc = Broadcast((vocab, comp_of))
+
+    def label(batch: pa.Table) -> pa.Table:
+        arr, cmap = comp_bc.get()
+        names = np.asarray(batch["rec_name"].to_pylist(), dtype=object)
+        idx = np.searchsorted(arr, names)
+        return pa.table({"p_partkey": batch["p_partkey"], "comp": pa.array(cmap[idx])})
+
+    labeled = recs.map_batches(label, batch_format="pyarrow")
+    canon = grouped_aggregate(
+        labeled, ["comp"], {"entity_id": ("min", "p_partkey"), "entity_size": ("count", None)}
+    ).to_pandas()  # ≤ |vocab| rows
+    canon = canon.sort_values("comp")
+    canon_bc = Broadcast(
+        (
+            canon["comp"].to_numpy(dtype=np.int64),
+            canon["entity_id"].to_numpy(dtype=np.int64),
+            canon["entity_size"].to_numpy(dtype=np.int64),
+        )
+    )
+
+    def attach(batch: pa.Table) -> pa.Table:
+        comps, eids, sizes = canon_bc.get()
+        i = np.searchsorted(comps, batch["comp"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "p_partkey": batch["p_partkey"],
+                "entity_id": pa.array(eids[i]),
+                "entity_size": pa.array(sizes[i]),
+            }
+        )
+
+    return labeled.map_batches(attach, batch_format="pyarrow")
+
+
+SQL_ENTITY_RESOLUTION = f"""
+WITH RECURSIVE
+recs AS (
+  SELECT p_partkey,
+         CASE p_partkey % 4
+           WHEN 0 THEN p_name
+           WHEN 1 THEN substr(p_name, 1, length(p_name) - 1)
+           WHEN 2 THEN p_name || 's'
+           ELSE upper(substr(p_name, 1, 1)) || substr(p_name, 2)
+         END AS rec_name
+  FROM part
+),
+names AS (SELECT DISTINCT rec_name FROM recs),
+e0 AS (
+  SELECT a.rec_name AS src, b.rec_name AS dst
+  FROM names a JOIN names b
+    ON lower(substr(a.rec_name, 1, 1)) = lower(substr(b.rec_name, 1, 1))
+   AND a.rec_name < b.rec_name
+  WHERE jaro_winkler_similarity(lower(a.rec_name), lower(b.rec_name)) >= {_ER_THRESHOLD}
+),
+edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+cc(node, lbl) AS (
+  SELECT rec_name, rec_name FROM names
+  UNION
+  SELECT e.dst, c.lbl FROM cc c JOIN edges e ON e.src = c.node
+),
+comp AS (SELECT node AS rec_name, min(lbl) AS comp_name FROM cc GROUP BY node),
+labeled AS (SELECT r.p_partkey, c.comp_name FROM recs r JOIN comp c USING (rec_name)),
+canon AS (
+  SELECT comp_name, min(p_partkey) AS entity_id,
+         CAST(count(*) AS BIGINT) AS entity_size
+  FROM labeled GROUP BY comp_name
+)
+SELECT l.p_partkey, c.entity_id, c.entity_size
+FROM labeled l JOIN canon c USING (comp_name)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bounded-hop multi-source weighted shortest paths
+# ---------------------------------------------------------------------------
+
+_SSSP_SEED_MOD = 100
+_SSSP_ITERS = 16
+
+
+def q_sssp_weighted(sf_dir: str):
+    """Bounded-hop multi-source weighted shortest paths
+    (stages/graph.sssp) over a deterministic SQL-derivable doc graph:
+    chain edges i→i+1 (w = 1 + i%5) plus coin long jumps i→i+13
+    (w = 2 + i%7, iff md5(i) < 'c' — the same md5-coin device as
+    ``dedup_clusters``).  Seeds are every 100th doc; 16 Bellman-Ford
+    sweeps give the exact min cost over ≤16-hop paths, value-oracled
+    against a chained-CTE unroll of the same relaxation.  Int64 weights
+    throughout → exact equality, no rounding policy needed."""
+    from ..stages.graph import sssp
+    from .tabular import md5_lt_mask
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"], split=True)
+    n_docs = read_table_arrow(sf_dir, "documents", columns=["doc_id"]).num_rows
+
+    def gen_edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        k1 = ids[ids + 1 < n_docs]
+        coin = md5_lt_mask(batch["doc_id"], "c" + "0" * 31) & (ids + 13 < n_docs)
+        k2 = ids[coin]
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([k1, k2])),
+                "dst": pa.array(np.concatenate([k1 + 1, k2 + 13])),
+                "w": pa.array(np.concatenate([1 + k1 % 5, 2 + k2 % 7])),
+            }
+        )
+
+    edges = ds.map_batches(gen_edges, batch_format="pyarrow")
+    seeds = np.arange(0, n_docs, _SSSP_SEED_MOD, dtype=np.int64)
+    out = sssp(edges, seeds, iters=_SSSP_ITERS)
+    return pd.DataFrame(
+        {"doc_id": out["node"].to_numpy(), "dist": out["dist"].to_numpy()}
+    )
+
+
+def _sssp_sql() -> str:
+    parts = [
+        f"""
+WITH e0 AS MATERIALIZED (
+  SELECT doc_id AS src, doc_id + 1 AS dst, CAST(1 + doc_id % 5 AS BIGINT) AS w
+  FROM documents WHERE doc_id + 1 < (SELECT count(*) FROM documents)
+  UNION ALL
+  SELECT doc_id, doc_id + 13, CAST(2 + doc_id % 7 AS BIGINT)
+  FROM documents
+  WHERE md5(CAST(doc_id AS VARCHAR)) < 'c'
+    AND doc_id + 13 < (SELECT count(*) FROM documents)
+),
+d0 AS (
+  SELECT doc_id AS node, CAST(0 AS BIGINT) AS dist
+  FROM documents WHERE doc_id % {_SSSP_SEED_MOD} = 0
+)"""
+    ]
+    for k in range(1, _SSSP_ITERS + 1):
+        parts.append(
+            f""",
+d{k} AS MATERIALIZED (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d{k - 1}
+    UNION ALL
+    SELECT e.dst AS node, d.dist + e.w AS dist
+    FROM d{k - 1} d JOIN e0 e ON e.src = d.node
+  ) AS u GROUP BY node
+)"""
+        )
+    parts.append(f"\nSELECT node AS doc_id, dist FROM d{_SSSP_ITERS}")
+    return "".join(parts)
+
+
+SQL_SSSP = _sssp_sql()
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
+    "bm25_search": q_bm25_search,
+    "entity_resolution": q_entity_resolution,
+    "sssp_weighted": q_sssp_weighted,
     "latest_event_per_user": q_latest_event_per_user,
     "late_events": q_late_events,
     "ohlc_resample": q_ohlc_resample,
@@ -13086,6 +13437,9 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "bm25_search": SQL_BM25,
+    "entity_resolution": SQL_ENTITY_RESOLUTION,
+    "sssp_weighted": SQL_SSSP,
     "pricing_summary": SQL_PRICING,
     "latest_event_per_user": SQL_LATEST_EVENT,
     "late_events": SQL_LATE_EVENTS,

@@ -1030,3 +1030,188 @@ def triangle_count(edges, *, src_col: str = "src", dst_col: str = "dst",
         num_buckets=num_buckets,
     )
     return int(closed.count())
+
+
+# ---------------------------------------------------------------------------
+# Bounded-hop weighted shortest paths (multi-source Bellman-Ford)
+# ---------------------------------------------------------------------------
+
+#: distinct-node count above which SSSP keeps the distance vector as a
+#: co-partitioned Dataset instead of a per-sweep broadcast (same budget
+#: rationale as PageRank: one int64 per node; past ~5M nodes the vector
+#: outgrows a sane driver/object-store broadcast).
+SSSP_NODE_BUDGET = PAGERANK_NODE_BUDGET
+
+#: sentinel "unreached" distance — large enough to dominate any real
+#: path cost, small enough that sentinel + max-weight never overflows
+#: int64 during a relaxation.
+_SSSP_INF = np.int64(np.iinfo(np.int64).max // 4)
+
+
+def sssp(
+    edges,
+    seeds,
+    *,
+    iters: int = 16,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    w_col: str = "w",
+    node_budget: int = SSSP_NODE_BUDGET,
+    path: str = "auto",
+):
+    """Bounded-hop multi-source weighted shortest paths → DataFrame
+    (node, dist) for every node REACHED within ``iters`` edge hops of
+    any seed (directed edges, non-negative int64 weights).
+
+    Each Bellman-Ford sweep relaxes every edge once, so after sweep k
+    the distance vector holds the exact min-cost over all paths of ≤ k
+    edges — the standard Pregel/delta-stepping convergence contract.
+    Weights and distances stay int64 throughout: results are exact, no
+    float rounding policy needed.
+
+    Two physical plans, routed by the distributed distinct-node count
+    (same geometry as :func:`pagerank`):
+
+    - **broadcast** (≤ ``node_budget`` nodes): the distance vector
+      broadcasts per sweep via ``ray.put``; each edge batch emits
+      per-destination candidate-min partials (vectorized
+      ``np.minimum.at`` over factorized dst ids) that drain to one
+      driver fold.  Early-exits when a sweep changes nothing (bit-equal
+      to running all ``iters`` sweeps, since relaxation is monotone).
+    - **bucketed** (above it — the web-scale path): the distance vector
+      never leaves the cluster.  State (node, dist) co-partitions with
+      edges on ``src`` via ``shuffle_join``; candidates union with the
+      previous state and a grouped min writes the new state.  Nothing
+      but the plan handle touches the driver per sweep.
+
+    ``path="broadcast"|"bucketed"`` forces a plan (tests assert the two
+    produce identical distances).
+    """
+    import ray.data as rd
+
+    from ..pipelines.tabular import grouped_aggregate
+    from ..state.broadcast import Broadcast
+
+    edges = edges.materialize()
+    seeds = np.unique(np.asarray(list(seeds), dtype=np.int64))
+    if seeds.size == 0:
+        raise ValueError("sssp needs at least one seed node")
+
+    def endpoints(t: pa.Table) -> pd.DataFrame:
+        u = np.unique(
+            np.concatenate(
+                [
+                    t[src_col].to_numpy(zero_copy_only=False),
+                    t[dst_col].to_numpy(zero_copy_only=False),
+                ]
+            )
+        )
+        return pd.DataFrame({"node": u})
+
+    nodes_ds = (
+        grouped_aggregate(
+            edges.map_batches(endpoints, batch_format="pyarrow"), ["node"], {"n": ("count", None)}
+        )
+        .select_columns(["node"])
+        .materialize()
+    )
+    n = nodes_ds.count()
+    if path == "bucketed" or (path == "auto" and n > node_budget):
+        return _sssp_bucketed(
+            edges, nodes_ds, seeds,
+            iters=iters, src_col=src_col, dst_col=dst_col, w_col=w_col,
+        )
+
+    # sweep loop re-scans the edge list once per iteration (see pagerank)
+    if edges.num_blocks() > _SWEEP_EDGE_BLOCKS:
+        edges = edges.repartition(_SWEEP_EDGE_BLOCKS).materialize()
+
+    nodes = np.sort(nodes_ds.to_pandas()["node"].to_numpy(dtype=np.int64))
+    dist = np.full(n, _SSSP_INF, dtype=np.int64)
+    seed_idx = np.searchsorted(nodes, seeds)
+    in_graph = (seed_idx < n) & (nodes[np.minimum(seed_idx, n - 1)] == seeds)
+    dist[seed_idx[in_graph]] = 0
+
+    for _ in range(iters):
+        handle = Broadcast((nodes, dist))
+
+        def relax(t: pa.Table) -> pd.DataFrame:
+            keys, dvec = handle.get()
+            s = t[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            d = t[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            w = t[w_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            sd = dvec[np.searchsorted(keys, s)]  # every src IS a node
+            live = sd < _SSSP_INF
+            if not live.any():
+                return pd.DataFrame({"node": np.empty(0, np.int64), "c": np.empty(0, np.int64)})
+            cand = sd[live] + w[live]
+            uniq, inv = np.unique(d[live], return_inverse=True)
+            best = np.full(uniq.size, _SSSP_INF, dtype=np.int64)
+            np.minimum.at(best, inv, cand)
+            return pd.DataFrame({"node": uniq, "c": best})
+
+        # ≤ n rows per block: partials drain straight to the driver fold
+        got = edges.map_batches(relax, batch_format="pyarrow").to_pandas()
+        if len(got) == 0:
+            break
+        folded = got.groupby("node")["c"].min()
+        new = dist.copy()
+        idx = np.searchsorted(nodes, folded.index.to_numpy(dtype=np.int64))
+        np.minimum.at(new, idx, folded.to_numpy(dtype=np.int64))
+        if np.array_equal(new, dist):
+            break  # monotone relaxation: a fixed point stays fixed
+        dist = new
+
+    reached = dist < _SSSP_INF
+    return pd.DataFrame({"node": nodes[reached], "dist": dist[reached]})
+
+
+def _sssp_bucketed(edges, nodes_ds, seeds, *, iters, src_col, dst_col, w_col):
+    """Co-partitioned Bellman-Ford: state (node, dist) stays a Dataset;
+    each sweep is state ⨝ edges on src → candidate (dst, dist+w) →
+    union with prior state → grouped min.  Exact int64 arithmetic, so
+    the result is EXACTLY equal to the broadcast plan."""
+    from ..pipelines.tabular import grouped_aggregate, shuffle_join
+    from ..state.broadcast import Broadcast
+
+    seed_bc = Broadcast(seeds)
+
+    def init_state(t: pa.Table) -> pa.Table:
+        nd = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_seed = np.isin(nd, seed_bc.get())
+        d = np.where(is_seed, np.int64(0), _SSSP_INF)
+        return pa.table({"node": pa.array(nd), "dist": pa.array(d)})
+
+    state = nodes_ds.map_batches(init_state, batch_format="pyarrow")
+
+    def as_src(t: pa.Table) -> pa.Table:
+        return pa.table({src_col: t["node"], "dist": t["dist"]})
+
+    for _ in range(iters):
+        state = state.materialize()
+        joined = shuffle_join(
+            state.map_batches(as_src, batch_format="pyarrow"),
+            edges,
+            src_col,
+            how="inner",
+        )
+
+        def candidates(df: pd.DataFrame) -> pa.Table:
+            sd = df["dist"].to_numpy(dtype=np.int64)
+            live = sd < _SSSP_INF
+            d = df[dst_col].to_numpy(dtype=np.int64)[live]
+            w = df[w_col].to_numpy(dtype=np.int64)[live]
+            return pa.table({"node": pa.array(d), "dist": pa.array(sd[live] + w)})
+
+        cand = joined.map_batches(candidates, batch_format="pandas")
+        state = grouped_aggregate(
+            state.union(cand), ["node"], {"dist": ("min", "dist")}
+        )
+
+    out = state.map_batches(
+        lambda t: t.filter(
+            pa.compute.less(t["dist"], pa.scalar(int(_SSSP_INF), type=pa.int64()))
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)

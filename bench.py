@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "type_entropy",
     "bfs_hops",
     "pagerank",
+    "sssp_weighted",
     "label_propagation",
     "pareto_orders",
     "auc_score",
@@ -139,6 +140,8 @@ BENCH_QUERIES = [
     "rolling_distinct_users",
     "pareto_8020",
     "part_recs",
+    "bm25_search",
+    "entity_resolution",
     "hourly_anomaly",
     "readability_score",
     "k_anonymity",

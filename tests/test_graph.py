@@ -379,3 +379,69 @@ class TestPersonalizedPageRank:
         _df, ds = self._edges(rd)
         with _pytest.raises(ValueError, match="restart_node"):
             pagerank(ds, iters=2, restart_node=10**9, path="broadcast")
+
+
+class TestSssp:
+    @staticmethod
+    def _reference(src, dst, w, seeds, n_nodes, iters):
+        """Plain-python Bellman-Ford over ≤iters hops."""
+        INF = float("inf")
+        nodes = sorted(set(src) | set(dst))
+        dist = {v: INF for v in nodes}
+        for s in seeds:
+            if s in dist:
+                dist[s] = 0
+        for _ in range(iters):
+            new = dict(dist)
+            for a, b, ww in zip(src, dst, w):
+                if dist[a] < INF and dist[a] + ww < new[b]:
+                    new[b] = dist[a] + ww
+            if new == dist:
+                break
+            dist = new
+        return {v: d for v, d in dist.items() if d < INF}
+
+    def _graph(self, seed=7, n=60, m=240):
+        rng = np.random.default_rng(seed)
+        src = rng.integers(0, n, m).astype(np.int64)
+        dst = rng.integers(0, n, m).astype(np.int64)
+        keep = src != dst
+        w = rng.integers(1, 9, m).astype(np.int64)[keep]
+        return src[keep], dst[keep], w
+
+    def test_matches_reference(self, ray_session):
+        import ray.data as rd
+
+        from article_extraction_ray.stages.graph import sssp
+
+        src, dst, w = self._graph()
+        eds = rd.from_pandas(pd.DataFrame({"src": src, "dst": dst, "w": w})).repartition(5)
+        got = sssp(eds, [0, 17], iters=12)
+        want = self._reference(src, dst, w, [0, 17], 60, 12)
+        assert dict(zip(got["node"], got["dist"])) == want
+
+    def test_bucketed_path_identical(self, ray_session):
+        import ray.data as rd
+
+        from article_extraction_ray.stages.graph import sssp
+
+        src, dst, w = self._graph(seed=11)
+        eds = rd.from_pandas(pd.DataFrame({"src": src, "dst": dst, "w": w})).repartition(5)
+        a = sssp(eds, [3], iters=6, path="broadcast").reset_index(drop=True)
+        b = sssp(eds, [3], iters=6, path="bucketed").reset_index(drop=True)
+        a = a.sort_values("node").reset_index(drop=True)
+        b = b.sort_values("node").reset_index(drop=True)
+        assert (a["node"].to_numpy() == b["node"].to_numpy()).all()
+        assert (a["dist"].to_numpy() == b["dist"].to_numpy()).all()
+
+    def test_unreachable_excluded(self, ray_session):
+        import ray.data as rd
+
+        from article_extraction_ray.stages.graph import sssp
+
+        # 0→1→2 and an island 5→6 never reached from seed 0
+        eds = rd.from_pandas(
+            pd.DataFrame({"src": [0, 1, 5], "dst": [1, 2, 6], "w": [4, 2, 1]})
+        )
+        got = sssp(eds, [0], iters=8)
+        assert dict(zip(got["node"], got["dist"])) == {0: 0, 1: 4, 2: 6}
