@@ -13215,9 +13215,145 @@ d{k} AS MATERIALIZED (
 SQL_SSSP = _sssp_sql()
 
 
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (hashed-feature LM ratio + Gumbel top-k)
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 64
+_DSIR_K = 100
+_DSIR_TARGET_LANG = "en"
+
+
+def _dsir_doc_bucket_counts(texts, m: int) -> np.ndarray:
+    """Per-doc hashed-unigram bucket-count matrix (docs × m) for one
+    batch.  md5 runs once per DISTINCT token (vocabulary-bounded memo),
+    then occurrences map through an Arrow ``index_in`` and a single
+    vectorized 2-D scatter-add — no Python loop over tokens."""
+    import pyarrow.compute as pc
+
+    from .tabular import md5_digest_words
+
+    arr = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
+    split = pc.split_pattern(arr, " ")
+    lens = pc.list_value_length(split).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(split)
+    uniq = pc.unique(flat)
+    hi, _lo = md5_digest_words(uniq)
+    ubucket = ((hi >> np.uint64(32)) % np.uint64(m)).astype(np.int64)
+    idx = pc.index_in(flat, value_set=uniq).to_numpy(zero_copy_only=False)
+    tok_bucket = ubucket[idx]
+    docrow = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
+    counts = np.zeros((lens.size, m), dtype=np.int64)
+    np.add.at(counts, (docrow, tok_bucket), 1)
+    return counts
+
+
+def q_dsir_select(sf_dir: str):
+    """DSIR-style data selection (importance resampling over hashed
+    LM features, after Xie et al. 2023): score every document by how
+    much more likely its hashed-unigram profile is under the TARGET
+    distribution (here: the ``lang = 'en'`` slice) than under the raw
+    corpus, then draw a without-replacement sample of the top
+    ``_DSIR_K`` via deterministic Gumbel top-k.
+
+    log w(doc) = Σ_tokens [ln p̂(bucket) − ln q̂(bucket)] with add-1
+    smoothing over ``_DSIR_BUCKETS`` md5-hash buckets; the Gumbel key is
+    log w − ln(−ln u) with u derived from md5(doc_id) — fully
+    deterministic and SQL-expressible, so the whole selection is
+    value-oracled.
+
+    Scale shape: pass 1 folds one (bucket → target count, corpus count)
+    partial per block (2m+2 ints — fixed width at any corpus size) into
+    the smoothed log-ratio vector, which broadcasts; pass 2 re-streams
+    the corpus, computes per-doc log-weights as ONE matmul of the
+    per-batch bucket-count matrix against the ratio vector, and keeps a
+    per-batch top-k so only blocks × k candidates reach the driver's
+    final cut."""
+    m, k = _DSIR_BUCKETS, _DSIR_K
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"], split=True)
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        counts = _dsir_doc_bucket_counts(batch["text"], m)
+        import pyarrow.compute as pc
+
+        is_target = pc.equal(batch["lang"], _DSIR_TARGET_LANG).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "b": pa.array(np.arange(m, dtype=np.int64)),
+                "t": pa.array(counts[is_target].sum(axis=0)),
+                "a": pa.array(counts.sum(axis=0)),
+            }
+        )
+
+    # fixed-width partials (m rows per block) → one driver fold
+    folded = (
+        ds.map_batches(stats_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("b", as_index=False)
+        .sum()
+        .sort_values("b")
+    )
+    t = folded["t"].to_numpy(dtype=np.float64)
+    a = folded["a"].to_numpy(dtype=np.float64)
+    ratio = np.log((t + 1.0) / (t.sum() + m)) - np.log((a + 1.0) / (a.sum() + m))
+    handle = Broadcast(ratio)
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        from .tabular import md5_digest_words
+
+        r = handle.get()
+        counts = _dsir_doc_bucket_counts(batch["text"], m)
+        lw = counts.astype(np.float64) @ r
+        hi, _lo = md5_digest_words(batch["doc_id"])
+        u = ((hi >> np.uint64(32)).astype(np.float64) + 0.5) / 4294967296.0
+        key = lw - np.log(-np.log(u))
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -key))[:k]
+        return pd.DataFrame(
+            {"doc_id": ids[order], "logw": np.round(lw[order], 6), "k": key[order]}
+        )
+
+    cands = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    cands = cands.sort_values(["k", "doc_id"], ascending=[False, True]).head(k)
+    return cands[["doc_id", "logw"]].reset_index(drop=True)
+
+
+SQL_DSIR = f"""
+WITH tb AS MATERIALIZED (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT % {_DSIR_BUCKETS} AS BIGINT) AS b
+  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+),
+tcnt AS (SELECT b, count(*) AS t FROM tb WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY b),
+acnt AS (SELECT b, count(*) AS a FROM tb GROUP BY b),
+tot AS (
+  SELECT (SELECT count(*) FROM tb WHERE lang = '{_DSIR_TARGET_LANG}') AS tt,
+         (SELECT count(*) FROM tb) AS ta
+),
+ratio AS (
+  SELECT a.b,
+         ln((coalesce(t.t, 0) + 1.0) / (tot.tt + {_DSIR_BUCKETS}.0))
+         - ln((a.a + 1.0) / (tot.ta + {_DSIR_BUCKETS}.0)) AS r
+  FROM acnt a LEFT JOIN tcnt t USING (b) CROSS JOIN tot
+),
+logw AS (
+  SELECT tb.doc_id, sum(r.r) AS lw FROM tb JOIN ratio r USING (b) GROUP BY tb.doc_id
+),
+keyed AS (
+  SELECT doc_id, lw,
+         lw - ln(-ln(((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT) + 0.5)
+                     / 4294967296.0)) AS k
+  FROM logw
+)
+SELECT doc_id, round(lw, 6) AS logw
+FROM keyed ORDER BY k DESC, doc_id LIMIT {_DSIR_K}
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "bm25_search": q_bm25_search,
+    "dsir_select": q_dsir_select,
     "entity_resolution": q_entity_resolution,
     "sssp_weighted": q_sssp_weighted,
     "latest_event_per_user": q_latest_event_per_user,
@@ -13438,6 +13574,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "bm25_search": SQL_BM25,
+    "dsir_select": SQL_DSIR,
     "entity_resolution": SQL_ENTITY_RESOLUTION,
     "sssp_weighted": SQL_SSSP,
     "pricing_summary": SQL_PRICING,

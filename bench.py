@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "pareto_8020",
     "part_recs",
     "bm25_search",
+    "dsir_select",
     "entity_resolution",
     "hourly_anomaly",
     "readability_score",
