@@ -13350,10 +13350,58 @@ FROM keyed ORDER BY k DESC, doc_id LIMIT {_DSIR_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# Density-based boilerplate strip (generic main-content extraction)
+# ---------------------------------------------------------------------------
+
+#: docs per scale factor for the density-extraction demo corpus — the
+#: operator is per-document parse work (like the flagship), so the
+#: bench-facing query sizes the corpus to stay comparable to one bench
+#: slot; throughput is what scales, not this constant.
+_BOILER_DOCS_PER_SF = 20_000
+
+
+def q_boilerplate_strip(sf_dir: str):
+    """Generic density-based main-content extraction
+    (stages/boilerplate.DensityExtractStage): jusText/Boilerpipe-style
+    block segmentation + link-density/length classification + short-block
+    context inheritance, over the deterministic interleaved synthetic
+    corpus (the BASELINE input_hint shape — /root/testdata has no HTML
+    table).  Complements the reference-parity ``<p>`` extractor: that one
+    matches the reference bit-for-bit; this one is the crawl-pipeline
+    main-content path for arbitrary markup.  Rows-only driver check
+    (HTML parsing has no SQL oracle); the classifier semantics are
+    pytest-verified on planted nav/ads/footer markup
+    (tests/test_boilerplate.py)."""
+    import os
+
+    import ray.data as rd
+
+    from ..sources.synth import ensure_corpus_parquet
+    from ..stages.boilerplate import DensityExtractStage
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        sf = float(name.replace("sf", ""))
+    except ValueError:
+        sf = 0.001
+    n_docs = max(500, int(sf * _BOILER_DOCS_PER_SF))
+    corpus = ensure_corpus_parquet("/tmp/ae_corpora", n_docs, 42)
+    ds = rd.read_parquet(str(corpus), columns=["doc_id", "spans"])
+    out = ds.map_batches(
+        DensityExtractStage, batch_size=64, concurrency=(1, 8), batch_format="pyarrow"
+    )
+    return out.map_batches(
+        lambda df: df[["doc_id", "n_blocks", "content_blocks", "boiler_blocks", "content_chars"]],
+        batch_format="pandas",
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "bm25_search": q_bm25_search,
     "dsir_select": q_dsir_select,
+    "boilerplate_strip": q_boilerplate_strip,
     "entity_resolution": q_entity_resolution,
     "sssp_weighted": q_sssp_weighted,
     "latest_event_per_user": q_latest_event_per_user,

@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "part_recs",
     "bm25_search",
     "dsir_select",
+    "boilerplate_strip",
     "entity_resolution",
     "hourly_anomaly",
     "readability_score",
