@@ -3091,9 +3091,11 @@ def q_range_join(sf_dir: str):
     ``np.searchsorted`` calls per interval-batch (intervals here share a
     fixed width, so containment is a pure binary-search band); output is
     built with integer repeats, no per-row Python.  Scale path for a
-    BIG interval side: partition time into width-sized chunks,
-    replicate each interval to the chunks it overlaps, equi-join on
-    chunk id — documented, not needed while the interval side is top-k.
+    BIG interval side: :func:`..pipelines.tabular.interval_join`
+    (chunk-replicated co-partition with single-chunk pair attribution)
+    — running code, exercised and value-oracled by
+    ``interval_overlap_join``; not needed here while the interval side
+    is top-k.
     """
     from ..state.broadcast import Broadcast
     from .tabular import topk
@@ -13397,11 +13399,66 @@ def q_boilerplate_strip(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# Big-big interval overlap join (chunk co-partitioned)
+# ---------------------------------------------------------------------------
+
+_IVJ_DUR_US = 120_000_000  # 2-minute intervals
+_IVJ_CHUNK_US = 600_000_000  # 10-minute co-partition chunks
+
+
+def q_interval_overlap_join(sf_dir: str):
+    """Big-big interval overlap join (pipelines/tabular.interval_join):
+    every view event and click event becomes a 2-minute half-open
+    interval; emit all (view, click) pairs whose intervals overlap.
+    Neither side is top-k'd or broadcast — both replicate to 10-minute
+    time chunks and co-partition ONCE, with each qualifying pair
+    attributed to the single chunk containing max(lo_a, lo_b) (so
+    multi-chunk pairs dedupe arithmetically, no second exchange).  This
+    is the at-scale path `q_range_join`'s docstring names, running and
+    value-oracled against DuckDB's native IEJoin plan."""
+    from .tabular import interval_join
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "ts", "event_type"], split=True)
+
+    def side(kind: str, idc: str, lo: str, hi: str):
+        def mk(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            keep = pc.equal(batch["event_type"], kind)
+            t = batch.filter(keep)
+            ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+            return pa.table(
+                {idc: t["event_id"], lo: pa.array(ts), hi: pa.array(ts + _IVJ_DUR_US)}
+            )
+
+        return mk
+
+    a = ev.map_batches(side("view", "a_id", "lo_a", "hi_a"), batch_format="pyarrow")
+    b = ev.map_batches(side("click", "b_id", "lo_b", "hi_b"), batch_format="pyarrow")
+    out = interval_join(a, b, width=_IVJ_CHUNK_US)
+    return out.map_batches(lambda df: df[["a_id", "b_id"]], batch_format="pandas")
+
+
+SQL_INTERVAL_OVERLAP = f"""
+WITH a AS (
+  SELECT event_id AS a_id, epoch_us(ts) AS lo, epoch_us(ts) + {_IVJ_DUR_US} AS hi
+  FROM events WHERE event_type = 'view'
+),
+b AS (
+  SELECT event_id AS b_id, epoch_us(ts) AS lo, epoch_us(ts) + {_IVJ_DUR_US} AS hi
+  FROM events WHERE event_type = 'click'
+)
+SELECT a.a_id, b.b_id FROM a JOIN b ON a.lo < b.hi AND b.lo < a.hi
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "bm25_search": q_bm25_search,
     "dsir_select": q_dsir_select,
     "boilerplate_strip": q_boilerplate_strip,
+    "interval_overlap_join": q_interval_overlap_join,
     "entity_resolution": q_entity_resolution,
     "sssp_weighted": q_sssp_weighted,
     "latest_event_per_user": q_latest_event_per_user,
@@ -13623,6 +13680,7 @@ QUERIES = {
 ORACLE_SQL = {
     "bm25_search": SQL_BM25,
     "dsir_select": SQL_DSIR,
+    "interval_overlap_join": SQL_INTERVAL_OVERLAP,
     "entity_resolution": SQL_ENTITY_RESOLUTION,
     "sssp_weighted": SQL_SSSP,
     "pricing_summary": SQL_PRICING,

@@ -887,3 +887,67 @@ def set_op(left, right, column: str, op: str):
         return batch.filter(mask).select([column])
 
     return merged.map_batches(keep, batch_format="pyarrow")
+
+
+def interval_join(
+    left,
+    right,
+    *,
+    width: int,
+    left_cols: tuple[str, str] = ("lo_a", "hi_a"),
+    right_cols: tuple[str, str] = ("lo_b", "hi_b"),
+    num_buckets: int = 64,
+):
+    """Big-big interval OVERLAP join (half-open ``[lo, hi)`` int64
+    intervals, strict ``a.lo < b.hi AND b.lo < a.hi``) via time-chunk
+    co-partitioning — the scale path ``q_range_join``'s docstring
+    promises, as running code.
+
+    Shape: each interval replicates to every ``width``-sized time chunk
+    it overlaps (short intervals → 1-2 chunks); both sides then
+    co-partition ONCE on the chunk id through :func:`shuffle_join`, the
+    overlap predicate filters inside each co-partition, and every
+    qualifying pair is attributed to exactly ONE chunk — the chunk
+    containing ``max(lo_left, lo_right)``, which any overlapping pair
+    shares — so pairs spanning several chunks dedupe with pure
+    arithmetic, no second exchange.  Pick ``width`` a small multiple of
+    the typical interval length: too small inflates replication, too
+    large concentrates co-partitions (a hot time range is a hot chunk —
+    salt it upstream like any hot key).
+
+    The two sides' non-chunk columns must be disjoint (rename before
+    calling, e.g. ``a_id``/``b_id``); ``left_cols`` / ``right_cols``
+    name each side's (lo, hi) pair.
+    """
+
+    def replicate(lo_name: str, hi_name: str):
+        def rep(batch: pa.Table) -> pa.Table:
+            lo = batch[lo_name].to_numpy(zero_copy_only=False).astype(np.int64)
+            hi = batch[hi_name].to_numpy(zero_copy_only=False).astype(np.int64)
+            first = lo // width
+            last = (hi - 1) // width  # hi exclusive
+            counts = (last - first + 1).astype(np.int64)
+            idx = np.repeat(np.arange(len(lo), dtype=np.int64), counts)
+            offs = np.concatenate([[0], np.cumsum(counts)])
+            chunk = np.arange(offs[-1], dtype=np.int64) - offs[idx] + first[idx]
+            out = batch.take(pa.array(idx))
+            return out.append_column("chunk", pa.array(chunk))
+
+        return rep
+
+    l_lo, l_hi = left_cols
+    r_lo, r_hi = right_cols
+    lrep = left.map_batches(replicate(l_lo, l_hi), batch_format="pyarrow")
+    rrep = right.map_batches(replicate(r_lo, r_hi), batch_format="pyarrow")
+    joined = shuffle_join(lrep, rrep, "chunk", how="inner", num_buckets=num_buckets)
+
+    def overlap(df: pd.DataFrame) -> pd.DataFrame:
+        alo = df[l_lo].to_numpy(dtype=np.int64)
+        ahi = df[l_hi].to_numpy(dtype=np.int64)
+        blo = df[r_lo].to_numpy(dtype=np.int64)
+        bhi = df[r_hi].to_numpy(dtype=np.int64)
+        chunk = df["chunk"].to_numpy(dtype=np.int64)
+        hit = (alo < bhi) & (blo < ahi) & (np.maximum(alo, blo) // width == chunk)
+        return df.loc[hit].drop(columns=["chunk"])
+
+    return joined.map_batches(overlap, batch_format="pandas")

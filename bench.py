@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "bm25_search",
     "dsir_select",
     "boilerplate_strip",
+    "interval_overlap_join",
     "entity_resolution",
     "hourly_anomaly",
     "readability_score",

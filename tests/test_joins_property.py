@@ -400,3 +400,54 @@ class TestJoinEmptyRightDegenerates:
         with _pytest.raises((ValueError, Exception)) as ei:
             out, _ = join(left, right, "k")
         assert not isinstance(ei.value, AttributeError)
+
+
+class TestIntervalJoin:
+    """interval_join vs brute force, including multi-chunk spans and
+    boundary-touching (non-overlapping) interval pairs."""
+
+    def _sides(self, seed):
+        rng = np.random.default_rng(seed)
+        n_a, n_b = 80, 90
+        lo_a = rng.integers(0, 1000, n_a).astype(np.int64)
+        hi_a = lo_a + rng.integers(1, 120, n_a)  # some spans cross many chunks
+        lo_b = rng.integers(0, 1000, n_b).astype(np.int64)
+        hi_b = lo_b + rng.integers(1, 120, n_b)
+        a = pd.DataFrame({"a_id": np.arange(n_a), "lo_a": lo_a, "hi_a": hi_a})
+        b = pd.DataFrame({"b_id": np.arange(n_b), "lo_b": lo_b, "hi_b": hi_b})
+        return a, b
+
+    def _brute(self, a, b):
+        pairs = set()
+        for _, ra in a.iterrows():
+            for _, rb in b.iterrows():
+                if ra["lo_a"] < rb["hi_b"] and rb["lo_b"] < ra["hi_a"]:
+                    pairs.add((int(ra["a_id"]), int(rb["b_id"])))
+        return pairs
+
+    @pytest.mark.parametrize("width", [16, 64, 4096])
+    def test_matches_brute_force(self, ray_session, width):
+        import ray.data as rd
+
+        from article_extraction_ray.pipelines.tabular import interval_join
+
+        a, b = self._sides(seed=3)
+        got = interval_join(
+            rd.from_pandas(a).repartition(4),
+            rd.from_pandas(b).repartition(3),
+            width=width,
+        ).to_pandas()
+        got_pairs = set(zip(got["a_id"].astype(int), got["b_id"].astype(int)))
+        assert got_pairs == self._brute(a, b)
+        # exactly-once: no duplicate pair rows even when spans cross chunks
+        assert len(got) == len(got_pairs)
+
+    def test_touching_intervals_do_not_match(self, ray_session):
+        import ray.data as rd
+
+        from article_extraction_ray.pipelines.tabular import interval_join
+
+        a = pd.DataFrame({"a_id": [0], "lo_a": [0], "hi_a": [10]})
+        b = pd.DataFrame({"b_id": [0, 1], "lo_b": [10, 9], "hi_b": [20, 19]})
+        got = interval_join(rd.from_pandas(a), rd.from_pandas(b), width=8).to_pandas()
+        assert set(zip(got["a_id"], got["b_id"])) == {(0, 1)}
