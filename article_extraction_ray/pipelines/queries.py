@@ -13453,12 +13453,136 @@ SELECT a.a_id, b.b_id FROM a JOIN b ON a.lo < b.hi AND b.lo < a.hi
 """
 
 
+# ---------------------------------------------------------------------------
+# Multi-touch linear attribution + cross-source duplicate overlap report
+# ---------------------------------------------------------------------------
+
+_ATTR_LOOKBACK_US = 7 * 86_400 * 1_000_000  # 7-day lookback
+
+
+def q_attribution_linear(sf_dir: str):
+    """Multi-touch LINEAR attribution (the many-to-many complement of
+    ``attribution_last_touch``): every purchase splits one unit of
+    credit equally across ALL of the user's click/view touches in the
+    7-day lookback window; output is total credit per touch type.
+
+    Shape: one user-hash exchange co-partitions each user's events,
+    then the per-user kernel is pure ``np.searchsorted`` band counting
+    (touch timestamps sorted once per user; each purchase costs two
+    binary searches per type — no pairwise expansion, even though the
+    logical join is many-to-many).  Only two floats per block drain to
+    the driver fold.  Credit totals are rounded to 6 dp on both engines
+    (sum-order policy)."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_type"], split=True)
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        et = df["event_type"].to_numpy(dtype=object)
+        credit = {"click": 0.0, "view": 0.0}
+        p_ts = np.sort(ts[et == "purchase"])
+        if p_ts.size:
+            bands = {k: np.sort(ts[et == k]) for k in ("click", "view")}
+            counts = {
+                k: np.searchsorted(v, p_ts, side="left")
+                - np.searchsorted(v, p_ts - _ATTR_LOOKBACK_US, side="left")
+                for k, v in bands.items()
+            }
+            total = counts["click"] + counts["view"]
+            live = total > 0
+            for k in ("click", "view"):
+                credit[k] = float((counts[k][live] / total[live]).sum())
+        return pd.DataFrame(
+            {"event_type": ["click", "view"], "credit": [credit["click"], credit["view"]]}
+        )
+
+    per = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    out = per.to_pandas().groupby("event_type", as_index=False)["credit"].sum()
+    out["credit"] = out["credit"].round(6)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_ATTRIBUTION_LINEAR = f"""
+WITH t AS (SELECT user_id, ts, event_type FROM events WHERE event_type IN ('click', 'view')),
+p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+w AS (
+  SELECT t.event_type,
+         1.0 / count(*) OVER (PARTITION BY p.user_id, p.ts) AS c
+  FROM p JOIN t
+    ON t.user_id = p.user_id
+   AND epoch_us(t.ts) >= epoch_us(p.ts) - {_ATTR_LOOKBACK_US}
+   AND epoch_us(t.ts) < epoch_us(p.ts)
+)
+SELECT event_type, round(sum(c), 6) AS credit FROM w GROUP BY event_type ORDER BY event_type
+"""
+
+
+_OVERLAP_PREFIX = 20
+
+
+def q_source_overlap(sf_dir: str):
+    """Cross-source duplicate overlap report: for every pair of
+    sources, how many (prefix-20 fingerprint) duplicate text pairs they
+    share — the "which feeds duplicate each other" audit that decides
+    crawl-dedup priorities.
+
+    Shape: ONE fingerprint-hash exchange co-partitions all copies of a
+    fingerprint; the per-group kernel expands only CROSS-SOURCE pairs
+    (bounded by per-fingerprint copy counts, the same bound exact dedup
+    relies on); per-pair partial counts fold in a tiny grouped sum —
+    the corpus text never moves, only 20-byte fingerprints."""
+    ds = read_table(sf_dir, "documents", columns=["text", "source"], split=True)
+
+    def fp(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "fp": pc.utf8_slice_codeunits(batch["text"], 0, _OVERLAP_PREFIX),
+                "source": batch["source"],
+            }
+        )
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        src = np.sort(df["source"].to_numpy(dtype=object))
+        n = src.size
+        if n < 2:
+            return pd.DataFrame({"src_a": [], "src_b": [], "n": []})
+        ii, jj = np.triu_indices(n, k=1)
+        keep = src[ii] != src[jj]
+        if not keep.any():
+            return pd.DataFrame({"src_a": [], "src_b": [], "n": []})
+        out = pd.DataFrame({"src_a": src[ii][keep], "src_b": src[jj][keep]})
+        return out.groupby(["src_a", "src_b"], as_index=False).size().rename(columns={"size": "n"})
+
+    per = ds.map_batches(fp, batch_format="pyarrow").groupby("fp").map_groups(
+        pairs, batch_format="pandas"
+    )
+    out = per.to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({"src_a": pd.Series(dtype=object), "src_b": pd.Series(dtype=object),
+                             "n": pd.Series(dtype=np.int64)})
+    out = out.groupby(["src_a", "src_b"], as_index=False)["n"].sum()
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(["src_a", "src_b"]).reset_index(drop=True)
+
+
+SQL_SOURCE_OVERLAP = f"""
+SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS n
+FROM documents a JOIN documents b
+  ON substr(a.text, 1, {_OVERLAP_PREFIX}) = substr(b.text, 1, {_OVERLAP_PREFIX})
+ AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "bm25_search": q_bm25_search,
     "dsir_select": q_dsir_select,
     "boilerplate_strip": q_boilerplate_strip,
     "interval_overlap_join": q_interval_overlap_join,
+    "attribution_linear": q_attribution_linear,
+    "source_overlap": q_source_overlap,
     "entity_resolution": q_entity_resolution,
     "sssp_weighted": q_sssp_weighted,
     "latest_event_per_user": q_latest_event_per_user,
@@ -13681,6 +13805,8 @@ ORACLE_SQL = {
     "bm25_search": SQL_BM25,
     "dsir_select": SQL_DSIR,
     "interval_overlap_join": SQL_INTERVAL_OVERLAP,
+    "attribution_linear": SQL_ATTRIBUTION_LINEAR,
+    "source_overlap": SQL_SOURCE_OVERLAP,
     "entity_resolution": SQL_ENTITY_RESOLUTION,
     "sssp_weighted": SQL_SSSP,
     "pricing_summary": SQL_PRICING,

@@ -144,6 +144,8 @@ BENCH_QUERIES = [
     "dsir_select",
     "boilerplate_strip",
     "interval_overlap_join",
+    "attribution_linear",
+    "source_overlap",
     "entity_resolution",
     "hourly_anomaly",
     "readability_score",
