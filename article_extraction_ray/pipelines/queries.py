@@ -13575,6 +13575,72 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Quality-classifier train + filter (distributed logistic regression)
+# ---------------------------------------------------------------------------
+
+
+def _quality_features(batch: pa.Table) -> np.ndarray:
+    """Cheap vectorized text features: log doc length, mean token
+    length, type-token ratio — the classic quality-signal trio."""
+    import pyarrow.compute as pc
+
+    arr = batch["text"].combine_chunks() if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+    split = pc.split_pattern(arr, " ")
+    lens = pc.list_value_length(split).to_numpy(zero_copy_only=False).astype(np.float64)
+    chars = pc.utf8_length(arr).to_numpy(zero_copy_only=False).astype(np.float64)
+    flat = pc.list_flatten(split)
+    tok_lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.float64)
+    offs = np.concatenate([[0], np.cumsum(lens).astype(np.int64)])
+    c = np.concatenate([[0.0], np.cumsum(tok_lens)])
+    mean_tok = (c[offs[1:]] - c[offs[:-1]]) / np.maximum(lens, 1.0)
+    # distinct-token ratio per doc: unique (doc, token-id) pairs →
+    # bincount per doc — fully vectorized, no per-doc Python
+    uniq = pc.unique(flat)
+    idx = pc.index_in(flat, value_set=uniq).to_numpy(zero_copy_only=False).astype(np.int64)
+    docrow = np.repeat(np.arange(lens.size, dtype=np.int64), lens.astype(np.int64))
+    upair = np.unique(docrow * len(uniq) + idx)
+    distinct = np.bincount(upair // len(uniq), minlength=lens.size)
+    ttr = distinct / np.maximum(lens, 1.0)
+    return np.column_stack([np.log1p(chars), mean_tok, ttr])
+
+
+def q_quality_classifier(sf_dir: str):
+    """Train-then-filter quality gate (stages/logreg.py): a distributed
+    full-batch logistic regression learns to separate ``lang='en'``
+    docs from the rest on three cheap text features, then the corpus
+    streams once more through the broadcast-weights scorer and the gate
+    keeps p ≥ 0.5.  Output: per-lang kept/total counts — the audit
+    table a curation run reports.  Rows-only driver check (iterative
+    fit has no SQL oracle); the distributed fit is parity-tested
+    against the textbook driver kernel and the gate decisions are
+    deterministic (tests/test_logreg.py)."""
+    from ..stages.logreg import logreg_fit, logreg_score
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"], split=True)
+
+    def labels(batch: pa.Table) -> np.ndarray:
+        import pyarrow.compute as pc
+
+        return pc.equal(batch["lang"], "en").to_numpy(zero_copy_only=False).astype(np.float64)
+
+    w = logreg_fit(ds, _quality_features, labels, d=3, iters=40, lr=0.5)
+    scored = logreg_score(ds, w, _quality_features)
+
+    def gate_counts(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {"lang": batch["lang"].to_pylist(), "kept": batch["p"].to_numpy() >= 0.5}
+        )
+        g = df.groupby("lang", as_index=False).agg(kept=("kept", "sum"), total=("kept", "size"))
+        return g
+
+    per = scored.map_batches(gate_counts, batch_format="pyarrow").to_pandas()
+    out = per.groupby("lang", as_index=False)[["kept", "total"]].sum()
+    out["kept"] = out["kept"].astype(np.int64)
+    out["total"] = out["total"].astype(np.int64)
+    return out.sort_values("lang").reset_index(drop=True)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "bm25_search": q_bm25_search,
@@ -13583,6 +13649,7 @@ QUERIES = {
     "interval_overlap_join": q_interval_overlap_join,
     "attribution_linear": q_attribution_linear,
     "source_overlap": q_source_overlap,
+    "quality_classifier": q_quality_classifier,
     "entity_resolution": q_entity_resolution,
     "sssp_weighted": q_sssp_weighted,
     "latest_event_per_user": q_latest_event_per_user,

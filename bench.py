@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "interval_overlap_join",
     "attribution_linear",
     "source_overlap",
+    "quality_classifier",
     "entity_resolution",
     "hourly_anomaly",
     "readability_score",
