@@ -13624,7 +13624,9 @@ def q_quality_classifier(sf_dir: str):
 
         return pc.equal(batch["lang"], "en").to_numpy(zero_copy_only=False).astype(np.float64)
 
-    w = logreg_fit(ds, _quality_features, labels, d=3, iters=40, lr=0.5)
+    # 24 sweeps: decisions are stable well before this (each sweep is
+    # one plan launch, the dominant cost at bench scale)
+    w = logreg_fit(ds, _quality_features, labels, d=3, iters=24, lr=0.5)
     scored = logreg_score(ds, w, _quality_features)
 
     def gate_counts(batch: pa.Table) -> pd.DataFrame:
