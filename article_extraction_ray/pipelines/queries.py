@@ -13643,6 +13643,27 @@ def q_quality_classifier(sf_dir: str):
     return out.sort_values("lang").reset_index(drop=True)
 
 
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer training (SentencePiece-style, hard-EM)
+# ---------------------------------------------------------------------------
+
+
+def q_unigram_train(sf_dir: str):
+    """SentencePiece-style unigram-LM tokenizer training
+    (stages/unigram_lm.py): seed substring candidates → Viterbi hard-EM
+    sweeps with geometric pruning → (piece, logp) vocabulary.  One
+    corpus pass (the distributed word-count fold shared with BPE); all
+    EM sweeps iterate the distinct-WORD dataset with the piece table
+    broadcast — vocabulary-bounded work, like bpe_train.  Rows-only
+    driver check (iterative EM has no SQL oracle); distributed-vs-local
+    frame equality, Viterbi tie rules, and pruning invariants are
+    pytest-verified (tests/test_unigram_lm.py)."""
+    from ..stages.unigram_lm import unigram_lm_train
+
+    ds = read_table(sf_dir, "documents", columns=["text"], split=True)
+    return unigram_lm_train(ds, vocab_size=120, rounds=3, max_len=5)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "bm25_search": q_bm25_search,
@@ -13652,6 +13673,7 @@ QUERIES = {
     "attribution_linear": q_attribution_linear,
     "source_overlap": q_source_overlap,
     "quality_classifier": q_quality_classifier,
+    "unigram_train": q_unigram_train,
     "entity_resolution": q_entity_resolution,
     "sssp_weighted": q_sssp_weighted,
     "latest_event_per_user": q_latest_event_per_user,

@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "attribution_linear",
     "source_overlap",
     "quality_classifier",
+    "unigram_train",
     "entity_resolution",
     "hourly_anomaly",
     "readability_score",
