@@ -13664,6 +13664,139 @@ def q_unigram_train(sf_dir: str):
     return unigram_lm_train(ds, vocab_size=120, rounds=3, max_len=5)
 
 
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance + field-level survivorship merge
+# ---------------------------------------------------------------------------
+
+
+def q_incremental_agg(sf_dir: str):
+    """Incremental materialized-aggregate maintenance: a per-customer
+    (order count, total cents) aggregate built over the BASE snapshot
+    (orders with key < 80% of the table) is brought up to date by a
+    signed CDC delta — inserts (the remaining 20%) at +1 and deletes
+    (every 7th base order) at −1 — WITHOUT recomputing from scratch.
+    This is the view-maintenance half of `cdc_apply` (which replays
+    row-level tombstones): counts and sums are self-maintainable under
+    Σ±delta, so the merge is base ∪ signed-delta → ONE grouped sum, and
+    groups whose maintained count hits 0 drop out.  Prices are summed
+    as integer cents (exact, no float policy).  Oracle: full recompute
+    of the final state in SQL."""
+    import pyarrow.compute as pc
+
+    n_orders = read_table_arrow(sf_dir, "orders", columns=["o_orderkey"]).num_rows
+    cut = (n_orders * 8) // 10
+
+    ds = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"], split=True
+    )
+
+    def signed(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        cents = np.round(batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0).astype(
+            np.int64
+        )
+        cust = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        base = k < cut
+        insert = ~base
+        delete = base & (k % 7 == 0)
+        sign = np.where(insert | base, np.int64(1), np.int64(0))
+        # one pass emits base rows (+1), insert rows (+1) and delete
+        # rows (−1) — the delete re-emits the base row negated
+        out_cust = np.concatenate([cust, cust[delete]])
+        out_sign = np.concatenate([sign, np.full(int(delete.sum()), -1, dtype=np.int64)])
+        out_cents = np.concatenate([cents, cents[delete]])
+        return pa.table(
+            {
+                "o_custkey": pa.array(out_cust),
+                "n": pa.array(out_sign),
+                "total_cents": pa.array(out_cents * out_sign),
+            }
+        )
+
+    merged = grouped_aggregate(
+        ds.map_batches(signed, batch_format="pyarrow"),
+        ["o_custkey"],
+        {"n": ("sum", "n"), "total_cents": ("sum", "total_cents")},
+    )
+    return merged.map_batches(
+        lambda t: t.filter(pc.greater(t["n"], 0)), batch_format="pyarrow"
+    )
+
+
+SQL_INCREMENTAL_AGG = """
+WITH final_rows AS (
+  SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+  WHERE o_orderkey >= (SELECT count(*) * 8 // 10 FROM orders)
+     OR (o_orderkey < (SELECT count(*) * 8 // 10 FROM orders) AND o_orderkey % 7 <> 0)
+)
+SELECT o_custkey, CAST(count(*) AS BIGINT) AS n, sum(cents) AS total_cents
+FROM final_rows GROUP BY o_custkey HAVING count(*) > 0
+"""
+
+
+def q_survivorship_merge(sf_dir: str):
+    """Field-level survivorship (MDM golden-record rule): per customer,
+    each FIELD independently takes its value from the latest order (by
+    o_orderdate, tie → higher o_orderkey) where that field passes its
+    validity rule — here o_totalprice is treated as missing on every
+    5th order and o_orderpriority as missing when the status is 'F', so
+    the two golden fields usually come from DIFFERENT rows (what makes
+    survivorship different from latest-row-wins `merge_upsert`).
+
+    Shape: one customer-hash exchange; the per-group kernel sorts once
+    and scans each field's validity mask from the newest end —
+    vectorized argmax over the boolean mask, no per-row Python.  Output
+    cents are exact ints."""
+    ds = read_table(
+        sf_dir,
+        "orders",
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "o_orderstatus",
+                 "o_orderpriority"],
+        split=True,
+    )
+
+    def golden(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_orderdate", "o_orderkey"]).reset_index(drop=True)
+        k = df["o_orderkey"].to_numpy()
+        price_ok = (k % 5) != 0
+        prio_ok = (df["o_orderstatus"].to_numpy(dtype=object) != "F")
+        cents = np.round(df["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+
+        def last_valid(mask: np.ndarray):
+            idx = np.flatnonzero(mask)
+            return int(idx[-1]) if idx.size else -1
+
+        ip, ir = last_valid(price_ok), last_valid(prio_ok)
+        return pd.DataFrame(
+            {
+                "o_custkey": [int(df["o_custkey"].iloc[0])],
+                "golden_cents": [int(cents[ip]) if ip >= 0 else None],
+                "golden_priority": [df["o_orderpriority"].iloc[ir] if ir >= 0 else None],
+            }
+        )
+
+    out = ds.groupby("o_custkey").map_groups(golden, batch_format="pandas")
+    return out.map_batches(
+        lambda df: df.assign(golden_cents=df["golden_cents"].astype("Int64")),
+        batch_format="pandas",
+    )
+
+
+SQL_SURVIVORSHIP = """
+SELECT o_custkey,
+       last_value(CASE WHEN o_orderkey % 5 <> 0
+                       THEN CAST(round(o_totalprice * 100) AS BIGINT) END IGNORE NULLS)
+         OVER w AS golden_cents,
+       last_value(CASE WHEN o_orderstatus <> 'F' THEN o_orderpriority END IGNORE NULLS)
+         OVER w AS golden_priority
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "bm25_search": q_bm25_search,
@@ -13674,6 +13807,8 @@ QUERIES = {
     "source_overlap": q_source_overlap,
     "quality_classifier": q_quality_classifier,
     "unigram_train": q_unigram_train,
+    "incremental_agg": q_incremental_agg,
+    "survivorship_merge": q_survivorship_merge,
     "entity_resolution": q_entity_resolution,
     "sssp_weighted": q_sssp_weighted,
     "latest_event_per_user": q_latest_event_per_user,
@@ -13897,6 +14032,8 @@ ORACLE_SQL = {
     "dsir_select": SQL_DSIR,
     "interval_overlap_join": SQL_INTERVAL_OVERLAP,
     "attribution_linear": SQL_ATTRIBUTION_LINEAR,
+    "incremental_agg": SQL_INCREMENTAL_AGG,
+    "survivorship_merge": SQL_SURVIVORSHIP,
     "source_overlap": SQL_SOURCE_OVERLAP,
     "entity_resolution": SQL_ENTITY_RESOLUTION,
     "sssp_weighted": SQL_SSSP,

@@ -148,6 +148,8 @@ BENCH_QUERIES = [
     "source_overlap",
     "quality_classifier",
     "unigram_train",
+    "incremental_agg",
+    "survivorship_merge",
     "entity_resolution",
     "hourly_anomaly",
     "readability_score",
