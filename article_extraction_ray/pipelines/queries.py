@@ -13797,6 +13797,81 @@ QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_o
 """
 
 
+# ---------------------------------------------------------------------------
+# Adamic-Adar link prediction over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+_AA_TOPK = 100
+
+
+def q_adamic_adar(sf_dir: str):
+    """Adamic-Adar link prediction (the 1/ln(degree) common-neighbor
+    weighting) over the order-part bipartite graph: parts co-appearing
+    in an order score 1/ln(order size), summed over shared orders —
+    small baskets certify similarity, mega-baskets barely count.  The
+    weighted complement of `part_recs` (raw co-counts).
+
+    Shape: ONE coarse orderkey-hash exchange (64 buckets, each holding
+    many whole baskets — the part_recs geometry, NOT a per-basket
+    map_groups: 150k tiny Python groups measured 39 s at sf0.1, the
+    vectorized bucket kernel ~1 s); the per-bucket kernel is a single
+    pandas self-merge + per-order-size 1/ln weighting + pair-sum
+    partial; pair scores fold in a grouped sum and a per-batch top-k
+    prefilter bounds what the driver's final cut sees.  Scores round to
+    6 dp on both engines before the (score desc, pa, pb) cut."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"], split=True)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = (batch["l_orderkey"].to_numpy() % 64).astype(np.int32)
+        return batch.append_column("__bucket", pa.array(b))
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["l_orderkey", "l_partkey"]].drop_duplicates()
+        sz = df.groupby("l_orderkey")["l_partkey"].transform("size")
+        df = df.assign(__w=1.0 / np.log(np.maximum(sz.to_numpy(), 2)))
+        m = df.merge(df[["l_orderkey", "l_partkey"]], on="l_orderkey", suffixes=("_a", "_b"))
+        m = m[m["l_partkey_a"] < m["l_partkey_b"]]
+        out = (
+            m.groupby(["l_partkey_a", "l_partkey_b"], as_index=False)["__w"]
+            .sum()
+            .rename(columns={"l_partkey_a": "pa", "l_partkey_b": "pb", "__w": "w"})
+        )
+        return out
+
+    pairs = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(lambda df: bucket_pairs(df.drop(columns=["__bucket"])), batch_format="pandas")
+    )
+    scored = grouped_aggregate(pairs, ["pa", "pb"], {"aa": ("sum", "w")})
+
+    def prefilter(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df["aa"] = df["aa"].round(6)
+        df = df.sort_values(["aa", "pa", "pb"], ascending=[False, True, True])
+        return df.head(_AA_TOPK)
+
+    cands = scored.map_batches(prefilter, batch_format="pyarrow").to_pandas()
+    out = cands.sort_values(["aa", "pa", "pb"], ascending=[False, True, True]).head(_AA_TOPK)
+    return out.reset_index(drop=True)
+
+
+SQL_ADAMIC_ADAR = f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+sz AS (SELECT l_orderkey, count(*) AS n FROM op GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, 1.0 / ln(s.n) AS w
+  FROM op a
+  JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  JOIN sz s ON s.l_orderkey = a.l_orderkey
+  WHERE s.n >= 2
+)
+SELECT pa, pb, round(sum(w), 6) AS aa
+FROM pairs GROUP BY 1, 2
+ORDER BY round(sum(w), 6) DESC, pa, pb LIMIT {_AA_TOPK}
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "bm25_search": q_bm25_search,
@@ -13809,6 +13884,7 @@ QUERIES = {
     "unigram_train": q_unigram_train,
     "incremental_agg": q_incremental_agg,
     "survivorship_merge": q_survivorship_merge,
+    "adamic_adar": q_adamic_adar,
     "entity_resolution": q_entity_resolution,
     "sssp_weighted": q_sssp_weighted,
     "latest_event_per_user": q_latest_event_per_user,
@@ -14034,6 +14110,7 @@ ORACLE_SQL = {
     "attribution_linear": SQL_ATTRIBUTION_LINEAR,
     "incremental_agg": SQL_INCREMENTAL_AGG,
     "survivorship_merge": SQL_SURVIVORSHIP,
+    "adamic_adar": SQL_ADAMIC_ADAR,
     "source_overlap": SQL_SOURCE_OVERLAP,
     "entity_resolution": SQL_ENTITY_RESOLUTION,
     "sssp_weighted": SQL_SSSP,

@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "unigram_train",
     "incremental_agg",
     "survivorship_merge",
+    "adamic_adar",
     "entity_resolution",
     "hourly_anomaly",
     "readability_score",
