@@ -13872,6 +13872,44 @@ ORDER BY round(sum(w), 6) DESC, pa, pb LIMIT {_AA_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# HyperBall neighborhood function / effective diameter
+# ---------------------------------------------------------------------------
+
+
+def q_graph_diameter(sf_dir: str):
+    """HyperBall neighborhood function (stages/hyperball.py — Boldi &
+    Vigna 2013, the web-scale effective-diameter estimator) over the
+    same deterministic doc graph as `sssp_weighted` (chain + md5-coin
+    long jumps).  One HLL counter per node max-merges its successors'
+    counters per sweep; output is (t, n_pairs_est) for t = 0..8 — the
+    reachable-pair growth curve whose 90% knee is the effective
+    diameter.  Rows-only driver check (sketch estimates have no SQL
+    oracle); accuracy vs exact BFS, plan parity (broadcast vs bucketed
+    registers) and determinism are pytest-verified
+    (tests/test_hyperball.py)."""
+    from ..stages.hyperball import hyperball
+    from .tabular import md5_lt_mask
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"], split=True)
+    n_docs = read_table_arrow(sf_dir, "documents", columns=["doc_id"]).num_rows
+
+    def gen_edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        k1 = ids[ids + 1 < n_docs]
+        coin = md5_lt_mask(batch["doc_id"], "c" + "0" * 31) & (ids + 13 < n_docs)
+        k2 = ids[coin]
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([k1, k2])),
+                "dst": pa.array(np.concatenate([k1 + 1, k2 + 13])),
+            }
+        )
+
+    edges = ds.map_batches(gen_edges, batch_format="pyarrow")
+    return hyperball(edges, t_max=8, p=8)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "bm25_search": q_bm25_search,
@@ -13885,6 +13923,7 @@ QUERIES = {
     "incremental_agg": q_incremental_agg,
     "survivorship_merge": q_survivorship_merge,
     "adamic_adar": q_adamic_adar,
+    "graph_diameter": q_graph_diameter,
     "entity_resolution": q_entity_resolution,
     "sssp_weighted": q_sssp_weighted,
     "latest_event_per_user": q_latest_event_per_user,

@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "incremental_agg",
     "survivorship_merge",
     "adamic_adar",
+    "graph_diameter",
     "entity_resolution",
     "hourly_anomaly",
     "readability_score",
