@@ -13910,6 +13910,184 @@ def q_graph_diameter(sf_dir: str):
     return hyperball(edges, t_max=8, p=8)
 
 
+def q_unigram_encode(sf_dir: str):
+    """Apply half of the unigram-LM tokenizer pair
+    (stages/unigram_lm.UnigramEncodeStage): train on the corpus, then
+    encode it in an actor pool — the piece table broadcasts once, the
+    per-actor Viterbi memo bounds DP work by distinct words.  Rows-only
+    (encoder semantics pytest-verified: memo path ≡ direct Viterbi, and
+    piece counts are consistent under re-encoding)."""
+    from ..stages.unigram_lm import UnigramEncodeStage, unigram_lm_train
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+    vocab = unigram_lm_train(ds, vocab_size=120, rounds=3, max_len=5)
+    bc = Broadcast(list(zip(vocab["piece"], vocab["logp"])))
+    return ds.map_batches(
+        UnigramEncodeStage,
+        fn_constructor_args=(bc,),
+        fn_constructor_kwargs={"max_len": 5},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic random-walk corpus (node2vec-style walk generation)
+# ---------------------------------------------------------------------------
+
+_WALK_SEED_MOD = 50
+_WALK_STEPS = 4
+
+
+def q_random_walks(sf_dir: str):
+    """Random-walk corpus generation (the node2vec/DeepWalk input
+    stage): from every 50th doc node, take 4 walk steps over the
+    deterministic doc graph, choosing the neighbor at each step by
+    md5(walk-step-node) mod degree — a seeded RNG both engines can
+    reproduce exactly, so the full walk corpus is value-oracled.
+
+    Shape: adjacency gets (rank, degree) once via a coarse src-hash
+    exchange (64 buckets, vectorized rank/degree inside each); each
+    step co-partitions the walk frontier with adjacency through
+    ``shuffle_join`` and keeps the one edge whose rank matches the
+    hash draw — walks never leave the cluster, and a dead-end node
+    simply ends its walk (inner join drops it).  Output: (walk_id,
+    step, node) for every alive position, steps 0..4."""
+    import ray.data as rd
+
+    from .tabular import md5_digest_words, md5_lt_mask, shuffle_join
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"], split=True)
+    n_docs = read_table_arrow(sf_dir, "documents", columns=["doc_id"]).num_rows
+
+    def gen_edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        k1 = ids[ids + 1 < n_docs]
+        coin = md5_lt_mask(batch["doc_id"], "c" + "0" * 31) & (ids + 13 < n_docs)
+        k2 = ids[coin]
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([k1, k2])),
+                "dst": pa.array(np.concatenate([k1 + 1, k2 + 13])),
+            }
+        )
+
+    edges = ds.map_batches(gen_edges, batch_format="pyarrow")
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = (batch["src"].to_numpy(zero_copy_only=False) % 64).astype(np.int32)
+        return batch.append_column("__b", pa.array(b))
+
+    def rank_deg(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["src", "dst"]).reset_index(drop=True)
+        df["rn"] = df.groupby("src", sort=False).cumcount()
+        df["deg"] = df.groupby("src", sort=False)["dst"].transform("size")
+        return df[["src", "dst", "rn", "deg"]]
+
+    adj = (
+        edges.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(lambda df: rank_deg(df.drop(columns=["__b"])), batch_format="pandas")
+        .materialize()
+    )
+
+    def seed(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ids % _WALK_SEED_MOD == 0
+        return pa.table({"walk_id": pa.array(ids[keep]), "node": pa.array(ids[keep])})
+
+    frontier = ds.map_batches(seed, batch_format="pyarrow")
+    outs = [
+        frontier.map_batches(
+            lambda t: t.append_column("step", pa.array(np.zeros(len(t), dtype=np.int64))),
+            batch_format="pyarrow",
+        )
+    ]
+    for k in range(1, _WALK_STEPS + 1):
+        as_src = frontier.map_batches(
+            lambda t: pa.table({"src": t["node"], "walk_id": t["walk_id"]}),
+            batch_format="pyarrow",
+        )
+        joined = shuffle_join(as_src, adj, "src", how="inner")
+
+        def pick(df: pd.DataFrame, k: int = k) -> pa.Table:
+            if len(df) == 0:
+                return pa.table({"walk_id": pa.array([], type=pa.int64()),
+                                 "node": pa.array([], type=pa.int64())})
+            keys = (
+                df["walk_id"].astype(np.int64).astype(str)
+                + f"-{k}-"
+                + df["src"].astype(np.int64).astype(str)
+            )
+            hi, _lo = md5_digest_words(pa.array(keys.to_numpy(dtype=object), type=pa.string()))
+            draw = ((hi >> np.uint64(32)) % df["deg"].to_numpy(dtype=np.uint64)).astype(np.int64)
+            hit = df["rn"].to_numpy(dtype=np.int64) == draw
+            return pa.table(
+                {
+                    "walk_id": pa.array(df["walk_id"].to_numpy(dtype=np.int64)[hit]),
+                    "node": pa.array(df["dst"].to_numpy(dtype=np.int64)[hit]),
+                }
+            )
+
+        frontier = joined.map_batches(pick, batch_format="pandas").materialize()
+        outs.append(
+            frontier.map_batches(
+                lambda t, k=k: t.append_column("step", pa.array(np.full(len(t), k, dtype=np.int64))),
+                batch_format="pyarrow",
+            )
+        )
+
+    allsteps = outs[0]
+    for o in outs[1:]:
+        allsteps = allsteps.union(o)
+    return allsteps.map_batches(
+        lambda t: t.select(["walk_id", "step", "node"]), batch_format="pyarrow"
+    )
+
+
+def _random_walks_sql() -> str:
+    head = f"""
+WITH e0 AS MATERIALIZED (
+  SELECT doc_id AS src, doc_id + 1 AS dst
+  FROM documents WHERE doc_id + 1 < (SELECT count(*) FROM documents)
+  UNION ALL
+  SELECT doc_id, doc_id + 13
+  FROM documents
+  WHERE md5(CAST(doc_id AS VARCHAR)) < 'c'
+    AND doc_id + 13 < (SELECT count(*) FROM documents)
+),
+adj AS MATERIALIZED (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rn,
+         count(*) OVER (PARTITION BY src) AS deg
+  FROM e0
+),
+w0 AS (
+  SELECT doc_id AS walk_id, doc_id AS node
+  FROM documents WHERE doc_id % {_WALK_SEED_MOD} = 0
+)"""
+    steps = []
+    for k in range(1, _WALK_STEPS + 1):
+        steps.append(
+            f""",
+w{k} AS MATERIALIZED (
+  SELECT w.walk_id, a.dst AS node
+  FROM w{k - 1} w JOIN adj a ON a.src = w.node
+  WHERE a.rn = CAST(
+    ('0x' || substr(md5(CAST(w.walk_id AS VARCHAR) || '-{k}-' || CAST(w.node AS VARCHAR)), 1, 8))::UBIGINT
+    % CAST(a.deg AS UBIGINT) AS BIGINT)
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT walk_id, CAST({k} AS BIGINT) AS step, node FROM w{k}"
+        for k in range(_WALK_STEPS + 1)
+    )
+    return head + "".join(steps) + "\n" + union
+
+
+SQL_RANDOM_WALKS = _random_walks_sql()
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "bm25_search": q_bm25_search,
@@ -13920,10 +14098,12 @@ QUERIES = {
     "source_overlap": q_source_overlap,
     "quality_classifier": q_quality_classifier,
     "unigram_train": q_unigram_train,
+    "unigram_encode": q_unigram_encode,
     "incremental_agg": q_incremental_agg,
     "survivorship_merge": q_survivorship_merge,
     "adamic_adar": q_adamic_adar,
     "graph_diameter": q_graph_diameter,
+    "random_walks": q_random_walks,
     "entity_resolution": q_entity_resolution,
     "sssp_weighted": q_sssp_weighted,
     "latest_event_per_user": q_latest_event_per_user,
@@ -14150,6 +14330,7 @@ ORACLE_SQL = {
     "incremental_agg": SQL_INCREMENTAL_AGG,
     "survivorship_merge": SQL_SURVIVORSHIP,
     "adamic_adar": SQL_ADAMIC_ADAR,
+    "random_walks": SQL_RANDOM_WALKS,
     "source_overlap": SQL_SOURCE_OVERLAP,
     "entity_resolution": SQL_ENTITY_RESOLUTION,
     "sssp_weighted": SQL_SSSP,

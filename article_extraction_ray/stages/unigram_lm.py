@@ -200,3 +200,48 @@ def unigram_lm_train(
     return pd.DataFrame(
         {"piece": sorted(logp), "logp": [round(logp[p], 6) for p in sorted(logp)]}
     )
+
+
+class UnigramEncodeStage:
+    """Actor-pool ``map_batches`` encoder for a trained unigram-LM
+    vocabulary (the apply half of :func:`unigram_lm_train`, mirroring
+    ``bpe.BpeEncodeStage``): the (piece → logp) table arrives once per
+    actor via ``ray.put`` and Viterbi segmentations memoize per DISTINCT
+    word, so DP work scales with vocabulary, not corpus size.  Emits
+    (doc_id, n_tokens, n_pieces, pieces_preview)."""
+
+    def __init__(self, logp_bc: Broadcast, *, max_len: int = 6, preview: int = 8) -> None:
+        self._logp: dict[str, float] = dict(logp_bc.get())
+        self._max_len = max_len
+        self._preview = preview
+        self._memo: dict[str, list[str]] = {}
+
+    def _pieces(self, word: str) -> list[str]:
+        got = self._memo.get(word)
+        if got is None:
+            got = viterbi_segment(word, self._logp, self._max_len)
+            self._memo[word] = got
+        return got
+
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        split = pc.split_pattern(col, " ")
+        ids = batch["doc_id"].to_pylist()
+        rows = []
+        for did, words in zip(ids, split.to_pylist()):
+            pieces: list[str] = []
+            for w in words:
+                pieces.extend(self._pieces(w))
+            rows.append(
+                {
+                    "doc_id": did,
+                    "n_tokens": len(words),
+                    "n_pieces": len(pieces),
+                    "pieces_preview": " ".join(pieces[: self._preview]),
+                }
+            )
+        return pd.DataFrame(rows)

@@ -148,10 +148,12 @@ BENCH_QUERIES = [
     "source_overlap",
     "quality_classifier",
     "unigram_train",
+    "unigram_encode",
     "incremental_agg",
     "survivorship_merge",
     "adamic_adar",
     "graph_diameter",
+    "random_walks",
     "entity_resolution",
     "hourly_anomaly",
     "readability_score",

@@ -75,3 +75,42 @@ class TestTrainer:
         wc = {"lowlow": 20, "lowest": 10, "newest": 10}
         out = unigram_lm_train_local(wc, vocab_size=14, rounds=4, max_len=4)
         assert "low" in set(out["piece"]) or "est" in set(out["piece"])
+
+
+class TestEncodeStage:
+    def test_memo_matches_direct_viterbi(self, ray_session):
+        import ray.data as rd
+
+        from article_extraction_ray.state.broadcast import Broadcast
+        from article_extraction_ray.stages.unigram_lm import UnigramEncodeStage
+
+        wc: dict[str, int] = {}
+        for line in CORPUS:
+            for w in line.split(" "):
+                wc[w] = wc.get(w, 0) + 1
+        vocab = unigram_lm_train_local(wc, vocab_size=60, rounds=3, max_len=5)
+        logp = dict(zip(vocab["piece"], vocab["logp"]))
+        ds = rd.from_pandas(
+            pd.DataFrame({"doc_id": range(len(CORPUS)), "text": CORPUS})
+        ).repartition(2)
+        bc = Broadcast(list(logp.items()))
+        out = (
+            ds.map_batches(
+                UnigramEncodeStage,
+                fn_constructor_args=(bc,),
+                fn_constructor_kwargs={"max_len": 5},
+                batch_format="pyarrow",
+                concurrency=(1, 2),
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert len(out) == len(CORPUS)
+        # spot-check one doc against direct Viterbi
+        want = []
+        for w in CORPUS[0].split(" "):
+            want.extend(viterbi_segment(w, logp, 5))
+        assert out.loc[0, "n_pieces"] == len(want)
+        assert out.loc[0, "pieces_preview"] == " ".join(want[:8])
+        assert (out["n_pieces"] >= out["n_tokens"]).all()
