@@ -14088,6 +14088,157 @@ w{k} AS MATERIALIZED (
 SQL_RANDOM_WALKS = _random_walks_sql()
 
 
+# ---------------------------------------------------------------------------
+# Word2vec data prep: skip-gram pairs + unigram^0.75 negative sampling
+# ---------------------------------------------------------------------------
+
+_SG_WINDOW = 2
+_SG_DOC_MOD = 10
+_NEG_PER_DOC = 5
+_NEG_POWER = 0.75
+
+
+def q_skipgram_pairs(sf_dir: str):
+    """Skip-gram (center, context) pair extraction with a ±2 window
+    over every 10th doc — the word2vec/fastText training-pair stage.
+    Vectorized: one Arrow split per batch, then each window offset d is
+    ONE shifted-array comparison over the flat token stream (same-doc
+    masking via the repeated doc-row ids) — no per-token Python.
+    Per-batch pair counts fold through the open-domain grouped sum.
+    Output: (center, context, n)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+
+    def pairs(batch: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ids % _SG_DOC_MOD == 0
+        t = batch.filter(pa.array(keep))
+        if t.num_rows == 0:
+            return pd.DataFrame({"center": [], "context": [], "n": []})
+        col = t["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        split = pc.split_pattern(col, " ")
+        lens = pc.list_value_length(split).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = np.asarray(pc.list_flatten(split), dtype=object)
+        docrow = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
+        cs, xs = [], []
+        for d in range(1, _SG_WINDOW + 1):
+            same = docrow[:-d] == docrow[d:]
+            cs.append(flat[:-d][same])
+            xs.append(flat[d:][same])
+            cs.append(flat[d:][same])
+            xs.append(flat[:-d][same])
+        df = pd.DataFrame({"center": np.concatenate(cs), "context": np.concatenate(xs)})
+        return df.groupby(["center", "context"], as_index=False).size().rename(columns={"size": "n"})
+
+    per = ds.map_batches(pairs, batch_format="pyarrow")
+    out = grouped_aggregate(per, ["center", "context"], {"n": ("sum", "n")})
+    return out.map_batches(
+        lambda df: df.assign(n=df["n"].astype(np.int64)), batch_format="pandas"
+    )
+
+
+SQL_SKIPGRAM = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS tok,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents WHERE doc_id % {_SG_DOC_MOD} = 0
+)
+SELECT a.tok AS center, b.tok AS context, CAST(count(*) AS BIGINT) AS n
+FROM toks a JOIN toks b
+  ON a.doc_id = b.doc_id
+ AND b.pos BETWEEN a.pos - {_SG_WINDOW} AND a.pos + {_SG_WINDOW}
+ AND b.pos <> a.pos
+GROUP BY 1, 2
+"""
+
+
+def q_negative_samples(sf_dir: str):
+    """Unigram^0.75 negative sampling (the word2vec noise
+    distribution): 5 deterministic draws per selected doc, each mapping
+    an md5-uniform into the cumulative token distribution (counts^0.75,
+    tokens in lexical order).  Both engines accumulate the cdf
+    LEFT-TO-RIGHT in the same order, so the float boundaries are
+    bit-identical and the inverse-cdf join reproduces exactly.
+
+    Shape: the vocabulary folds once (bounded partials), the cdf
+    broadcasts, and the draw pass streams the doc ids — a searchsorted
+    per batch, no shuffle.  Output: (doc_id, slot, neg)."""
+    from .tabular import md5_digest_words
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+
+    def vocab_partial(batch: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = np.asarray(pc.split_pattern(col, " ").values)
+        vc = pd.Series(flat).value_counts()
+        return pd.DataFrame({"tok": vc.index, "c": vc.to_numpy()})
+
+    vc = (
+        ds.map_batches(vocab_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("tok")["c"]
+        .sum()
+        .sort_index()
+    )
+    toks = vc.index.to_numpy(dtype=object)
+    w = np.power(vc.to_numpy(dtype=np.float64), _NEG_POWER)
+    total = w.sum()
+    cum = np.cumsum(w)
+    hi = cum / total  # same left-to-right accumulation as the SQL window
+    handle = Broadcast((toks, hi))
+
+    def draw(batch: pa.Table) -> pd.DataFrame:
+        tk, cdf_hi = handle.get()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        ids = ids[ids % _SG_DOC_MOD == 0]
+        if ids.size == 0:
+            return pd.DataFrame({"doc_id": [], "slot": [], "neg": []})
+        doc = np.repeat(ids, _NEG_PER_DOC)
+        slot = np.tile(np.arange(_NEG_PER_DOC, dtype=np.int64), ids.size)
+        keys = pd.Series(doc).astype(str) + "-" + pd.Series(slot).astype(str)
+        hi_w, _lo = md5_digest_words(pa.array(keys.to_numpy(dtype=object), type=pa.string()))
+        u = ((hi_w >> np.uint64(32)).astype(np.float64)) / 4294967296.0
+        idx = np.searchsorted(cdf_hi, u, side="right")
+        idx = np.minimum(idx, len(tk) - 1)
+        return pd.DataFrame({"doc_id": doc, "slot": slot, "neg": tk[idx]})
+
+    return ds.map_batches(draw, batch_format="pyarrow")
+
+
+SQL_NEGATIVE_SAMPLES = f"""
+WITH wc AS (
+  SELECT tok, pow(count(*), {_NEG_POWER}) AS w
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok
+),
+cdf AS (
+  SELECT tok,
+         (sum(w) OVER (ORDER BY tok ROWS UNBOUNDED PRECEDING) - w)
+           / (SELECT sum(w) FROM wc) AS lo,
+         sum(w) OVER (ORDER BY tok ROWS UNBOUNDED PRECEDING)
+           / (SELECT sum(w) FROM wc) AS hi
+  FROM wc
+),
+draws AS (
+  SELECT d.doc_id, s.slot,
+         (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '-' || CAST(s.slot AS VARCHAR)), 1, 8))::UBIGINT)
+           / 4294967296.0 AS u
+  FROM documents d, (SELECT unnest(range({_NEG_PER_DOC})) AS slot) s
+  WHERE d.doc_id % {_SG_DOC_MOD} = 0
+)
+SELECT d.doc_id, d.slot, c.tok AS neg
+FROM draws d JOIN cdf c ON d.u >= c.lo AND d.u < c.hi
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "bm25_search": q_bm25_search,
@@ -14104,6 +14255,8 @@ QUERIES = {
     "adamic_adar": q_adamic_adar,
     "graph_diameter": q_graph_diameter,
     "random_walks": q_random_walks,
+    "skipgram_pairs": q_skipgram_pairs,
+    "negative_samples": q_negative_samples,
     "entity_resolution": q_entity_resolution,
     "sssp_weighted": q_sssp_weighted,
     "latest_event_per_user": q_latest_event_per_user,
@@ -14331,6 +14484,8 @@ ORACLE_SQL = {
     "survivorship_merge": SQL_SURVIVORSHIP,
     "adamic_adar": SQL_ADAMIC_ADAR,
     "random_walks": SQL_RANDOM_WALKS,
+    "skipgram_pairs": SQL_SKIPGRAM,
+    "negative_samples": SQL_NEGATIVE_SAMPLES,
     "source_overlap": SQL_SOURCE_OVERLAP,
     "entity_resolution": SQL_ENTITY_RESOLUTION,
     "sssp_weighted": SQL_SSSP,

@@ -154,6 +154,8 @@ BENCH_QUERIES = [
     "adamic_adar",
     "graph_diameter",
     "random_walks",
+    "skipgram_pairs",
+    "negative_samples",
     "entity_resolution",
     "hourly_anomaly",
     "readability_score",
