@@ -14239,6 +14239,117 @@ FROM draws d JOIN cdf c ON d.u >= c.lo AND d.u < c.hi
 """
 
 
+# ---------------------------------------------------------------------------
+# Token-level drift + key-skew observability report
+# ---------------------------------------------------------------------------
+
+_DRIFT_TOPK = 20
+
+
+def q_token_drift(sf_dir: str):
+    """Token-level heavy-change detection between the first and second
+    half of the corpus (by doc_id): the per-token relative-frequency
+    delta, top-20 by |Δ| — the vocabulary-drift complement of the
+    distribution-level `psi_drift` gate.  One streaming pass emits per-
+    batch (token, half) count partials (vocabulary-bounded); the fold,
+    normalization and cut happen on the tiny vocab table.  Deltas round
+    to 6 dp on both engines before the (|Δ| desc, token) cut."""
+    import pyarrow.compute as pc
+
+    n_docs = read_table_arrow(sf_dir, "documents", columns=["doc_id"]).num_rows
+    half = n_docs // 2
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        split = pc.split_pattern(col, " ")
+        lens = pc.list_value_length(split).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = np.asarray(pc.list_flatten(split), dtype=object)
+        is_b = np.repeat(batch["doc_id"].to_numpy(zero_copy_only=False) >= half, lens)
+        out = []
+        for name, sel in (("a", ~is_b), ("b", is_b)):
+            vc = pd.Series(flat[sel]).value_counts()
+            out.append(pd.DataFrame({"tok": vc.index, "half": name, "c": vc.to_numpy()}))
+        return pd.concat(out, ignore_index=True)
+
+    folded = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["tok", "half"])["c"]
+        .sum()
+        .unstack(fill_value=0)
+        .reindex(columns=["a", "b"], fill_value=0)
+    )
+    ta, tb = float(folded["a"].sum()), float(folded["b"].sum())
+    delta = np.round(folded["b"].to_numpy() / tb - folded["a"].to_numpy() / ta, 6)
+    out = pd.DataFrame({"tok": folded.index.to_numpy(dtype=object), "delta": delta})
+    out["absd"] = out["delta"].abs()
+    out = out.sort_values(["absd", "tok"], ascending=[False, True]).head(_DRIFT_TOPK)
+    return out[["tok", "delta"]].reset_index(drop=True)
+
+
+SQL_TOKEN_DRIFT = f"""
+WITH toks AS MATERIALIZED (
+  SELECT CASE WHEN doc_id >= (SELECT count(*) // 2 FROM documents) THEN 'b' ELSE 'a' END AS half,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+counts AS (
+  SELECT tok,
+         count(*) FILTER (half = 'a') AS ca,
+         count(*) FILTER (half = 'b') AS cb
+  FROM toks GROUP BY tok
+),
+tot AS (SELECT sum(ca) AS ta, sum(cb) AS tb FROM counts)
+SELECT tok, round(cb / tot.tb - ca / tot.ta, 6) AS delta
+FROM counts CROSS JOIN tot
+ORDER BY abs(round(cb / tot.tb - ca / tot.ta, 6)) DESC, tok
+LIMIT {_DRIFT_TOPK}
+"""
+
+
+_SKEW_TOPK = 10
+_SKEW_BUCKETS = 64
+
+
+def q_skew_report(sf_dir: str):
+    """Partition-skew observability for a planned shuffle key: for
+    lineitem partitioned on l_orderkey % 64, report each bucket's row
+    count plus its share of the total — the pre-flight report that
+    decides whether a key needs salting.  Per-batch bucket histograms
+    are 64-int partials; everything after the fold is driver-trivial."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey"], split=True)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        b = (batch["l_orderkey"].to_numpy(zero_copy_only=False) % _SKEW_BUCKETS).astype(np.int64)
+        c = np.bincount(b, minlength=_SKEW_BUCKETS).astype(np.int64)
+        return pd.DataFrame({"bucket": np.arange(_SKEW_BUCKETS, dtype=np.int64), "n": c})
+
+    folded = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("bucket", as_index=False)["n"]
+        .sum()
+        .sort_values("bucket")
+    )
+    total = float(folded["n"].sum())
+    folded["share"] = np.round(folded["n"].to_numpy() / total, 6)
+    folded["n"] = folded["n"].astype(np.int64)
+    return folded.reset_index(drop=True)
+
+
+SQL_SKEW_REPORT = f"""
+WITH b AS (
+  SELECT l_orderkey % {_SKEW_BUCKETS} AS bucket, CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1
+)
+SELECT bucket, n, round(n / (SELECT sum(n) FROM b), 6) AS share
+FROM b ORDER BY bucket
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "bm25_search": q_bm25_search,
@@ -14257,6 +14368,8 @@ QUERIES = {
     "random_walks": q_random_walks,
     "skipgram_pairs": q_skipgram_pairs,
     "negative_samples": q_negative_samples,
+    "token_drift": q_token_drift,
+    "skew_report": q_skew_report,
     "entity_resolution": q_entity_resolution,
     "sssp_weighted": q_sssp_weighted,
     "latest_event_per_user": q_latest_event_per_user,
@@ -14486,6 +14599,8 @@ ORACLE_SQL = {
     "random_walks": SQL_RANDOM_WALKS,
     "skipgram_pairs": SQL_SKIPGRAM,
     "negative_samples": SQL_NEGATIVE_SAMPLES,
+    "token_drift": SQL_TOKEN_DRIFT,
+    "skew_report": SQL_SKEW_REPORT,
     "source_overlap": SQL_SOURCE_OVERLAP,
     "entity_resolution": SQL_ENTITY_RESOLUTION,
     "sssp_weighted": SQL_SSSP,

@@ -156,6 +156,8 @@ BENCH_QUERIES = [
     "random_walks",
     "skipgram_pairs",
     "negative_samples",
+    "token_drift",
+    "skew_report",
     "entity_resolution",
     "hourly_anomaly",
     "readability_score",
