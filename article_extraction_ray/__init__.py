@@ -19,3 +19,10 @@ its public behavior (file:line citations live in the docstrings).
 """
 
 __version__ = "0.1.0"
+
+# Close a thread-race in ray.data's lazy fsspec-http import before any
+# driver thread can hit it (see _compat module docstring).
+from ._compat import install_fsspec_http_stub as _install_fsspec_http_stub
+
+_install_fsspec_http_stub()
+del _install_fsspec_http_stub
