@@ -14350,6 +14350,242 @@ FROM b ORDER BY bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# Dense hourly series family: ACF, CUSUM changepoint, seasonal strength
+# ---------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 6
+
+
+def _dense_hourly_counts(sf_dir: str) -> pd.DataFrame:
+    """Shared base for the series-analysis ops: the DENSE per-type
+    hourly event-count matrix over the global [min_hour, max_hour]
+    range, missing hours filled with 0.
+
+    The distributed part is the count reduction — per-batch
+    (type, hour) count partials folded through `grouped_aggregate`.
+    The dense table the driver then holds is bounded by the TIME RANGE
+    times the type cardinality (720×5 here), not by corpus size: at
+    100 TB the corpus grows row count per hour, never this table, so
+    draining it is a fixed-width reduce, same class as a sketch."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"], split=True)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        us = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view("int64")
+        return (
+            pd.DataFrame(
+                {"event_type": batch["event_type"].to_pandas(), "hour": us // 3_600_000_000}
+            )
+            .groupby(["event_type", "hour"], as_index=False)
+            .size()
+            .rename(columns={"size": "c"})
+        )
+
+    counts = (
+        grouped_aggregate(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["event_type", "hour"],
+            {"c": ("sum", "c")},
+            small_keys=True,
+        )
+        .to_pandas()
+    )
+    lo, hi = int(counts["hour"].min()), int(counts["hour"].max())
+    hours = np.arange(lo, hi + 1, dtype=np.int64)
+    types = sorted(counts["event_type"].unique())
+    full = pd.MultiIndex.from_product([types, hours], names=["event_type", "hour"])
+    dense = (
+        counts.set_index(["event_type", "hour"])["c"]
+        .reindex(full, fill_value=0)
+        .reset_index()
+        .rename(columns={"c": "x"})
+    )
+    dense["x"] = dense["x"].astype(np.float64)
+    return dense
+
+
+_SQL_DENSE_HOURLY = """
+bounds AS (
+  SELECT epoch_us(min(ts)) // 3600000000 AS lo,
+         epoch_us(max(ts)) // 3600000000 AS hi
+  FROM events
+),
+hours AS (SELECT unnest(generate_series(lo, hi)) AS hour FROM bounds),
+cnt AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hour, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+dense AS (
+  SELECT t.event_type, h.hour, CAST(coalesce(c.c, 0) AS DOUBLE) AS x
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN hours h
+  LEFT JOIN cnt c ON c.event_type = t.event_type AND c.hour = h.hour
+)
+"""
+
+
+def q_acf_lags(sf_dir: str):
+    """Autocorrelation function of each event type's hourly volume at
+    lags 1..6 — the stationarity/seasonality probe every forecasting
+    pipeline runs before model choice.  Pearson corr between the dense
+    series and its lag-shifted self over the (n−lag) overlapping
+    hours, computed from the same six-moment formula as `corr_matrix`
+    (n·Σxy − ΣxΣy over the root of the variance products) so the 6-dp
+    round matches DuckDB's corr(); zero-variance slices mirror
+    DuckDB's NULL."""
+    dense = _dense_hourly_counts(sf_dir)
+    rows = []
+    for etype, grp in dense.groupby("event_type", sort=True):
+        x = grp.sort_values("hour")["x"].to_numpy()
+        for lag in range(1, _ACF_MAX_LAG + 1):
+            a, b = x[:-lag], x[lag:]
+            n = float(len(a))
+            cov = n * (a * b).sum() - a.sum() * b.sum()
+            va = n * (a * a).sum() - a.sum() ** 2
+            vb = n * (b * b).sum() - b.sum() ** 2
+            acf = cov / np.sqrt(va * vb) if va > 0 and vb > 0 else np.nan
+            rows.append(
+                {"event_type": etype, "lag": lag, "acf": round(float(acf), 6)
+                 if not np.isnan(acf) else np.nan, "n": int(n)}
+            )
+    out = pd.DataFrame(rows)
+    out["lag"] = out["lag"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
+SQL_ACF_LAGS = f"""
+WITH {_SQL_DENSE_HOURLY},
+lags AS (SELECT unnest(generate_series(1, {_ACF_MAX_LAG})) AS lag)
+SELECT d.event_type, CAST(l.lag AS BIGINT) AS lag,
+       round(corr(d.x, d2.x), 6) AS acf,
+       CAST(count(*) AS BIGINT) AS n
+FROM dense d
+JOIN lags l ON true
+JOIN dense d2 ON d2.event_type = d.event_type AND d2.hour = d.hour + l.lag
+GROUP BY 1, 2
+"""
+
+
+def q_cusum_changepoint(sf_dir: str):
+    """CUSUM level-shift detection per event type over the hourly
+    series: the hour k maximizing |n·CS_k − k·T| (the exact-integer
+    form of |cumsum(x−mean)| scaled by n), with the standardized
+    statistic max|cumsum(x−mean)| / (sd·√n).  The argmax runs in
+    integer arithmetic on BOTH engines (counts are integers; CS_k and
+    k·T are exact), so the selected changepoint hour can never flip on
+    float noise; only the final statistic is a float, rounded to 6.
+    Zero-variance series report stat 0 and a NULL changepoint hour."""
+    dense = _dense_hourly_counts(sf_dir)
+    rows = []
+    for etype, grp in dense.groupby("event_type", sort=True):
+        g = grp.sort_values("hour")
+        x = g["x"].to_numpy().astype(np.int64)
+        hours = g["hour"].to_numpy()
+        n = len(x)
+        total = int(x.sum())
+        cs = np.cumsum(x)
+        k = np.arange(1, n + 1, dtype=np.int64)
+        c_exact = n * cs - k * total  # exact integers
+        sd = float(np.std(x.astype(np.float64), ddof=1)) if n >= 2 else 0.0
+        if sd > 0.0:
+            idx = int(np.lexsort((hours, -np.abs(c_exact)))[0])
+            stat = round(float(np.abs(c_exact[idx])) / (n * sd * np.sqrt(n)), 6)
+            cp = int(hours[idx])
+        else:
+            stat, cp = 0.0, None
+        rows.append({"event_type": etype, "cp_hour": cp, "cusum_stat": stat})
+    out = pd.DataFrame(rows)
+    out["cp_hour"] = out["cp_hour"].astype("Int64").astype(object).where(out["cp_hour"].notna(), None)
+    return out
+
+
+SQL_CUSUM_CHANGEPOINT = f"""
+WITH {_SQL_DENSE_HOURLY},
+s AS (
+  SELECT event_type, count(*) AS n, sum(CAST(x AS BIGINT)) AS total,
+         stddev_samp(x) AS sd
+  FROM dense GROUP BY 1
+),
+cs AS (
+  SELECT d.event_type, d.hour,
+         s.n * sum(CAST(d.x AS BIGINT)) OVER (
+             PARTITION BY d.event_type ORDER BY d.hour
+         ) - row_number() OVER (
+             PARTITION BY d.event_type ORDER BY d.hour
+         ) * s.total AS c_exact,
+         s.n, s.sd
+  FROM dense d JOIN s ON s.event_type = d.event_type
+),
+ranked AS (
+  SELECT event_type, hour, c_exact, n, sd,
+         row_number() OVER (
+             PARTITION BY event_type ORDER BY abs(c_exact) DESC, hour
+         ) AS rk
+  FROM cs
+)
+SELECT event_type,
+       CASE WHEN sd > 0 THEN hour END AS cp_hour,
+       CASE WHEN sd > 0
+            THEN round(abs(c_exact) / (n * sd * sqrt(n)), 6)
+            ELSE 0.0 END AS cusum_stat
+FROM ranked WHERE rk = 1
+"""
+
+
+def q_seasonal_strength(sf_dir: str):
+    """Diurnal seasonal-strength score per event type: fit the
+    hour-of-day mean profile to the dense hourly series and report
+    strength = max(0, 1 − Var(residual)/Var(series)) — the STL-style
+    "how much of the variance is seasonality" readout (Hyndman's
+    F_s measure) that decides whether a seasonal model is worth it.
+    The profile and both variances are exact moments of the bounded
+    dense table; population variance (ddof=0) on both engines via
+    explicit sum-of-squares SQL so the 6-dp round matches."""
+    dense = _dense_hourly_counts(sf_dir)
+    rows = []
+    for etype, grp in dense.groupby("event_type", sort=True):
+        g = grp.sort_values("hour")
+        x = g["x"].to_numpy()
+        hod = (g["hour"].to_numpy() % 24).astype(np.int64)
+        prof = pd.Series(x).groupby(hod).mean()
+        resid = x - prof.reindex(hod).to_numpy()
+        var_x = float(np.var(x))  # ddof=0
+        var_r = float(np.var(resid))
+        strength = max(0.0, 1.0 - var_r / var_x) if var_x > 0 else 0.0
+        rows.append(
+            {"event_type": etype, "seasonal_strength": round(strength, 6),
+             "var_total": round(var_x, 6), "var_resid": round(var_r, 6)}
+        )
+    return pd.DataFrame(rows)
+
+
+SQL_SEASONAL_STRENGTH = f"""
+WITH {_SQL_DENSE_HOURLY},
+prof AS (
+  SELECT event_type, hour % 24 AS hod, avg(x) AS m
+  FROM dense GROUP BY 1, 2
+),
+r AS (
+  SELECT d.event_type, d.x, d.x - p.m AS resid
+  FROM dense d JOIN prof p ON p.event_type = d.event_type AND p.hod = d.hour % 24
+),
+v AS (
+  SELECT event_type,
+         avg(x * x) - avg(x) * avg(x) AS var_x,
+         avg(resid * resid) - avg(resid) * avg(resid) AS var_r
+  FROM r GROUP BY 1
+)
+SELECT event_type,
+       CASE WHEN var_x > 0
+            THEN round(greatest(0.0, 1.0 - var_r / var_x), 6)
+            ELSE 0.0 END AS seasonal_strength,
+       round(var_x, 6) AS var_total,
+       round(var_r, 6) AS var_resid
+FROM v
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "bm25_search": q_bm25_search,
@@ -14586,6 +14822,9 @@ QUERIES = {
     "k_anonymity": q_k_anonymity,
     "part_recs": q_part_recs,
     "rapid_reorder": q_rapid_reorder,
+    "acf_lags": q_acf_lags,
+    "cusum_changepoint": q_cusum_changepoint,
+    "seasonal_strength": q_seasonal_strength,
 }
 
 ORACLE_SQL = {
@@ -14601,6 +14840,9 @@ ORACLE_SQL = {
     "negative_samples": SQL_NEGATIVE_SAMPLES,
     "token_drift": SQL_TOKEN_DRIFT,
     "skew_report": SQL_SKEW_REPORT,
+    "acf_lags": SQL_ACF_LAGS,
+    "cusum_changepoint": SQL_CUSUM_CHANGEPOINT,
+    "seasonal_strength": SQL_SEASONAL_STRENGTH,
     "source_overlap": SQL_SOURCE_OVERLAP,
     "entity_resolution": SQL_ENTITY_RESOLUTION,
     "sssp_weighted": SQL_SSSP,
