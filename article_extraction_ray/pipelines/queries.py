@@ -14586,6 +14586,246 @@ FROM v
 """
 
 
+# ---------------------------------------------------------------------------
+# ML feature-prep family: target encoding, WOE/IV binning, Benford audit
+# ---------------------------------------------------------------------------
+
+_TENC_SMOOTH = 20
+
+
+def q_target_encoding(sf_dir: str):
+    """Smoothed mean target encoding of customer nation against order
+    value — the category→number transform every tabular-ML pipeline
+    applies before boosting, with additive (m=20) smoothing toward the
+    global mean so rare nations shrink instead of memorizing.
+
+    Shape: the customer→nation map is a broadcast dimension (ray.put
+    once); the orders fact streams through one partial-sum pass with
+    exact integer-cent accumulators, so the final
+    (Σy + m·ȳ)/(n + m) is evaluated from identical integers on both
+    engines.  Output is one row per nation: bounded."""
+    cust = read_table_arrow(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    ck = cust["c_custkey"].to_numpy()
+    lut = np.full(int(ck.max()) + 1, -1, dtype=np.int64)
+    lut[ck] = cust["c_nationkey"].to_numpy()
+    bc = Broadcast(lut)  # dense custkey→nationkey array: O(1) vectorized gather
+
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"], split=True)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        m = bc.get()
+        cents = np.round(batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        nk = m[batch["o_custkey"].to_numpy(zero_copy_only=False)]
+        return (
+            pd.DataFrame({"nationkey": nk, "n": 1, "s": cents})
+            .groupby("nationkey", as_index=False)
+            .agg(n=("n", "sum"), s=("s", "sum"))
+        )
+
+    folded = (
+        grouped_aggregate(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["nationkey"],
+            {"n": ("sum", "n"), "s": ("sum", "s")},
+            small_keys=True,
+        )
+        .to_pandas()
+    )
+    total_n = float(folded["n"].sum())
+    total_s = float(folded["s"].sum())
+    gmean = total_s / total_n
+    enc = (folded["s"].to_numpy(dtype=np.float64) + _TENC_SMOOTH * gmean) / (
+        folded["n"].to_numpy(dtype=np.float64) + _TENC_SMOOTH
+    )
+    return pd.DataFrame(
+        {
+            "nationkey": folded["nationkey"].astype(np.int64),
+            "n": folded["n"].astype(np.int64),
+            "enc": np.round(enc / 100.0, 6),
+        }
+    )
+
+
+SQL_TARGET_ENCODING = f"""
+WITH o AS (
+  SELECT c.c_nationkey AS nationkey,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+g AS (SELECT CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS gmean FROM o)
+SELECT nationkey, CAST(count(*) AS BIGINT) AS n,
+       round((CAST(sum(cents) AS DOUBLE) + {_TENC_SMOOTH} * g.gmean)
+             / (CAST(count(*) AS DOUBLE) + {_TENC_SMOOTH}) / 100.0, 6) AS enc
+FROM o CROSS JOIN g
+GROUP BY nationkey, g.gmean
+"""
+
+
+_WOE_BINS = 10
+
+
+def q_woe_iv(sf_dir: str):
+    """Weight-of-evidence / information-value report for order value
+    against the 'F' (fulfilled) order status — the credit-scoring
+    feature-screening table: 10 equal-width value bins, per-bin event
+    ("bad" = status F) and non-event counts, WOE = ln(good%/bad%) and
+    the bin's IV contribution.  Bin edges come from the global min/max
+    (one fixed-width pass), bin assignment and counts are exact
+    integers, so only the final ln/ratio floats round (6 dp).  Bins
+    where either class is empty report NULL WOE, matching the SQL
+    CASE."""
+    ds = read_table(
+        sf_dir, "orders", columns=["o_totalprice", "o_orderstatus"], split=True
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        cents = np.round(batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        bad = (np.asarray(batch["o_orderstatus"].to_pandas()) == "F").astype(np.int64)
+        return pd.DataFrame(
+            {"lo": [int(cents.min())], "hi": [int(cents.max())],
+             "nb": [int(bad.sum())], "ng": [int(len(bad) - bad.sum())]}
+        )
+
+    # pass 1: global min/max + class totals (fixed-width partials)
+    b = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    lo, hi = int(b["lo"].min()), int(b["hi"].max())
+    goods, bads = float(b["ng"].sum()), float(b["nb"].sum())
+    span = max(hi - lo, 1)
+
+    def binned(batch: pa.Table) -> pd.DataFrame:
+        cents = np.round(batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        # exact integer bin: floor((c-lo)*B / span) clamped to B-1
+        bins = np.minimum((cents - lo) * _WOE_BINS // span, _WOE_BINS - 1)
+        bad = (np.asarray(batch["o_orderstatus"].to_pandas()) == "F").astype(np.int64)
+        return (
+            pd.DataFrame({"bin": bins, "n_bad": bad, "n_good": 1 - bad})
+            .groupby("bin", as_index=False)
+            .agg(n_bad=("n_bad", "sum"), n_good=("n_good", "sum"))
+        )
+
+    folded = (
+        grouped_aggregate(
+            ds.map_batches(binned, batch_format="pyarrow"),
+            ["bin"],
+            {"n_bad": ("sum", "n_bad"), "n_good": ("sum", "n_good")},
+            small_keys=True,
+        )
+        .to_pandas()
+        .sort_values("bin")
+    )
+    ng = folded["n_good"].to_numpy(dtype=np.float64)
+    nb = folded["n_bad"].to_numpy(dtype=np.float64)
+    ok = (ng > 0) & (nb > 0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        woe = np.where(ok, np.log((ng / goods) / np.where(nb > 0, nb / bads, 1.0)), np.nan)
+        iv = np.where(ok, (ng / goods - nb / bads) * woe, np.nan)
+    return pd.DataFrame(
+        {
+            "bin": folded["bin"].astype(np.int64),
+            "n_good": folded["n_good"].astype(np.int64),
+            "n_bad": folded["n_bad"].astype(np.int64),
+            "woe": np.round(woe, 6),
+            "iv_part": np.round(iv, 6),
+        }
+    )
+
+
+SQL_WOE_IV = f"""
+WITH o AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS bad
+  FROM orders
+),
+bounds AS (
+  SELECT min(cents) AS lo, greatest(max(cents) - min(cents), 1) AS span,
+         CAST(sum(1 - bad) AS DOUBLE) AS goods, CAST(sum(bad) AS DOUBLE) AS bads
+  FROM o
+),
+binned AS (
+  SELECT least((cents - lo) * {_WOE_BINS} // span, {_WOE_BINS - 1}) AS bin,
+         bad, goods, bads
+  FROM o CROSS JOIN bounds
+)
+SELECT bin,
+       CAST(sum(1 - bad) AS BIGINT) AS n_good,
+       CAST(sum(bad) AS BIGINT) AS n_bad,
+       CASE WHEN sum(1 - bad) > 0 AND sum(bad) > 0
+            THEN round(ln((sum(1 - bad) / goods) / (sum(bad) / bads)), 6)
+       END AS woe,
+       CASE WHEN sum(1 - bad) > 0 AND sum(bad) > 0
+            THEN round((sum(1 - bad) / goods - sum(bad) / bads)
+                       * ln((sum(1 - bad) / goods) / (sum(bad) / bads)), 6)
+       END AS iv_part
+FROM binned
+GROUP BY bin, goods, bads
+"""
+
+
+def q_benford_digits(sf_dir: str):
+    """Benford first-significant-digit audit of order values — the
+    classic fraud/synthetic-data screen: observed share per leading
+    digit 1..9 vs the Benford expectation log10(1+1/d), with each
+    digit's χ² contribution.  The digit is extracted from the exact
+    integer-cent DECIMAL STRING on both engines (never via float
+    log10, whose misrounding at powers of ten would flip a digit);
+    one fixed-width 9-bucket reduction, floats only in the final
+    shares (rounded 6)."""
+    ds = read_table(sf_dir, "orders", columns=["o_totalprice"], split=True)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        cents = np.round(batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        # leading digit of the cents integer == leading significant
+        # digit of the price (the *100 shift preserves it); strip
+        # trailing decades by exact integer division — never float log10
+        digs = cents.copy()
+        while (digs >= 10).any():
+            np.floor_divide(digs, 10, out=digs, where=digs >= 10)
+        cnt = np.bincount(digs, minlength=10)[1:10]
+        return pd.DataFrame({"digit": np.arange(1, 10, dtype=np.int64), "n": cnt.astype(np.int64)})
+
+    folded = (
+        grouped_aggregate(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["digit"],
+            {"n": ("sum", "n")},
+            small_keys=True,
+        )
+        .to_pandas()
+        .sort_values("digit")
+    )
+    total = float(folded["n"].sum())
+    n = folded["n"].to_numpy(dtype=np.float64)
+    exp_share = np.log10(1.0 + 1.0 / folded["digit"].to_numpy(dtype=np.float64))
+    chi2 = (n - exp_share * total) ** 2 / (exp_share * total)
+    return pd.DataFrame(
+        {
+            "digit": folded["digit"].astype(np.int64),
+            "n": folded["n"].astype(np.int64),
+            "share": np.round(n / total, 6),
+            "benford": np.round(exp_share, 6),
+            "chi2_part": np.round(chi2, 6),
+        }
+    )
+
+
+SQL_BENFORD_DIGITS = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+              AS BIGINT) AS digit
+  FROM orders
+),
+g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit),
+t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM g)
+SELECT digit, n,
+       round(n / total, 6) AS share,
+       round(log10(1.0 + 1.0 / digit), 6) AS benford,
+       round(pow(n - log10(1.0 + 1.0 / digit) * total, 2)
+             / (log10(1.0 + 1.0 / digit) * total), 6) AS chi2_part
+FROM g CROSS JOIN t
+ORDER BY digit
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "bm25_search": q_bm25_search,
@@ -14825,6 +15065,9 @@ QUERIES = {
     "acf_lags": q_acf_lags,
     "cusum_changepoint": q_cusum_changepoint,
     "seasonal_strength": q_seasonal_strength,
+    "target_encoding": q_target_encoding,
+    "woe_iv": q_woe_iv,
+    "benford_digits": q_benford_digits,
 }
 
 ORACLE_SQL = {
@@ -14843,6 +15086,9 @@ ORACLE_SQL = {
     "acf_lags": SQL_ACF_LAGS,
     "cusum_changepoint": SQL_CUSUM_CHANGEPOINT,
     "seasonal_strength": SQL_SEASONAL_STRENGTH,
+    "target_encoding": SQL_TARGET_ENCODING,
+    "woe_iv": SQL_WOE_IV,
+    "benford_digits": SQL_BENFORD_DIGITS,
     "source_overlap": SQL_SOURCE_OVERLAP,
     "entity_resolution": SQL_ENTITY_RESOLUTION,
     "sssp_weighted": SQL_SSSP,
