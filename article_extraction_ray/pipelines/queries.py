@@ -14826,6 +14826,165 @@ ORDER BY digit
 """
 
 
+# ---------------------------------------------------------------------------
+# Multinomial naive-Bayes language classifier (train on even doc_ids,
+# score odd, confusion-matrix readout)
+# ---------------------------------------------------------------------------
+
+
+def q_naive_bayes_lang(sf_dir: str):
+    """Multinomial naive-Bayes language classifier, trained and scored
+    in two streaming passes: even doc_ids train, odd doc_ids score,
+    output is the 5×5 confusion matrix — the classic from-counts text
+    classifier (the fastText-style supervised baseline every corpus
+    routing stage starts from).
+
+    Pass 1 reduces (lang, token) Laplace-count partials — a
+    vocabulary-bounded table — into a broadcast log-likelihood matrix
+    plus per-lang priors.  Pass 2 streams the test half: tokens gather
+    rows of the broadcast matrix (unseen tokens take the α/(C_l+V)
+    smoothing row), per-doc scores accumulate via np.add.at, and the
+    argmax runs on 6-dp-ROUNDED scores with ascending-lang tie-break —
+    mirrored exactly by the SQL's row_number(ORDER BY round(score,6)
+    DESC, lang), so cross-engine float noise below 1e-6 cannot flip a
+    prediction.  Only bounded confusion partials leave the workers."""
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"], split=True)
+
+    def train_partial(batch: pa.Table) -> pd.DataFrame:
+        keep = batch.filter(pc.equal(pc.bit_wise_and(batch["doc_id"], 1), 0))
+        if keep.num_rows == 0:
+            return pd.DataFrame(
+                {"lang": pd.Series(dtype=object), "tok": pd.Series(dtype=object),
+                 "c": pd.Series(dtype=np.int64), "docs": pd.Series(dtype=np.int64)}
+            )
+        split = pc.split_pattern(keep["text"].combine_chunks(), " ")
+        lens = pc.list_value_length(split).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = np.asarray(pc.list_flatten(split), dtype=object)
+        langs = np.repeat(np.asarray(keep["lang"].to_pandas()), lens)
+        df = (
+            pd.DataFrame({"lang": langs, "tok": flat})
+            .groupby(["lang", "tok"], as_index=False)
+            .size()
+            .rename(columns={"size": "c"})
+        )
+        df["docs"] = 0
+        # per-lang train doc counts ride along as special null-token rows
+        dc = pd.DataFrame(keep["lang"].to_pandas().value_counts().rename("docs")).reset_index()
+        dc.columns = ["lang", "docs"]
+        dc["tok"] = None
+        dc["c"] = 0
+        return pd.concat([df, dc[["lang", "tok", "c", "docs"]]], ignore_index=True)
+
+    counts = (
+        grouped_aggregate(
+            ds.map_batches(train_partial, batch_format="pyarrow"),
+            ["lang", "tok"],
+            {"c": ("sum", "c"), "docs": ("sum", "docs")},
+            small_keys=True,
+        )
+        .to_pandas()
+    )
+    doc_rows = counts[counts["tok"].isna()]
+    tok_rows = counts[counts["tok"].notna()]
+    langs = sorted(doc_rows["lang"])
+    lidx = {l: i for i, l in enumerate(langs)}
+    n_train = float(doc_rows["docs"].sum())
+    priors = np.log(
+        doc_rows.set_index("lang")["docs"].reindex(langs).to_numpy(dtype=np.float64) / n_train
+    )
+    vocab = sorted(tok_rows["tok"].unique())
+    tidx = {t: i for i, t in enumerate(vocab)}
+    V = float(len(vocab))
+    C = tok_rows.groupby("lang")["c"].sum().reindex(langs, fill_value=0).to_numpy(dtype=np.float64)
+    # (V+1) × L log-likelihood matrix; final row = unseen-token smoothing
+    M = np.zeros((len(vocab) + 1, len(langs)), dtype=np.float64)
+    M[-1, :] = np.log(1.0 / (C + V))
+    cmat = np.zeros((len(vocab), len(langs)), dtype=np.float64)
+    cmat[tok_rows["tok"].map(tidx).to_numpy(dtype=np.int64),
+         tok_rows["lang"].map(lidx).to_numpy(dtype=np.int64)] = tok_rows["c"].to_numpy(dtype=np.float64)
+    M[:-1, :] = np.log((cmat + 1.0) / (C + V))
+    bc = Broadcast({"tidx": tidx, "M": M, "priors": priors, "langs": langs})
+
+    def score_partial(batch: pa.Table) -> pd.DataFrame:
+        b = bc.get()
+        keep = batch.filter(pc.equal(pc.bit_wise_and(batch["doc_id"], 1), 1))
+        if keep.num_rows == 0:
+            return pd.DataFrame(
+                {"lang": pd.Series(dtype=object), "pred": pd.Series(dtype=object),
+                 "n": pd.Series(dtype=np.int64)}
+            )
+        split = pc.split_pattern(keep["text"].combine_chunks(), " ")
+        lens = pc.list_value_length(split).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pd.Series(np.asarray(pc.list_flatten(split), dtype=object))
+        rows = flat.map(b["tidx"]).fillna(len(b["tidx"])).to_numpy(dtype=np.int64)
+        doc_pos = np.repeat(np.arange(keep.num_rows), lens)
+        scores = np.tile(b["priors"], (keep.num_rows, 1))
+        np.add.at(scores, doc_pos, b["M"][rows])
+        pred_i = np.argmax(np.round(scores, 6), axis=1)  # first max = lowest lang
+        preds = np.asarray(b["langs"], dtype=object)[pred_i]
+        return (
+            pd.DataFrame({"lang": keep["lang"].to_pandas(), "pred": preds, "n": 1})
+            .groupby(["lang", "pred"], as_index=False)["n"]
+            .sum()
+        )
+
+    out = grouped_aggregate(
+        ds.map_batches(score_partial, batch_format="pyarrow"),
+        ["lang", "pred"],
+        {"n": ("sum", "n")},
+        small_keys=True,
+    )
+
+    def typed(df: pd.DataFrame) -> pd.DataFrame:
+        return df.astype({"n": np.int64})
+
+    return out.map_batches(typed, batch_format="pandas")
+
+
+SQL_NAIVE_BAYES_LANG = """
+WITH split AS (
+  SELECT doc_id, lang, text, doc_id % 2 = 0 AS is_train FROM documents
+),
+tr AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM split WHERE is_train
+),
+cnt AS (SELECT lang, tok, count(*) AS c FROM tr GROUP BY 1, 2),
+ltot AS (SELECT lang, CAST(sum(c) AS DOUBLE) AS C FROM cnt GROUP BY 1),
+v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS V FROM tr),
+pri AS (
+  SELECT lang, ln(CAST(count(*) AS DOUBLE)
+                  / (SELECT count(*) FROM split WHERE is_train)) AS lp
+  FROM split WHERE is_train GROUP BY 1
+),
+te AS (
+  SELECT doc_id, lang AS true_lang, unnest(string_split(text, ' ')) AS tok
+  FROM split WHERE NOT is_train
+),
+scored AS (
+  SELECT te.doc_id, te.true_lang, pri.lang,
+         pri.lp + sum(ln((coalesce(cnt.c, 0) + 1.0) / (ltot.C + v.V))) AS score
+  FROM te
+  CROSS JOIN pri
+  JOIN ltot ON ltot.lang = pri.lang
+  CROSS JOIN v
+  LEFT JOIN cnt ON cnt.lang = pri.lang AND cnt.tok = te.tok
+  GROUP BY te.doc_id, te.true_lang, pri.lang, pri.lp
+),
+pred AS (
+  SELECT doc_id, true_lang, lang AS pred,
+         row_number() OVER (
+             PARTITION BY doc_id ORDER BY round(score, 6) DESC, lang
+         ) AS rk
+  FROM scored
+)
+SELECT true_lang AS lang, pred, CAST(count(*) AS BIGINT) AS n
+FROM pred WHERE rk = 1
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "bm25_search": q_bm25_search,
@@ -15068,6 +15227,7 @@ QUERIES = {
     "target_encoding": q_target_encoding,
     "woe_iv": q_woe_iv,
     "benford_digits": q_benford_digits,
+    "naive_bayes_lang": q_naive_bayes_lang,
 }
 
 ORACLE_SQL = {
@@ -15089,6 +15249,7 @@ ORACLE_SQL = {
     "target_encoding": SQL_TARGET_ENCODING,
     "woe_iv": SQL_WOE_IV,
     "benford_digits": SQL_BENFORD_DIGITS,
+    "naive_bayes_lang": SQL_NAIVE_BAYES_LANG,
     "source_overlap": SQL_SOURCE_OVERLAP,
     "entity_resolution": SQL_ENTITY_RESOLUTION,
     "sssp_weighted": SQL_SSSP,
