@@ -14985,6 +14985,249 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# IR evaluation family: reciprocal-rank fusion + nDCG@k
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_TOPK = 20
+_NDCG_AT = 10
+
+
+def q_rrf_fusion(sf_dir: str):
+    """Reciprocal-rank fusion of two retrievers over the same fixed
+    query — BM25 (k1=1.2, b=0.75) and length-normalized TF-IDF — the
+    standard hybrid-search combiner (Cormack et al. 2009):
+    RRF(d) = Σ_lists 1/(60 + rank_d), over each list's top-20.
+
+    One broadcast stats pass (n, avgdl, per-term df — fixed width)
+    feeds ONE shared scoring pass that computes both scores per batch
+    and keeps a per-batch top-k per list, so blocks×k×2 candidate rows
+    reach the driver regardless of corpus size.  Ranks derive from
+    6-dp-rounded scores with doc_id tie-break on both engines, and the
+    fused sum has ≤2 commutative terms, so the fusion is
+    order-deterministic end to end."""
+    terms = list(_BM25_TERMS)
+    k1, b = _BM25_K1, _BM25_B
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        tf, dl = _bm25_term_freqs(batch["text"], terms)
+        row: dict = {"n": [dl.size], "sum_dl": [int(dl.sum())]}
+        for i in range(len(terms)):
+            row[f"df{i}"] = [int((tf[i] > 0).sum())]
+        return pa.table(row)
+
+    stats = ds.map_batches(stats_partial, batch_format="pyarrow").to_pandas().sum()
+    n = float(stats["n"])
+    avgdl = float(stats["sum_dl"]) / n
+    df = np.asarray([stats[f"df{i}"] for i in range(len(terms))], dtype=np.float64)
+    idf_bm = np.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    idf_tf = np.log(n / df)
+    handle = Broadcast((idf_bm, idf_tf, avgdl))
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        bm_vec, ti_vec, avg = handle.get()
+        tf, dl = _bm25_term_freqs(batch["text"], terms)
+        tff = tf.astype(np.float64)
+        dlf = dl.astype(np.float64)
+        denom = tff + k1 * (1.0 - b + b * dlf / avg)
+        s_bm = np.round((bm_vec[:, None] * tff * (k1 + 1.0) / denom).sum(axis=0), 6)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            s_ti = np.round((ti_vec[:, None] * tff / dlf).sum(axis=0), 6)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        out = []
+        for lst, s in (("bm25", s_bm), ("tfidf", s_ti)):
+            keep = s > 0.0
+            i, v = ids[keep], s[keep]
+            order = np.lexsort((i, -v))[:_RRF_TOPK]
+            out.append(pd.DataFrame({"lst": lst, "doc_id": i[order], "score": v[order]}))
+        return pd.concat(out, ignore_index=True)
+
+    cands = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    fused: dict[int, float] = {}
+    for lst in ("bm25", "tfidf"):
+        sub = cands[cands["lst"] == lst].sort_values(
+            ["score", "doc_id"], ascending=[False, True]
+        ).head(_RRF_TOPK)
+        for rank, did in enumerate(sub["doc_id"], start=1):
+            fused[did] = fused.get(did, 0.0) + 1.0 / (_RRF_K + rank)
+    out = pd.DataFrame(
+        {"doc_id": list(fused.keys()), "rrf": np.round(list(fused.values()), 6)}
+    ).sort_values(["rrf", "doc_id"], ascending=[False, True]).head(_RRF_TOPK)
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+SQL_RRF_FUSION = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT avg(dl) AS avgdl, (SELECT count(*) FROM documents) AS n FROM dl),
+qt AS (SELECT unnest([{_BM25_TERMS_SQL}]) AS term),
+df AS (SELECT t.tok AS term, count(DISTINCT t.doc_id) AS df
+       FROM toks t JOIN qt ON qt.term = t.tok GROUP BY 1),
+tf AS (SELECT t.doc_id, t.tok AS term, count(*) AS tf
+       FROM toks t JOIN qt ON qt.term = t.tok GROUP BY 1, 2),
+bm AS (
+  SELECT tf.doc_id,
+         round(sum(ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * tf.tf * ({_BM25_K1} + 1.0)
+             / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl))), 6) AS s
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+ti AS (
+  SELECT tf.doc_id,
+         round(sum(ln(s.n / df.df) * tf.tf / dl.dl), 6) AS s
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+bm_rank AS (
+  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r
+  FROM bm WHERE s > 0 ORDER BY s DESC, doc_id LIMIT {_RRF_TOPK}
+),
+ti_rank AS (
+  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r
+  FROM ti WHERE s > 0 ORDER BY s DESC, doc_id LIMIT {_RRF_TOPK}
+),
+fused AS (
+  SELECT coalesce(b.doc_id, t.doc_id) AS doc_id,
+         coalesce(1.0 / ({_RRF_K} + b.r), 0) + coalesce(1.0 / ({_RRF_K} + t.r), 0) AS rrf
+  FROM bm_rank b FULL OUTER JOIN ti_rank t ON b.doc_id = t.doc_id
+)
+SELECT doc_id, round(rrf, 6) AS rrf
+FROM fused ORDER BY round(rrf, 6) DESC, doc_id LIMIT {_RRF_TOPK}
+"""
+
+
+def q_ndcg_eval(sf_dir: str):
+    """nDCG@10 of the BM25 ranking against graded term-overlap
+    relevance (grade = #distinct query terms a document contains,
+    0..4) — the standard offline ranking-quality metric, computed
+    without ever materializing per-document rows on the driver beyond
+    the bounded candidate set.
+
+    The scoring pass (same broadcast-stats shape as `rrf_fusion`)
+    emits per-batch BM25 top-k candidates WITH their grades plus a
+    5-bucket grade histogram partial; DCG sums (2^grade − 1)/log2(1+r)
+    over the final top-10, IDCG replays the ideal grade sequence
+    straight off the folded histogram.  Single output row."""
+    terms = list(_BM25_TERMS)
+    k1, b = _BM25_K1, _BM25_B
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        tf, dl = _bm25_term_freqs(batch["text"], terms)
+        row: dict = {"n": [dl.size], "sum_dl": [int(dl.sum())]}
+        for i in range(len(terms)):
+            row[f"df{i}"] = [int((tf[i] > 0).sum())]
+        return pa.table(row)
+
+    stats = ds.map_batches(stats_partial, batch_format="pyarrow").to_pandas().sum()
+    n = float(stats["n"])
+    avgdl = float(stats["sum_dl"]) / n
+    df = np.asarray([stats[f"df{i}"] for i in range(len(terms))], dtype=np.float64)
+    idf = np.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    handle = Broadcast((idf, avgdl))
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        idf_vec, avg = handle.get()
+        tf, dl = _bm25_term_freqs(batch["text"], terms)
+        tff = tf.astype(np.float64)
+        denom = tff + k1 * (1.0 - b + b * dl.astype(np.float64) / avg)
+        s = np.round((idf_vec[:, None] * tff * (k1 + 1.0) / denom).sum(axis=0), 6)
+        grade = (tf > 0).sum(axis=0).astype(np.int64)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = s > 0.0
+        i, v, g = ids[keep], s[keep], grade[keep]
+        order = np.lexsort((i, -v))[:_NDCG_AT]
+        hist = np.bincount(grade, minlength=len(terms) + 1)
+        out = pd.DataFrame(
+            {"doc_id": i[order], "score": v[order], "grade": g[order], "hist_grade": -1,
+             "hist_n": 0}
+        )
+        hrows = pd.DataFrame(
+            {"doc_id": -1, "score": 0.0, "grade": 0,
+             "hist_grade": np.arange(len(hist), dtype=np.int64),
+             "hist_n": hist.astype(np.int64)}
+        )
+        return pd.concat([out, hrows], ignore_index=True)
+
+    rows = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    hist = (
+        rows[rows["hist_grade"] >= 0]
+        .groupby("hist_grade")["hist_n"].sum()
+        .reindex(range(len(terms) + 1), fill_value=0)
+    )
+    top = (
+        rows[rows["hist_grade"] < 0]
+        .sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(_NDCG_AT)
+    )
+    ranks = np.arange(1, len(top) + 1, dtype=np.float64)
+    dcg = float((((2.0 ** top["grade"].to_numpy(dtype=np.float64)) - 1.0)
+                 / np.log2(1.0 + ranks)).sum())
+    # ideal grade sequence straight off the histogram, best grades first
+    seq: list[int] = []
+    for g in range(len(terms), 0, -1):
+        seq.extend([g] * int(hist[g]))
+        if len(seq) >= _NDCG_AT:
+            break
+    seq = seq[:_NDCG_AT]
+    pos = np.arange(1, len(seq) + 1, dtype=np.float64)
+    idcg = float((((2.0 ** np.asarray(seq, dtype=np.float64)) - 1.0) / np.log2(1.0 + pos)).sum())
+    ndcg = dcg / idcg if idcg > 0 else 0.0
+    return pd.DataFrame(
+        {"k": [_NDCG_AT], "dcg": [round(dcg, 6)], "idcg": [round(idcg, 6)],
+         "ndcg": [round(ndcg, 6)]}
+    ).astype({"k": np.int64})
+
+
+SQL_NDCG_EVAL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT avg(dl) AS avgdl, (SELECT count(*) FROM documents) AS n FROM dl),
+qt AS (SELECT unnest([{_BM25_TERMS_SQL}]) AS term),
+df AS (SELECT t.tok AS term, count(DISTINCT t.doc_id) AS df
+       FROM toks t JOIN qt ON qt.term = t.tok GROUP BY 1),
+tf AS (SELECT t.doc_id, t.tok AS term, count(*) AS tf
+       FROM toks t JOIN qt ON qt.term = t.tok GROUP BY 1, 2),
+grades AS (SELECT doc_id, count(DISTINCT term) AS grade FROM tf GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         round(sum(ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * tf.tf * ({_BM25_K1} + 1.0)
+             / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl))), 6) AS s
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r
+  FROM scores WHERE s > 0 ORDER BY s DESC, doc_id LIMIT {_NDCG_AT}
+),
+dcg AS (
+  SELECT sum((pow(2, g.grade) - 1.0) / log2(1.0 + r.r)) AS dcg
+  FROM ranked r JOIN grades g USING (doc_id)
+),
+ideal AS (
+  SELECT grade, row_number() OVER (ORDER BY grade DESC, doc_id) AS pos
+  FROM grades WHERE grade > 0 ORDER BY grade DESC, doc_id LIMIT {_NDCG_AT}
+),
+idcg AS (
+  SELECT sum((pow(2, grade) - 1.0) / log2(1.0 + pos)) AS idcg FROM ideal
+)
+SELECT CAST({_NDCG_AT} AS BIGINT) AS k,
+       round(dcg.dcg, 6) AS dcg,
+       round(idcg.idcg, 6) AS idcg,
+       round(CASE WHEN idcg.idcg > 0 THEN dcg.dcg / idcg.idcg ELSE 0 END, 6) AS ndcg
+FROM dcg CROSS JOIN idcg
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "bm25_search": q_bm25_search,
@@ -15228,6 +15471,8 @@ QUERIES = {
     "woe_iv": q_woe_iv,
     "benford_digits": q_benford_digits,
     "naive_bayes_lang": q_naive_bayes_lang,
+    "rrf_fusion": q_rrf_fusion,
+    "ndcg_eval": q_ndcg_eval,
 }
 
 ORACLE_SQL = {
@@ -15250,6 +15495,8 @@ ORACLE_SQL = {
     "woe_iv": SQL_WOE_IV,
     "benford_digits": SQL_BENFORD_DIGITS,
     "naive_bayes_lang": SQL_NAIVE_BAYES_LANG,
+    "rrf_fusion": SQL_RRF_FUSION,
+    "ndcg_eval": SQL_NDCG_EVAL,
     "source_overlap": SQL_SOURCE_OVERLAP,
     "entity_resolution": SQL_ENTITY_RESOLUTION,
     "sssp_weighted": SQL_SSSP,
