@@ -15228,6 +15228,342 @@ FROM dcg CROSS JOIN idcg
 """
 
 
+# ---------------------------------------------------------------------------
+# Sequential testing / calibration / association rules
+# ---------------------------------------------------------------------------
+
+_SPRT_THR = 150.0
+_SPRT_P0, _SPRT_P1 = 0.04, 0.06
+_SPRT_ALPHA = 0.05  # = beta; Wald boundaries ±ln((1-a)/a)
+
+
+def q_sprt_abtest(sf_dir: str):
+    """Wald sequential probability-ratio test over the treatment-arm
+    event stream (user_id % 2 = 1): H0 p=0.04 vs H1 p=0.06 conversion
+    (value > 150), LLR walked in event_id order until it crosses
+    ±ln((1−α)/α) — the always-valid alternative to the fixed-horizon
+    `ab_ttest` that lets an experiment stop early.
+
+    Distributed shape: the same order-aligned range-bucket device as
+    the prefix scan in `pack_sequences` — per-batch (bucket, n, conv)
+    partials fold to driver offsets (buckets × 2 ints), each bucket
+    then scans ITS range locally with the global (n, conv) offsets
+    added, emits at most one first-crossing row, and the earliest
+    bucket's crossing wins.  The LLR is a·ln(p1/p0)+(n−a)·ln(q1/q0)
+    from exact integer (n, a) at every step on both engines; only the
+    reported statistic rounds (6 dp)."""
+    import os
+
+    import pyarrow.parquet as pq_mod
+
+    l1 = np.log(_SPRT_P1 / _SPRT_P0)
+    l0 = np.log((1.0 - _SPRT_P1) / (1.0 - _SPRT_P0))
+    upper = np.log((1.0 - _SPRT_ALPHA) / _SPRT_ALPHA)
+    lower = -upper
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "value"], split=True)
+    meta = pq_mod.ParquetFile(os.path.join(sf_dir, "events.parquet")).metadata
+    max_id = max(
+        meta.row_group(i).column(0).statistics.max for i in range(meta.num_row_groups)
+    )
+    n_buckets = 64
+    span = int(max_id) + 1
+
+    def arm_conv(batch: pa.Table):
+        keep = batch.filter(pa.compute.equal(pa.compute.bit_wise_and(batch["user_id"], 1), 1))
+        ids = keep["event_id"].to_numpy(zero_copy_only=False)
+        conv = (keep["value"].to_numpy(zero_copy_only=False) > _SPRT_THR).astype(np.int64)
+        bucket = np.minimum(ids * n_buckets // span, n_buckets - 1)
+        return ids, conv, bucket
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ids, conv, bucket = arm_conv(batch)
+        if len(ids) == 0:
+            return pd.DataFrame(
+                {"bucket": pd.Series(dtype=np.int64), "n": pd.Series(dtype=np.int64),
+                 "a": pd.Series(dtype=np.int64)}
+            )
+        return (
+            pd.DataFrame({"bucket": bucket, "n": 1, "a": conv})
+            .groupby("bucket", as_index=False)
+            .agg(n=("n", "sum"), a=("a", "sum"))
+        )
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("bucket", as_index=False)
+        .sum()
+        .sort_values("bucket")
+    )
+    n_off = (parts["n"].cumsum() - parts["n"]).to_numpy()
+    a_off = (parts["a"].cumsum() - parts["a"]).to_numpy()
+    offsets = dict(zip(parts["bucket"], zip(n_off, a_off)))
+    total_n, total_a = int(parts["n"].sum()), int(parts["a"].sum())
+    handle = Broadcast(offsets)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids, conv, bucket = arm_conv(batch)
+        return pa.table({"event_id": ids, "conv": conv, "__bucket": bucket})
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        off = handle.get()
+        no, ao = off[int(df["__bucket"].iloc[0])]
+        df = df.sort_values("event_id")
+        k = no + np.arange(1, len(df) + 1, dtype=np.int64)
+        a = ao + df["conv"].to_numpy().cumsum()
+        llr = a * l1 + (k - a) * l0
+        hit = (llr >= upper) | (llr <= lower)
+        if not hit.any():
+            return pd.DataFrame(
+                {"k": pd.Series(dtype=np.int64), "llr": pd.Series(dtype=np.float64),
+                 "dec": pd.Series(dtype=object)}
+            )
+        i = int(np.argmax(hit))
+        return pd.DataFrame(
+            {"k": [int(k[i])], "llr": [float(llr[i])],
+             "dec": ["accept_h1" if llr[i] >= upper else "accept_h0"]}
+        )
+
+    hits = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(scan, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(hits):
+        first = hits.sort_values("k").iloc[0]
+        dec, k, llr = str(first["dec"]), int(first["k"]), float(first["llr"])
+    else:
+        dec, k = "continue", total_n
+        llr = total_a * l1 + (total_n - total_a) * l0
+    return pd.DataFrame({"decision": [dec], "n_events": [k], "llr": [round(llr, 6)]})
+
+
+SQL_SPRT_ABTEST = f"""
+WITH b AS (
+  SELECT event_id, CASE WHEN value > {_SPRT_THR} THEN 1 ELSE 0 END AS conv
+  FROM events WHERE user_id % 2 = 1
+),
+o AS (
+  SELECT event_id,
+         row_number() OVER (ORDER BY event_id) AS k,
+         sum(conv) OVER (ORDER BY event_id) AS a
+  FROM b
+),
+l AS (
+  SELECT k,
+         a * ln({_SPRT_P1} / {_SPRT_P0})
+         + (k - a) * ln((1.0 - {_SPRT_P1}) / (1.0 - {_SPRT_P0})) AS llr
+  FROM o
+),
+bound AS (SELECT ln((1.0 - {_SPRT_ALPHA}) / {_SPRT_ALPHA}) AS up),
+x AS (
+  SELECT l.k, l.llr,
+         CASE WHEN l.llr >= bound.up THEN 'accept_h1'
+              WHEN l.llr <= -bound.up THEN 'accept_h0' END AS dec
+  FROM l CROSS JOIN bound
+),
+first AS (SELECT k, llr, dec FROM x WHERE dec IS NOT NULL ORDER BY k LIMIT 1),
+last AS (SELECT k, llr FROM l ORDER BY k DESC LIMIT 1)
+SELECT coalesce(first.dec, 'continue') AS decision,
+       CAST(coalesce(first.k, last.k) AS BIGINT) AS n_events,
+       round(coalesce(first.llr, last.llr), 6) AS llr
+FROM last LEFT JOIN first ON true
+"""
+
+
+_ECE_BINS = 10
+
+
+def q_ece_calibration(sf_dir: str):
+    """Reliability diagram + expected-calibration-error parts for a
+    fixed probabilistic classifier — pred = σ((cents − μ)/σ_c) of the
+    order total against the 'F'-status label — the standard post-hoc
+    calibration audit (Guo et al. 2017) every scored corpus gate needs.
+
+    Pass 1 folds exact integer-cent moments (n, Σc, Σc²) — fixed
+    width; pass 2 bins σ(z) into 10 prediction buckets and reduces
+    per-bin (n, Σpred, Σlabel) partials.  Output per bin: count, mean
+    prediction, empirical positive rate, and the bin's |gap|·n/N ECE
+    contribution, all rounded 6."""
+    ds = read_table(sf_dir, "orders", columns=["o_totalprice", "o_orderstatus"], split=True)
+
+    def moments(batch: pa.Table) -> pd.DataFrame:
+        c = np.round(batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        # Σc² exceeds int64 at scale (DuckDB silently promotes to
+        # HUGEINT); fold it as float64 — 1e-16 relative, far below the
+        # 6-dp output round — while n and Σc stay exact ints
+        ss = (c.astype(np.float64) ** 2).sum()
+        return pd.DataFrame({"n": [len(c)], "s": [int(c.sum())], "ss": [float(ss)]})
+
+    m = ds.map_batches(moments, batch_format="pyarrow").to_pandas().sum()
+    n_tot = float(m["n"])
+    mu = float(m["s"]) / n_tot
+    sd = np.sqrt((float(m["ss"]) - float(m["s"]) * mu) / (n_tot - 1.0))
+    handle = Broadcast((mu, sd))
+
+    def binned(batch: pa.Table) -> pd.DataFrame:
+        mu_, sd_ = handle.get()
+        c = np.round(batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        pred = 1.0 / (1.0 + np.exp(-(c - mu_) / sd_))
+        y = (np.asarray(batch["o_orderstatus"].to_pandas()) == "F").astype(np.int64)
+        b = np.minimum((pred * _ECE_BINS).astype(np.int64), _ECE_BINS - 1)
+        return (
+            pd.DataFrame({"bin": b, "n": 1, "sp": pred, "sy": y})
+            .groupby("bin", as_index=False)
+            .agg(n=("n", "sum"), sp=("sp", "sum"), sy=("sy", "sum"))
+        )
+
+    folded = (
+        grouped_aggregate(
+            ds.map_batches(binned, batch_format="pyarrow"),
+            ["bin"],
+            {"n": ("sum", "n"), "sp": ("sum", "sp"), "sy": ("sum", "sy")},
+            small_keys=True,
+        )
+        .to_pandas()
+        .sort_values("bin")
+    )
+    n = folded["n"].to_numpy(dtype=np.float64)
+    mean_pred = folded["sp"].to_numpy() / n
+    frac_pos = folded["sy"].to_numpy() / n
+    return pd.DataFrame(
+        {
+            "bin": folded["bin"].astype(np.int64),
+            "n": folded["n"].astype(np.int64),
+            "mean_pred": np.round(mean_pred, 6),
+            "frac_pos": np.round(frac_pos, 6),
+            "ece_part": np.round(np.abs(mean_pred - frac_pos) * n / n_tot, 6),
+        }
+    )
+
+
+SQL_ECE_CALIBRATION = f"""
+WITH o AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders
+),
+m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(c) AS DOUBLE) AS s,
+         CAST(sum(c * c) AS DOUBLE) AS ss
+  FROM o
+),
+z AS (
+  SELECT y,
+         1.0 / (1.0 + exp(-(c - s / n) / sqrt((ss - s * (s / n)) / (n - 1.0)))) AS pred,
+         n AS n_tot
+  FROM o CROSS JOIN m
+),
+b AS (
+  SELECT least(CAST(floor(pred * {_ECE_BINS}) AS BIGINT), {_ECE_BINS - 1}) AS bin,
+         pred, y, n_tot
+  FROM z
+)
+SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       round(avg(pred), 6) AS mean_pred,
+       round(avg(CAST(y AS DOUBLE)), 6) AS frac_pos,
+       round(abs(avg(pred) - avg(CAST(y AS DOUBLE))) * count(*) / n_tot, 6) AS ece_part
+FROM b
+GROUP BY bin, n_tot
+ORDER BY bin
+"""
+
+
+_ASSOC_MIN_ORDERS = 3
+_ASSOC_TOPK = 50
+
+
+def q_assoc_rules(sf_dir: str):
+    """Association rules from market baskets: for every directed part
+    pair with joint support ≥ 3 orders, confidence = n_AB/n_A and
+    lift = n_AB·N/(n_A·n_B), top-50 by (lift, confidence) — the rule
+    mining step on top of `copurchase_pairs`' A-Priori candidates.
+
+    ONE order-key co-partition produces everything: in-bucket
+    vectorized pair expansion, per-part distinct-order counts, and the
+    bucket's distinct-order tally (buckets partition orders, so the
+    sums are exact) — marker rows carry the two side tallies through
+    the same fold, no second scan.  Ratios evaluate from exact int64
+    counts on both engines; floats appear only in the final round."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"], split=True)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = (batch["l_orderkey"].to_numpy() % 64).astype(np.int32)
+        return batch.append_column("__bucket", pa.array(b))
+
+    def bucket_counts(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["l_orderkey", "l_partkey"]].drop_duplicates()
+        m = df.merge(df, on="l_orderkey", suffixes=("_a", "_b"))
+        m = m[m["l_partkey_a"] != m["l_partkey_b"]]
+        pairs = (
+            m.groupby(["l_partkey_a", "l_partkey_b"], as_index=False)
+            .size()
+            .rename(columns={"l_partkey_a": "ante", "l_partkey_b": "cons", "size": "n"})
+        )
+        items = (
+            df.groupby("l_partkey", as_index=False)
+            .size()
+            .rename(columns={"l_partkey": "ante", "size": "n"})
+        )
+        items["cons"] = -1  # marker: per-part distinct-order count
+        total = pd.DataFrame(
+            {"ante": [-1], "cons": [-1], "n": [df["l_orderkey"].nunique()]}
+        )
+        return pd.concat([pairs, items[["ante", "cons", "n"]], total], ignore_index=True)
+
+    folded = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(lambda df: bucket_counts(df.drop(columns=["__bucket"])), batch_format="pandas")
+    )
+    counts = grouped_aggregate(folded, ["ante", "cons"], {"n": ("sum", "n")}).to_pandas()
+    n_orders = float(counts.loc[(counts["ante"] == -1) & (counts["cons"] == -1), "n"].iloc[0])
+    item = counts[(counts["cons"] == -1) & (counts["ante"] >= 0)].set_index("ante")["n"]
+    pairs = counts[(counts["ante"] >= 0) & (counts["cons"] >= 0)]
+    pairs = pairs[pairs["n"] >= _ASSOC_MIN_ORDERS]
+    na = item.reindex(pairs["ante"]).to_numpy(dtype=np.float64)
+    nb = item.reindex(pairs["cons"]).to_numpy(dtype=np.float64)
+    conf = pairs["n"].to_numpy(dtype=np.float64) / na
+    lift = pairs["n"].to_numpy(dtype=np.float64) * n_orders / (na * nb)
+    out = pd.DataFrame(
+        {
+            "ante": pairs["ante"].astype(np.int64).to_numpy(),
+            "cons": pairs["cons"].astype(np.int64).to_numpy(),
+            "n_pair": pairs["n"].astype(np.int64).to_numpy(),
+            "conf": np.round(conf, 6),
+            "lift": np.round(lift, 6),
+        }
+    ).sort_values(["lift", "conf", "ante", "cons"], ascending=[False, False, True, True])
+    return out.head(_ASSOC_TOPK).reset_index(drop=True)
+
+
+SQL_ASSOC_RULES = f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+tot AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n_orders FROM op),
+item AS (SELECT l_partkey, count(*) AS n_item FROM op GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS ante, b.l_partkey AS cons, count(*) AS n_pair
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {_ASSOC_MIN_ORDERS}
+)
+SELECT p.ante, p.cons, CAST(p.n_pair AS BIGINT) AS n_pair,
+       round(p.n_pair / CAST(ia.n_item AS DOUBLE), 6) AS conf,
+       round(p.n_pair * tot.n_orders / (CAST(ia.n_item AS DOUBLE) * ib.n_item), 6) AS lift
+FROM pairs p
+JOIN item ia ON ia.l_partkey = p.ante
+JOIN item ib ON ib.l_partkey = p.cons
+CROSS JOIN tot
+ORDER BY round(p.n_pair * tot.n_orders / (CAST(ia.n_item AS DOUBLE) * ib.n_item), 6) DESC,
+         round(p.n_pair / CAST(ia.n_item AS DOUBLE), 6) DESC, p.ante, p.cons
+LIMIT {_ASSOC_TOPK}
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "bm25_search": q_bm25_search,
@@ -15473,6 +15809,9 @@ QUERIES = {
     "naive_bayes_lang": q_naive_bayes_lang,
     "rrf_fusion": q_rrf_fusion,
     "ndcg_eval": q_ndcg_eval,
+    "sprt_abtest": q_sprt_abtest,
+    "ece_calibration": q_ece_calibration,
+    "assoc_rules": q_assoc_rules,
 }
 
 ORACLE_SQL = {
@@ -15497,6 +15836,9 @@ ORACLE_SQL = {
     "naive_bayes_lang": SQL_NAIVE_BAYES_LANG,
     "rrf_fusion": SQL_RRF_FUSION,
     "ndcg_eval": SQL_NDCG_EVAL,
+    "sprt_abtest": SQL_SPRT_ABTEST,
+    "ece_calibration": SQL_ECE_CALIBRATION,
+    "assoc_rules": SQL_ASSOC_RULES,
     "source_overlap": SQL_SOURCE_OVERLAP,
     "entity_resolution": SQL_ENTITY_RESOLUTION,
     "sssp_weighted": SQL_SSSP,
