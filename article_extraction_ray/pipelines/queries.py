@@ -15564,6 +15564,149 @@ LIMIT {_ASSOC_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# Forecast backtest (seasonal-naive MAPE) + two-sample KS test
+# ---------------------------------------------------------------------------
+
+
+def q_seasonal_naive_mape(sf_dir: str):
+    """Forecast backtest: seasonal-naive prediction (this hour's count
+    = the same hour yesterday) evaluated as MAPE per event type over
+    every hour with a 24h-lagged sibling — the baseline any real
+    forecasting pipeline must beat before a model earns its keep.
+
+    Rides the same bounded dense-hourly reduction as `acf_lags`; the
+    lag join, absolute percentage errors and the mean are driver-
+    trivial on the time-range-bounded table.  Zero-actual hours are
+    excluded on both engines (MAPE is undefined there); counts are
+    exact ints so only the final mean rounds (6 dp)."""
+    dense = _dense_hourly_counts(sf_dir)
+    rows = []
+    for etype, grp in dense.groupby("event_type", sort=True):
+        g = grp.sort_values("hour")
+        x = g["x"].to_numpy()
+        actual, pred = x[24:], x[:-24]
+        ok = actual > 0
+        ape = np.abs(actual[ok] - pred[ok]) / actual[ok]
+        rows.append(
+            {"event_type": etype, "n_hours": int(ok.sum()),
+             "mape": round(float(ape.mean()), 6) if ok.any() else np.nan}
+        )
+    out = pd.DataFrame(rows)
+    out["n_hours"] = out["n_hours"].astype(np.int64)
+    return out
+
+
+SQL_SEASONAL_NAIVE_MAPE = f"""
+WITH {_SQL_DENSE_HOURLY}
+SELECT a.event_type, CAST(count(*) AS BIGINT) AS n_hours,
+       round(avg(abs(a.x - p.x) / a.x), 6) AS mape
+FROM dense a
+JOIN dense p ON p.event_type = a.event_type AND p.hour = a.hour - 24
+WHERE a.x > 0
+GROUP BY a.event_type
+"""
+
+
+def q_ks_test(sf_dir: str):
+    """Two-sample Kolmogorov–Smirnov distance between the document-
+    length distributions of each source and the 'src0' baseline
+    — the distribution-shift gate that catches what a mean/variance
+    check misses (psi_drift's nonparametric sibling).  Baseline =
+    'src0' (the testdata's first source); every other source is
+    tested against it.
+
+    D = max|ECDF_a − ECDF_b| evaluated at observed support points.
+    The distributed part reduces (source, n_chars) counts — a support-
+    bounded table (distinct lengths × sources), the ECDF sweep is a
+    cumsum over it; the max runs on exact rational differences scaled
+    to integers (|cum_a·n_b − cum_b·n_a|), so the argmax can't flip on
+    float noise; only the final D rounds.  The critical value is the
+    α=0.05 two-sample threshold c(α)·√((n_a+n_b)/(n_a·n_b))."""
+    ds = read_table(sf_dir, "documents", columns=["source", "n_chars"], split=True)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        return (
+            pd.DataFrame(
+                {"source": batch["source"].to_pandas(),
+                 "v": batch["n_chars"].to_numpy(zero_copy_only=False)}
+            )
+            .groupby(["source", "v"], as_index=False)
+            .size()
+            .rename(columns={"size": "c"})
+        )
+
+    counts = (
+        grouped_aggregate(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["source", "v"],
+            {"c": ("sum", "c")},
+            small_keys=True,
+        )
+        .to_pandas()
+    )
+    base = counts[counts["source"] == "src0"].set_index("v")["c"].sort_index()
+    nb = int(base.sum())
+    rows = []
+    for src in sorted(counts["source"].unique()):
+        if src == "src0":
+            continue
+        a = counts[counts["source"] == src].set_index("v")["c"].sort_index()
+        na = int(a.sum())
+        support = base.index.union(a.index)
+        ca = a.reindex(support, fill_value=0).cumsum().to_numpy(dtype=np.int64)
+        cb = base.reindex(support, fill_value=0).cumsum().to_numpy(dtype=np.int64)
+        # exact integer argmax of |ca/na - cb/nb| = |ca*nb - cb*na|
+        diff = np.abs(ca * nb - cb * na)
+        d = float(diff.max()) / (na * nb)
+        crit = 1.358 * np.sqrt((na + nb) / (float(na) * nb))  # alpha=0.05
+        rows.append(
+            {"source": src, "n_a": na, "ks_d": round(d, 6),
+             "crit_05": round(float(crit), 6), "reject": bool(d > crit)}
+        )
+    out = pd.DataFrame(rows)
+    out["n_a"] = out["n_a"].astype(np.int64)
+    return out
+
+
+SQL_KS_TEST = """
+WITH cnt AS (
+  SELECT source, n_chars AS v, count(*) AS c FROM documents GROUP BY 1, 2
+),
+base AS (SELECT v, c FROM cnt WHERE source = 'src0'),
+nb AS (SELECT CAST(sum(c) AS BIGINT) AS nb FROM base),
+srcs AS (SELECT DISTINCT source FROM cnt WHERE source <> 'src0'),
+support AS (
+  SELECT s.source, u.v
+  FROM srcs s CROSS JOIN (SELECT DISTINCT v FROM cnt) u
+),
+ecdf AS (
+  SELECT sp.source, sp.v,
+         sum(coalesce(a.c, 0)) OVER (PARTITION BY sp.source ORDER BY sp.v) AS ca,
+         sum(coalesce(b.c, 0)) OVER (PARTITION BY sp.source ORDER BY sp.v) AS cb
+  FROM support sp
+  LEFT JOIN cnt a ON a.source = sp.source AND a.v = sp.v
+  LEFT JOIN base b ON b.v = sp.v
+),
+tot AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS na FROM cnt
+  WHERE source <> 'src0' GROUP BY 1
+),
+d AS (
+  SELECT e.source, t.na, nb.nb,
+         max(abs(e.ca * nb.nb - e.cb * t.na)) AS num
+  FROM ecdf e JOIN tot t ON t.source = e.source CROSS JOIN nb
+  GROUP BY 1, 2, 3
+)
+SELECT source, na AS n_a,
+       round(CAST(num AS DOUBLE) / (na * nb), 6) AS ks_d,
+       round(1.358 * sqrt((na + nb) / (CAST(na AS DOUBLE) * nb)), 6) AS crit_05,
+       CAST(num AS DOUBLE) / (na * nb)
+         > 1.358 * sqrt((na + nb) / (CAST(na AS DOUBLE) * nb)) AS reject
+FROM d
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "bm25_search": q_bm25_search,
@@ -15812,6 +15955,8 @@ QUERIES = {
     "sprt_abtest": q_sprt_abtest,
     "ece_calibration": q_ece_calibration,
     "assoc_rules": q_assoc_rules,
+    "seasonal_naive_mape": q_seasonal_naive_mape,
+    "ks_test": q_ks_test,
 }
 
 ORACLE_SQL = {
@@ -15839,6 +15984,8 @@ ORACLE_SQL = {
     "sprt_abtest": SQL_SPRT_ABTEST,
     "ece_calibration": SQL_ECE_CALIBRATION,
     "assoc_rules": SQL_ASSOC_RULES,
+    "seasonal_naive_mape": SQL_SEASONAL_NAIVE_MAPE,
+    "ks_test": SQL_KS_TEST,
     "source_overlap": SQL_SOURCE_OVERLAP,
     "entity_resolution": SQL_ENTITY_RESOLUTION,
     "sssp_weighted": SQL_SSSP,
