@@ -15707,6 +15707,319 @@ FROM d
 """
 
 
+# ---------------------------------------------------------------------------
+# Rank statistics: Mann-Whitney U, Spearman correlation, Kaplan-Meier
+# ---------------------------------------------------------------------------
+
+_MW_BASE = "view"  # baseline arm for the rank-sum tests
+
+
+def q_mann_whitney(sf_dir: str):
+    """Mann-Whitney U (Wilcoxon rank-sum) test of each event type's
+    value distribution against the '{base}' baseline — the
+    nonparametric sibling of `ab_ttest` for metrics whose distribution
+    a t-test mis-models (heavy tails, bounded supports).
+
+    Values are cent-quantized (x100, round) on BOTH engines so ranks
+    are over a discrete support; the distributed part reduces
+    (event_type, cents) counts — support-bounded, not row-bounded.
+    Mid-ranks are computed exactly in doubled-integer space
+    (2·midrank = 2·cum_less + tied + 1), so U is an exact half-integer
+    on both sides; the tie-corrected normal z uses the identical
+    float operation sequence as the SQL mirror.  |z| > 1.96 rejects
+    at alpha = 0.05."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"], split=True)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        cents = np.round(batch["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return (
+            pd.DataFrame({"event_type": batch["event_type"].to_pandas(), "v": cents})
+            .groupby(["event_type", "v"], as_index=False)
+            .size()
+            .rename(columns={"size": "c"})
+        )
+
+    counts = (
+        grouped_aggregate(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["event_type", "v"],
+            {"c": ("sum", "c")},
+            small_keys=True,
+        )
+        .to_pandas()
+    )
+    base = counts[counts["event_type"] == _MW_BASE].set_index("v")["c"].sort_index()
+    rows = []
+    for et in sorted(counts["event_type"].unique()):
+        if et == _MW_BASE:
+            continue
+        a = counts[counts["event_type"] == et].set_index("v")["c"].sort_index()
+        support = base.index.union(a.index)
+        ca = a.reindex(support, fill_value=0).to_numpy(dtype=np.int64)
+        ct = ca + base.reindex(support, fill_value=0).to_numpy(dtype=np.int64)
+        cumlt = np.concatenate(([0], np.cumsum(ct)[:-1]))
+        na, n = int(ca.sum()), int(ct.sum())
+        nb = n - na
+        r2 = int((ca * (2 * cumlt + ct + 1)).sum())  # 2·(rank-sum of arm a)
+        ties = int((ct.astype(np.int64) ** 3 - ct).sum())
+        u = (r2 - na * (na + 1)) / 2.0
+        var = na * nb / 12.0 * ((n + 1) - ties / (n * (n - 1.0)))
+        z = (u - na * nb / 2.0) / np.sqrt(var) if var > 0 else float("nan")
+        rows.append(
+            {"event_type": et, "n_a": na, "n_b": nb,
+             "u_stat": round(u, 6), "z": round(float(z), 6),
+             "reject": bool(abs(z) > 1.96) if var > 0 else False}
+        )
+    out = pd.DataFrame(rows)
+    out[["n_a", "n_b"]] = out[["n_a", "n_b"]].astype(np.int64)
+    return out
+
+
+q_mann_whitney.__doc__ = q_mann_whitney.__doc__.format(base=_MW_BASE)
+
+
+SQL_MANN_WHITNEY = f"""
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+pairs AS (SELECT DISTINCT event_type AS et FROM c WHERE event_type <> '{_MW_BASE}'),
+comb AS (
+  SELECT p.et, c.v,
+         sum(CASE WHEN c.event_type = p.et THEN c.c ELSE 0 END) AS ca,
+         sum(c.c) AS ct
+  FROM pairs p JOIN c ON c.event_type IN (p.et, '{_MW_BASE}')
+  GROUP BY 1, 2
+),
+w AS (
+  SELECT et, v, ca, ct,
+         coalesce(sum(ct) OVER (PARTITION BY et ORDER BY v
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumlt
+  FROM comb
+),
+agg AS (
+  SELECT et, CAST(sum(ca) AS BIGINT) AS na,
+         CAST(sum(ct) - sum(ca) AS BIGINT) AS nb,
+         CAST(sum(ct) AS BIGINT) AS n,
+         CAST(sum(ca * (2 * cumlt + ct + 1)) AS BIGINT) AS r2,
+         CAST(sum(ct * ct * ct - ct) AS BIGINT) AS ties
+  FROM w GROUP BY 1
+)
+SELECT et AS event_type, na AS n_a, nb AS n_b,
+       round((r2 - na * (na + 1)) / 2.0, 6) AS u_stat,
+       round(((r2 - na * (na + 1)) / 2.0 - na * nb / 2.0)
+             / sqrt(na * nb / 12.0 * ((n + 1) - ties / (n * (n - 1.0)))), 6) AS z,
+       abs(((r2 - na * (na + 1)) / 2.0 - na * nb / 2.0)
+           / sqrt(na * nb / 12.0 * ((n + 1) - ties / (n * (n - 1.0))))) > 1.96 AS reject
+FROM agg
+"""
+
+
+def q_spearman_corr(sf_dir: str):
+    """Spearman rank correlation of l_quantity vs l_discount per
+    l_returnflag — the monotonic-association readout Pearson misses
+    when the relationship is nonlinear.
+
+    Both variables have tiny discrete supports (quantity 1-50,
+    discount 0-10 cents), so the distributed part reduces a JOINT
+    contingency table per flag (≤ 50×11 cells) — the row data never
+    leaves the cluster.  Marginal mid-ranks are exact in
+    doubled-integer space (2·midrank); Pearson over the doubled ranks
+    equals Pearson over the ranks (scale invariance), so every sum in
+    the correlation is an exact int64 and only the final division
+    rounds.  SQL mirrors cell-for-cell."""
+    ds = read_table(
+        sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_discount"], split=True
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        q = np.round(batch["l_quantity"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        d = np.round(batch["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return (
+            pd.DataFrame(
+                {"flag": batch["l_returnflag"].to_pandas(), "q": q, "d": d}
+            )
+            .groupby(["flag", "q", "d"], as_index=False)
+            .size()
+            .rename(columns={"size": "c"})
+        )
+
+    cells = (
+        grouped_aggregate(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["flag", "q", "d"],
+            {"c": ("sum", "c")},
+            small_keys=True,
+        )
+        .to_pandas()
+    )
+    rows = []
+    for flag, grp in cells.groupby("flag", sort=True):
+        n = int(grp["c"].sum())
+
+        def midrank2(marg: pd.Series) -> dict:
+            marg = marg.sort_index()
+            cnt = marg.to_numpy(dtype=np.int64)
+            cumlt = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+            return dict(zip(marg.index, 2 * cumlt + cnt + 1))
+
+        rx = midrank2(grp.groupby("q")["c"].sum())
+        ry = midrank2(grp.groupby("d")["c"].sum())
+        c = grp["c"].to_numpy(dtype=np.int64)
+        R = grp["q"].map(rx).to_numpy(dtype=np.int64)
+        S = grp["d"].map(ry).to_numpy(dtype=np.int64)
+        sr, ss = int((c * R).sum()), int((c * S).sum())
+        srr, sss = int((c * R * R).sum()), int((c * S * S).sum())
+        srs = int((c * R * S).sum())
+        num = srs - sr * ss / n
+        den = np.sqrt((srr - sr * sr / n) * (sss - ss * ss / n))
+        rho = num / den if den > 0 else float("nan")
+        rows.append({"l_returnflag": flag, "n": n, "rho": round(float(rho), 6)})
+    out = pd.DataFrame(rows)
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
+SQL_SPEARMAN_CORR = """
+WITH cell AS (
+  SELECT l_returnflag AS flag, CAST(round(l_quantity) AS BIGINT) AS q,
+         CAST(round(l_discount * 100) AS BIGINT) AS d, count(*) AS c
+  FROM lineitem GROUP BY 1, 2, 3
+),
+mx AS (
+  SELECT flag, q,
+         2 * coalesce(sum(sum(c)) OVER (PARTITION BY flag ORDER BY q
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + sum(c) + 1 AS r2
+  FROM cell GROUP BY flag, q
+),
+my AS (
+  SELECT flag, d,
+         2 * coalesce(sum(sum(c)) OVER (PARTITION BY flag ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + sum(c) + 1 AS s2
+  FROM cell GROUP BY flag, d
+),
+agg AS (
+  SELECT cell.flag, CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(c * r2) AS BIGINT) AS sr, CAST(sum(c * s2) AS BIGINT) AS ss,
+         CAST(sum(c * r2 * r2) AS BIGINT) AS srr,
+         CAST(sum(c * s2 * s2) AS BIGINT) AS sss,
+         CAST(sum(c * r2 * s2) AS BIGINT) AS srs
+  FROM cell
+  JOIN mx ON mx.flag = cell.flag AND mx.q = cell.q
+  JOIN my ON my.flag = cell.flag AND my.d = cell.d
+  GROUP BY 1
+)
+SELECT flag AS l_returnflag, n,
+       round((srs - sr * ss / n)
+             / sqrt((srr - sr * sr / n) * (sss - ss * ss / n)), 6) AS rho
+FROM agg
+"""
+
+
+_KM_HORIZON_DAYS = 180  # last order within this window of max date => censored
+
+
+def q_kaplan_meier(sf_dir: str):
+    """Kaplan-Meier survival curve over customer order-activity
+    lifetimes: duration = days between a customer's first and last
+    order, censored when the last order falls within {h} days of the
+    dataset's max order date (the customer may still be active).
+
+    The distributed parts are a per-customer (min, max) grouped
+    aggregate and a (duration, event) count reduce whose output is
+    bounded by the day-range of the data — the KM sweep itself runs
+    over that tiny table.  n_at_risk counts censored-at-t customers
+    as at risk at t (the standard deaths-before-censoring
+    convention).  Survival is exp(Σ ln(1-d/n)) on BOTH engines (same
+    summation order, ascending t) and exactly 0 when d == n; rows are
+    emitted only at event times."""
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderdate"], split=True)
+
+    def span(batch: pa.Table) -> pd.DataFrame:
+        us = batch["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view("int64")
+        day = us // 86_400_000_000
+        return (
+            pd.DataFrame({"k": batch["o_custkey"].to_numpy(zero_copy_only=False), "d": day})
+            .groupby("k", as_index=False)
+            .agg(first=("d", "min"), last=("d", "max"))
+        )
+
+    spans = (
+        grouped_aggregate(
+            ds.map_batches(span, batch_format="pyarrow"),
+            ["k"],
+            {"first": ("min", "first"), "last": ("max", "last")},
+        )
+        .to_pandas()
+    )
+    max_day = int(spans["last"].max())
+    dur = (spans["last"] - spans["first"]).to_numpy(dtype=np.int64)
+    event = (spans["last"].to_numpy(dtype=np.int64) < max_day - _KM_HORIZON_DAYS)
+    tbl = (
+        pd.DataFrame({"t": dur, "e": event.astype(np.int64)})
+        .groupby("t", as_index=False)
+        .agg(d=("e", "sum"), a=("e", "count"))
+        .sort_values("t")
+    )
+    total = int(tbl["a"].sum())
+    at_risk = total - np.concatenate(([0], np.cumsum(tbl["a"].to_numpy())[:-1]))
+    d = tbl["d"].to_numpy(dtype=np.int64)
+    keep = d > 0
+    n_i, d_i, t_i = at_risk[keep], d[keep], tbl["t"].to_numpy()[keep]
+    frac = 1.0 - d_i / n_i
+    logs = np.where(frac > 0, np.log(np.where(frac > 0, frac, 1.0)), 0.0)
+    surv = np.exp(np.cumsum(logs))
+    dead = np.cumsum(d_i == n_i) > 0  # once everyone at risk dies, S == 0
+    surv = np.where(dead, 0.0, surv)
+    out = pd.DataFrame(
+        {"t_days": t_i, "n_risk": n_i, "n_events": d_i,
+         "survival": np.round(surv, 6)}
+    )
+    out[["t_days", "n_risk", "n_events"]] = out[["t_days", "n_risk", "n_events"]].astype(np.int64)
+    return out
+
+
+q_kaplan_meier.__doc__ = q_kaplan_meier.__doc__.format(h=_KM_HORIZON_DAYS)
+
+
+SQL_KAPLAN_MEIER = f"""
+WITH span AS (
+  SELECT o_custkey,
+         CAST(epoch_us(min(o_orderdate)) // 86400000000 AS BIGINT) AS first,
+         CAST(epoch_us(max(o_orderdate)) // 86400000000 AS BIGINT) AS last
+  FROM orders GROUP BY 1
+),
+mx AS (SELECT max(last) AS max_day FROM span),
+life AS (
+  SELECT s.last - s.first AS t,
+         CASE WHEN s.last < m.max_day - {_KM_HORIZON_DAYS} THEN 1 ELSE 0 END AS e
+  FROM span s CROSS JOIN mx m
+),
+tbl AS (SELECT t, sum(e) AS d, count(*) AS a FROM life GROUP BY 1),
+risk AS (
+  SELECT t, d,
+         (SELECT sum(a) FROM tbl) -
+         coalesce(sum(a) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS n
+  FROM tbl
+),
+ev AS (SELECT t, d, n FROM risk WHERE d > 0),
+curve AS (
+  SELECT t, n, d,
+         exp(sum(CASE WHEN d < n THEN ln(1.0 - d / CAST(n AS DOUBLE)) ELSE 0 END)
+             OVER (ORDER BY t)) AS s_raw,
+         max(CASE WHEN d = n THEN 1 ELSE 0 END) OVER (ORDER BY t) AS dead
+  FROM ev
+)
+SELECT CAST(t AS BIGINT) AS t_days, CAST(n AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS n_events,
+       round(CASE WHEN dead = 1 THEN 0.0 ELSE s_raw END, 6) AS survival
+FROM curve
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "bm25_search": q_bm25_search,
@@ -15957,6 +16270,9 @@ QUERIES = {
     "assoc_rules": q_assoc_rules,
     "seasonal_naive_mape": q_seasonal_naive_mape,
     "ks_test": q_ks_test,
+    "mann_whitney": q_mann_whitney,
+    "spearman_corr": q_spearman_corr,
+    "kaplan_meier": q_kaplan_meier,
 }
 
 ORACLE_SQL = {
@@ -15986,6 +16302,9 @@ ORACLE_SQL = {
     "assoc_rules": SQL_ASSOC_RULES,
     "seasonal_naive_mape": SQL_SEASONAL_NAIVE_MAPE,
     "ks_test": SQL_KS_TEST,
+    "mann_whitney": SQL_MANN_WHITNEY,
+    "spearman_corr": SQL_SPEARMAN_CORR,
+    "kaplan_meier": SQL_KAPLAN_MEIER,
     "source_overlap": SQL_SOURCE_OVERLAP,
     "entity_resolution": SQL_ENTITY_RESOLUTION,
     "sssp_weighted": SQL_SSSP,
