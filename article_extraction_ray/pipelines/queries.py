@@ -16020,6 +16020,227 @@ FROM curve
 """
 
 
+# ---------------------------------------------------------------------------
+# Phrase search, DP aggregates, cross-correlation
+# ---------------------------------------------------------------------------
+
+_PHRASE = ("merge", "slow")  # adjacent-token phrase under test
+
+
+def q_phrase_search(sf_dir: str):
+    """Positional phrase search: documents containing the exact
+    adjacent-token phrase {phrase!r}, with per-document occurrence
+    counts (overlapping occurrences count, Lucene PhraseQuery
+    semantics).
+
+    The scan is fused and embarrassingly parallel — no shuffle: each
+    batch splits its texts once (Arrow kernel), then matches the
+    phrase on the FLAT token array with numpy shift-compares
+    (k-1 vector ANDs for a k-token phrase), masking positions whose
+    window crosses a document boundary.  Occurrence counts come from
+    one bincount over the flat→doc index.  At 100 TB this is the
+    postings-adjacency plan with the index build fused into the read
+    — nothing materializes but (doc_id, n_matches) hits."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+    phrase = _PHRASE
+
+    def scan(batch: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        toks = pc.split_pattern(batch["text"], " ")
+        la = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = la.values
+        off = la.offsets.to_numpy(zero_copy_only=False)
+        lens = np.diff(off)
+        k = len(phrase)
+        n_flat = len(flat)
+        if n_flat < k:
+            return pd.DataFrame({"doc_id": [], "n_matches": []})
+        m = pc.equal(flat, phrase[0]).to_numpy(zero_copy_only=False)[: n_flat - k + 1]
+        for j, tok in enumerate(phrase[1:], start=1):
+            mj = pc.equal(flat, tok).to_numpy(zero_copy_only=False)
+            m = m & mj[j : n_flat - k + 1 + j]
+        docidx = np.repeat(np.arange(len(lens)), lens)
+        m = m & (docidx[: n_flat - k + 1] == docidx[k - 1 :])
+        counts = np.bincount(docidx[: n_flat - k + 1][m], minlength=len(lens))
+        hit = counts > 0
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)[hit]
+        return pd.DataFrame(
+            {"doc_id": ids.astype(np.int64), "n_matches": counts[hit].astype(np.int64)}
+        )
+
+    return ds.map_batches(scan, batch_format="pyarrow")
+
+
+q_phrase_search.__doc__ = q_phrase_search.__doc__.format(phrase=" ".join(_PHRASE))
+
+
+SQL_PHRASE_SEARCH = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+)
+SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+FROM toks a
+JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.tok = '{_PHRASE[1]}'
+WHERE a.tok = '{_PHRASE[0]}'
+GROUP BY 1
+"""
+
+
+_DP_EPS = 1.0          # privacy budget per released statistic
+_DP_CLIP_CENTS = 10_000  # value clipped to [0, 100.00] before the sum
+
+
+def q_dp_aggregate(sf_dir: str):
+    """Differentially-private per-event-type count and sum release:
+    exact integer aggregates plus seeded Laplace noise at ε = {eps}
+    (sensitivity 1 for the count; values clipped to [0, {clip}]
+    cents for the sum, sensitivity = the clip bound).
+
+    The noise is DETERMINISTIC — u ∈ (0,1) from the first 13 hex
+    digits of md5(event_type:stat) (52 bits, exactly representable in
+    a double), mapped through the Laplace inverse CDF — so the
+    release is reproducible across retries/resume (a real pipeline
+    would swap the seed source for a DRBG per release epoch; the
+    plumbing — clip, exact reduce, per-group noise — is the
+    at-scale shape).  SQL mirrors the hash and the inverse CDF
+    exactly."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"], split=True)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        cents = np.round(batch["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        cents = np.clip(cents, 0, _DP_CLIP_CENTS)
+        return (
+            pd.DataFrame({"event_type": batch["event_type"].to_pandas(), "c": cents})
+            .groupby("event_type", as_index=False)
+            .agg(n=("c", "count"), s=("c", "sum"))
+        )
+
+    stats = (
+        grouped_aggregate(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["event_type"],
+            {"n": ("sum", "n"), "s": ("sum", "s")},
+            small_keys=True,
+        )
+        .to_pandas()
+        .sort_values("event_type")
+    )
+
+    import hashlib
+
+    def lap(key: str, b: float) -> float:
+        h = int(hashlib.md5(key.encode()).hexdigest()[:13], 16)
+        u = (h + 0.5) / 16**13
+        return -b * np.sign(u - 0.5) * np.log(1.0 - 2.0 * abs(u - 0.5))
+
+    rows = []
+    for _, r in stats.iterrows():
+        et = r["event_type"]
+        rows.append(
+            {
+                "event_type": et,
+                "dp_count": round(float(r["n"]) + lap(f"{et}:count", 1.0 / _DP_EPS), 6),
+                "dp_sum_cents": round(
+                    float(r["s"]) + lap(f"{et}:sum", _DP_CLIP_CENTS / _DP_EPS), 6
+                ),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+q_dp_aggregate.__doc__ = q_dp_aggregate.__doc__.format(eps=_DP_EPS, clip=_DP_CLIP_CENTS)
+
+
+SQL_DP_AGGREGATE = f"""
+WITH agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(least(greatest(CAST(round(value * 100) AS BIGINT), 0),
+                        {_DP_CLIP_CENTS})) AS BIGINT) AS s
+  FROM events GROUP BY 1
+),
+noised AS (
+  SELECT event_type, n, s,
+         (('0x' || substr(md5(event_type || ':count'), 1, 13))::BIGINT + 0.5)
+           / power(16, 13) AS uc,
+         (('0x' || substr(md5(event_type || ':sum'), 1, 13))::BIGINT + 0.5)
+           / power(16, 13) AS us
+  FROM agg
+)
+SELECT event_type,
+       round(n + (-(1.0 / {_DP_EPS}) * sign(uc - 0.5)
+                  * ln(1.0 - 2.0 * abs(uc - 0.5))), 6) AS dp_count,
+       round(s + (-({_DP_CLIP_CENTS} / {_DP_EPS}) * sign(us - 0.5)
+                  * ln(1.0 - 2.0 * abs(us - 0.5))), 6) AS dp_sum_cents
+FROM noised
+"""
+
+
+_XCORR_A, _XCORR_B = "click", "purchase"
+_XCORR_MAX_LAG = 6
+
+
+def q_xcorr_lags(sf_dir: str):
+    """Cross-correlation between the '{a}' and '{b}' hourly volume
+    series at lags 0..{maxlag} (does {a} activity lead {b}?) — the
+    lead-lag probe behind every conversion-latency dashboard.
+
+    Rides `_dense_hourly_counts`' bounded reduction; at lag k the
+    Pearson corr of (a[t], b[t-k]) over the n-k overlapping hours is
+    computed from exact integer sums (counts are ints), identical
+    operation order to the SQL mirror; only the final corr rounds."""
+    dense = _dense_hourly_counts(sf_dir)
+    a = dense[dense["event_type"] == _XCORR_A].sort_values("hour")["x"].to_numpy(np.int64)
+    b = dense[dense["event_type"] == _XCORR_B].sort_values("hour")["x"].to_numpy(np.int64)
+    rows = []
+    for k in range(_XCORR_MAX_LAG + 1):
+        x = a[k:].astype(np.int64)
+        y = b[: len(b) - k if k else len(b)].astype(np.int64)
+        n = len(x)
+        sx, sy = int(x.sum()), int(y.sum())
+        sxx, syy = int((x * x).sum()), int((y * y).sum())
+        sxy = int((x * y).sum())
+        num = sxy - sx * sy / n
+        den = np.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+        rows.append(
+            {"lag": k, "n_hours": n,
+             "xcorr": round(float(num / den), 6) if den > 0 else float("nan")}
+        )
+    out = pd.DataFrame(rows)
+    out[["lag", "n_hours"]] = out[["lag", "n_hours"]].astype(np.int64)
+    return out
+
+
+q_xcorr_lags.__doc__ = q_xcorr_lags.__doc__.format(
+    a=_XCORR_A, b=_XCORR_B, maxlag=_XCORR_MAX_LAG
+)
+
+
+SQL_XCORR_LAGS = f"""
+WITH {_SQL_DENSE_HOURLY},
+lags AS (SELECT unnest(generate_series(0, {_XCORR_MAX_LAG})) AS lag),
+joined AS (
+  SELECT l.lag, CAST(a.x AS BIGINT) AS x, CAST(b.x AS BIGINT) AS y
+  FROM lags l
+  JOIN dense a ON a.event_type = '{_XCORR_A}'
+  JOIN dense b ON b.event_type = '{_XCORR_B}' AND b.hour = a.hour - l.lag
+),
+agg AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM joined GROUP BY 1
+)
+SELECT lag, n AS n_hours,
+       round((sxy - sx * sy / n)
+             / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS xcorr
+FROM agg
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "bm25_search": q_bm25_search,
@@ -16273,6 +16494,9 @@ QUERIES = {
     "mann_whitney": q_mann_whitney,
     "spearman_corr": q_spearman_corr,
     "kaplan_meier": q_kaplan_meier,
+    "phrase_search": q_phrase_search,
+    "dp_aggregate": q_dp_aggregate,
+    "xcorr_lags": q_xcorr_lags,
 }
 
 ORACLE_SQL = {
@@ -16305,6 +16529,9 @@ ORACLE_SQL = {
     "mann_whitney": SQL_MANN_WHITNEY,
     "spearman_corr": SQL_SPEARMAN_CORR,
     "kaplan_meier": SQL_KAPLAN_MEIER,
+    "phrase_search": SQL_PHRASE_SEARCH,
+    "dp_aggregate": SQL_DP_AGGREGATE,
+    "xcorr_lags": SQL_XCORR_LAGS,
     "source_overlap": SQL_SOURCE_OVERLAP,
     "entity_resolution": SQL_ENTITY_RESOLUTION,
     "sssp_weighted": SQL_SSSP,
