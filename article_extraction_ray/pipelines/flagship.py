@@ -114,6 +114,7 @@ def extract_corpus(
     concurrency=None,
     batch_size: int | None = None,
     two_level: bool = False,
+    span_fn=None,
 ):
     """Dataset of DOCUMENT_SCHEMA rows → Dataset of EXTRACTED_SCHEMA rows.
 
@@ -133,13 +134,17 @@ def extract_corpus(
     ``batch_size=None`` processes whole blocks (no rebatch boundary,
     keeps operator fusion); set one only when payload × batch must be
     bounded below the block size.
+
+    ``span_fn`` swaps the task-path parse kernel (default
+    ``extract_spans_task``) — the plugin seam for alternative parser
+    stacks and for fault-injection tests that wrap the kernel.
     """
     pool = concurrency
 
     def fused(d):
         if pool is None:
             return d.map_batches(
-                extract_spans_task,
+                span_fn or extract_spans_task,
                 batch_format="pyarrow",
                 zero_copy_batch=True,
                 batch_size=batch_size,
