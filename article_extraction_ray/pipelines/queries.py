@@ -16241,6 +16241,78 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# Media probe: header-only metadata across four container formats
+# ---------------------------------------------------------------------------
+
+
+def q_media_probe(sf_dir: str):
+    """ffprobe-style header probe across a MIXED media corpus: each
+    document becomes one of four real container formats by doc_id % 4
+    (PNG with CRC-verified IHDR, GIF with logical screen descriptor +
+    global color table, 24-bit BMP, PCM WAV), and MediaProbeStage
+    routes on magic bytes and parses ONLY headers — the decode-nothing
+    classify-everything front stage a 100-TB multimodal pipeline runs
+    before paying any decompression.  All planted metadata is closed
+    form over doc_id, so the SQL oracle catches a single mis-parsed
+    header in any of the four format branches."""
+    from ..stages.multimodal import MediaProbeStage, make_bmp, make_gif, make_png, make_wav
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        payloads = []
+        for i, t in zip(ids, texts):
+            i = int(i)
+            kind = i % 4
+            if kind == 0:
+                payloads.append(make_png(i % 31 + 1, i % 17 + 1, 8, 2))
+            elif kind == 1:
+                payloads.append(make_gif(i % 63 + 1, i % 29 + 1, 2 ** (i % 8 + 1)))
+            elif kind == 2:
+                payloads.append(make_bmp(i % 31 + 1, i % 17 + 1, (t or " ").encode()))
+            else:
+                payloads.append(
+                    make_wav(8000 + (i % 5) * 1000, np.zeros(4, dtype=np.int16), i % 2 + 1)
+                )
+        return pa.Table.from_arrays(
+            [
+                pa.array([str(int(i)) for i in ids], type=pa.string()),
+                pa.array(["media"] * len(ids), type=pa.string()),
+                pa.array(payloads, type=pa.large_binary()),
+            ],
+            names=["media_ref", "media_kind", "payload"],
+        )
+
+    media = ds.map_batches(to_media, batch_format="pyarrow")
+    return media.map_batches(MediaProbeStage, batch_format="pyarrow", concurrency=(1, 4))
+
+
+SQL_MEDIA_PROBE = """
+SELECT CAST(doc_id AS VARCHAR) AS media_ref,
+       CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                       WHEN 2 THEN 'bmp' ELSE 'wav' END AS format,
+       CAST(CASE doc_id % 4
+              WHEN 0 THEN doc_id % 31 + 1
+              WHEN 1 THEN doc_id % 63 + 1
+              WHEN 2 THEN doc_id % 31 + 1
+              ELSE doc_id % 2 + 1 END AS BIGINT) AS width,
+       CAST(CASE doc_id % 4
+              WHEN 0 THEN doc_id % 17 + 1
+              WHEN 1 THEN doc_id % 29 + 1
+              WHEN 2 THEN doc_id % 17 + 1
+              ELSE 8000 + (doc_id % 5) * 1000 END AS BIGINT) AS height,
+       CAST(CASE doc_id % 4
+              WHEN 0 THEN 8
+              WHEN 1 THEN power(2, doc_id % 8 + 1)
+              WHEN 2 THEN 24
+              ELSE 16 END AS BIGINT) AS depth
+FROM documents
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "bm25_search": q_bm25_search,
@@ -16497,6 +16569,7 @@ QUERIES = {
     "phrase_search": q_phrase_search,
     "dp_aggregate": q_dp_aggregate,
     "xcorr_lags": q_xcorr_lags,
+    "media_probe": q_media_probe,
 }
 
 ORACLE_SQL = {
@@ -16532,6 +16605,7 @@ ORACLE_SQL = {
     "phrase_search": SQL_PHRASE_SEARCH,
     "dp_aggregate": SQL_DP_AGGREGATE,
     "xcorr_lags": SQL_XCORR_LAGS,
+    "media_probe": SQL_MEDIA_PROBE,
     "source_overlap": SQL_SOURCE_OVERLAP,
     "entity_resolution": SQL_ENTITY_RESOLUTION,
     "sssp_weighted": SQL_SSSP,

@@ -383,3 +383,145 @@ def synth_media_table(refs: list[str], kind: str = "image") -> pa.Table:
         ],
         schema=MEDIA_META_SCHEMA,
     )
+
+
+# ---------------------------------------------------------------------------
+# Header probing for COMPRESSED formats (ffprobe-style, no decompression)
+# ---------------------------------------------------------------------------
+#
+# Full pixel decode of JPEG/PNG/GIF needs codec libraries this container
+# lacks (gated backend="real" above) — but the METADATA a pipeline
+# routes on (dims, bit depth, palette size) lives in plain headers the
+# stdlib can parse.  A 100-TB media pipeline runs exactly this probe
+# stage first: route/bucket by (format, dims, depth) without paying a
+# single decompression, then decode only the selected subset.
+
+
+def make_png(width: int, height: int, bit_depth: int = 8, color_type: int = 2) -> bytes:
+    """A structurally valid PNG: signature + IHDR (with real CRC32) +
+    one opaque IDAT chunk + IEND.  The IDAT bytes are NOT a valid
+    zlib stream (we never inflate them) — the header walk is what is
+    under test, exactly like ffprobe on a truncated file."""
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, color_type, 0, 0, 0)
+    idat = hashlib.blake2b(ihdr, digest_size=16).digest()
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def probe_png(payload: bytes) -> tuple[int, int, int, int]:
+    """(width, height, bit_depth, color_type) from the IHDR chunk,
+    verifying the signature, chunk layout and IHDR CRC — a corrupt or
+    mis-typed file raises instead of emitting garbage metadata."""
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload (bad signature)")
+    (length,) = struct.unpack(">I", payload[8:12])
+    if payload[12:16] != b"IHDR" or length != 13:
+        raise ValueError("PNG first chunk is not a 13-byte IHDR")
+    body = payload[16:29]
+    (crc,) = struct.unpack(">I", payload[29:33])
+    if zlib.crc32(b"IHDR" + body) & 0xFFFFFFFF != crc:
+        raise ValueError("PNG IHDR CRC mismatch")
+    width, height, bit_depth, color_type = struct.unpack(">IIBB", body[:10])
+    return int(width), int(height), int(bit_depth), int(color_type)
+
+
+def make_gif(width: int, height: int, n_colors: int = 16, version: bytes = b"89a") -> bytes:
+    """A structurally valid GIF header: signature + logical screen
+    descriptor + global color table + trailer (no image data blocks —
+    the probe never reads past the GCT)."""
+    import math
+
+    gct_bits = max(1, math.ceil(math.log2(max(n_colors, 2))))
+    packed = 0x80 | ((gct_bits - 1) & 0x07)  # GCT flag + size field
+    lsd = struct.pack("<HHBBB", width, height, packed, 0, 0)
+    gct = bytes((i * 7) % 256 for i in range(3 * (2**gct_bits)))
+    return b"GIF" + version + lsd + gct + b"\x3b"
+
+
+def probe_gif(payload: bytes) -> tuple[int, int, int, str]:
+    """(width, height, gct_colors, version) from the logical screen
+    descriptor; gct_colors is 0 when no global color table is present."""
+    if payload[:3] != b"GIF" or payload[3:6] not in (b"87a", b"89a"):
+        raise ValueError("not a GIF payload (bad signature)")
+    version = payload[3:6].decode()
+    width, height, packed = struct.unpack("<HHB", payload[6:11])
+    gct = 2 ** ((packed & 0x07) + 1) if packed & 0x80 else 0
+    return int(width), int(height), int(gct), version
+
+
+#: magic-byte router used by MediaProbeStage
+_MAGIC_PROBES = (
+    (b"\x89PNG\r\n\x1a\n", "png"),
+    (b"GIF8", "gif"),
+    (b"BM", "bmp"),
+    (b"P6", "ppm"),
+    (b"RIFF", "wav"),
+)
+
+
+def probe_media(payload: bytes) -> tuple[str, int, int, int]:
+    """(format, width, height, depth) for any supported container,
+    routed on magic bytes.  depth = bit depth (png), GCT colors (gif),
+    bits-per-pixel (bmp), maxval+1 (ppm), bits-per-sample (wav);
+    for wav, (width, height) = (n_channels, sample_rate) — the probe
+    emits the two routing-relevant axes of each container."""
+    fmt = next((name for magic, name in _MAGIC_PROBES if payload[: len(magic)] == magic), None)
+    if fmt == "png":
+        w, h, bits, _ctype = probe_png(payload)
+        return "png", w, h, bits
+    if fmt == "gif":
+        w, h, gct, _v = probe_gif(payload)
+        return "gif", w, h, gct
+    if fmt == "bmp":
+        w, h, _nch, _mean = decode_bmp(payload)
+        return "bmp", w, h, 24
+    if fmt == "ppm":
+        w, h, _nch, _mean = decode_ppm(payload)
+        return "ppm", w, h, 256
+    if fmt == "wav":
+        nch, rate, _n, _dur, _rms = decode_wav(payload)
+        return "wav", nch, rate, 16
+    raise ValueError(f"unrecognized media payload (first bytes {payload[:8]!r})")
+
+
+class MediaProbeStage:
+    """Actor-pool stage: opaque binary payloads → (format, width,
+    height, depth) via header-only parsing — the routing/bucketing
+    front of a multimodal pipeline (decode-nothing, classify-everything).
+    Unrecognized or corrupt payloads land in format='error' rather than
+    poisoning the batch (per-row error isolation, same policy as the
+    fetch stage)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for p in batch["payload"].to_pylist():
+            try:
+                rows.append(probe_media(p))
+            except (ValueError, struct.error, IndexError):
+                rows.append(("error", 0, 0, 0))
+        return pa.Table.from_arrays(
+            [
+                batch["media_ref"],
+                pa.array([r[0] for r in rows], type=pa.string()),
+                pa.array([r[1] for r in rows], type=pa.int64()),
+                pa.array([r[2] for r in rows], type=pa.int64()),
+                pa.array([r[3] for r in rows], type=pa.int64()),
+            ],
+            names=["media_ref", "format", "width", "height", "depth"],
+        )

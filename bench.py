@@ -187,6 +187,14 @@ BENCH_QUERIES = [
     "q20_dominant_suppliers",
     "q21_waiting_suppliers",
     "q22_dormant_customers",
+    "seasonal_naive_mape",
+    "ks_test",
+    "mann_whitney",
+    "spearman_corr",
+    "kaplan_meier",
+    "phrase_search",
+    "dp_aggregate",
+    "xcorr_lags",
 ]
 
 

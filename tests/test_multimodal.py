@@ -198,3 +198,79 @@ class TestPpmCodec:
             w, h, c, mean = decode_ppm(b"P6\n2 2\n255\n" + body)
             assert (w, h, c) == (2, 2, 3)
             assert abs(mean - first[0] / 12.0) < 1e-9
+
+
+class TestMediaProbe:
+    """Header-only probing of compressed containers (PNG/GIF) and the
+    magic-byte router across all five supported formats."""
+
+    def test_png_roundtrip(self):
+        from article_extraction_ray.stages.multimodal import make_png, probe_png
+
+        assert probe_png(make_png(640, 480)) == (640, 480, 8, 2)
+        assert probe_png(make_png(1, 1, 16, 6)) == (1, 1, 16, 6)
+
+    def test_png_crc_corruption_detected(self):
+        from article_extraction_ray.stages.multimodal import make_png, probe_png
+
+        bad = bytearray(make_png(10, 10))
+        bad[20] ^= 0xFF  # flip a bit inside the IHDR body
+        try:
+            probe_png(bytes(bad))
+        except ValueError as exc:
+            assert "CRC" in str(exc)
+        else:
+            raise AssertionError("corrupt IHDR accepted")
+
+    def test_png_bad_signature_rejected(self):
+        from article_extraction_ray.stages.multimodal import probe_png
+
+        try:
+            probe_png(b"\x89PNX\r\n\x1a\n" + bytes(32))
+        except ValueError as exc:
+            assert "signature" in str(exc)
+        else:
+            raise AssertionError("bad signature accepted")
+
+    def test_gif_roundtrip_both_versions_and_gct_sizes(self):
+        from article_extraction_ray.stages.multimodal import make_gif, probe_gif
+
+        assert probe_gif(make_gif(320, 200, 16)) == (320, 200, 16, "89a")
+        assert probe_gif(make_gif(12, 7, 256, b"87a")) == (12, 7, 256, "87a")
+        assert probe_gif(make_gif(1, 1, 2)) == (1, 1, 2, "89a")
+
+    def test_probe_media_routes_all_formats(self):
+        import numpy as np
+
+        from article_extraction_ray.stages.multimodal import (
+            make_bmp,
+            make_gif,
+            make_png,
+            make_ppm,
+            make_wav,
+            probe_media,
+        )
+
+        assert probe_media(make_png(9, 5)) == ("png", 9, 5, 8)
+        assert probe_media(make_gif(3, 4, 8)) == ("gif", 3, 4, 8)
+        assert probe_media(make_bmp(6, 2, b"xy")) == ("bmp", 6, 2, 24)
+        assert probe_media(make_ppm(2, 3, b"z")) == ("ppm", 2, 3, 256)
+        wav = make_wav(11000, np.zeros(4, dtype=np.int16), 2)
+        assert probe_media(wav) == ("wav", 2, 11000, 16)
+
+    def test_probe_stage_isolates_errors(self, ray_session):
+        import pyarrow as pa
+
+        from article_extraction_ray.stages.multimodal import MediaProbeStage, make_png
+
+        batch = pa.Table.from_arrays(
+            [
+                pa.array(["a", "b"], type=pa.string()),
+                pa.array(["media", "media"], type=pa.string()),
+                pa.array([make_png(4, 4), b"\x00garbage"], type=pa.large_binary()),
+            ],
+            names=["media_ref", "media_kind", "payload"],
+        )
+        out = MediaProbeStage()(batch).to_pydict()
+        assert out["format"] == ["png", "error"]
+        assert out["width"] == [4, 0]
