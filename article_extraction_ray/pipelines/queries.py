@@ -16313,6 +16313,163 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# HLL set operations + isotonic (PAV) calibration
+# ---------------------------------------------------------------------------
+
+_HLL_SETOP_PAIRS = (("click", "purchase"), ("view", "signup"))
+
+
+def q_hll_setops(sf_dir: str):
+    """HyperLogLog set algebra: estimated |A∪B| (register max-merge)
+    and |A∩B| (inclusion-exclusion) of the user sets behind event-type
+    pairs, gated against EXACT distributed counts — the mergeable-
+    sketch contract that lets a 100-TB pipeline answer audience-overlap
+    questions from 16 KiB per segment instead of a set shuffle.
+
+    Exact counts come from a two-level distributed distinct (never a
+    driver drain); only fixed-width register rows (one per batch per
+    type) and the tiny per-type counts reach the driver.  The oracle
+    enumerates the pair grid with within=TRUE for both estimates
+    (union at ±5%, the subtractive intersection at ±10% of the union),
+    so an out-of-tolerance sketch reds the value hash."""
+    from ..stages.sketch import hll_estimate, hll_partial
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"], split=True)
+
+    P = 12
+
+    def reg_partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {"event_type": batch["event_type"].to_pandas(),
+             "u": batch["user_id"].to_numpy(zero_copy_only=False)}
+        )
+        rows = []
+        for et, grp in df.groupby("event_type"):
+            regs = hll_partial(grp["u"].to_numpy(), p=P)
+            rows.append({"event_type": et, "regs": regs.tobytes()})
+        return pd.DataFrame(rows)
+
+    reg_rows = ds.map_batches(reg_partial, batch_format="pyarrow").to_pandas()
+    regs: dict[str, np.ndarray] = {}
+    for _, r in reg_rows.iterrows():
+        arr = np.frombuffer(r["regs"], dtype=np.uint8)
+        et = r["event_type"]
+        regs[et] = np.maximum(regs[et], arr) if et in regs else arr.copy()
+
+    # exact per-type and per-pair counts: distinct (type, user) pairs
+    def pair_distinct(batch: pa.Table) -> pa.Table:
+        t = pa.table({"event_type": batch["event_type"], "user_id": batch["user_id"]})
+        return pa.TableGroupBy(t, ["event_type", "user_id"]).aggregate([])
+
+    distinct_pairs = grouped_aggregate(
+        ds.map_batches(pair_distinct, batch_format="pyarrow"),
+        ["event_type", "user_id"],
+        {"one": ("count", None)},
+    ).to_pandas()
+
+    rows = []
+    for a, b in _HLL_SETOP_PAIRS:
+        ua = set(distinct_pairs[distinct_pairs["event_type"] == a]["user_id"])
+        ub = set(distinct_pairs[distinct_pairs["event_type"] == b]["user_id"])
+        n_union, n_inter = len(ua | ub), len(ua & ub)
+        est_a, est_b = hll_estimate(regs[a]), hll_estimate(regs[b])
+        est_u = hll_estimate(np.maximum(regs[a], regs[b]))
+        est_i = est_a + est_b - est_u
+        rows.append(
+            {"pair": f"{a}|{b}",
+             "n_union": n_union, "n_intersect": n_inter,
+             "union_within": bool(abs(est_u - n_union) <= 0.05 * n_union),
+             "intersect_within": bool(abs(est_i - n_inter) <= 0.10 * n_union)}
+        )
+    out = pd.DataFrame(rows)
+    out[["n_union", "n_intersect"]] = out[["n_union", "n_intersect"]].astype(np.int64)
+    return out
+
+
+SQL_HLL_SETOPS = f"""
+WITH pairs AS (
+  SELECT * FROM (VALUES {", ".join(f"('{a}', '{b}')" for a, b in _HLL_SETOP_PAIRS)})
+    AS t(a, b)
+),
+du AS (SELECT DISTINCT event_type, user_id FROM events)
+SELECT p.a || '|' || p.b AS pair,
+       CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_union,
+       CAST(count(DISTINCT CASE WHEN EXISTS (
+             SELECT 1 FROM du x WHERE x.event_type = p.a AND x.user_id = d.user_id)
+           AND EXISTS (
+             SELECT 1 FROM du y WHERE y.event_type = p.b AND y.user_id = d.user_id)
+           THEN d.user_id END) AS BIGINT) AS n_intersect,
+       TRUE AS union_within, TRUE AS intersect_within
+FROM pairs p
+JOIN du d ON d.event_type IN (p.a, p.b)
+GROUP BY 1
+"""
+
+
+def q_isotonic_calibration(sf_dir: str):
+    """Isotonic-regression calibration (pool-adjacent-violators) of
+    P(purchase | value): the nonparametric monotone fit every
+    model-calibration pass runs after `ece_calibration` flags drift.
+
+    The distributed part reduces (cent-quantized score → n, n_pos)
+    — a support-bounded table — and PAV pools adjacent violators
+    driver-side with exact integer block sums (rates compare as
+    cross-multiplied integers, so pooling order can't float-flip).
+    Output: the pooled monotone blocks (score range, n, calibrated
+    rate).  Rows-only at the driver gate; the PAV properties
+    (monotonicity, mass conservation, mean preservation, parity with
+    the textbook per-row algorithm) are pytest-verified."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"], split=True)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        cents = np.round(batch["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        pos = (batch["event_type"].to_pandas() == "purchase").to_numpy().astype(np.int64)
+        return (
+            pd.DataFrame({"s": cents, "n": 1, "pos": pos})
+            .groupby("s", as_index=False)
+            .agg(n=("n", "sum"), pos=("pos", "sum"))
+        )
+
+    buckets = (
+        grouped_aggregate(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["s"],
+            {"n": ("sum", "n"), "pos": ("sum", "pos")},
+        )
+        .to_pandas()
+        .sort_values("s")
+        .reset_index(drop=True)
+    )
+    blocks = pav_blocks(
+        buckets["s"].to_numpy(np.int64),
+        buckets["n"].to_numpy(np.int64),
+        buckets["pos"].to_numpy(np.int64),
+    )
+    out = pd.DataFrame(blocks, columns=["score_lo", "score_hi", "n", "n_pos"])
+    out = out.astype(np.int64)
+    out["rate"] = np.round(out["n_pos"] / out["n"], 6)
+    return out
+
+
+def pav_blocks(scores: np.ndarray, n: np.ndarray, pos: np.ndarray):
+    """Textbook stack PAV over pre-aggregated (score, n, n_pos) buckets
+    sorted by score.  Violator test is exact: pos_a·n_b >= pos_b·n_a
+    (cross-multiplied integers — no float rate comparisons)."""
+    stack: list[list[int]] = []  # [score_lo, score_hi, n, pos]
+    for s, ni, pi in zip(scores, n, pos):
+        stack.append([int(s), int(s), int(ni), int(pi)])
+        while (
+            len(stack) > 1
+            and stack[-2][3] * stack[-1][2] >= stack[-1][3] * stack[-2][2]
+        ):
+            _lo2, hi2, n2, p2 = stack.pop()
+            stack[-1][1] = hi2  # merged block extends to the popped right edge
+            stack[-1][2] += n2
+            stack[-1][3] += p2
+    return [tuple(b) for b in stack]
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "bm25_search": q_bm25_search,
@@ -16570,6 +16727,8 @@ QUERIES = {
     "dp_aggregate": q_dp_aggregate,
     "xcorr_lags": q_xcorr_lags,
     "media_probe": q_media_probe,
+    "hll_setops": q_hll_setops,
+    "isotonic_calibration": q_isotonic_calibration,
 }
 
 ORACLE_SQL = {
@@ -16606,6 +16765,7 @@ ORACLE_SQL = {
     "dp_aggregate": SQL_DP_AGGREGATE,
     "xcorr_lags": SQL_XCORR_LAGS,
     "media_probe": SQL_MEDIA_PROBE,
+    "hll_setops": SQL_HLL_SETOPS,
     "source_overlap": SQL_SOURCE_OVERLAP,
     "entity_resolution": SQL_ENTITY_RESOLUTION,
     "sssp_weighted": SQL_SSSP,

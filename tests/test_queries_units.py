@@ -776,3 +776,75 @@ class TestRouterParityRandomTables:
         b = _kcore_members(sf, node_budget=0).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
         assert len(a) > 0 and (a["core_deg"] >= 2).all()
+
+
+class TestPavBlocks:
+    """Pool-adjacent-violators invariants + parity with an independent
+    textbook implementation (repeated-scan pooling)."""
+
+    @staticmethod
+    def _reference_fit(n, pos):
+        """O(k^2) repeated-scan PAV: merge any adjacent violating pair
+        until stable, return the fitted rate per input bucket."""
+        blocks = [[int(a), int(b)] for a, b in zip(n, pos)]  # [n, pos]
+        sizes = [1] * len(blocks)
+        changed = True
+        while changed:
+            changed = False
+            i = 0
+            while i + 1 < len(blocks):
+                if blocks[i][1] * blocks[i + 1][0] > blocks[i + 1][1] * blocks[i][0]:
+                    blocks[i][0] += blocks[i + 1][0]
+                    blocks[i][1] += blocks[i + 1][1]
+                    sizes[i] += sizes[i + 1]
+                    del blocks[i + 1], sizes[i + 1]
+                    changed = True
+                else:
+                    i += 1
+        fitted = []
+        for (bn, bp), k in zip(blocks, sizes):
+            fitted.extend([bp / bn] * k)
+        return fitted
+
+    def _fitted_from_blocks(self, scores, blocks):
+        out = []
+        for s in scores:
+            for lo, hi, bn, bp in blocks:
+                if lo <= s <= hi:
+                    out.append(bp / bn)
+                    break
+        return out
+
+    def test_pav_properties_and_parity(self):
+        import numpy as np
+
+        from article_extraction_ray.pipelines.queries import pav_blocks
+
+        rng = np.random.RandomState(11)
+        for _ in range(25):
+            k = rng.randint(2, 40)
+            scores = np.sort(rng.choice(10_000, size=k, replace=False)).astype(np.int64)
+            n = rng.randint(1, 50, size=k).astype(np.int64)
+            pos = np.array([rng.randint(0, ni + 1) for ni in n], dtype=np.int64)
+            blocks = pav_blocks(scores, n, pos)
+            # mass conservation
+            assert sum(b[2] for b in blocks) == int(n.sum())
+            assert sum(b[3] for b in blocks) == int(pos.sum())
+            # monotone non-decreasing rates (exact cross-multiplied)
+            for (l1, h1, n1, p1), (l2, h2, n2, p2) in zip(blocks, blocks[1:]):
+                assert p1 * n2 < p2 * n1, "rates not strictly increasing"
+                assert h1 < l2, "blocks out of order"
+            # parity: fitted value per bucket equals the textbook fit
+            got = self._fitted_from_blocks(scores, blocks)
+            want = self._reference_fit(n, pos)
+            assert np.allclose(got, want, rtol=0, atol=1e-12)
+
+    def test_pav_degenerate_constant(self):
+        import numpy as np
+
+        from article_extraction_ray.pipelines.queries import pav_blocks
+
+        blocks = pav_blocks(
+            np.array([1, 2, 3]), np.array([5, 5, 5]), np.array([2, 2, 2])
+        )
+        assert len(blocks) == 1 and blocks[0] == (1, 3, 15, 6)
