@@ -16470,6 +16470,53 @@ def pav_blocks(scores: np.ndarray, n: np.ndarray, pos: np.ndarray):
     return [tuple(b) for b in stack]
 
 
+def q_incremental_ingest(sf_dir: str):
+    """Incremental-ingestion lifecycle (pipelines/incremental.py): a
+    sharded corpus arrives in two drops; each ``ingest_increment``
+    extracts ONLY the new shards and publishes an atomic snapshot
+    version whose manifest records the covered inputs.  Returns the
+    per-version ledger (version, new_shards, delta rows, cumulative
+    snapshot rows) plus an idempotency row (re-run with nothing new
+    must be a no-op).  Rows-only at the driver gate; bit-exact
+    equality of the final snapshot vs a from-scratch full extraction
+    is pytest-verified (test_incremental.py)."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ..sources.synth import ensure_corpus_parquet
+    from ..state.snapshots import read_snapshot
+    from .incremental import ingest_increment
+
+    corpus = ensure_corpus_parquet("/tmp/ae_corpora", 2000, 42)
+    shards = sorted(p for p in Path(corpus).iterdir() if p.suffix == ".parquet")
+    staged = Path(tempfile.mkdtemp(prefix="ae_inc_staged_"))
+    table = Path(tempfile.mkdtemp(prefix="ae_inc_table_"))
+    try:
+        rows = []
+        for batch_shards, label in ((shards[: len(shards) // 2], "drop1"),
+                                    (shards, "drop2"), (shards, "noop")):
+            for s in batch_shards:
+                if not (staged / s.name).exists():
+                    shutil.copy(s, staged / s.name)
+            s_i = ingest_increment(str(staged), table)
+            total = (
+                int(read_snapshot(table).count()) if s_i["version"] is not None else 0
+            )
+            rows.append(
+                {"step": label, "version": s_i["version"],
+                 "new_shards": s_i["new_shards"], "delta_rows": s_i["rows"],
+                 "snapshot_rows": total}
+            )
+        out = pd.DataFrame(rows)
+        for c in ("version", "new_shards", "delta_rows", "snapshot_rows"):
+            out[c] = out[c].astype(np.int64)
+        return out
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+        shutil.rmtree(table, ignore_errors=True)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "bm25_search": q_bm25_search,
@@ -16729,6 +16776,7 @@ QUERIES = {
     "media_probe": q_media_probe,
     "hll_setops": q_hll_setops,
     "isotonic_calibration": q_isotonic_calibration,
+    "incremental_ingest": q_incremental_ingest,
 }
 
 ORACLE_SQL = {

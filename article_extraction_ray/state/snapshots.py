@@ -68,6 +68,7 @@ def commit_snapshot(
     *,
     op: str,
     rows: int | None = None,
+    extra: dict | None = None,
 ) -> int:
     """Commit a new version whose membership is exactly ``files``
     (paths relative to ``table_dir``).  Returns the version number.
@@ -92,6 +93,7 @@ def commit_snapshot(
             prev = latest_version(table_dir)
             version = 0 if prev is None else prev + 1
             manifest = {
+                **(extra or {}),  # caller metadata; reserved keys below win
                 "version": version,
                 "parent": prev,
                 "op": op,
