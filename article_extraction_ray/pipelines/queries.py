@@ -16470,6 +16470,169 @@ def pav_blocks(scores: np.ndarray, n: np.ndarray, pos: np.ndarray):
     return [tuple(b) for b in stack]
 
 
+# ---------------------------------------------------------------------------
+# Periodogram, Theil-Sen trend, conversion-lag quantiles
+# ---------------------------------------------------------------------------
+
+_PERIODS = (24, 12, 8, 168)
+
+
+def q_periodogram(sf_dir: str):
+    """Discrete-Fourier power at candidate periods ({periods} hours)
+    per event type — the frequency-domain seasonality probe that tells
+    a forecasting pipeline WHICH period to model (acf_lags' spectral
+    sibling).
+
+    Power_P = [(Σ a·cos(2πt/P))² + (Σ a·sin(2πt/P))²] / n over the
+    mean-centered dense hourly series (a = x − x̄), scaled by n so the
+    magnitude stays O(amplitude²) and the 6-dp rounding is safe.
+    Rides the bounded `_dense_hourly_counts` reduction; both engines
+    evaluate the identical trig expression per (type, period)."""
+    dense = _dense_hourly_counts(sf_dir)
+    rows = []
+    for etype, grp in dense.groupby("event_type", sort=True):
+        g = grp.sort_values("hour")
+        x = g["x"].to_numpy(np.float64)
+        t = np.arange(len(x), dtype=np.float64)
+        a = x - x.sum() / len(x)
+        for p in _PERIODS:
+            sc = float((a * np.cos(2.0 * np.pi * t / p)).sum())
+            ss = float((a * np.sin(2.0 * np.pi * t / p)).sum())
+            rows.append(
+                {"event_type": etype, "period": p,
+                 "power": round((sc * sc + ss * ss) / len(x), 6)}
+            )
+    out = pd.DataFrame(rows)
+    out["period"] = out["period"].astype(np.int64)
+    return out
+
+
+q_periodogram.__doc__ = q_periodogram.__doc__.format(periods=_PERIODS)
+
+
+SQL_PERIODOGRAM = f"""
+WITH {_SQL_DENSE_HOURLY},
+idx AS (
+  SELECT event_type, hour - min(hour) OVER (PARTITION BY event_type) AS t, x
+  FROM dense
+),
+ctr AS (
+  SELECT event_type, t,
+         x - avg(x) OVER (PARTITION BY event_type) AS a
+  FROM idx
+),
+per AS (SELECT unnest(ARRAY{list(_PERIODS)}) AS period)
+SELECT c.event_type, CAST(p.period AS BIGINT) AS period,
+       round((pow(sum(c.a * cos(2.0 * pi() * c.t / p.period)), 2)
+              + pow(sum(c.a * sin(2.0 * pi() * c.t / p.period)), 2))
+             / count(*), 6) AS power
+FROM ctr c CROSS JOIN per p
+GROUP BY 1, 2
+"""
+
+
+def q_theilsen_trend(sf_dir: str):
+    """Theil-Sen robust trend of each event type's hourly volume: the
+    MEDIAN of all pairwise slopes (x_j − x_i)/(j − i) — immune to the
+    outlier hours that wreck a least-squares slope.
+
+    The distributed part is the bounded dense-hourly reduction; the
+    O(n²) pairwise-slope median runs on the driver over the ~720-point
+    series (at 100 TB the series length is set by the TIME RANGE, not
+    the corpus, so this stays bounded — and the in-repo t-digest is
+    the swap if a deployment ever needs multi-year minute-level
+    series).  Each slope is a single IEEE division on both engines, so
+    the median (mean of the two middles at even counts) is bit-stable
+    before the 6-dp rounding."""
+    dense = _dense_hourly_counts(sf_dir)
+    rows = []
+    for etype, grp in dense.groupby("event_type", sort=True):
+        x = grp.sort_values("hour")["x"].to_numpy(np.float64)
+        n = len(x)
+        i, j = np.triu_indices(n, k=1)
+        slopes = (x[j] - x[i]) / (j - i)
+        rows.append(
+            {"event_type": etype, "n_pairs": int(len(slopes)),
+             "slope": round(float(np.median(slopes)), 6)}
+        )
+    out = pd.DataFrame(rows)
+    out["n_pairs"] = out["n_pairs"].astype(np.int64)
+    return out
+
+
+SQL_THEILSEN_TREND = f"""
+WITH {_SQL_DENSE_HOURLY},
+idx AS (
+  SELECT event_type, hour - min(hour) OVER (PARTITION BY event_type) AS t, x
+  FROM dense
+)
+SELECT a.event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+       round(median((b.x - a.x) / (b.t - a.t)), 6) AS slope
+FROM idx a JOIN idx b ON b.event_type = a.event_type AND b.t > a.t
+GROUP BY 1
+"""
+
+
+def q_conversion_lag(sf_dir: str):
+    """Click→purchase conversion-lag distribution: for every user with
+    both event types, the exact-microsecond lag between their first
+    click and first purchase, summarized as linear-interpolated
+    quartiles — the time-to-convert readout behind funnel SLAs.
+
+    The distributed part is a per-(user, type) first-timestamp reduce;
+    the per-user lag table that reaches the driver is bounded by the
+    USER count, not the event count (and `price_quantiles_tdigest` is
+    the in-repo swap when even that is too wide).  Both engines use
+    the same linear interpolation (numpy 'linear' == DuckDB
+    quantile_cont), negative lags (purchase-first users) included."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type", "ts"], split=True)
+
+    def firsts(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {"user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+             "event_type": batch["event_type"].to_pandas(),
+             "us": batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view("int64")}
+        )
+        df = df[df["event_type"].isin(("click", "purchase"))]
+        return df.groupby(["user_id", "event_type"], as_index=False)["us"].min()
+
+    per_user = (
+        grouped_aggregate(
+            ds.map_batches(firsts, batch_format="pyarrow"),
+            ["user_id", "event_type"],
+            {"us": ("min", "us")},
+        )
+        .to_pandas()
+        .pivot(index="user_id", columns="event_type", values="us")
+        .dropna()
+    )
+    lag = (per_user["purchase"] - per_user["click"]).to_numpy(np.int64)
+    qs = np.percentile(lag, [25, 50, 75], method="linear")
+    return pd.DataFrame(
+        {"n_users": np.array([len(lag)], dtype=np.int64),
+         "p25_us": [round(float(qs[0]), 2)],
+         "median_us": [round(float(qs[1]), 2)],
+         "p75_us": [round(float(qs[2]), 2)]}
+    )
+
+
+SQL_CONVERSION_LAG = """
+WITH f AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS c,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1
+),
+lag AS (SELECT p - c AS l FROM f WHERE c IS NOT NULL AND p IS NOT NULL)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       round(quantile_cont(l, 0.25), 2) AS p25_us,
+       round(quantile_cont(l, 0.50), 2) AS median_us,
+       round(quantile_cont(l, 0.75), 2) AS p75_us
+FROM lag
+"""
+
+
 def q_incremental_ingest(sf_dir: str):
     """Incremental-ingestion lifecycle (pipelines/incremental.py): a
     sharded corpus arrives in two drops; each ``ingest_increment``
@@ -16777,6 +16940,9 @@ QUERIES = {
     "hll_setops": q_hll_setops,
     "isotonic_calibration": q_isotonic_calibration,
     "incremental_ingest": q_incremental_ingest,
+    "periodogram": q_periodogram,
+    "theilsen_trend": q_theilsen_trend,
+    "conversion_lag": q_conversion_lag,
 }
 
 ORACLE_SQL = {
@@ -16814,6 +16980,9 @@ ORACLE_SQL = {
     "xcorr_lags": SQL_XCORR_LAGS,
     "media_probe": SQL_MEDIA_PROBE,
     "hll_setops": SQL_HLL_SETOPS,
+    "periodogram": SQL_PERIODOGRAM,
+    "theilsen_trend": SQL_THEILSEN_TREND,
+    "conversion_lag": SQL_CONVERSION_LAG,
     "source_overlap": SQL_SOURCE_OVERLAP,
     "entity_resolution": SQL_ENTITY_RESOLUTION,
     "sssp_weighted": SQL_SSSP,
