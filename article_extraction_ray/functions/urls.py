@@ -81,3 +81,47 @@ def resolve_url(raw: str) -> str | None:
         return candidate
     found = find_urls(cleaned)
     return found[0] if found else None
+
+
+# ---------------------------------------------------------------------------
+# Crawl-frontier canonicalization (beyond the reference: the dedupe key
+# a web-scale crawler computes before URL-level dedup)
+# ---------------------------------------------------------------------------
+
+#: tracking parameters dropped during canonicalization
+_TRACKING_PARAMS = ("utm_", "fbclid", "gclid", "msclkid")
+
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+
+def canonicalize_url(url: str) -> str:
+    """Canonical form for URL-level dedup:
+
+    - scheme and host lowercased;
+    - default port stripped (``:80`` http, ``:443`` https);
+    - fragment dropped;
+    - tracking params dropped (``utm_*``, ``fbclid``, ``gclid``,
+      ``msclkid``), remaining query params sorted by (key, value);
+    - trailing slash stripped from non-root paths; empty path → ``/``.
+
+    Deterministic and idempotent: canonicalize(canonicalize(u)) ==
+    canonicalize(u) (property-tested)."""
+    from urllib.parse import parse_qsl, urlencode, urlsplit, urlunsplit
+
+    parts = urlsplit(url.strip())
+    scheme = parts.scheme.lower()
+    host = (parts.hostname or "").lower()
+    port = parts.port
+    netloc = host
+    if port is not None and str(port) != _DEFAULT_PORTS.get(scheme, ""):
+        netloc = f"{host}:{port}"
+    path = parts.path or "/"
+    if len(path) > 1 and path.endswith("/"):
+        path = path.rstrip("/") or "/"
+    keep = [
+        (k, v)
+        for k, v in parse_qsl(parts.query, keep_blank_values=True)
+        if not (k.startswith("utm_") or k in _TRACKING_PARAMS[1:])
+    ]
+    query = urlencode(sorted(keep))
+    return urlunsplit((scheme, netloc, path, query, ""))

@@ -16633,6 +16633,142 @@ FROM lag
 """
 
 
+# ---------------------------------------------------------------------------
+# URL canonical dedupe + mutual information
+# ---------------------------------------------------------------------------
+
+
+def q_url_canonical_dedup(sf_dir: str):
+    """URL-level dedup behind crawl-frontier canonicalization
+    (functions/urls.py:canonicalize_url): four planted variants per
+    logical page — host case + default port, fragment, trailing slash
+    + utm params, tracking params in the middle of the query — must
+    all collapse to ONE canonical form; the dedupe keeps the minimum
+    doc_id per canonical URL and counts the collapsed variants.
+
+    The canonical string is closed form over doc_id//4, so the SQL
+    oracle catches a canonicalizer that mishandles ANY of the four
+    rule families (group splits → counts and min-ids shift).  The
+    dedupe itself is the exact-key shape: one candidate per key per
+    batch leaves each worker."""
+    from ..functions.urls import canonicalize_url
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"], split=True)
+
+    def plant_and_canon(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        urls = []
+        for i in ids:
+            i = int(i)
+            g, v = i // 4, i % 4
+            if v == 0:
+                urls.append(f"http://EXAMPLE{g}.COM:80/path{g}?b=2&a=1")
+            elif v == 1:
+                urls.append(f"http://example{g}.com/path{g}?a=1&b=2#frag")
+            elif v == 2:
+                urls.append(f"http://example{g}.com/path{g}/?utm_source=x&a=1&b=2")
+            else:
+                urls.append(f"http://example{g}.com:80/path{g}?a=1&utm_campaign=y&b=2")
+        canon = [canonicalize_url(u) for u in urls]
+        # per-batch combiner: one candidate row per canonical key
+        return (
+            pd.DataFrame({"url": canon, "doc_id": ids})
+            .groupby("url", as_index=False)
+            .agg(n_variants=("doc_id", "size"), min_doc_id=("doc_id", "min"))
+        )
+
+    out = grouped_aggregate(
+        ds.map_batches(plant_and_canon, batch_format="pyarrow"),
+        ["url"],
+        {"n_variants": ("sum", "n_variants"), "min_doc_id": ("min", "min_doc_id")},
+    )
+
+    def typed(df: pd.DataFrame) -> pd.DataFrame:
+        return df.astype({"n_variants": np.int64, "min_doc_id": np.int64})
+
+    return out.map_batches(typed, batch_format="pandas")
+
+
+SQL_URL_CANONICAL_DEDUP = """
+SELECT 'http://example' || (doc_id // 4) || '.com/path' || (doc_id // 4)
+         || '?a=1&b=2' AS url,
+       CAST(count(*) AS BIGINT) AS n_variants,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id
+FROM documents
+GROUP BY doc_id // 4
+"""
+
+
+def q_mutual_information(sf_dir: str):
+    """Mutual information (nats) between event type and hour-of-day,
+    with the marginal entropies — the dependence readout that catches
+    what `chi2_independence` only thresholds: HOW MUCH of the type
+    signal the diurnal cycle explains.
+
+    One streaming pass reduces the bounded 5×24 contingency table
+    (exact integer counts); MI = Σ (n_xy/N)·ln(n_xy·N / (n_x·n_y))
+    runs on the tiny table with the identical float expression as the
+    SQL mirror; only the final values round (6 dp)."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"], split=True)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        us = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view("int64")
+        return (
+            pd.DataFrame(
+                {"event_type": batch["event_type"].to_pandas(),
+                 "hour": (us // 3_600_000_000) % 24}
+            )
+            .groupby(["event_type", "hour"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+
+    cells = (
+        grouped_aggregate(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["event_type", "hour"],
+            {"n": ("sum", "n")},
+            small_keys=True,
+        )
+        .to_pandas()
+    )
+    N = float(cells["n"].sum())
+    nx = cells.groupby("event_type")["n"].sum()
+    ny = cells.groupby("hour")["n"].sum()
+    pxy = cells["n"].to_numpy(np.float64) / N
+    px = cells["event_type"].map(nx).to_numpy(np.float64) / N
+    py = cells["hour"].map(ny).to_numpy(np.float64) / N
+    mi = float((pxy * np.log(pxy / (px * py))).sum())
+    hx = float(-((nx.to_numpy(np.float64) / N) * np.log(nx.to_numpy(np.float64) / N)).sum())
+    hy = float(-((ny.to_numpy(np.float64) / N) * np.log(ny.to_numpy(np.float64) / N)).sum())
+    return pd.DataFrame(
+        {"n": np.array([int(N)], dtype=np.int64),
+         "mi_nats": [round(mi, 6)], "h_type": [round(hx, 6)], "h_hour": [round(hy, 6)]}
+    )
+
+
+SQL_MUTUAL_INFORMATION = """
+WITH e AS (
+  SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hour FROM events
+),
+cell AS (SELECT event_type, hour, count(*) AS n FROM e GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn FROM cell),
+mx AS (SELECT event_type, sum(n) AS nx FROM cell GROUP BY 1),
+my AS (SELECT hour, sum(n) AS ny FROM cell GROUP BY 1)
+SELECT CAST(t.nn AS BIGINT) AS n,
+       round(sum((c.n / t.nn) * ln(c.n * t.nn / (mx.nx * my.ny))), 6) AS mi_nats,
+       (SELECT round(-sum((nx / t2.nn) * ln(nx / t2.nn)), 6)
+        FROM mx, tot t2) AS h_type,
+       (SELECT round(-sum((ny / t3.nn) * ln(ny / t3.nn)), 6)
+        FROM my, tot t3) AS h_hour
+FROM cell c
+JOIN mx ON mx.event_type = c.event_type
+JOIN my ON my.hour = c.hour
+CROSS JOIN tot t
+GROUP BY t.nn
+"""
+
+
 def q_incremental_ingest(sf_dir: str):
     """Incremental-ingestion lifecycle (pipelines/incremental.py): a
     sharded corpus arrives in two drops; each ``ingest_increment``
@@ -16943,6 +17079,8 @@ QUERIES = {
     "periodogram": q_periodogram,
     "theilsen_trend": q_theilsen_trend,
     "conversion_lag": q_conversion_lag,
+    "url_canonical_dedup": q_url_canonical_dedup,
+    "mutual_information": q_mutual_information,
 }
 
 ORACLE_SQL = {
@@ -16983,6 +17121,8 @@ ORACLE_SQL = {
     "periodogram": SQL_PERIODOGRAM,
     "theilsen_trend": SQL_THEILSEN_TREND,
     "conversion_lag": SQL_CONVERSION_LAG,
+    "url_canonical_dedup": SQL_URL_CANONICAL_DEDUP,
+    "mutual_information": SQL_MUTUAL_INFORMATION,
     "source_overlap": SQL_SOURCE_OVERLAP,
     "entity_resolution": SQL_ENTITY_RESOLUTION,
     "sssp_weighted": SQL_SSSP,

@@ -283,3 +283,31 @@ class TestHardwareMatch:
     def test_empty_inputs(self):
         assert select_hardware_info("", HARDWARE) == (None, None, None, None)
         assert select_hardware_info("A100", []) == (None, None, None, None)
+
+
+class TestCanonicalizeUrl:
+    """Crawl-frontier canonicalization rules + idempotence."""
+
+    CASES = [
+        ("http://EXAMPLE.COM:80/p?b=2&a=1", "http://example.com/p?a=1&b=2"),
+        ("http://example.com/p?a=1#frag", "http://example.com/p?a=1"),
+        ("http://example.com/p/?utm_source=x&a=1", "http://example.com/p?a=1"),
+        ("https://a.com:443/", "https://a.com/"),
+        ("https://a.com:8443/x/", "https://a.com:8443/x"),
+        ("http://a.com", "http://a.com/"),
+        ("http://a.com/x?fbclid=z&gclid=q&k=v", "http://a.com/x?k=v"),
+        ("http://a.com/x?b=&a=", "http://a.com/x?a=&b="),  # blank values kept
+    ]
+
+    def test_rules(self):
+        from article_extraction_ray.functions.urls import canonicalize_url
+
+        for raw, want in self.CASES:
+            assert canonicalize_url(raw) == want, raw
+
+    def test_idempotent(self):
+        from article_extraction_ray.functions.urls import canonicalize_url
+
+        for raw, _ in self.CASES:
+            once = canonicalize_url(raw)
+            assert canonicalize_url(once) == once, raw
