@@ -16769,6 +16769,76 @@ GROUP BY t.nn
 """
 
 
+_IPACK_BUDGET = 2048
+_IPACK_MEDIA_TOKENS = 64
+
+
+def q_interleaved_pack(sf_dir: str):
+    """Training-sample packing for an INTERLEAVED text+media corpus:
+    each document's sequence cost is its text token count plus a fixed
+    {mt}-token budget per media span (the vision-token allowance a
+    multimodal trainer reserves per image), packed per source into
+    {b}-token sequences in doc order via the same distributed two-pass
+    prefix scan as `pack_sequences` (stages/scan.py) — bucket sums fold
+    on the driver, offsets broadcast back, one coarse-bucket shuffle.
+
+    Media-span counts are planted closed-form (doc_id % 5 — the
+    testdata documents carry no media column) so the packing of the
+    MIXED cost model is fully value-oracled; on the real interleaved
+    corpus the count comes from the extracted spans' kind column."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..stages.scan import pack_sequences
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source", "text"], split=True)
+
+    def cost(batch: pa.Table) -> pa.Table:
+        ntok = pa.compute.cast(
+            pa.compute.list_value_length(pa.compute.split_pattern(batch["text"], " ")),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        total = ntok + _IPACK_MEDIA_TOKENS * (ids % 5)
+        return pa.Table.from_arrays(
+            [batch["doc_id"], batch["source"], pa.array(total, type=pa.int64())],
+            names=["doc_id", "source", "n_tok"],
+        )
+
+    counted = ds.map_batches(cost, batch_format="pyarrow")
+    meta = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata
+    max_id = max(
+        meta.row_group(i).column(0).statistics.max for i in range(meta.num_row_groups)
+    )
+    return pack_sequences(counted, _IPACK_BUDGET, max_order=int(max_id))
+
+
+q_interleaved_pack.__doc__ = q_interleaved_pack.__doc__.format(
+    mt=_IPACK_MEDIA_TOKENS, b=_IPACK_BUDGET
+)
+
+
+SQL_INTERLEAVED_PACK = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         len(string_split(text, ' ')) + {_IPACK_MEDIA_TOKENS} * (doc_id % 5) AS n_tok
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tok,
+         CAST(COALESCE(SUM(n_tok) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+  FROM t
+)
+SELECT doc_id, source, n_tok, cum_before,
+       cum_before // {_IPACK_BUDGET} AS seq_id,
+       cum_before % {_IPACK_BUDGET} AS seq_offset
+FROM c
+"""
+
+
 def q_incremental_ingest(sf_dir: str):
     """Incremental-ingestion lifecycle (pipelines/incremental.py): a
     sharded corpus arrives in two drops; each ``ingest_increment``
@@ -17081,6 +17151,7 @@ QUERIES = {
     "conversion_lag": q_conversion_lag,
     "url_canonical_dedup": q_url_canonical_dedup,
     "mutual_information": q_mutual_information,
+    "interleaved_pack": q_interleaved_pack,
 }
 
 ORACLE_SQL = {
@@ -17123,6 +17194,7 @@ ORACLE_SQL = {
     "conversion_lag": SQL_CONVERSION_LAG,
     "url_canonical_dedup": SQL_URL_CANONICAL_DEDUP,
     "mutual_information": SQL_MUTUAL_INFORMATION,
+    "interleaved_pack": SQL_INTERLEAVED_PACK,
     "source_overlap": SQL_SOURCE_OVERLAP,
     "entity_resolution": SQL_ENTITY_RESOLUTION,
     "sssp_weighted": SQL_SSSP,
