@@ -16839,6 +16839,28 @@ FROM c
 """
 
 
+def q_stream_sessionize(sf_dir: str):
+    """Micro-batch streaming sessionization (pipelines/streaming.py):
+    the events table processed as week-long arrival-time windows with
+    carried keyed state (open session + permanent per-user session
+    counter), watermark-closed emission, and per-batch snapshot
+    checkpoints.  The output contract is IDENTICAL to the batch
+    `sessionize` query — micro-batching is an execution strategy, not
+    a semantics change — so this runs against the same SQL oracle;
+    crash-resume parity is pytest-verified (test_streaming.py)."""
+    import shutil
+    import tempfile
+
+    from .streaming import read_emitted_sessions, run_sessionized_stream
+
+    out = tempfile.mkdtemp(prefix="ae_stream_sess_")
+    try:
+        run_sessionized_stream(sf_dir, out, batch_hours=168)
+        return read_emitted_sessions(out)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def q_incremental_ingest(sf_dir: str):
     """Incremental-ingestion lifecycle (pipelines/incremental.py): a
     sharded corpus arrives in two drops; each ``ingest_increment``
@@ -17152,6 +17174,7 @@ QUERIES = {
     "url_canonical_dedup": q_url_canonical_dedup,
     "mutual_information": q_mutual_information,
     "interleaved_pack": q_interleaved_pack,
+    "stream_sessionize": q_stream_sessionize,
 }
 
 ORACLE_SQL = {
@@ -17195,6 +17218,7 @@ ORACLE_SQL = {
     "url_canonical_dedup": SQL_URL_CANONICAL_DEDUP,
     "mutual_information": SQL_MUTUAL_INFORMATION,
     "interleaved_pack": SQL_INTERLEAVED_PACK,
+    "stream_sessionize": SQL_SESSIONIZE,
     "source_overlap": SQL_SOURCE_OVERLAP,
     "entity_resolution": SQL_ENTITY_RESOLUTION,
     "sssp_weighted": SQL_SSSP,

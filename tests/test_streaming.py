@@ -1,0 +1,88 @@
+"""Micro-batch streaming sessionization: batch-parity, watermark
+finality, and crash-resume from the state checkpoint."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _batch_sessions() -> pd.DataFrame:
+    import __ray_entry__ as entry
+
+    df = entry.queries()["sessionize"](SF).to_pandas()
+    return df.sort_values(["user_id", "session_id"]).reset_index(drop=True)
+
+
+def _assert_same(stream_df: pd.DataFrame, batch_df: pd.DataFrame):
+    assert len(stream_df) == len(batch_df)
+    for col in ["user_id", "session_id", "n_events", "sum_value", "t_start", "t_end"]:
+        a = stream_df[col].reset_index(drop=True)
+        b = batch_df[col].reset_index(drop=True)
+        if str(a.dtype).startswith("datetime"):
+            a = a.astype("datetime64[us]")
+            b = b.astype("datetime64[us]")
+        assert (a == b).all(), f"column {col} differs"
+
+
+def test_stream_equals_batch(ray_session, tmp_path):
+    from article_extraction_ray.pipelines.streaming import (
+        read_emitted_sessions,
+        run_sessionized_stream,
+    )
+
+    s = run_sessionized_stream(SF, tmp_path / "out", batch_hours=168)
+    assert s["batches"] >= 3, "need several micro-batches for a meaningful test"
+    assert s["resumed_from"] == 0
+    _assert_same(read_emitted_sessions(tmp_path / "out"), _batch_sessions())
+
+
+def test_stream_resume_mid_run(ray_session, tmp_path, monkeypatch):
+    """Crash after batch k: a resumed run skips completed batches and
+    the final output is still identical to the batch result."""
+    import article_extraction_ray.pipelines.streaming as streaming
+
+    # first run: process only the first 2 windows by truncating the
+    # grid — emulated by a wrapper that raises after 2 checkpoints
+    calls = {"n": 0}
+
+    from article_extraction_ray.state import snapshots as snap_mod
+
+    real_commit = snap_mod.commit_snapshot
+
+    def crashing_commit(*args, **kwargs):
+        v = real_commit(*args, **kwargs)
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash after checkpoint 2")
+        return v
+
+    monkeypatch.setattr(snap_mod, "commit_snapshot", crashing_commit)
+    # streaming.py imports commit_snapshot inside the function from the
+    # module, so patch the module attribute it resolves at call time
+    with pytest.raises(RuntimeError, match="injected crash"):
+        streaming.run_sessionized_stream(SF, tmp_path / "out", batch_hours=168)
+    monkeypatch.setattr(snap_mod, "commit_snapshot", real_commit)
+
+    s2 = streaming.run_sessionized_stream(SF, tmp_path / "out", batch_hours=168)
+    assert s2["resumed_from"] == 2, "resume must skip the 2 committed batches"
+    _assert_same(
+        streaming.read_emitted_sessions(tmp_path / "out"), _batch_sessions()
+    )
+
+
+def test_watermark_emissions_are_final(ray_session, tmp_path):
+    """No session may be emitted twice across batches (exactly-once),
+    and every emission is closed: its end precedes its batch's
+    watermark or the end of stream."""
+    from article_extraction_ray.pipelines.streaming import (
+        read_emitted_sessions,
+        run_sessionized_stream,
+    )
+
+    run_sessionized_stream(SF, tmp_path / "out", batch_hours=168)
+    df = read_emitted_sessions(tmp_path / "out")
+    dup = df.duplicated(subset=["user_id", "session_id"])
+    assert not dup.any(), "a (user, session) pair was emitted twice"
