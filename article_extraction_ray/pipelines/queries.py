@@ -16839,6 +16839,130 @@ FROM c
 """
 
 
+def q_exact_median_2pass(sf_dir: str):
+    """EXACT per-group median WITHOUT co-locating any group's values —
+    the selection-by-histogram-drill-down plan for groups too large
+    for one worker (where `grouped_quantiles`' one-shuffle plan stops
+    working and t-digest would give up exactness):
+
+    pass 1 reduces a (flag, bucket, count) histogram (4096 global
+    cent-range buckets from the parquet footer's min/max — no data
+    read to size them); the driver walks each flag's cumulative counts
+    to find the ≤2 buckets holding the middle order statistics; pass 2
+    reduces exact value counts ONLY inside those target buckets
+    (support-bounded by the bucket width).  Every shuffle is a bounded
+    count reduce — raw values never move.  Median = mean of the two
+    middle cents (DuckDB median semantics for even counts)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    meta = pq.ParquetFile(path).metadata
+    names = [meta.schema.column(i).name for i in range(meta.num_columns)]
+    pi = names.index("l_extendedprice")
+    lo = min(meta.row_group(g).column(pi).statistics.min for g in range(meta.num_row_groups))
+    hi = max(meta.row_group(g).column(pi).statistics.max for g in range(meta.num_row_groups))
+    cmin, cmax = int(round(lo * 100)), int(round(hi * 100))
+    width = max(1, (cmax - cmin + 4096) // 4096)
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"], split=True)
+
+    def hist(batch: pa.Table) -> pd.DataFrame:
+        cents = np.round(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return (
+            pd.DataFrame(
+                {"flag": batch["l_returnflag"].to_pandas(),
+                 "b": (cents - cmin) // width}
+            )
+            .groupby(["flag", "b"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+
+    h = (
+        grouped_aggregate(
+            ds.map_batches(hist, batch_format="pyarrow"),
+            ["flag", "b"],
+            {"n": ("sum", "n")},
+            small_keys=True,
+        )
+        .to_pandas()
+        .sort_values(["flag", "b"])
+    )
+    targets: dict[str, set[int]] = {}
+    ranks: dict[str, tuple[int, int, int]] = {}
+    for flag, grp in h.groupby("flag"):
+        n = int(grp["n"].sum())
+        k1, k2 = (n - 1) // 2, n // 2
+        cum = grp["n"].cumsum().to_numpy()
+        bs = grp["b"].to_numpy()
+        t = {int(bs[np.searchsorted(cum, k + 1)]) for k in (k1, k2)}
+        targets[flag] = t
+        ranks[flag] = (n, k1, k2)
+    # offsets: elements strictly below each flag's target buckets
+    below: dict[str, dict[int, int]] = {}
+    for flag, grp in h.groupby("flag"):
+        cum = dict(zip(grp["b"], grp["n"].cumsum()))
+        bs = sorted(targets[flag])
+        below[flag] = {
+            b: int(sum(v for bb, v in zip(grp["b"], grp["n"]) if bb < b)) for b in bs
+        }
+    bc = Broadcast(targets)
+
+    def drill(batch: pa.Table) -> pd.DataFrame:
+        tmap = bc.get()
+        cents = np.round(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        flags = batch["l_returnflag"].to_pandas().to_numpy()
+        b = (cents - cmin) // width
+        keep = np.array([bb in tmap.get(f, ()) for f, bb in zip(flags, b)])
+        if not keep.any():
+            return pd.DataFrame({"flag": [], "c": [], "n": []})
+        return (
+            pd.DataFrame({"flag": flags[keep], "c": cents[keep], "n": 1})
+            .groupby(["flag", "c"], as_index=False)["n"]
+            .sum()
+        )
+
+    fine = (
+        grouped_aggregate(
+            ds.map_batches(drill, batch_format="pyarrow"),
+            ["flag", "c"],
+            {"n": ("sum", "n")},
+            small_keys=True,
+        )
+        .to_pandas()
+        .sort_values(["flag", "c"])
+    )
+    rows = []
+    for flag, grp in fine.groupby("flag"):
+        n, k1, k2 = ranks[flag]
+        start = min(below[flag].values())  # elements below the lowest target bucket
+        cum = start + grp["n"].cumsum().to_numpy()
+        vals = grp["c"].to_numpy()
+        v1 = int(vals[np.searchsorted(cum, k1 + 1)])
+        v2 = int(vals[np.searchsorted(cum, k2 + 1)])
+        rows.append(
+            {"l_returnflag": flag, "n": n,
+             "median_price": round((v1 + v2) / 2.0 / 100.0, 6)}
+        )
+    out = pd.DataFrame(rows).sort_values("l_returnflag").reset_index(drop=True)
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
+SQL_EXACT_MEDIAN_2PASS = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       round(median(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 6)
+         AS median_price
+FROM lineitem GROUP BY 1
+"""
+
+
 def q_stream_sessionize(sf_dir: str):
     """Micro-batch streaming sessionization (pipelines/streaming.py):
     the events table processed as week-long arrival-time windows with
@@ -17175,6 +17299,7 @@ QUERIES = {
     "mutual_information": q_mutual_information,
     "interleaved_pack": q_interleaved_pack,
     "stream_sessionize": q_stream_sessionize,
+    "exact_median_2pass": q_exact_median_2pass,
 }
 
 ORACLE_SQL = {
@@ -17219,6 +17344,7 @@ ORACLE_SQL = {
     "mutual_information": SQL_MUTUAL_INFORMATION,
     "interleaved_pack": SQL_INTERLEAVED_PACK,
     "stream_sessionize": SQL_SESSIONIZE,
+    "exact_median_2pass": SQL_EXACT_MEDIAN_2PASS,
     "source_overlap": SQL_SOURCE_OVERLAP,
     "entity_resolution": SQL_ENTITY_RESOLUTION,
     "sssp_weighted": SQL_SSSP,
