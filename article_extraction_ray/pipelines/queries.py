@@ -16963,6 +16963,114 @@ FROM lineitem GROUP BY 1
 """
 
 
+def q_containment_pairs(sf_dir: str):
+    """Asymmetric near-duplicate detection by SHINGLE CONTAINMENT
+    C(A,B) = |A∩B| / |A| over token-trigram sets — the dedup family
+    member symmetric Jaccard misses: a document WRAPPED inside a
+    larger one (quoted, boilerplate-framed, concatenated) has high
+    containment but low Jaccard.  Pairs with C ≥ 0.9 and |A| ≥ 5
+    trigrams are reported in both directions.
+
+    Plan: per-doc distinct trigram sets stream out of the scan (a doc
+    lives in one row, so per-batch dedup is global); ONE shuffle on
+    the shingle key generates co-occurring doc pairs (bounded by
+    per-shingle document frequency — a df cap is the guard on
+    adversarial hot shingles); the (a, b, common) reduce joins the
+    broadcast size map and the ≥0.9 gate is an exact integer test
+    (10·common ≥ 9·|A|) applied BEFORE anything reaches the driver."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+
+    def shingles(batch: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        toks = pc.split_pattern(batch["text"], " ")
+        la = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = np.asarray(la.values.to_pylist(), dtype=object)
+        lens = np.diff(la.offsets.to_numpy(zero_copy_only=False))
+        if len(flat) < 3:
+            return pd.DataFrame({"doc": [], "sh": []})
+        docidx = np.repeat(np.arange(len(lens)), lens)
+        valid = docidx[:-2] == docidx[2:]
+        sh = flat[:-2][valid] + " " + flat[1:-1][valid] + " " + flat[2:][valid]
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        docs = ids[docidx[:-2][valid]]
+        return (
+            pd.DataFrame({"doc": docs.astype(np.int64), "sh": sh})
+            .drop_duplicates()
+        )
+
+    doc_sh = ds.map_batches(shingles, batch_format="pyarrow").materialize()
+
+    sizes = (
+        grouped_aggregate(
+            doc_sh.map_batches(
+                lambda df: df.groupby("doc", as_index=False).size().rename(columns={"size": "sz"}),
+                batch_format="pandas",
+            ),
+            ["doc"],
+            {"sz": ("sum", "sz")},
+        )
+        .to_pandas()
+    )
+    szmap = Broadcast(dict(zip(sizes["doc"].astype(int), sizes["sz"].astype(int))))
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        docs = df["doc"].to_numpy()
+        if len(docs) < 2:
+            return pd.DataFrame({"a": [], "b": [], "common": []})
+        a, b = np.meshgrid(docs, docs, indexing="ij")
+        m = a != b
+        return pd.DataFrame(
+            {"a": a[m].astype(np.int64), "b": b[m].astype(np.int64), "common": 1}
+        )
+
+    common = grouped_aggregate(
+        doc_sh.groupby("sh").map_groups(pairs, batch_format="pandas"),
+        ["a", "b"],
+        {"common": ("sum", "common")},
+    )
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        sz = szmap.get()
+        szs = df["a"].map(sz).to_numpy(np.int64)
+        keep = (szs >= 5) & (10 * df["common"].to_numpy(np.int64) >= 9 * szs)
+        out = df[keep].copy()
+        out["containment"] = np.round(
+            out["common"].to_numpy(np.float64) / szs[keep], 6
+        )
+        return out.rename(columns={"a": "doc_a", "b": "doc_b"}).astype(
+            {"doc_a": np.int64, "doc_b": np.int64, "common": np.int64}
+        )
+
+    return common.map_batches(gate, batch_format="pandas")
+
+
+SQL_CONTAINMENT_PAIRS = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+tri AS (
+  SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS sh
+  FROM toks a
+  JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+  GROUP BY 1, 2
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM tri GROUP BY 1),
+com AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+  FROM tri x JOIN tri y ON y.sh = x.sh AND y.doc_id <> x.doc_id
+  GROUP BY 1, 2
+)
+SELECT a AS doc_a, b AS doc_b, CAST(common AS BIGINT) AS common,
+       round(CAST(common AS DOUBLE) / sz, 6) AS containment
+FROM com JOIN sz ON sz.doc_id = com.a
+WHERE sz >= 5 AND 10 * common >= 9 * sz
+"""
+
+
 def q_stream_sessionize(sf_dir: str):
     """Micro-batch streaming sessionization (pipelines/streaming.py):
     the events table processed as week-long arrival-time windows with
@@ -17300,6 +17408,7 @@ QUERIES = {
     "interleaved_pack": q_interleaved_pack,
     "stream_sessionize": q_stream_sessionize,
     "exact_median_2pass": q_exact_median_2pass,
+    "containment_pairs": q_containment_pairs,
 }
 
 ORACLE_SQL = {
@@ -17345,6 +17454,7 @@ ORACLE_SQL = {
     "interleaved_pack": SQL_INTERLEAVED_PACK,
     "stream_sessionize": SQL_SESSIONIZE,
     "exact_median_2pass": SQL_EXACT_MEDIAN_2PASS,
+    "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "source_overlap": SQL_SOURCE_OVERLAP,
     "entity_resolution": SQL_ENTITY_RESOLUTION,
     "sssp_weighted": SQL_SSSP,

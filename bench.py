@@ -195,6 +195,17 @@ BENCH_QUERIES = [
     "phrase_search",
     "dp_aggregate",
     "xcorr_lags",
+    "media_probe",
+    "hll_setops",
+    "isotonic_calibration",
+    "periodogram",
+    "theilsen_trend",
+    "conversion_lag",
+    "url_canonical_dedup",
+    "mutual_information",
+    "interleaved_pack",
+    "stream_sessionize",
+    "exact_median_2pass",
 ]
 
 
