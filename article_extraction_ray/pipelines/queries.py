@@ -17071,6 +17071,62 @@ WHERE sz >= 5 AND 10 * common >= 9 * sz
 """
 
 
+def q_gdpr_delete(sf_dir: str):
+    """Copy-on-write deletion lifecycle (state/deletes.py): documents
+    are committed as a 4-file snapshot table partitioned by doc_id
+    range, then every doc_id ≡ 0 (mod 7) is erased.  Footer-stat
+    pruning must rewrite ONLY the files that can contain targets (all
+    4 here — the ids span the range — but the carried/rewritten split
+    is asserted in pytest on a range-limited delete); the new version
+    commits atomically and v0 stays time-travel readable.
+
+    Output: per-version (rows, sum of surviving doc_ids) — closed form
+    over the documents table, so a delete that drops a wrong row or
+    leaks a target reds the value hash."""
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ..state.deletes import delete_rows
+    from ..state.snapshots import commit_snapshot, read_snapshot
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"], split=True)
+    table = Path(tempfile.mkdtemp(prefix="ae_gdpr_"))
+    try:
+        ds.repartition(4).write_parquet(str(table / "base"))
+        files = sorted(
+            os.path.join("base", f)
+            for f in os.listdir(table / "base")
+            if f.endswith(".parquet")
+        )
+        commit_snapshot(table, files, op="append")
+        max_id = int(ds.max("doc_id"))
+        targets = list(range(0, max_id + 1, 7))
+        delete_rows(table, "doc_id", targets)
+
+        rows = []
+        for v in (0, 1):
+            snap = read_snapshot(table, v)
+            rows.append(
+                {"version": v, "n_rows": int(snap.count()),
+                 "sum_doc_id": int(snap.sum("doc_id"))}
+            )
+        return pd.DataFrame(rows).astype(np.int64)
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+
+
+SQL_GDPR_DELETE = """
+SELECT CAST(0 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+FROM documents
+UNION ALL
+SELECT 1, count(*), sum(doc_id) FROM documents WHERE doc_id % 7 <> 0
+ORDER BY version
+"""
+
+
 def q_stream_sessionize(sf_dir: str):
     """Micro-batch streaming sessionization (pipelines/streaming.py):
     the events table processed as week-long arrival-time windows with
@@ -17409,6 +17465,7 @@ QUERIES = {
     "stream_sessionize": q_stream_sessionize,
     "exact_median_2pass": q_exact_median_2pass,
     "containment_pairs": q_containment_pairs,
+    "gdpr_delete": q_gdpr_delete,
 }
 
 ORACLE_SQL = {
@@ -17455,6 +17512,7 @@ ORACLE_SQL = {
     "stream_sessionize": SQL_SESSIONIZE,
     "exact_median_2pass": SQL_EXACT_MEDIAN_2PASS,
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
+    "gdpr_delete": SQL_GDPR_DELETE,
     "source_overlap": SQL_SOURCE_OVERLAP,
     "entity_resolution": SQL_ENTITY_RESOLUTION,
     "sssp_weighted": SQL_SSSP,
