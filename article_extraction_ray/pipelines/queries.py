@@ -17071,6 +17071,111 @@ WHERE sz >= 5 AND 10 * common >= 9 * sz
 """
 
 
+def q_quantile_normalize(sf_dir: str):
+    """Quantile normalization of doc lengths ACROSS sources: each
+    document's n_chars is replaced by the pooled distribution's value
+    at the same within-source quantile — the cross-source alignment
+    step that makes per-source quality thresholds comparable (the
+    bioinformatics-standard transform, applied to corpus stats).
+
+    Within-source rank r is deterministic (ORDER BY n_chars, doc_id);
+    the normalized value interpolates the POOLED empirical
+    distribution at h = (r−1)/(n_s−1)·(N−1).  The pooled distribution
+    travels as a support-bounded (value, cumulative count) table —
+    never the N-row sorted array — and the per-source ranking
+    co-locates one source per group (20 sources here; the
+    counts-based rank from `exact_median_2pass`'s histogram family is
+    the swap when one source outgrows a worker)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source", "n_chars"], split=True)
+
+    def counts(batch: pa.Table) -> pd.DataFrame:
+        return (
+            pd.DataFrame({"v": batch["n_chars"].to_numpy(zero_copy_only=False)})
+            .groupby("v", as_index=False)
+            .size()
+            .rename(columns={"size": "c"})
+        )
+
+    pool = (
+        grouped_aggregate(
+            ds.map_batches(counts, batch_format="pyarrow"),
+            ["v"],
+            {"c": ("sum", "c")},
+        )
+        .to_pandas()
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    vs = pool["v"].to_numpy(np.int64)
+    cum = np.cumsum(pool["c"].to_numpy(np.int64))  # cum[i] = # values <= vs[i]
+    N = int(cum[-1])
+    bc = Broadcast((vs, cum, N))
+
+    def normalize(df: pd.DataFrame) -> pd.DataFrame:
+        vs_, cum_, n_pool = bc.get()
+
+        def value_at(idx: np.ndarray) -> np.ndarray:
+            # pooled sorted multiset element at 0-based position idx
+            pos = np.searchsorted(cum_, idx + 1, side="left")
+            return vs_[pos]
+
+        out = []
+        for src, grp in df.groupby("source", sort=False):
+            g = grp.sort_values(["n_chars", "doc_id"])
+            ns = len(g)
+            r = np.arange(1, ns + 1, dtype=np.float64)
+            h = ((r - 1) / (ns - 1)) * (n_pool - 1) if ns > 1 else np.zeros(ns)
+            lo = np.floor(h).astype(np.int64)
+            hi = np.minimum(lo + 1, n_pool - 1)
+            frac = h - lo
+            v_lo = value_at(lo).astype(np.float64)
+            v_hi = value_at(hi).astype(np.float64)
+            norm = v_lo + (v_hi - v_lo) * frac
+            out.append(
+                pd.DataFrame(
+                    {"doc_id": g["doc_id"].to_numpy(np.int64),
+                     "source": src,
+                     "n_chars": g["n_chars"].to_numpy(np.int64),
+                     "normalized": np.round(norm, 6)}
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    # one shuffle co-locating each source (sources are few; the rank is
+    # per-source sequential by definition)
+    return ds.groupby("source").map_groups(normalize, batch_format="pandas")
+
+
+SQL_QUANTILE_NORMALIZE = """
+WITH r AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS ns
+  FROM documents
+),
+pool AS (
+  SELECT n_chars AS v,
+         row_number() OVER (ORDER BY n_chars) - 1 AS idx
+  FROM documents
+),
+n AS (SELECT count(*) AS n_pool FROM documents),
+h AS (
+  SELECT r.*,
+         CASE WHEN r.ns > 1
+              THEN (CAST(r.rn - 1 AS DOUBLE) / (r.ns - 1)) * (n.n_pool - 1)
+              ELSE 0.0 END AS h,
+         n.n_pool
+  FROM r CROSS JOIN n
+)
+SELECT h.doc_id, h.source, h.n_chars,
+       round(plo.v + (phi.v - plo.v) * (h.h - floor(h.h)), 6) AS normalized
+FROM h
+JOIN pool plo ON plo.idx = CAST(floor(h.h) AS BIGINT)
+JOIN pool phi ON phi.idx = least(CAST(floor(h.h) AS BIGINT) + 1,
+                                 h.n_pool - 1)
+"""
+
+
 def q_gdpr_delete(sf_dir: str):
     """Copy-on-write deletion lifecycle (state/deletes.py): documents
     are committed as a 4-file snapshot table partitioned by doc_id
@@ -17466,6 +17571,7 @@ QUERIES = {
     "exact_median_2pass": q_exact_median_2pass,
     "containment_pairs": q_containment_pairs,
     "gdpr_delete": q_gdpr_delete,
+    "quantile_normalize": q_quantile_normalize,
 }
 
 ORACLE_SQL = {
@@ -17513,6 +17619,7 @@ ORACLE_SQL = {
     "exact_median_2pass": SQL_EXACT_MEDIAN_2PASS,
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "gdpr_delete": SQL_GDPR_DELETE,
+    "quantile_normalize": SQL_QUANTILE_NORMALIZE,
     "source_overlap": SQL_SOURCE_OVERLAP,
     "entity_resolution": SQL_ENTITY_RESOLUTION,
     "sssp_weighted": SQL_SSSP,
