@@ -17176,6 +17176,173 @@ JOIN pool phi ON phi.idx = least(CAST(floor(h.h) AS BIGINT) + 1,
 """
 
 
+def q_mutual_nn(sf_dir: str):
+    """Reciprocal best matches (mutual nearest neighbors) over the
+    embedding table: pairs where each vector is the OTHER's top-1
+    cosine neighbor — the high-precision entity-matching rule (a
+    one-directional top-1 is noisy; mutuality filters the noise).
+
+    Per batch, rows matmul against the broadcast normalized matrix
+    (the table is dimension-bounded here; `knn_ivf`/`knn_lsh_shuffle`
+    are the in-repo sublinear swaps at corpus scale); ties break to
+    the smaller vec_id on both engines (argmax returns the first
+    maximum over the id-ordered matrix; SQL orders cos DESC, vec_id).
+    Output: each mutual pair once (vec_a < vec_b) — ids only, since
+    DuckDB's list_cosine_similarity runs in float32 on FLOAT[] columns
+    and the raw similarity would differ in the 7th decimal (the same
+    ids-only convention as knn_graph / embedding_dup_pairs)."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"], split=True)
+
+    mat_tbl = (
+        read_table_arrow(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .sort_by("vec_id")
+    )
+    ids = mat_tbl["vec_id"].to_numpy()
+    M = np.stack(mat_tbl["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    bc = Broadcast((ids, Mn))
+
+    def best(batch: pa.Table) -> pd.DataFrame:
+        ids_, Mn_ = bc.get()
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False)
+        V = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        sims = Vn @ Mn_.T
+        rows_pos = np.searchsorted(ids_, vid)
+        sims[np.arange(len(vid)), rows_pos] = -np.inf  # mask self
+        nn = np.argmax(sims, axis=1)  # first max = smallest vec_id on ties
+        return pd.DataFrame(
+            {"a": vid.astype(np.int64), "b": ids_[nn].astype(np.int64),
+             "cos": sims[np.arange(len(vid)), nn]}
+        )
+
+    bests = ds.map_batches(best, batch_format="pyarrow").to_pandas()
+    # mutuality on the id-bounded best-match table (2 ints + 1 float/vec)
+    bmap = dict(zip(bests["a"], bests["b"]))
+    rows = [
+        {"vec_a": int(a), "vec_b": int(b)}
+        for a, b in bmap.items()
+        if a < b and bmap.get(b) == a
+    ]
+    return pd.DataFrame(rows).sort_values("vec_a").reset_index(drop=True).astype(
+        {"vec_a": np.int64, "vec_b": np.int64}
+    )
+
+
+SQL_MUTUAL_NN = """
+WITH nn AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         list_cosine_similarity(a.embedding, b.embedding) AS cos,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+                                     b.vec_id) AS rk
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+),
+best AS (SELECT a, b FROM nn WHERE rk = 1)
+SELECT x.a AS vec_a, x.b AS vec_b
+FROM best x JOIN best y ON y.a = x.b AND y.b = x.a
+WHERE x.a < x.b
+"""
+
+
+def q_decision_stump(sf_dir: str):
+    """Optimal decision stump: the single value-threshold split that
+    maximizes information gain for predicting 'purchase' — the
+    first-split probe every tree ensemble and every feature-triage
+    pass computes.
+
+    One streaming pass reduces the support-bounded (cent, n, n_pos)
+    table; cumulative sums give every candidate split's left/right
+    class counts at once, gains evaluate vectorized with the entropy
+    convention 0·ln0 = 0, and the argmax breaks ties to the SMALLEST
+    threshold after 9-dp gain rounding (identically in SQL, so a
+    1-ulp gain difference cannot flip the chosen split)."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"], split=True)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        cents = np.round(batch["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        pos = (batch["event_type"].to_pandas() == "purchase").to_numpy().astype(np.int64)
+        return (
+            pd.DataFrame({"s": cents, "n": 1, "pos": pos})
+            .groupby("s", as_index=False)
+            .agg(n=("n", "sum"), pos=("pos", "sum"))
+        )
+
+    t = (
+        grouped_aggregate(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["s"],
+            {"n": ("sum", "n"), "pos": ("sum", "pos")},
+        )
+        .to_pandas()
+        .sort_values("s")
+        .reset_index(drop=True)
+    )
+    n = t["n"].to_numpy(np.float64)
+    pos = t["pos"].to_numpy(np.float64)
+    N, P = float(n.sum()), float(pos.sum())
+
+    def ent(p_arr: np.ndarray, n_arr: np.ndarray) -> np.ndarray:
+        with np.errstate(divide="ignore", invalid="ignore"):
+            q = np.where(n_arr > 0, p_arr / np.where(n_arr > 0, n_arr, 1.0), 0.0)
+            h = -(
+                np.where(q > 0, q * np.log(q), 0.0)
+                + np.where(q < 1, (1 - q) * np.log(np.where(q < 1, 1 - q, 1.0)), 0.0)
+            )
+        return np.where(n_arr > 0, h, 0.0)
+
+    nl = np.cumsum(n)[:-1]  # split AFTER each candidate (x <= s)
+    pl = np.cumsum(pos)[:-1]
+    nr, pr = N - nl, P - pl
+    h_parent = ent(np.array([P]), np.array([N]))[0]
+    gain = h_parent - (nl / N) * ent(pl, nl) - (nr / N) * ent(pr, nr)
+    gain_r = np.round(gain, 9)
+    k = int(np.lexsort((t["s"].to_numpy()[:-1], -gain_r))[0])
+    return pd.DataFrame(
+        {"threshold_cents": np.array([int(t["s"][k])], dtype=np.int64),
+         "gain": [round(float(gain_r[k]), 6)],
+         "n_left": np.array([int(nl[k])], dtype=np.int64),
+         "n_right": np.array([int(nr[k])], dtype=np.int64)}
+    )
+
+
+SQL_DECISION_STUMP = """
+WITH b AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS s, count(*) AS n,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pos
+  FROM events GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn, CAST(sum(pos) AS DOUBLE) AS pp FROM b),
+c AS (
+  SELECT s,
+         CAST(sum(n) OVER (ORDER BY s) AS DOUBLE) AS nl,
+         CAST(sum(pos) OVER (ORDER BY s) AS DOUBLE) AS pl
+  FROM b
+),
+g AS (
+  SELECT c.s, c.nl, t.nn - c.nl AS nr, c.pl, t.pp - c.pl AS pr, t.nn, t.pp
+  FROM c CROSS JOIN tot t
+  WHERE c.nl < t.nn
+),
+gain AS (
+  SELECT s, CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+         round(
+           (CASE WHEN pp > 0 AND pp < nn
+                 THEN -(pp / nn) * ln(pp / nn) - (1 - pp / nn) * ln(1 - pp / nn)
+                 ELSE 0 END)
+           - (nl / nn) * (CASE WHEN pl > 0 AND pl < nl
+                 THEN -(pl / nl) * ln(pl / nl) - (1 - pl / nl) * ln(1 - pl / nl)
+                 ELSE 0 END)
+           - (nr / nn) * (CASE WHEN pr > 0 AND pr < nr
+                 THEN -(pr / nr) * ln(pr / nr) - (1 - pr / nr) * ln(1 - pr / nr)
+                 ELSE 0 END), 9) AS g9
+  FROM g
+)
+SELECT s AS threshold_cents, round(g9, 6) AS gain, n_left, n_right
+FROM gain ORDER BY g9 DESC, s LIMIT 1
+"""
+
+
 def q_gdpr_delete(sf_dir: str):
     """Copy-on-write deletion lifecycle (state/deletes.py): documents
     are committed as a 4-file snapshot table partitioned by doc_id
@@ -17572,6 +17739,8 @@ QUERIES = {
     "containment_pairs": q_containment_pairs,
     "gdpr_delete": q_gdpr_delete,
     "quantile_normalize": q_quantile_normalize,
+    "mutual_nn": q_mutual_nn,
+    "decision_stump": q_decision_stump,
 }
 
 ORACLE_SQL = {
@@ -17620,6 +17789,8 @@ ORACLE_SQL = {
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "gdpr_delete": SQL_GDPR_DELETE,
     "quantile_normalize": SQL_QUANTILE_NORMALIZE,
+    "mutual_nn": SQL_MUTUAL_NN,
+    "decision_stump": SQL_DECISION_STUMP,
     "source_overlap": SQL_SOURCE_OVERLAP,
     "entity_resolution": SQL_ENTITY_RESOLUTION,
     "sssp_weighted": SQL_SSSP,
