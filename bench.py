@@ -206,6 +206,11 @@ BENCH_QUERIES = [
     "interleaved_pack",
     "stream_sessionize",
     "exact_median_2pass",
+    "containment_pairs",
+    "gdpr_delete",
+    "quantile_normalize",
+    "mutual_nn",
+    "decision_stump",
 ]
 
 
