@@ -311,3 +311,42 @@ class TestCanonicalizeUrl:
         for raw, _ in self.CASES:
             once = canonicalize_url(raw)
             assert canonicalize_url(once) == once, raw
+
+
+class TestCanonicalizeUrlProperties:
+    """Hypothesis: canonicalization is total and idempotent on a broad
+    class of syntactically plausible URLs."""
+
+    def test_idempotent_and_total(self):
+        from hypothesis import given, settings, strategies as st
+
+        from article_extraction_ray.functions.urls import canonicalize_url
+
+        host = st.from_regex(r"[A-Za-z0-9](?:[A-Za-z0-9.-]{0,20}[A-Za-z0-9])?", fullmatch=True)
+        path = st.from_regex(r"(?:/[A-Za-z0-9._~%-]{0,8}){0,4}/?", fullmatch=True)
+        key = st.from_regex(r"[A-Za-z0-9_]{1,8}", fullmatch=True)
+        val = st.from_regex(r"[A-Za-z0-9_]{0,8}", fullmatch=True)
+        query = st.lists(st.tuples(key, val), max_size=4).map(
+            lambda kvs: "&".join(f"{k}={v}" for k, v in kvs)
+        )
+
+        @given(
+            scheme=st.sampled_from(["http", "https", "HTTP", "Https"]),
+            host=host,
+            port=st.sampled_from(["", ":80", ":443", ":8080"]),
+            path=path,
+            q=query,
+            frag=st.sampled_from(["", "#x", "#frag-1"]),
+        )
+        @settings(max_examples=200, deadline=None)
+        def check(scheme, host, port, path, q, frag):
+            url = f"{scheme}://{host}{port}{path}"
+            if q:
+                url += f"?{q}"
+            url += frag
+            once = canonicalize_url(url)
+            assert canonicalize_url(once) == once
+            assert once.startswith(("http://", "https://"))
+            assert "#" not in once
+
+        check()

@@ -86,3 +86,17 @@ def test_watermark_emissions_are_final(ray_session, tmp_path):
     df = read_emitted_sessions(tmp_path / "out")
     dup = df.duplicated(subset=["user_id", "session_id"])
     assert not dup.any(), "a (user, session) pair was emitted twice"
+
+
+@pytest.mark.parametrize("hours", [24, 720])
+def test_stream_parity_across_window_sizes(ray_session, tmp_path, hours):
+    """The batch-equality invariant must hold for ANY window size —
+    30 one-day windows or a single giant window — or the watermark/
+    carry logic has a boundary bug."""
+    from article_extraction_ray.pipelines.streaming import (
+        read_emitted_sessions,
+        run_sessionized_stream,
+    )
+
+    run_sessionized_stream(SF, tmp_path / f"out{hours}", batch_hours=hours)
+    _assert_same(read_emitted_sessions(tmp_path / f"out{hours}"), _batch_sessions())
