@@ -17343,6 +17343,150 @@ FROM gain ORDER BY g9 DESC, s LIMIT 1
 """
 
 
+def q_cohort_ltv(sf_dir: str):
+    """Cohort lifetime-value curve: cumulative revenue per signup
+    cohort (first-order month) by months-since-first-order — the
+    revenue sibling of `cohort_retention`'s count matrix, the curve
+    every LTV model calibrates against.
+
+    Two bounded reduces: per-customer first-order month (customer-
+    bounded), then exact integer-cent revenue per (cohort, age) cell
+    (months² cells); the cumulative sum runs over that tiny matrix.
+    Month arithmetic is calendar-exact on both engines (year·12 +
+    month)."""
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"], split=True)
+
+    def prep(batch: pa.Table) -> pd.DataFrame:
+        ts = pd.to_datetime(
+            pd.Series(batch["o_orderdate"].to_numpy(zero_copy_only=False))
+        )
+        mon = (ts.dt.year * 12 + (ts.dt.month - 1)).to_numpy(np.int64)
+        return pd.DataFrame(
+            {"k": batch["o_custkey"].to_numpy(zero_copy_only=False),
+             "mon": mon,
+             "cents": np.round(
+                 batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+             ).astype(np.int64)}
+        )
+
+    rows = ds.map_batches(prep, batch_format="pyarrow")
+    firsts = grouped_aggregate(
+        rows.map_batches(
+            lambda df: df.groupby("k", as_index=False)["mon"].min().rename(columns={"mon": "c0"}),
+            batch_format="pandas",
+        ),
+        ["k"],
+        {"c0": ("min", "c0")},
+    ).to_pandas()
+    cmap = Broadcast(dict(zip(firsts["k"].astype(int), firsts["c0"].astype(int))))
+
+    def cell(df: pd.DataFrame) -> pd.DataFrame:
+        c0 = df["k"].map(cmap.get()).to_numpy(np.int64)
+        return (
+            pd.DataFrame(
+                {"cohort": c0, "age": df["mon"].to_numpy(np.int64) - c0,
+                 "cents": df["cents"].to_numpy(np.int64)}
+            )
+            .groupby(["cohort", "age"], as_index=False)["cents"]
+            .sum()
+        )
+
+    cells = (
+        grouped_aggregate(
+            rows.map_batches(cell, batch_format="pandas"),
+            ["cohort", "age"],
+            {"cents": ("sum", "cents")},
+            small_keys=True,
+        )
+        .to_pandas()
+        .sort_values(["cohort", "age"])
+    )
+    cells["cum_cents"] = cells.groupby("cohort")["cents"].cumsum()
+    out = pd.DataFrame(
+        {"cohort": cells["cohort"], "age_months": cells["age"],
+         "revenue": np.round(cells["cents"].to_numpy(np.float64) / 100.0, 2),
+         "cum_revenue": np.round(cells["cum_cents"].to_numpy(np.float64) / 100.0, 2)}
+    ).reset_index(drop=True)
+    out[["cohort", "age_months"]] = out[["cohort", "age_months"]].astype(np.int64)
+    return out
+
+
+SQL_COHORT_LTV = """
+WITH o AS (
+  SELECT o_custkey AS k,
+         year(o_orderdate) * 12 + (month(o_orderdate) - 1) AS mon,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+f AS (SELECT k, min(mon) AS c0 FROM o GROUP BY 1),
+cell AS (
+  SELECT f.c0 AS cohort, o.mon - f.c0 AS age, sum(o.cents) AS cents
+  FROM o JOIN f ON f.k = o.k
+  GROUP BY 1, 2
+)
+SELECT CAST(cohort AS BIGINT) AS cohort, CAST(age AS BIGINT) AS age_months,
+       round(cents / 100.0, 2) AS revenue,
+       round(sum(cents) OVER (PARTITION BY cohort ORDER BY age
+                              ROWS UNBOUNDED PRECEDING) / 100.0, 2) AS cum_revenue
+FROM cell
+"""
+
+
+def q_new_returning_users(sf_dir: str):
+    """Weekly new-vs-returning active users over the event stream: per
+    ISO-ish week (epoch-day // 7), how many active users are seen for
+    the FIRST time vs returning — the growth-accounting readout.
+
+    Per-user first-activity week and per-(user, week) activity both
+    reduce distributed (user- and user×week-bounded); the weekly
+    split is a tiny driver fold.  Exact integer week arithmetic on
+    both engines."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"], split=True)
+
+    def prep(batch: pa.Table) -> pd.DataFrame:
+        us = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view("int64")
+        return (
+            pd.DataFrame(
+                {"u": batch["user_id"].to_numpy(zero_copy_only=False),
+                 "w": us // (7 * 86_400_000_000)}
+            )
+            .drop_duplicates()
+        )
+
+    uw = grouped_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["u", "w"],
+        {"one": ("count", None)},
+    ).to_pandas()
+    first = uw.groupby("u")["w"].min()
+    uw["is_new"] = (uw["u"].map(first) == uw["w"]).astype(np.int64)
+    out = (
+        uw.groupby("w", as_index=False)
+        .agg(n_new=("is_new", "sum"), n_active=("is_new", "size"))
+        .sort_values("w")
+        .reset_index(drop=True)
+    )
+    out["n_returning"] = out["n_active"] - out["n_new"]
+    out = out.rename(columns={"w": "week"})
+    return out[["week", "n_active", "n_new", "n_returning"]].astype(np.int64)
+
+
+SQL_NEW_RETURNING = """
+WITH uw AS (
+  SELECT DISTINCT user_id AS u, epoch_us(ts) // (7 * 86400000000) AS w
+  FROM events
+),
+f AS (SELECT u, min(w) AS w0 FROM uw GROUP BY 1)
+SELECT CAST(uw.w AS BIGINT) AS week,
+       CAST(count(*) AS BIGINT) AS n_active,
+       CAST(sum(CASE WHEN uw.w = f.w0 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       CAST(count(*) - sum(CASE WHEN uw.w = f.w0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_returning
+FROM uw JOIN f ON f.u = uw.u
+GROUP BY 1
+"""
+
+
 def q_gdpr_delete(sf_dir: str):
     """Copy-on-write deletion lifecycle (state/deletes.py): documents
     are committed as a 4-file snapshot table partitioned by doc_id
@@ -17741,6 +17885,8 @@ QUERIES = {
     "quantile_normalize": q_quantile_normalize,
     "mutual_nn": q_mutual_nn,
     "decision_stump": q_decision_stump,
+    "cohort_ltv": q_cohort_ltv,
+    "new_returning_users": q_new_returning_users,
 }
 
 ORACLE_SQL = {
@@ -17791,6 +17937,8 @@ ORACLE_SQL = {
     "quantile_normalize": SQL_QUANTILE_NORMALIZE,
     "mutual_nn": SQL_MUTUAL_NN,
     "decision_stump": SQL_DECISION_STUMP,
+    "cohort_ltv": SQL_COHORT_LTV,
+    "new_returning_users": SQL_NEW_RETURNING,
     "source_overlap": SQL_SOURCE_OVERLAP,
     "entity_resolution": SQL_ENTITY_RESOLUTION,
     "sssp_weighted": SQL_SSSP,
