@@ -317,13 +317,17 @@ def run_bench() -> dict:
         "queries_sum_sec": round(sum(timings.values()), 2),
         "queries_full": "BENCH_FULL.json",
     }
-    # complete per-query map always lands on disk for the judge
-    try:
-        (REPO / "BENCH_FULL.json").write_text(
-            json.dumps(dict(base, queries=timings), indent=1)
-        )
-    except OSError:
-        pass
+    # complete per-query map lands on disk for the judge — but NOT from
+    # headline-only children (--scaling subprocesses), which would
+    # clobber the full map with an empty one (observed: the 2-CPU
+    # scaling leg overwrote the 164-query record)
+    if timings:
+        try:
+            (REPO / "BENCH_FULL.json").write_text(
+                json.dumps(dict(base, queries=timings), indent=1)
+            )
+        except OSError:
+            pass
     # printed line: fit per-query timings (priority order) into the
     # driver's ~2000-char stdout tail; stop before overflowing
     budget = int(os.environ.get("AE_BENCH_LINE_BUDGET", "1800"))
