@@ -16248,15 +16248,27 @@ FROM agg
 
 def q_media_probe(sf_dir: str):
     """ffprobe-style header probe across a MIXED media corpus: each
-    document becomes one of four real container formats by doc_id % 4
+    document becomes one of six real container formats by doc_id % 6
     (PNG with CRC-verified IHDR, GIF with logical screen descriptor +
-    global color table, 24-bit BMP, PCM WAV), and MediaProbeStage
+    global color table, 24-bit BMP, PCM WAV, endian-alternating TIFF
+    via a real IFD walk, MPEG-1 Layer III via the frame-header
+    bitrate/sample-rate tables), and MediaProbeStage
     routes on magic bytes and parses ONLY headers — the decode-nothing
     classify-everything front stage a 100-TB multimodal pipeline runs
     before paying any decompression.  All planted metadata is closed
     form over doc_id, so the SQL oracle catches a single mis-parsed
     header in any of the four format branches."""
-    from ..stages.multimodal import MediaProbeStage, make_bmp, make_gif, make_png, make_wav
+    from ..stages.multimodal import (
+        _MP3_BITRATES,
+        _MP3_RATES,
+        MediaProbeStage,
+        make_bmp,
+        make_gif,
+        make_mp3_frame,
+        make_png,
+        make_tiff,
+        make_wav,
+    )
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], split=True)
 
@@ -16266,16 +16278,22 @@ def q_media_probe(sf_dir: str):
         payloads = []
         for i, t in zip(ids, texts):
             i = int(i)
-            kind = i % 4
+            kind = i % 6
             if kind == 0:
                 payloads.append(make_png(i % 31 + 1, i % 17 + 1, 8, 2))
             elif kind == 1:
                 payloads.append(make_gif(i % 63 + 1, i % 29 + 1, 2 ** (i % 8 + 1)))
             elif kind == 2:
                 payloads.append(make_bmp(i % 31 + 1, i % 17 + 1, (t or " ").encode()))
-            else:
+            elif kind == 3:
                 payloads.append(
                     make_wav(8000 + (i % 5) * 1000, np.zeros(4, dtype=np.int16), i % 2 + 1)
+                )
+            elif kind == 4:
+                payloads.append(make_tiff(i % 41 + 1, i % 23 + 1, big_endian=bool(i % 2)))
+            else:
+                payloads.append(
+                    make_mp3_frame(_MP3_BITRATES[i % 14 + 1], _MP3_RATES[i % 3])
                 )
         return pa.Table.from_arrays(
             [
@@ -16292,23 +16310,32 @@ def q_media_probe(sf_dir: str):
 
 SQL_MEDIA_PROBE = """
 SELECT CAST(doc_id AS VARCHAR) AS media_ref,
-       CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
-                       WHEN 2 THEN 'bmp' ELSE 'wav' END AS format,
-       CAST(CASE doc_id % 4
+       CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'bmp'
+                       WHEN 3 THEN 'wav' WHEN 4 THEN 'tiff' ELSE 'mp3'
+       END AS format,
+       CAST(CASE doc_id % 6
               WHEN 0 THEN doc_id % 31 + 1
               WHEN 1 THEN doc_id % 63 + 1
               WHEN 2 THEN doc_id % 31 + 1
-              ELSE doc_id % 2 + 1 END AS BIGINT) AS width,
-       CAST(CASE doc_id % 4
+              WHEN 3 THEN doc_id % 2 + 1
+              WHEN 4 THEN doc_id % 41 + 1
+              ELSE ([0,32,40,48,56,64,80,96,112,128,160,192,224,256,320])[doc_id % 14 + 2]
+            END AS BIGINT) AS width,
+       CAST(CASE doc_id % 6
               WHEN 0 THEN doc_id % 17 + 1
               WHEN 1 THEN doc_id % 29 + 1
               WHEN 2 THEN doc_id % 17 + 1
-              ELSE 8000 + (doc_id % 5) * 1000 END AS BIGINT) AS height,
-       CAST(CASE doc_id % 4
+              WHEN 3 THEN 8000 + (doc_id % 5) * 1000
+              WHEN 4 THEN doc_id % 23 + 1
+              ELSE ([44100,48000,32000])[doc_id % 3 + 1]
+            END AS BIGINT) AS height,
+       CAST(CASE doc_id % 6
               WHEN 0 THEN 8
               WHEN 1 THEN power(2, doc_id % 8 + 1)
               WHEN 2 THEN 24
-              ELSE 16 END AS BIGINT) AS depth
+              WHEN 3 THEN 16
+              WHEN 4 THEN 0
+              ELSE 3 END AS BIGINT) AS depth
 FROM documents
 """
 

@@ -472,6 +472,9 @@ _MAGIC_PROBES = (
     (b"BM", "bmp"),
     (b"P6", "ppm"),
     (b"RIFF", "wav"),
+    (b"II\x2a\x00", "tiff"),
+    (b"MM\x00\x2a", "tiff"),
+    (b"\xff", "mp3"),  # frame sync; probe_mp3 validates the full sync
 )
 
 
@@ -479,8 +482,10 @@ def probe_media(payload: bytes) -> tuple[str, int, int, int]:
     """(format, width, height, depth) for any supported container,
     routed on magic bytes.  depth = bit depth (png), GCT colors (gif),
     bits-per-pixel (bmp), maxval+1 (ppm), bits-per-sample (wav);
-    for wav, (width, height) = (n_channels, sample_rate) — the probe
-    emits the two routing-relevant axes of each container."""
+    for wav, (width, height) = (n_channels, sample_rate); for tiff,
+    depth = 0 (bit depth lives outside the minimal IFD); for mp3,
+    (width, height, depth) = (bitrate_kbps, sample_rate, 3 = layer) —
+    the probe emits the routing-relevant axes of each container."""
     fmt = next((name for magic, name in _MAGIC_PROBES if payload[: len(magic)] == magic), None)
     if fmt == "png":
         w, h, bits, _ctype = probe_png(payload)
@@ -497,6 +502,12 @@ def probe_media(payload: bytes) -> tuple[str, int, int, int]:
     if fmt == "wav":
         nch, rate, _n, _dur, _rms = decode_wav(payload)
         return "wav", nch, rate, 16
+    if fmt == "tiff":
+        w, h, _order = probe_tiff(payload)
+        return "tiff", w, h, 0
+    if fmt == "mp3":
+        kbps, rate = probe_mp3(payload)
+        return "mp3", kbps, rate, 3
     raise ValueError(f"unrecognized media payload (first bytes {payload[:8]!r})")
 
 
@@ -525,3 +536,78 @@ class MediaProbeStage:
             ],
             names=["media_ref", "format", "width", "height", "depth"],
         )
+
+
+def make_tiff(width: int, height: int, big_endian: bool = False) -> bytes:
+    """A structurally valid single-IFD TIFF: header (II/MM + magic 42),
+    one IFD with ImageWidth(256)/ImageLength(257) SHORT entries and a
+    zero next-IFD offset.  No strip data — header-walk under test."""
+    e = ">" if big_endian else "<"
+    hdr = (b"MM" if big_endian else b"II") + struct.pack(e + "H", 42) + struct.pack(e + "I", 8)
+    entries = [
+        struct.pack(e + "HHI", 256, 3, 1) + struct.pack(e + "H", width) + b"\x00\x00",
+        struct.pack(e + "HHI", 257, 3, 1) + struct.pack(e + "H", height) + b"\x00\x00",
+    ]
+    ifd = struct.pack(e + "H", len(entries)) + b"".join(entries) + struct.pack(e + "I", 0)
+    return hdr + ifd
+
+
+def probe_tiff(payload: bytes) -> tuple[int, int, str]:
+    """(width, height, byte_order) from the first IFD's tag-256/257
+    entries, honoring the header's declared endianness."""
+    order = payload[:2]
+    if order == b"II":
+        e = "<"
+    elif order == b"MM":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF payload (bad byte-order mark)")
+    (magic,) = struct.unpack(e + "H", payload[2:4])
+    if magic != 42:
+        raise ValueError("not a TIFF payload (bad magic)")
+    (ifd_off,) = struct.unpack(e + "I", payload[4:8])
+    (n_entries,) = struct.unpack(e + "H", payload[ifd_off : ifd_off + 2])
+    width = height = None
+    for i in range(n_entries):
+        ent = payload[ifd_off + 2 + 12 * i : ifd_off + 2 + 12 * (i + 1)]
+        tag, typ, cnt = struct.unpack(e + "HHI", ent[:8])
+        if tag in (256, 257) and cnt == 1:
+            val = struct.unpack(e + "H", ent[8:10])[0] if typ == 3 else struct.unpack(e + "I", ent[8:12])[0]
+            if tag == 256:
+                width = val
+            else:
+                height = val
+    if width is None or height is None:
+        raise ValueError("TIFF IFD lacks ImageWidth/ImageLength")
+    return int(width), int(height), "MM" if e == ">" else "II"
+
+
+#: MPEG-1 Layer III bitrate (kbps) and sample-rate tables, per the spec
+_MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+_MP3_RATES = (44100, 48000, 32000)
+
+
+def make_mp3_frame(bitrate_kbps: int, sample_rate: int) -> bytes:
+    """One spec-conformant MPEG-1 Layer III frame header + zero audio
+    bytes sized to the frame formula 144·bitrate/rate."""
+    bidx = _MP3_BITRATES.index(bitrate_kbps)
+    ridx = _MP3_RATES.index(sample_rate)
+    b0 = 0xFF
+    b1 = 0xFB  # MPEG-1, Layer III, no CRC
+    b2 = (bidx << 4) | (ridx << 2)
+    b3 = 0x00
+    frame_len = 144 * bitrate_kbps * 1000 // sample_rate
+    return bytes([b0, b1, b2, b3]) + b"\x00" * (frame_len - 4)
+
+
+def probe_mp3(payload: bytes) -> tuple[int, int]:
+    """(bitrate_kbps, sample_rate) from the first frame header."""
+    if len(payload) < 4 or payload[0] != 0xFF or (payload[1] & 0xE0) != 0xE0:
+        raise ValueError("not an MP3 payload (no frame sync)")
+    if (payload[1] & 0x18) != 0x18 or (payload[1] & 0x06) != 0x02:
+        raise ValueError("unsupported MPEG version/layer")
+    bidx = (payload[2] >> 4) & 0x0F
+    ridx = (payload[2] >> 2) & 0x03
+    if bidx in (0, 15) or ridx == 3:
+        raise ValueError("free/bad bitrate or reserved sample rate")
+    return _MP3_BITRATES[bidx], _MP3_RATES[ridx]

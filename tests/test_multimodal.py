@@ -274,3 +274,49 @@ class TestMediaProbe:
         out = MediaProbeStage()(batch).to_pydict()
         assert out["format"] == ["png", "error"]
         assert out["width"] == [4, 0]
+
+    def test_tiff_roundtrip_both_endians(self):
+        from article_extraction_ray.stages.multimodal import make_tiff, probe_tiff
+
+        assert probe_tiff(make_tiff(800, 600)) == (800, 600, "II")
+        assert probe_tiff(make_tiff(31, 17, big_endian=True)) == (31, 17, "MM")
+
+    def test_tiff_rejects_bad_magic(self):
+        from article_extraction_ray.stages.multimodal import make_tiff, probe_tiff
+
+        bad = bytearray(make_tiff(4, 4))
+        bad[2] = 41  # wrong magic
+        try:
+            probe_tiff(bytes(bad))
+        except ValueError as exc:
+            assert "magic" in str(exc)
+        else:
+            raise AssertionError("bad TIFF magic accepted")
+
+    def test_mp3_roundtrip_and_frame_length(self):
+        from article_extraction_ray.stages.multimodal import make_mp3_frame, probe_mp3
+
+        for kbps, rate in [(128, 44100), (320, 32000), (32, 48000)]:
+            frame = make_mp3_frame(kbps, rate)
+            assert probe_mp3(frame) == (kbps, rate)
+            assert len(frame) == 144 * kbps * 1000 // rate  # spec frame size
+
+    def test_mp3_rejects_free_bitrate(self):
+        from article_extraction_ray.stages.multimodal import probe_mp3
+
+        try:
+            probe_mp3(bytes([0xFF, 0xFB, 0x00, 0x00]))  # bitrate index 0 = free
+        except ValueError:
+            pass
+        else:
+            raise AssertionError("free-bitrate frame accepted")
+
+    def test_probe_media_routes_tiff_and_mp3(self):
+        from article_extraction_ray.stages.multimodal import (
+            make_mp3_frame,
+            make_tiff,
+            probe_media,
+        )
+
+        assert probe_media(make_tiff(9, 5, big_endian=True)) == ("tiff", 9, 5, 0)
+        assert probe_media(make_mp3_frame(192, 48000)) == ("mp3", 192, 48000, 3)
