@@ -15807,10 +15807,14 @@ agg AS (
 )
 SELECT et AS event_type, na AS n_a, nb AS n_b,
        round((r2 - na * (na + 1)) / 2.0, 6) AS u_stat,
-       round(((r2 - na * (na + 1)) / 2.0 - na * nb / 2.0)
-             / sqrt(na * nb / 12.0 * ((n + 1) - ties / (n * (n - 1.0)))), 6) AS z,
-       abs(((r2 - na * (na + 1)) / 2.0 - na * nb / 2.0)
-           / sqrt(na * nb / 12.0 * ((n + 1) - ties / (n * (n - 1.0))))) > 1.96 AS reject
+       CASE WHEN na * nb / 12.0 * ((n + 1) - ties / (n * (n - 1.0))) > 0
+            THEN round(((r2 - na * (na + 1)) / 2.0 - na * nb / 2.0)
+                 / sqrt(na * nb / 12.0 * ((n + 1) - ties / (n * (n - 1.0)))), 6)
+            ELSE NULL END AS z,
+       CASE WHEN na * nb / 12.0 * ((n + 1) - ties / (n * (n - 1.0))) > 0
+            THEN abs(((r2 - na * (na + 1)) / 2.0 - na * nb / 2.0)
+                 / sqrt(na * nb / 12.0 * ((n + 1) - ties / (n * (n - 1.0))))) > 1.96
+            ELSE FALSE END AS reject
 FROM agg
 """
 
@@ -15912,8 +15916,10 @@ agg AS (
   GROUP BY 1
 )
 SELECT flag AS l_returnflag, n,
-       round((srs - sr * ss / n)
-             / sqrt((srr - sr * sr / n) * (sss - ss * ss / n)), 6) AS rho
+       CASE WHEN (srr - sr * sr / n) * (sss - ss * ss / n) > 0
+            THEN round((srs - sr * ss / n)
+                 / sqrt((srr - sr * sr / n) * (sss - ss * ss / n)), 6)
+            ELSE NULL END AS rho
 FROM agg
 """
 
@@ -16235,8 +16241,10 @@ agg AS (
   FROM joined GROUP BY 1
 )
 SELECT lag, n AS n_hours,
-       round((sxy - sx * sy / n)
-             / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS xcorr
+       CASE WHEN (sxx - sx * sx / n) * (syy - sy * sy / n) > 0
+            THEN round((sxy - sx * sy / n)
+                 / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6)
+            ELSE NULL END AS xcorr
 FROM agg
 """
 
@@ -16633,13 +16641,18 @@ def q_conversion_lag(sf_dir: str):
         .pivot(index="user_id", columns="event_type", values="us")
         .dropna()
     )
+    if "purchase" not in per_user.columns or "click" not in per_user.columns:
+        per_user = per_user.iloc[0:0].assign(purchase=[], click=[])
     lag = (per_user["purchase"] - per_user["click"]).to_numpy(np.int64)
-    qs = np.percentile(lag, [25, 50, 75], method="linear")
+    if len(lag) == 0:  # no converting user: quantiles are NULL/NaN on both engines
+        qs = [float("nan")] * 3
+    else:
+        qs = [float(x) for x in np.percentile(lag, [25, 50, 75], method="linear")]
     return pd.DataFrame(
         {"n_users": np.array([len(lag)], dtype=np.int64),
-         "p25_us": [round(float(qs[0]), 2)],
-         "median_us": [round(float(qs[1]), 2)],
-         "p75_us": [round(float(qs[2]), 2)]}
+         "p25_us": [round(qs[0], 2)],
+         "median_us": [round(qs[1], 2)],
+         "p75_us": [round(qs[2], 2)]}
     )
 
 

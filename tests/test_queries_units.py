@@ -848,3 +848,91 @@ class TestPavBlocks:
             np.array([1, 2, 3]), np.array([5, 5, 5]), np.array([2, 2, 2])
         )
         assert len(blocks) == 1 and blocks[0] == (1, 3, 15, 6)
+
+
+class TestRound5DegenerateParity:
+    """Planted degenerates for the round-5 stat queries: all-tied rank
+    tests (variance 0), constant series (zero xcorr variance), and a
+    corpus with no converting users — both engines must agree (NaN ≡
+    NULL to the comparer; an unguarded division yields inf and reds)."""
+
+    @staticmethod
+    def _con(tmp_path, **tables):
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        con = duckdb.connect()
+        for name, df in tables.items():
+            pq.write_table(
+                pa.Table.from_pandas(df, preserve_index=False),
+                tmp_path / f"{name}.parquet",
+            )
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{tmp_path}/{name}.parquet')"
+            )
+        return con
+
+    _cmp = staticmethod(TestDegenerateGroupParity._cmp)
+
+    def test_mann_whitney_all_tied(self, ray_session, tmp_path):
+        from article_extraction_ray.pipelines.queries import SQL_MANN_WHITNEY, q_mann_whitney
+
+        n = 60
+        events = pd.DataFrame(
+            {"event_type": (["view"] * 30) + (["click"] * 30),
+             "value": np.full(n, 7.0)}  # every value tied -> variance 0
+        )
+        con = self._con(tmp_path, events=events)
+        got = q_mann_whitney(str(tmp_path))
+        got = got.to_pandas() if not isinstance(got, pd.DataFrame) else got
+        assert got["z"].isna().all() and (~got["reject"]).all()
+        self._cmp(got, con, SQL_MANN_WHITNEY, ["event_type"])
+
+    def test_spearman_constant_marginal(self, ray_session, tmp_path):
+        from article_extraction_ray.pipelines.queries import SQL_SPEARMAN_CORR, q_spearman_corr
+
+        lineitem = pd.DataFrame(
+            {"l_returnflag": ["A"] * 20 + ["N"] * 20,
+             "l_quantity": [5.0] * 20 + list(np.arange(1, 21, dtype=float)),
+             "l_discount": list(np.linspace(0, 0.1, 20).round(2)) * 2}
+        )
+        con = self._con(tmp_path, lineitem=lineitem)
+        got = q_spearman_corr(str(tmp_path))
+        got = got.to_pandas() if not isinstance(got, pd.DataFrame) else got
+        assert got.loc[got["l_returnflag"] == "A", "rho"].isna().all()
+        self._cmp(got, con, SQL_SPEARMAN_CORR, ["l_returnflag"])
+
+    def test_xcorr_constant_series(self, ray_session, tmp_path):
+        from article_extraction_ray.pipelines.queries import SQL_XCORR_LAGS, q_xcorr_lags
+
+        # 'click' fires exactly once per hour (constant series -> var 0);
+        # 'purchase' varies
+        hours = pd.date_range("2024-01-01", periods=48, freq="h")
+        clicks = pd.DataFrame({"ts": hours, "event_type": "click"})
+        buys = pd.DataFrame(
+            {"ts": hours.repeat(np.tile([1, 3], 24)), "event_type": "purchase"}
+        )
+        events = pd.concat([clicks, buys], ignore_index=True)
+        events["user_id"] = np.arange(len(events), dtype=np.int64)
+        events["value"] = 1.0
+        con = self._con(tmp_path, events=events)
+        got = q_xcorr_lags(str(tmp_path))
+        got = got.to_pandas() if not isinstance(got, pd.DataFrame) else got
+        assert got["xcorr"].isna().all()
+        self._cmp(got, con, SQL_XCORR_LAGS, ["lag"])
+
+    def test_conversion_lag_no_converters(self, ray_session, tmp_path):
+        from article_extraction_ray.pipelines.queries import SQL_CONVERSION_LAG, q_conversion_lag
+
+        events = pd.DataFrame(
+            {"user_id": np.arange(20, dtype=np.int64),
+             "event_type": ["click"] * 10 + ["view"] * 10,  # nobody purchases
+             "ts": pd.date_range("2024-01-01", periods=20, freq="h"),
+             "value": 1.0}
+        )
+        con = self._con(tmp_path, events=events)
+        got = q_conversion_lag(str(tmp_path))
+        got = got.to_pandas() if not isinstance(got, pd.DataFrame) else got
+        assert int(got["n_users"][0]) == 0 and got["median_us"].isna().all()
+        self._cmp(got, con, SQL_CONVERSION_LAG, ["n_users"])
