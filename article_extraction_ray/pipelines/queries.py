@@ -17054,18 +17054,32 @@ def q_containment_pairs(sf_dir: str):
     )
     szmap = Broadcast(dict(zip(sizes["doc"].astype(int), sizes["sz"].astype(int))))
 
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # coarse 64-bucket exchange on the shingle: one map_groups task
+        # per bucket instead of one per shingle (the per-tiny-group
+        # scheduling tax measured 9x on adamic_adar's identical shape)
+        df["bkt"] = (pd.util.hash_array(df["sh"].to_numpy(object)) % 64).astype(np.int32)
+        return df
+
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        docs = df["doc"].to_numpy()
-        if len(docs) < 2:
-            return pd.DataFrame({"a": [], "b": [], "common": []})
-        a, b = np.meshgrid(docs, docs, indexing="ij")
-        m = a != b
-        return pd.DataFrame(
-            {"a": a[m].astype(np.int64), "b": b[m].astype(np.int64), "common": 1}
+        d = df[["doc", "sh"]]
+        m = d.merge(d, on="sh", suffixes=("_a", "_b"))
+        m = m[m["doc_a"] != m["doc_b"]]
+        if not len(m):
+            return pd.DataFrame(
+                {c: pd.Series(dtype=np.int64) for c in ("a", "b", "common")}
+            )
+        return (
+            m.groupby(["doc_a", "doc_b"], as_index=False)
+            .size()
+            .rename(columns={"doc_a": "a", "doc_b": "b", "size": "common"})
+            .astype(np.int64)
         )
 
     common = grouped_aggregate(
-        doc_sh.groupby("sh").map_groups(pairs, batch_format="pandas"),
+        doc_sh.map_batches(add_bucket, batch_format="pandas")
+        .groupby("bkt")
+        .map_groups(pairs, batch_format="pandas"),
         ["a", "b"],
         {"common": ("sum", "common")},
     )

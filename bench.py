@@ -211,6 +211,8 @@ BENCH_QUERIES = [
     "quantile_normalize",
     "mutual_nn",
     "decision_stump",
+    "cohort_ltv",
+    "new_returning_users",
 ]
 
 
