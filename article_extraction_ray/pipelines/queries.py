@@ -17541,6 +17541,77 @@ GROUP BY 1
 """
 
 
+def q_jaccard_weeks(sf_dir: str):
+    """Week-over-week audience overlap: Jaccard similarity of the
+    active-user sets of consecutive epoch-weeks — the churn-shape
+    readout that `new_returning_users` counts can't give (returning
+    users may be returning from ANY past week; this measures adjacent
+    retention directly).
+
+    Distinct (user, week) pairs reduce distributed; the consecutive-
+    week intersection sizes reduce from the user-bounded pair table
+    (each user contributes |their weeks|−1 adjacent hits); Jaccard is
+    exact integers until the final 6-dp division."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"], split=True)
+
+    def prep(batch: pa.Table) -> pd.DataFrame:
+        us = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view("int64")
+        return (
+            pd.DataFrame(
+                {"u": batch["user_id"].to_numpy(zero_copy_only=False),
+                 "w": us // (7 * 86_400_000_000)}
+            )
+            .drop_duplicates()
+        )
+
+    uw = grouped_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["u", "w"],
+        {"one": ("count", None)},
+    ).to_pandas()
+    per_week = uw.groupby("w")["u"].agg(set)
+    weeks = sorted(per_week.index)
+    rows = []
+    for w0, w1 in zip(weeks, weeks[1:]):
+        a, b = per_week[w0], per_week[w1]
+        inter, union = len(a & b), len(a | b)
+        rows.append(
+            {"week": int(w1), "n_prev": len(a), "n_curr": len(b),
+             "n_common": inter,
+             "jaccard": round(inter / union, 6) if union else float("nan")}
+        )
+    out = pd.DataFrame(rows)
+    out[["week", "n_prev", "n_curr", "n_common"]] = out[
+        ["week", "n_prev", "n_curr", "n_common"]
+    ].astype(np.int64)
+    return out
+
+
+SQL_JACCARD_WEEKS = """
+WITH uw AS (
+  SELECT DISTINCT user_id AS u, epoch_us(ts) // (7 * 86400000000) AS w
+  FROM events
+),
+wk AS (SELECT w, count(*) AS n FROM uw GROUP BY 1),
+pairs AS (
+  SELECT b.w AS week, a.n AS n_prev, b.n AS n_curr
+  FROM wk a JOIN wk b ON b.w = a.w + 1
+),
+common AS (
+  SELECT y.w AS week, count(*) AS n_common
+  FROM uw x JOIN uw y ON y.u = x.u AND y.w = x.w + 1
+  GROUP BY 1
+)
+SELECT CAST(p.week AS BIGINT) AS week,
+       CAST(p.n_prev AS BIGINT) AS n_prev, CAST(p.n_curr AS BIGINT) AS n_curr,
+       CAST(coalesce(c.n_common, 0) AS BIGINT) AS n_common,
+       round(coalesce(c.n_common, 0)
+             / CAST(p.n_prev + p.n_curr - coalesce(c.n_common, 0) AS DOUBLE), 6)
+         AS jaccard
+FROM pairs p LEFT JOIN common c ON c.week = p.week
+"""
+
+
 def q_gdpr_delete(sf_dir: str):
     """Copy-on-write deletion lifecycle (state/deletes.py): documents
     are committed as a 4-file snapshot table partitioned by doc_id
@@ -17941,6 +18012,7 @@ QUERIES = {
     "decision_stump": q_decision_stump,
     "cohort_ltv": q_cohort_ltv,
     "new_returning_users": q_new_returning_users,
+    "jaccard_weeks": q_jaccard_weeks,
 }
 
 ORACLE_SQL = {
@@ -17993,6 +18065,7 @@ ORACLE_SQL = {
     "decision_stump": SQL_DECISION_STUMP,
     "cohort_ltv": SQL_COHORT_LTV,
     "new_returning_users": SQL_NEW_RETURNING,
+    "jaccard_weeks": SQL_JACCARD_WEEKS,
     "source_overlap": SQL_SOURCE_OVERLAP,
     "entity_resolution": SQL_ENTITY_RESOLUTION,
     "sssp_weighted": SQL_SSSP,
