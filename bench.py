@@ -213,6 +213,7 @@ BENCH_QUERIES = [
     "decision_stump",
     "cohort_ltv",
     "new_returning_users",
+    "jaccard_weeks",
 ]
 
 
