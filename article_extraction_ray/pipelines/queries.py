@@ -7324,24 +7324,24 @@ def _kcore_sql() -> str:
     k, rounds = _KCORE_K, _KCORE_ROUNDS
     head = f"""
 WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-e AS (
+e AS MATERIALIZED (
   SELECT a.l_partkey AS a, b.l_partkey AS b
   FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   GROUP BY 1, 2 HAVING count(*) >= {_KCORE_MIN_ORDERS}
 ),
-und AS (SELECT a AS s, b AS t FROM e UNION ALL SELECT b, a FROM e),
-alive0 AS (SELECT DISTINCT s AS node FROM und)"""
+und AS MATERIALIZED (SELECT a AS s, b AS t FROM e UNION ALL SELECT b, a FROM e),
+alive0 AS MATERIALIZED (SELECT DISTINCT s AS node FROM und)"""
     parts = []
     for r in range(1, rounds + 2):  # the (rounds+1)th degree pass is the output
         p = r - 1
         parts.append(
             f""",
-d{r} AS (
+d{r} AS MATERIALIZED (
   SELECT u.s AS node, count(*) AS deg FROM und u
   JOIN alive{p} x ON u.s = x.node JOIN alive{p} y ON u.t = y.node
   GROUP BY 1
 ),
-alive{r} AS (SELECT node FROM d{r} WHERE deg >= {k})"""
+alive{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE deg >= {k})"""
         )
     tail = f"""
 SELECT CAST(node AS BIGINT) AS part, CAST(deg AS BIGINT) AS core_deg
@@ -15872,9 +15872,12 @@ def q_spearman_corr(sf_dir: str):
         c = grp["c"].to_numpy(dtype=np.int64)
         R = grp["q"].map(rx).to_numpy(dtype=np.int64)
         S = grp["d"].map(ry).to_numpy(dtype=np.int64)
-        sr, ss = int((c * R).sum()), int((c * S).sum())
-        srr, sss = int((c * R * R).sum()), int((c * S * S).sum())
-        srs = int((c * R * S).sum())
+        # cell sums stay exact int64 (max ~4e15/cell at sf0.1); the
+        # final algebra runs in DOUBLE with the identical op order as
+        # SQL — sr*sr as INT64 overflows in DuckDB at sf0.1 (4e10)^2
+        sr, ss = float((c * R).sum()), float((c * S).sum())
+        srr, sss = float((c * R * R).sum()), float((c * S * S).sum())
+        srs = float((c * R * S).sum())
         num = srs - sr * ss / n
         den = np.sqrt((srr - sr * sr / n) * (sss - ss * ss / n))
         rho = num / den if den > 0 else float("nan")
@@ -15916,9 +15919,11 @@ agg AS (
   GROUP BY 1
 )
 SELECT flag AS l_returnflag, n,
-       CASE WHEN (srr - sr * sr / n) * (sss - ss * ss / n) > 0
-            THEN round((srs - sr * ss / n)
-                 / sqrt((srr - sr * sr / n) * (sss - ss * ss / n)), 6)
+       CASE WHEN (CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE) * sr / n)
+               * (CAST(sss AS DOUBLE) - CAST(ss AS DOUBLE) * ss / n) > 0
+            THEN round((CAST(srs AS DOUBLE) - CAST(sr AS DOUBLE) * ss / n)
+                 / sqrt((CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE) * sr / n)
+                      * (CAST(sss AS DOUBLE) - CAST(ss AS DOUBLE) * ss / n)), 6)
             ELSE NULL END AS rho
 FROM agg
 """
