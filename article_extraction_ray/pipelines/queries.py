@@ -1990,10 +1990,90 @@ FROM stats
 
 
 def q_winnow_fingerprints(sf_dir: str):
+    """Winnowing fingerprints (Schleimer et al. SIGMOD'03), exploded to
+    one row per selected fingerprint (doc_id, ord, fp) — the MOSS-style
+    document-fingerprint table a plagiarism/copy detector joins on.
+
+    Value-oracled since round 4: the gram hash is a polynomial
+    code-point hash mod 2^31-1 (stages/text_stats.py) that DuckDB
+    reproduces bit-exactly, and the rightmost-min window rule collapses
+    to a packed-key window min (SQL_WINNOW) — no per-row Python on
+    either engine."""
     from ..stages.text_stats import winnow_batch
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(winnow_batch, batch_format="pyarrow")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        tbl = winnow_batch(batch)
+        fps = tbl["winnow_fps"]
+        if isinstance(fps, pa.ChunkedArray):
+            fps = fps.combine_chunks()
+        lens = pc.list_value_length(fps).to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = np.repeat(tbl["doc_id"].to_numpy(zero_copy_only=False), lens)
+        # ord = 1-based position within each doc's fingerprint sequence
+        ends = np.cumsum(lens)
+        ords = np.arange(int(ends[-1]) if len(ends) else 0, dtype=np.int64) - np.repeat(
+            ends - lens, lens
+        ) + 1
+        return pa.Table.from_arrays(
+            [pa.array(ids, type=pa.int64()), pa.array(ords, type=pa.int64()),
+             fps.flatten().cast(pa.int64())],
+            names=["doc_id", "ord", "fp"],
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def _winnow_pow(j: int) -> int:
+    from ..stages.text_stats import _SHINGLE, _WINNOW_BASE, _WINNOW_MOD
+
+    return pow(_WINNOW_BASE, _SHINGLE - 1 - j, _WINNOW_MOD)
+
+
+#: Winnowing in SQL: same normalization as content_fingerprint, gram
+#: hash = Σ unicode(char_j)·BASE^(k-1-j) mod 2^31-1 (term < 2^52, no
+#: overflow), rightmost-min window rule via min over a packed
+#: hash·2^31 + (2^31-1-pos) key (selected positions are non-decreasing,
+#: so DISTINCT == consecutive-dedupe), short docs (< k+window-1 grams)
+#: take the single global min per the kernel's contract.
+SQL_WINNOW = f"""
+WITH t AS (
+  SELECT doc_id,
+         lower(regexp_replace(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '\\s+', ' ', 'g')) AS s
+  FROM documents
+), g AS (
+  SELECT doc_id, s, length(s) AS n FROM t WHERE length(s) >= 5
+), h AS (
+  SELECT doc_id, n, i,
+         (CAST(unicode(substr(s, i + 1, 1)) AS BIGINT) * {_winnow_pow(0)}
+        + CAST(unicode(substr(s, i + 2, 1)) AS BIGINT) * {_winnow_pow(1)}
+        + CAST(unicode(substr(s, i + 3, 1)) AS BIGINT) * {_winnow_pow(2)}
+        + CAST(unicode(substr(s, i + 4, 1)) AS BIGINT) * {_winnow_pow(3)}
+        + CAST(unicode(substr(s, i + 5, 1)) AS BIGINT) * {_winnow_pow(4)}) % 2147483647 AS hv
+  FROM (SELECT doc_id, s, n, unnest(range(0, n - 4)) AS i FROM g)
+), wm AS (
+  SELECT doc_id, n, i,
+         min(hv * 2147483648 + (2147483647 - i))
+           OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+  FROM h WHERE n >= 8
+), sel AS (
+  SELECT DISTINCT doc_id,
+         2147483647 - (wmin % 2147483648) AS pos,
+         wmin // 2147483648 AS fp
+  FROM wm WHERE i <= n - 8
+  UNION ALL
+  SELECT doc_id, CAST(0 AS BIGINT) AS pos, min(hv) AS fp
+  FROM h WHERE n < 8 GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS ord,
+       CAST(fp AS BIGINT) AS fp
+FROM sel
+ORDER BY doc_id, ord
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -18270,7 +18350,9 @@ ORACLE_SQL = {
     # pytest covers the values.
     # hll_distinct / price_quantiles_tdigest are approximate sketches —
     # rows-only by design (accuracy pytest-verified)
-    # lang_id / winnow / minhash / simhash / knn_lsh / media_* are not
+    "winnow_fingerprints": SQL_WINNOW,
+    # lang_id / minhash / simhash / knn_lsh / media_* are not
     # SQL-expressible → rows-only driver check; pytest goldens + recall
-    # properties cover their semantics.
+    # properties cover their semantics.  (winnow moved to value-checked
+    # in round 4: polynomial-mod-2^31-1 gram hash is SQL-expressible.)
 }

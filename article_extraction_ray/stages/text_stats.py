@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import hashlib
 import re
-import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -156,29 +155,52 @@ _WINNOW_WINDOW = 4
 _SHINGLE = 5
 
 
+#: Winnowing gram hash: polynomial hash of the k-gram's CODE POINTS,
+#: mod the Mersenne prime 2^31-1 — chosen (over crc32/md5) because it
+#: is BOTH numpy-vectorizable (one sliding-window dot product per doc)
+#: AND bit-exactly expressible in ANSI SQL (unicode(substr(...)) terms;
+#: see SQL_WINNOW in pipelines/queries.py), which moves the
+#: `winnow_fingerprints` query from rows-only to value-oracled.
+#: Overflow-safe: codepoint < 2^21, power < 2^31 → term < 2^52,
+#: k-term sum < 2^55 < int64.
+_WINNOW_MOD = 2_147_483_647  # 2^31 - 1
+_WINNOW_BASE = 1_000_003
+_WINNOW_POWS = np.array(
+    [pow(_WINNOW_BASE, _SHINGLE - 1 - j, _WINNOW_MOD) for j in range(_SHINGLE)],
+    dtype=np.int64,
+)
+
+
 def winnow_fingerprints(text: str, *, k: int = _SHINGLE, window: int = _WINNOW_WINDOW) -> list[int]:
     """Winnowing (rolling-hash min-sampling) fingerprint set: hash all
     k-grams of characters, keep the min hash of each sliding window
     (rightmost min wins ties), record each selected position once.
-    Standard document fingerprinting à la Schleimer et al. (SIGMOD'03)."""
+    Standard document fingerprinting à la Schleimer et al. (SIGMOD'03).
+
+    Fully vectorized: code points via a utf-32 view, gram hashes as ONE
+    sliding-window matmul, the rightmost-min rule as a packed
+    ``hash*2^31 + (2^31-1-pos)`` key min (selected positions are
+    non-decreasing across windows, so consecutive-dedupe == key change).
+    """
     t = " ".join((text or "").lower().split())
     if len(t) < k:
         return []
-    hashes = [
-        zlib.crc32(t[i : i + k].encode("utf-8")) & 0x7FFFFFFF for i in range(len(t) - k + 1)
-    ]
-    if len(hashes) < window:
-        return [min(hashes)]
-    out: list[int] = []
-    prev_idx = -1
-    for w in range(len(hashes) - window + 1):
-        win = hashes[w : w + window]
-        m = min(win)
-        idx = w + max(i for i, h in enumerate(win) if h == m)
-        if idx != prev_idx:
-            out.append(m)
-            prev_idx = idx
-    return out
+    codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    if k == _SHINGLE:
+        pows = _WINNOW_POWS
+    else:
+        pows = np.array([pow(_WINNOW_BASE, k - 1 - j, _WINNOW_MOD) for j in range(k)],
+                        dtype=np.int64)
+    grams = np.lib.stride_tricks.sliding_window_view(codes, k)
+    h = (grams * pows).sum(axis=1) % _WINNOW_MOD
+    m = len(h)
+    if m < window:
+        return [int(h.min())]
+    pos = np.arange(m, dtype=np.int64)
+    key = h * np.int64(1 << 31) + (np.int64((1 << 31) - 1) - pos)
+    wmin = np.lib.stride_tricks.sliding_window_view(key, window).min(axis=1)
+    keep = np.r_[True, wmin[1:] != wmin[:-1]]
+    return list((wmin[keep] >> np.int64(31)).tolist())
 
 
 def winnow_batch(batch: pa.Table, *, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
