@@ -8955,6 +8955,81 @@ FROM k GROUP BY c_nationkey
 """
 
 
+def q_rollup_revenue(sf_dir: str):
+    """GROUP BY ROLLUP(nation, year) revenue report — the multi-level
+    subtotal aggregate every warehouse dashboard runs: nation×year
+    cells, per-nation subtotals, and the grand total in ONE result
+    (rolled-up levels labelled with 'ALL' / year 0 sentinels, mirroring
+    SQL GROUPING()).
+
+    Shape: the fact table folds ONCE — per-batch integer-cent partials
+    keyed by (nationkey, year) through the open-domain grouped
+    exchange; every coarser rollup level re-aggregates the BOUNDED
+    group table (|nations|×|years| rows) — subtotals never cost a
+    second fact pass.  Customer→nation is a broadcast dim lookup."""
+    orders = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"], split=True
+    )
+    cust = read_table_arrow(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    nat = read_table_arrow(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    nmap = pd.Series(
+        cust["c_nationkey"].to_numpy().astype(np.int64),
+        index=cust["c_custkey"].to_numpy().astype(np.int64),
+    )
+    nmap_bc = Broadcast(nmap)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        cents = np.round(batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        year = batch["o_orderdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[Y]"
+        ).astype(np.int64) + 1970
+        nk = (
+            nmap_bc.get()
+            .reindex(batch["o_custkey"].to_numpy(zero_copy_only=False))
+            .to_numpy()
+            .astype(np.int64)
+        )
+        return (
+            pd.DataFrame({"nk": nk, "o_year": year, "cents": cents})
+            .groupby(["nk", "o_year"], as_index=False)["cents"]
+            .sum()
+        )
+
+    base = grouped_aggregate(
+        orders.map_batches(partial, batch_format="pyarrow"),
+        ["nk", "o_year"],
+        {"cents": ("sum", "cents")},
+    ).to_pandas()  # bounded: |nations| × |years| rows
+
+    names = pd.Series(
+        nat["n_name"].to_pylist(), index=nat["n_nationkey"].to_numpy().astype(np.int64)
+    )
+    base["n_name"] = names.reindex(base["nk"].to_numpy()).to_numpy()
+    lvl0 = base[["n_name", "o_year", "cents"]]
+    lvl1 = (
+        base.groupby("n_name", as_index=False)["cents"].sum().assign(o_year=0)
+    )[["n_name", "o_year", "cents"]]
+    lvl2 = pd.DataFrame({"n_name": ["ALL"], "o_year": [0], "cents": [int(base["cents"].sum())]})
+    out = pd.concat([lvl0, lvl1, lvl2], ignore_index=True)
+    out["o_year"] = out["o_year"].astype(np.int64)
+    out = out.rename(columns={"cents": "revenue_cents"})
+    out["revenue_cents"] = out["revenue_cents"].astype(np.int64)
+    return out.sort_values(["n_name", "o_year"]).reset_index(drop=True)
+
+
+SQL_ROLLUP_REVENUE = """
+SELECT CASE WHEN GROUPING(n.n_name) = 1 THEN 'ALL' ELSE n.n_name END AS n_name,
+       CAST(CASE WHEN GROUPING(year(o.o_orderdate)) = 1 THEN 0
+                 ELSE year(o.o_orderdate) END AS BIGINT) AS o_year,
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY ROLLUP(n.n_name, year(o.o_orderdate))
+ORDER BY n_name, o_year
+"""
+
+
 _SSJ_WINDOW_US = 600_000_000  # 10 minutes
 
 
@@ -18041,6 +18116,7 @@ QUERIES = {
     "pareto_orders": q_pareto_orders,
     "auc_score": q_auc_score,
     "gini_revenue": q_gini_revenue,
+    "rollup_revenue": q_rollup_revenue,
     "stream_self_join": q_stream_self_join,
     "attribution_last_touch": q_attribution_last_touch,
     "chi2_independence": q_chi2_independence,
@@ -18319,6 +18395,7 @@ ORACLE_SQL = {
     "pareto_orders": SQL_PARETO,
     "auc_score": SQL_AUC,
     "gini_revenue": SQL_GINI,
+    "rollup_revenue": SQL_ROLLUP_REVENUE,
     "stream_self_join": SQL_STREAM_SELF_JOIN,
     "attribution_last_touch": SQL_ATTRIBUTION,
     "chi2_independence": SQL_CHI2,
