@@ -1536,6 +1536,34 @@ SELECT substr(text, 1, 20) AS text_key, min(doc_id) AS doc_id
 FROM documents GROUP BY 1
 """
 
+
+def q_dedup_keep_best(sf_dir: str):
+    """Exact dedupe keeping the highest-QUALITY duplicate (tie → min
+    doc_id) — the curation-grade exact dedupe: among copies, survive
+    the one the quality scorer likes best, not an arbitrary first
+    occurrence.  Composition of the content-key dedupe (G2) with the
+    quality composite, arg-best rule order-free so the two-level
+    combiner is exact; the float scores are bit-identical on both
+    engines (same order-identical arithmetic as `quality_score`)."""
+    from ..stages.text_stats import quality_batch
+    from .tabular import dedup_keep_best
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        q = quality_batch(batch)
+        return pa.Table.from_arrays(
+            [pc.utf8_slice_codeunits(batch["text"], 0, 20), batch["doc_id"],
+             q["quality_score"]],
+            names=["text_key", "doc_id", "quality_score"],
+        )
+
+    return dedup_keep_best(
+        ds.map_batches(keyed, batch_format="pyarrow"), "text_key", "doc_id", "quality_score"
+    )
+
 # ---------------------------------------------------------------------------
 # text analysis — token counting (vectorized)
 # ---------------------------------------------------------------------------
@@ -1986,6 +2014,17 @@ SELECT doc_id,
                 * least(greatest((12 - mwl) / 6.0, 0.0), 1.0))
        + 0.1 * least(stop * 5, 1.0) AS quality_score
 FROM stats
+"""
+
+
+#: dedupe-keep-best: the quality CTE is the full SQL_QUALITY statement
+#: (bit-identical composite), the keep rule is one QUALIFY arg-best.
+SQL_DEDUP_KEEP_BEST = f"""
+WITH q AS ({SQL_QUALITY})
+SELECT substr(d.text, 1, 20) AS text_key, d.doc_id, q.quality_score
+FROM documents d JOIN q ON q.doc_id = d.doc_id
+QUALIFY row_number() OVER (PARTITION BY text_key
+                           ORDER BY q.quality_score DESC, d.doc_id) = 1
 """
 
 
@@ -17956,6 +17995,7 @@ QUERIES = {
     "derived_physics": q_derived_physics,
     "url_resolve": q_url_resolve,
     "dedup_exact_prefix": q_dedup_prefix,
+    "dedup_keep_best": q_dedup_keep_best,
     "token_stats": q_token_stats,
     "event_windows": q_event_windows,
     "top_orders": q_top_orders,
@@ -18259,6 +18299,7 @@ ORACLE_SQL = {
     "derived_physics": SQL_PHYSICS,
     "url_resolve": SQL_URL,
     "dedup_exact_prefix": SQL_DEDUP,
+    "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "token_stats": SQL_TOKENS,
     "event_windows": SQL_WINDOWS,
     "top_orders": SQL_TOP_ORDERS,

@@ -783,6 +783,35 @@ def dedup_exact_min(ds, subset: str, id_col: str):
     return partials.groupby("__bucket").map_groups(local, batch_format="pandas")
 
 
+def dedup_keep_best(ds, subset: str, id_col: str, score_col: str):
+    """Exact dedupe on ``subset`` keeping the BEST-scoring row per key
+    (tie → min id) — reference G3's dedupe-keep-best
+    (/root/reference/run.py answer-dedupe semantics) lifted to corpus
+    scale: among exact duplicates, survive the copy a quality model
+    scores highest, not an arbitrary first occurrence.
+
+    Same two-level shape as :func:`dedup_exact_min`: per-batch combine
+    (one candidate per key per batch — shuffle volume is key-bounded),
+    then a coarse key-hash bucket reduce re-applies the identical
+    arg-best rule.  The rule is order-free, so partial/final composition
+    is exact."""
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([subset, score_col, id_col], ascending=[True, False, True])
+        return df.groupby(subset, sort=False).head(1)
+
+    def bucketed(df: pd.DataFrame) -> pd.DataFrame:
+        out = local(df)
+        return out.assign(
+            __bucket=pd.util.hash_array(out[subset].to_numpy()) % _KEY_BUCKETS
+        )
+
+    partials = ds.map_batches(bucketed, batch_format="pandas")
+    return partials.groupby("__bucket").map_groups(
+        lambda df: local(df.drop(columns="__bucket")), batch_format="pandas"
+    )
+
+
 def top_k_per_group(ds, group: str, order_by: str, k: int, *, descending: bool = False):
     """Per group, the k rows with the smallest (or largest) ``order_by``
     — the per-domain document cap of crawl curation (keep k per host)
