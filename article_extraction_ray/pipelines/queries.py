@@ -17506,6 +17506,115 @@ WHERE x.a < x.b
 """
 
 
+def q_hard_negatives(sf_dir: str):
+    """Hard-negative mining for contrastive training: for every vector,
+    the most-similar vector with a DIFFERENT label (tie → smaller
+    vec_id) — the standard way to upgrade random in-batch negatives to
+    hard ones (the negative the model most confuses with the anchor).
+
+    Same broadcast-matmul shape as `mutual_nn` with the self-mask
+    widened to a same-LABEL mask; ids only (float32
+    list_cosine_similarity parity, same convention as knn_graph).
+    `knn_ivf`/`knn_lsh_shuffle` are the in-repo sublinear swaps at
+    corpus scale."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "label", "embedding"], split=True)
+
+    mat_tbl = (
+        read_table_arrow(sf_dir, "embeddings", columns=["vec_id", "label", "embedding"])
+        .sort_by("vec_id")
+    )
+    ids = mat_tbl["vec_id"].to_numpy()
+    labels = mat_tbl["label"].to_numpy().astype(np.int64)
+    M = np.stack(mat_tbl["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    bc = Broadcast((ids, labels, Mn))
+
+    def best_other_label(batch: pa.Table) -> pd.DataFrame:
+        ids_, labels_, Mn_ = bc.get()
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False)
+        vlab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        V = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        sims = Vn @ Mn_.T
+        sims[vlab[:, None] == labels_[None, :]] = -np.inf  # mask same label
+        nn = np.argmax(sims, axis=1)  # first max = smallest vec_id on ties
+        return pd.DataFrame(
+            {"vec_id": vid.astype(np.int64), "hard_neg": ids_[nn].astype(np.int64)}
+        )
+
+    return ds.map_batches(best_other_label, batch_format="pyarrow")
+
+
+SQL_HARD_NEGATIVES = """
+SELECT a.vec_id AS vec_id, b.vec_id AS hard_neg
+FROM embeddings a JOIN embeddings b ON b.label <> a.label
+QUALIFY row_number() OVER (
+  PARTITION BY a.vec_id
+  ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) = 1
+"""
+
+
+_LB_BAND = 64  # tokens per length band
+_LB_BATCH = 32  # documents per trainer batch
+
+
+def q_length_batching(sf_dir: str):
+    """Length-bucketed trainer batch assignment: band documents by
+    token count (band = n_tokens // 64), order each band by
+    (n_tokens, doc_id) and chunk into fixed 32-doc batches — the
+    padding-minimizing batching every seq2seq/encoder trainer runs
+    (batchmates have near-equal lengths, so pad waste is bounded by
+    the band width).
+
+    Shape: streaming token counts (one Arrow regex kernel), ONE
+    band exchange — bands are LENGTH-bounded (~n_max/64 of them),
+    not row-bounded — and the in-band rank is a single vectorized
+    sort.  At corpus scale the in-band rank swaps to the TeraSort
+    `global_rank` offsets (64 ints per band), documented there."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def counts(batch: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        n = pc.count_substring_regex(batch["text"], r"\S+").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"].to_numpy(zero_copy_only=False),
+             "n_tokens": n, "band": n // _LB_BAND}
+        )
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["n_tokens", "doc_id"]).reset_index(drop=True)
+        rk = np.arange(len(df), dtype=np.int64)
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy().astype(np.int64),
+             "band": df["band"].to_numpy().astype(np.int64),
+             "batch_id": df["band"].to_numpy().astype(np.int64) * 1_000_000
+                         + rk // _LB_BATCH}
+        )
+
+    return (
+        ds.map_batches(counts, batch_format="pyarrow")
+        .groupby("band")
+        .map_groups(assign, batch_format="pandas")
+    )
+
+
+SQL_LENGTH_BATCHING = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(coalesce(array_length(regexp_extract_all(text, '\\S+')), 0) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens // {_LB_BAND} AS band,
+       (n_tokens // {_LB_BAND}) * 1000000
+       + (row_number() OVER (PARTITION BY n_tokens // {_LB_BAND}
+                             ORDER BY n_tokens, doc_id) - 1) // {_LB_BATCH} AS batch_id
+FROM t
+"""
+
+
 def q_decision_stump(sf_dir: str):
     """Optimal decision stump: the single value-threshold split that
     maximizes information gain for predicting 'purchase' — the
@@ -18218,6 +18327,8 @@ QUERIES = {
     "gdpr_delete": q_gdpr_delete,
     "quantile_normalize": q_quantile_normalize,
     "mutual_nn": q_mutual_nn,
+    "hard_negatives": q_hard_negatives,
+    "length_batching": q_length_batching,
     "decision_stump": q_decision_stump,
     "cohort_ltv": q_cohort_ltv,
     "new_returning_users": q_new_returning_users,
@@ -18271,6 +18382,8 @@ ORACLE_SQL = {
     "gdpr_delete": SQL_GDPR_DELETE,
     "quantile_normalize": SQL_QUANTILE_NORMALIZE,
     "mutual_nn": SQL_MUTUAL_NN,
+    "hard_negatives": SQL_HARD_NEGATIVES,
+    "length_batching": SQL_LENGTH_BATCHING,
     "decision_stump": SQL_DECISION_STUMP,
     "cohort_ltv": SQL_COHORT_LTV,
     "new_returning_users": SQL_NEW_RETURNING,
