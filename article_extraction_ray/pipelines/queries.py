@@ -17554,6 +17554,152 @@ QUALIFY row_number() OVER (
 """
 
 
+_FH_BUCKETS = 256  # hashing-trick feature dimensionality
+
+
+class _FeatureHasher:
+    """Stateful hashing-trick vectorizer (Weinberger et al., ICML'09):
+    token → md5-derived bucket in [0, 256) with a ±1 sign bit, summed
+    per (doc, bucket) with multiplicity.  The md5 memo over distinct
+    tokens lives per actor (vocabulary-bounded), the per-doc fold is a
+    single pandas groupby per batch — and because a document is one
+    row, the (doc, bucket) aggregate COMPLETES inside its batch: the
+    whole vectorizer is shuffle-free."""
+
+    def __init__(self):
+        self.memo: dict[str, int] = {}
+
+    def _h(self, tok: str) -> int:
+        v = self.memo.get(tok)
+        if v is None:
+            import hashlib
+
+            v = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:8], 16)
+            self.memo[tok] = v
+        return v
+
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        doc_l, hv_l = [], []
+        for i, t in enumerate(texts):
+            toks = (t or "").split()
+            if not toks:
+                continue
+            doc_l.append(np.full(len(toks), ids[i], dtype=np.int64))
+            hv_l.append(np.fromiter((self._h(tk) for tk in toks), dtype=np.int64,
+                                    count=len(toks)))
+        if not doc_l:
+            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                 "bucket": pd.Series(dtype=np.int64),
+                                 "value": pd.Series(dtype=np.int64)})
+        hv = np.concatenate(hv_l)
+        return (
+            pd.DataFrame(
+                {"doc_id": np.concatenate(doc_l),
+                 "bucket": hv % _FH_BUCKETS,
+                 "value": np.where((hv >> 8) & 1 == 0, 1, -1).astype(np.int64)}
+            )
+            .groupby(["doc_id", "bucket"], as_index=False)["value"]
+            .sum()
+        )
+
+
+def q_feature_hashing(sf_dir: str):
+    """Hashing-trick sparse features over documents: (doc_id, bucket,
+    value) triplets of the 256-dim signed-count vectorizer — the
+    fixed-memory featurizer for open-vocabulary text (no vocabulary
+    pass, no dictionary shipping).  Stateful actor-pool stage
+    (per-actor md5 memo over distinct tokens), zero shuffle (a doc is
+    one row, so its buckets fold inside the batch)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(_FeatureHasher, concurrency=(1, 8), batch_format="pyarrow")
+
+
+SQL_FEATURE_HASHING = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok FROM documents
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv FROM toks
+)
+SELECT doc_id, hv % {_FH_BUCKETS} AS bucket,
+       CAST(sum(CASE WHEN (hv // 256) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS value
+FROM h GROUP BY 1, 2
+"""
+
+
+_OOV_VOCAB = 500  # top-V corpus tokens form the in-vocabulary set
+
+
+def q_oov_rate(sf_dir: str):
+    """Vocabulary-coverage report: per document, the fraction of token
+    OCCURRENCES outside the corpus's top-500 vocabulary — the tokenizer
+    /domain-shift health check run before committing a corpus to an
+    expensive tokenizer training.
+
+    Two streaming passes: open-domain token-count fold → top-V cut
+    (count DESC, token ASC — deterministic) with per-batch prefilter;
+    then the vocab broadcasts as ONE Arrow value-set and the per-doc
+    OOV fraction is a vectorized `pc.is_in` + segment sum (no shuffle).
+    One float division at the end, mirrored in SQL."""
+    import pyarrow.compute as pc
+
+    from .tabular import topk
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = np.asarray(pc.split_pattern_regex(col, r"\s+").values)
+        flat = flat[flat != ""]
+        vc = pd.Series(flat).value_counts()
+        return pd.DataFrame({"token": vc.index, "cnt": vc.to_numpy()})
+
+    counts = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"), ["token"], {"cnt": ("sum", "cnt")}
+    )
+    top = topk(counts, ["cnt", "token"], _OOV_VOCAB, descending=[True, False]).to_pandas()
+    vocab = Broadcast(pa.array(top["token"].to_numpy(dtype=object), type=pa.string()))
+
+    def oov(batch: pa.Table) -> pd.DataFrame:
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lists = pc.split_pattern_regex(col, r"\s+")
+        flat = lists.values
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        inv = pc.is_in(flat, value_set=vocab.get()).to_numpy(zero_copy_only=False)
+        offs = lists.offsets.to_numpy(zero_copy_only=False)
+        lens = np.diff(offs)
+        seg = np.repeat(np.arange(len(lens)), lens)
+        n_tok = np.bincount(seg, weights=nonempty, minlength=len(lens)).astype(np.int64)
+        n_in = np.bincount(seg, weights=inv & nonempty, minlength=len(lens)).astype(np.int64)
+        keep = n_tok > 0
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"].to_numpy(zero_copy_only=False)[keep],
+             "n_tokens": n_tok[keep],
+             "oov_rate": (n_tok[keep] - n_in[keep]) / n_tok[keep]}
+        )
+
+    return ds.map_batches(oov, batch_format="pyarrow")
+
+
+SQL_OOV_RATE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok FROM documents
+), v AS (
+  SELECT tok FROM (SELECT tok, count(*) AS c FROM toks GROUP BY 1)
+  QUALIFY row_number() OVER (ORDER BY c DESC, tok) <= {_OOV_VOCAB}
+)
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(*) - count(v.tok) AS BIGINT) / CAST(count(*) AS BIGINT) AS oov_rate
+FROM toks t LEFT JOIN v ON v.tok = t.tok
+GROUP BY t.doc_id
+"""
+
+
 _LB_BAND = 64  # tokens per length band
 _LB_BATCH = 32  # documents per trainer batch
 
@@ -18329,6 +18475,8 @@ QUERIES = {
     "mutual_nn": q_mutual_nn,
     "hard_negatives": q_hard_negatives,
     "length_batching": q_length_batching,
+    "feature_hashing": q_feature_hashing,
+    "oov_rate": q_oov_rate,
     "decision_stump": q_decision_stump,
     "cohort_ltv": q_cohort_ltv,
     "new_returning_users": q_new_returning_users,
@@ -18384,6 +18532,8 @@ ORACLE_SQL = {
     "mutual_nn": SQL_MUTUAL_NN,
     "hard_negatives": SQL_HARD_NEGATIVES,
     "length_batching": SQL_LENGTH_BATCHING,
+    "feature_hashing": SQL_FEATURE_HASHING,
+    "oov_rate": SQL_OOV_RATE,
     "decision_stump": SQL_DECISION_STUMP,
     "cohort_ltv": SQL_COHORT_LTV,
     "new_returning_users": SQL_NEW_RETURNING,
