@@ -4975,14 +4975,14 @@ def q_bucketed_join(sf_dir: str):
     its aligned files from both sides — zero exchange.  The production
     pattern for fact-table families sharing a key at 100 TB; this query
     exercises write + verify-spec + aligned join end-to-end."""
-    import os
-    import shutil
+    import tempfile
 
     from ..sources.bucketed import bucketed_join, write_bucketed
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    base = f"/tmp/ae_buckets_{tag}"
-    shutil.rmtree(base, ignore_errors=True)
+    # private per-run scratch (mkdtemp): a fixed /tmp path keyed on the
+    # scale tag races delete-vs-read when pytest and bench hit the same
+    # sf concurrently (same class as the snapshot_reads fix)
+    base = tempfile.mkdtemp(prefix="ae_buckets_")
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"], split=True)
     items = read_table(
         sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity"], split=True
@@ -4994,10 +4994,14 @@ def q_bucketed_join(sf_dir: str):
     write_bucketed(orders, f"{base}/orders", "o_orderkey", 32)
     write_bucketed(items, f"{base}/lineitem", "o_orderkey", 32)
     joined = bucketed_join(f"{base}/orders", f"{base}/lineitem", "o_orderkey")
-    return joined.map_batches(
+    out = joined.map_batches(
         lambda df: df[["o_orderkey", "o_totalprice", "l_linenumber", "l_quantity"]],
         batch_format="pandas",
-    )
+    ).materialize()  # the scratch layout must not outlive the query
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    return out
 
 
 SQL_BUCKETED_JOIN = """
@@ -17538,8 +17542,13 @@ def q_hard_negatives(sf_dir: str):
         sims = Vn @ Mn_.T
         sims[vlab[:, None] == labels_[None, :]] = -np.inf  # mask same label
         nn = np.argmax(sims, axis=1)  # first max = smallest vec_id on ties
+        # degenerate guard: a label that covers the WHOLE corpus leaves
+        # its rows all -inf (argmax would emit a bogus index-0 pair);
+        # the SQL inner join emits no row for such a vec_id — drop to match
+        has_other = np.isfinite(sims[np.arange(len(vid)), nn])
         return pd.DataFrame(
-            {"vec_id": vid.astype(np.int64), "hard_neg": ids_[nn].astype(np.int64)}
+            {"vec_id": vid.astype(np.int64)[has_other],
+             "hard_neg": ids_[nn].astype(np.int64)[has_other]}
         )
 
     return ds.map_batches(best_other_label, batch_format="pyarrow")
@@ -18035,6 +18044,10 @@ def q_jaccard_weeks(sf_dir: str):
     weeks = sorted(per_week.index)
     rows = []
     for w0, w1 in zip(weeks, weeks[1:]):
+        if w1 != w0 + 1:
+            # a gap week: the SQL oracle's b.w = a.w + 1 join emits no
+            # row across it — pairing list-adjacent weeks would diverge
+            continue
         a, b = per_week[w0], per_week[w1]
         inter, union = len(a & b), len(a | b)
         rows.append(
@@ -18042,10 +18055,10 @@ def q_jaccard_weeks(sf_dir: str):
              "n_common": inter,
              "jaccard": round(inter / union, 6) if union else float("nan")}
         )
-    out = pd.DataFrame(rows)
-    out[["week", "n_prev", "n_curr", "n_common"]] = out[
-        ["week", "n_prev", "n_curr", "n_common"]
-    ].astype(np.int64)
+    cols = ["week", "n_prev", "n_curr", "n_common"]
+    out = pd.DataFrame(rows, columns=cols + ["jaccard"])
+    out[cols] = out[cols].astype(np.int64)
+    out["jaccard"] = out["jaccard"].astype(np.float64)
     return out
 
 

@@ -24,6 +24,8 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import shutil
+import tempfile
 from pathlib import Path
 
 import numpy as np
@@ -191,11 +193,25 @@ def ensure_corpus_parquet(
     manifest = out / "_MANIFEST.json"
     if manifest.exists():
         return str(out)
-    out.mkdir(parents=True, exist_ok=True)
+    # build privately, publish with one atomic rename: a bare
+    # check-then-write lets two concurrent first runs interleave their
+    # differently-named shard files into ONE directory (doubled corpus)
     if shards is None:
         shards = max(1, min(256, num_docs // 500))
+    out.parent.mkdir(parents=True, exist_ok=True)
+    stage = Path(tempfile.mkdtemp(prefix=f"{out.name}-stage-", dir=str(out.parent)))
     ds = corpus_dataset(num_docs, seed, override_num_blocks=shards)
-    ds.write_parquet(str(out))
+    ds.write_parquet(str(stage))
     digest = hashlib.md5(f"{num_docs}:{seed}".encode()).hexdigest()
-    manifest.write_text(json.dumps({"num_docs": num_docs, "seed": seed, "key": digest}))
+    (stage / "_MANIFEST.json").write_text(
+        json.dumps({"num_docs": num_docs, "seed": seed, "key": digest})
+    )
+    try:
+        os.rename(stage, out)
+    except OSError:
+        # a racing builder published first; its corpus is identical
+        # (deterministic seed) — discard ours
+        shutil.rmtree(stage, ignore_errors=True)
+        if not manifest.exists():
+            raise
     return str(out)

@@ -936,3 +936,67 @@ class TestRound5DegenerateParity:
         got = got.to_pandas() if not isinstance(got, pd.DataFrame) else got
         assert int(got["n_users"][0]) == 0 and got["median_us"].isna().all()
         self._cmp(got, con, SQL_CONVERSION_LAG, ["n_users"])
+
+    def test_hard_negatives_single_label_corpus(self, ray_session, tmp_path):
+        """A label covering the WHOLE corpus leaves every row's
+        different-label mask empty: numpy argmax over an all--inf row
+        would emit a bogus index-0 pair, while the SQL inner join emits
+        nothing for that vec_id.  The guard must drop such rows."""
+        from article_extraction_ray.pipelines.queries import SQL_HARD_NEGATIVES, q_hard_negatives
+
+        rng = np.random.default_rng(11)
+        emb = rng.normal(size=(12, 8)).astype(np.float32)
+        embeddings = pd.DataFrame(
+            {"vec_id": np.arange(12, dtype=np.int64),
+             "label": np.zeros(12, dtype=np.int64),  # ONE label everywhere
+             "embedding": [list(map(float, r)) for r in emb]}
+        )
+        con = self._con(tmp_path, embeddings=embeddings)
+        got = q_hard_negatives(str(tmp_path))
+        got = got.to_pandas() if not isinstance(got, pd.DataFrame) else got
+        assert len(got) == 0  # no different-label negative exists
+        assert len(con.execute(SQL_HARD_NEGATIVES).df()) == 0
+
+    def test_hard_negatives_mixed_with_universal_majority(self, ray_session, tmp_path):
+        """Two labeled vectors among ten same-label ones: only rows with
+        a different-label candidate appear, and both engines agree."""
+        from article_extraction_ray.pipelines.queries import SQL_HARD_NEGATIVES, q_hard_negatives
+
+        rng = np.random.default_rng(13)
+        emb = rng.normal(size=(10, 8)).astype(np.float32)
+        labels = np.zeros(10, dtype=np.int64)
+        labels[3] = 1  # a single minority-label vector
+        embeddings = pd.DataFrame(
+            {"vec_id": np.arange(10, dtype=np.int64),
+             "label": labels,
+             "embedding": [list(map(float, r)) for r in emb]}
+        )
+        con = self._con(tmp_path, embeddings=embeddings)
+        got = q_hard_negatives(str(tmp_path))
+        got = got.to_pandas() if not isinstance(got, pd.DataFrame) else got
+        # every majority row pairs with vec 3; vec 3 picks its best majority
+        assert len(got) == 10
+        self._cmp(got, con, SQL_HARD_NEGATIVES, ["vec_id"])
+
+    def test_jaccard_weeks_gap_week(self, ray_session, tmp_path):
+        """An empty week between two active ones: the SQL oracle's
+        w+1 join emits nothing across the gap, so the engine must not
+        pair list-adjacent weeks either."""
+        from article_extraction_ray.pipelines.queries import SQL_JACCARD_WEEKS, q_jaccard_weeks
+
+        wk = 7 * 86_400
+        t0 = pd.Timestamp("2024-01-04")  # epoch-week aligned enough
+        ts = (
+            [t0 + pd.Timedelta(seconds=i * 3600) for i in range(5)]            # week A
+            + [t0 + pd.Timedelta(seconds=2 * wk + i * 3600) for i in range(5)]  # week A+2
+        )
+        events = pd.DataFrame(
+            {"user_id": np.array([1, 2, 3, 4, 5] * 2, dtype=np.int64),
+             "ts": pd.to_datetime(ts).astype("datetime64[us]"),
+             "event_type": "view", "value": 1.0}
+        )
+        con = self._con(tmp_path, events=events)
+        got = q_jaccard_weeks(str(tmp_path))
+        got = got.to_pandas() if not isinstance(got, pd.DataFrame) else got
+        want = con.execute(SQL_JACCARD_WEEKS).df()
+        assert len(got) == len(want) == 0  # nothing crosses the gap
