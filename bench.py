@@ -214,6 +214,13 @@ BENCH_QUERIES = [
     "cohort_ltv",
     "new_returning_users",
     "jaccard_weeks",
+    "rollup_revenue",
+    "winnow_fingerprints",
+    "dedup_keep_best",
+    "hard_negatives",
+    "length_batching",
+    "feature_hashing",
+    "oov_rate",
 ]
 
 
