@@ -18212,10 +18212,373 @@ def q_incremental_ingest(sf_dir: str):
         shutil.rmtree(table, ignore_errors=True)
 
 
+# ---------------------------------------------------------------------------
+# Content-addressed media-blob dedup across the interleaved corpus
+# ---------------------------------------------------------------------------
+
+#: distinct blob contents planted in the synthetic media corpus
+_BLOB_GROUPS = 40
+_MBD_BUCKETS = 16
+
+
+def q_media_blob_dedup(sf_dir: str):
+    """Content-addressed media deduplication across documents — the
+    storage op an interleaved text+media corpus runs before anything
+    else: identical image payloads referenced by many documents are
+    stored ONCE, every ``media_ref`` remaps to the canonical blob, and
+    the report quantifies bytes reclaimed per blob.
+
+    Each document carries one real 24-bit BMP (``make_bmp``) whose
+    content is a deterministic function of ``doc_id % _BLOB_GROUPS`` —
+    exact cross-document duplicates, like a hotlinked logo on a crawl.
+    The engine is plant-blind: every blob is sha256-hashed from its
+    ACTUAL bytes and sized with ``len`` (no closed form on the Ray
+    side); only the SQL oracle uses the planted arithmetic, so a single
+    corrupted byte or mis-measured length flips the hash check.
+
+    Scale shape: blobs never shuffle — each batch reduces to one
+    ``(digest, min_ref, n, nbytes)`` candidate per distinct blob, and
+    only those 72-byte rows move through a digest-bucket reduce (the
+    :func:`..pipelines.tabular.dedup_exact_min` geometry).  Shuffle
+    volume is bounded by blocks × distinct-blobs, independent of
+    payload size."""
+    import hashlib
+
+    from ..stages.multimodal import make_bmp
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"], split=True)
+
+    def blob_partials(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        dig = np.empty(len(ids), dtype=object)
+        nbytes = np.empty(len(ids), dtype=np.int64)
+        for j, i in enumerate(ids):
+            g = int(i) % _BLOB_GROUPS
+            w, h = 4 * (g % 8 + 1), g % 5 + 1
+            blob = make_bmp(w, h, str(g).encode())
+            dig[j] = hashlib.sha256(blob).hexdigest()
+            nbytes[j] = len(blob)
+        df = pd.DataFrame({"digest": dig, "ref": ids, "nbytes": nbytes})
+        part = df.groupby("digest", as_index=False).agg(
+            ref=("ref", "min"), n=("ref", "size"), nbytes=("nbytes", "first")
+        )
+        part["__bucket"] = pd.util.hash_array(part["digest"].to_numpy()) % _MBD_BUCKETS
+        return part
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("digest", as_index=False).agg(
+            canonical_ref=("ref", "min"), n_refs=("n", "sum"), blob_bytes=("nbytes", "first")
+        )
+        out["bytes_saved"] = (out["n_refs"] - 1) * out["blob_bytes"]
+        for c in ("canonical_ref", "n_refs", "blob_bytes", "bytes_saved"):
+            out[c] = out[c].astype(np.int64)
+        return out[["canonical_ref", "n_refs", "blob_bytes", "bytes_saved"]]
+
+    partials = ds.map_batches(blob_partials, batch_format="pyarrow")
+    return partials.groupby("__bucket").map_groups(finalize, batch_format="pandas")
+
+SQL_MEDIA_BLOB_DEDUP = """
+WITH g AS (SELECT doc_id, doc_id % 40 AS grp FROM documents)
+SELECT MIN(doc_id) AS canonical_ref,
+       CAST(COUNT(*) AS BIGINT) AS n_refs,
+       CAST(54 + 3 * (4 * (grp % 8 + 1)) * (grp % 5 + 1) AS BIGINT) AS blob_bytes,
+       CAST((COUNT(*) - 1) * (54 + 3 * (4 * (grp % 8 + 1)) * (grp % 5 + 1)) AS BIGINT)
+           AS bytes_saved
+FROM g
+GROUP BY grp
+"""
+
+
+# ---------------------------------------------------------------------------
+# Curriculum ordering: difficulty-phased, in-phase hash-shuffled
+# ---------------------------------------------------------------------------
+
+_CURR_PHASES = 4
+_CURR_BUCKETS = 64
+
+
+def q_curriculum_order(sf_dir: str):
+    """Curriculum data ordering (Bengio et al. 2009 shape): documents are
+    globally ranked by a difficulty proxy (``n_chars``, tie → doc_id),
+    cut into ``_CURR_PHASES`` equal phases (easy → hard, exact NTILE
+    semantics), then deterministically shuffled WITHIN each phase by an
+    md5 key so a trainer streaming phase-by-phase sees difficulty-
+    homogeneous but content-mixed batches.
+
+    Two bucketed rank passes, rows cross the wire once each and the
+    driver only ever folds bucket COUNTS:
+
+    1. global difficulty rank — the TeraSort shape of
+       :func:`q_global_rank`: linspace value buckets over ``n_chars``
+       (equal keys share a bucket, so cross-bucket ties are impossible),
+       per-bucket counts → prefix-sum offsets broadcast back, in-bucket
+       vectorized sort assigns ``rank``; ``phase`` is pure arithmetic on
+       the rank (NTILE boundary table).  At web scale the linspace
+       bounds become sampled quantiles (``sortmerge_join``'s sampler).
+    2. in-phase shuffle rank — same geometry keyed on the md5 digest's
+       top bits, which are uniform by construction, so the second pass
+       is skew-proof at ANY corpus shape."""
+    from ray.data.aggregate import Max, Min
+
+    from .tabular import md5_digest_words
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"], split=True)
+    n_total = int(ds.count())
+    rng = ds.aggregate(Min("n_chars"), Max("n_chars"))
+    bounds = np.linspace(rng["min(n_chars)"], rng["max(n_chars)"], _CURR_BUCKETS + 1)[1:-1]
+
+    def bucket_of(batch: pa.Table) -> pa.Table:
+        v = batch["n_chars"].to_numpy(zero_copy_only=False)
+        b = np.searchsorted(bounds, v, side="right").astype(np.int32)
+        return batch.append_column("__bucket", pa.array(b))
+
+    bucketed = ds.map_batches(bucket_of, batch_format="pyarrow")
+    counts = (
+        bucketed.map_batches(
+            lambda t: pd.DataFrame(
+                {
+                    "__bucket": pd.Series(
+                        t["__bucket"].to_numpy(zero_copy_only=False)
+                    ).value_counts().index,
+                    "n": pd.Series(
+                        t["__bucket"].to_numpy(zero_copy_only=False)
+                    ).value_counts().to_numpy(),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .groupby("__bucket")["n"]
+        .sum()
+    )
+    full = counts.reindex(range(_CURR_BUCKETS), fill_value=0).to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(full)[:-1]])
+    # NTILE(k): first n%k tiles get ceil(n/k) rows
+    base, rem = divmod(n_total, _CURR_PHASES)
+    tile_ends = np.cumsum([base + (1 if t < rem else 0) for t in range(_CURR_PHASES)])
+    off_bc = Broadcast((offsets, tile_ends))
+
+    def rank_phase(df: pd.DataFrame) -> pd.DataFrame:
+        offs, ends = off_bc.get()
+        b = int(df["__bucket"].iloc[0])
+        df = df.sort_values(["n_chars", "doc_id"], kind="stable")
+        rank = offs[b] + np.arange(1, len(df) + 1, dtype=np.int64)
+        df["phase"] = (np.searchsorted(ends, rank - 1, side="right") + 1).astype(np.int64)
+        return df[["doc_id", "n_chars", "phase"]]
+
+    phased = bucketed.groupby("__bucket").map_groups(rank_phase, batch_format="pandas")
+
+    # pass 2: in-phase md5-shuffle rank, bucketed on the digest's top bits
+    def hash_bucket(batch: pa.Table) -> pa.Table:
+        hi, lo = md5_digest_words(batch["doc_id"])
+        hi, lo = hi.astype(np.uint64), lo.astype(np.uint64)  # native-endian view
+        ph = batch["phase"].to_numpy(zero_copy_only=False)
+        hb = (hi >> np.uint64(58)).astype(np.int64)  # top 6 bits → 64 buckets
+        return pa.Table.from_arrays(
+            [
+                batch["doc_id"],
+                batch["n_chars"],
+                batch["phase"],
+                pa.array(hi),
+                pa.array(lo),
+                pa.array(ph * _CURR_BUCKETS + hb),
+            ],
+            names=["doc_id", "n_chars", "phase", "__hi", "__lo", "__pb"],
+        )
+
+    hb_ds = phased.map_batches(hash_bucket, batch_format="pyarrow")
+    hb_counts = (
+        hb_ds.map_batches(
+            lambda t: pd.DataFrame(
+                {
+                    "__pb": pd.Series(t["__pb"].to_numpy(zero_copy_only=False))
+                    .value_counts()
+                    .index,
+                    "n": pd.Series(t["__pb"].to_numpy(zero_copy_only=False))
+                    .value_counts()
+                    .to_numpy(),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .groupby("__pb")["n"]
+        .sum()
+        .sort_index()
+    )
+    # per-phase prefix offsets over that phase's hash buckets
+    pb_offsets: dict[int, int] = {}
+    seen_per_phase: dict[int, int] = {}
+    for pb, n in hb_counts.items():
+        ph = int(pb) // _CURR_BUCKETS
+        pb_offsets[int(pb)] = seen_per_phase.get(ph, 0)
+        seen_per_phase[ph] = pb_offsets[int(pb)] + int(n)
+    pbo_bc = Broadcast(pb_offsets)
+
+    def rank_in_phase(df: pd.DataFrame) -> pd.DataFrame:
+        pb = int(df["__pb"].iloc[0])
+        df = df.sort_values(["__hi", "__lo", "doc_id"], kind="stable")
+        df["phase_rank"] = pbo_bc.get()[pb] + np.arange(1, len(df) + 1, dtype=np.int64)
+        return df[["doc_id", "n_chars", "phase", "phase_rank"]]
+
+    return hb_ds.groupby("__pb").map_groups(rank_in_phase, batch_format="pandas")
+
+
+SQL_CURRICULUM_ORDER = f"""
+WITH ranked AS (
+  SELECT doc_id, n_chars,
+         NTILE({_CURR_PHASES}) OVER (ORDER BY n_chars, doc_id) AS phase
+  FROM documents)
+SELECT doc_id, n_chars, CAST(phase AS BIGINT) AS phase,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY phase
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS phase_rank
+FROM ranked
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-source dataset card
+# ---------------------------------------------------------------------------
+
+
+def q_data_card(sf_dir: str):
+    """Per-source dataset card — the one-page summary a training-data
+    release ships per subcorpus (docs, token volume, mean length,
+    language mix + entropy, exact-duplicate rate).
+
+    One streaming pass folds per-``(source, lang)`` partials (count,
+    token sum via the vectorized ``\\S+`` Arrow kernel, char sum) —
+    a table bounded by sources × languages, NOT corpus size — and the
+    driver finishes the per-source entropy over it.  The exact
+    distinct-text count per source is a second pass with the
+    md5-digest dedup geometry: each batch emits its distinct
+    ``(source, digest)`` pairs once, a digest-bucket reduce re-dedups,
+    and only per-bucket COUNTS return.  Text never shuffles."""
+    import pyarrow.compute as pc
+
+    from .tabular import md5_digest_words
+
+    ds = read_table(sf_dir, "documents", columns=["source", "lang", "text"], split=True)
+
+    def lang_partials(batch: pa.Table) -> pd.DataFrame:
+        toks = pc.fill_null(
+            pc.cast(pc.count_substring_regex(batch["text"], r"\S+"), pa.int64()), 0
+        ).to_numpy(zero_copy_only=False)
+        chars = pc.fill_null(
+            pc.cast(pc.utf8_length(batch["text"]), pa.int64()), 0
+        ).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "source": batch["source"].to_numpy(zero_copy_only=False),
+                "lang": batch["lang"].to_numpy(zero_copy_only=False),
+                "toks": toks,
+                "chars": chars,
+            }
+        )
+        return df.groupby(["source", "lang"], as_index=False).agg(
+            n=("toks", "size"), toks=("toks", "sum"), chars=("chars", "sum")
+        )
+
+    per_sl = (
+        ds.map_batches(lang_partials, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["source", "lang"], as_index=False)
+        .sum()
+    )
+
+    def distinct_partials(batch: pa.Table) -> pd.DataFrame:
+        hi, lo = md5_digest_words(batch["text"])
+        hi, lo = hi.astype(np.uint64), lo.astype(np.uint64)
+        df = pd.DataFrame(
+            {
+                "source": batch["source"].to_numpy(zero_copy_only=False),
+                "hi": hi,
+                "lo": lo,
+            }
+        ).drop_duplicates()
+        df["__bucket"] = (df["hi"] % np.uint64(_MBD_BUCKETS)).astype(np.int64)
+        return df
+
+    def count_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.drop_duplicates(["source", "hi", "lo"])
+            .groupby("source", as_index=False)
+            .size()
+            .rename(columns={"size": "n_distinct"})
+        )
+        return out
+
+    dist = (
+        ds.map_batches(distinct_partials, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(count_distinct, batch_format="pandas")
+        .to_pandas()
+        .groupby("source", as_index=False)["n_distinct"]
+        .sum()
+    )
+
+    tot = per_sl.groupby("source", as_index=False).agg(
+        n_docs=("n", "sum"), n_tokens=("toks", "sum"), chars=("chars", "sum"),
+        n_langs=("lang", "nunique"),
+    )
+    ent = (
+        per_sl.merge(tot[["source", "n_docs"]], on="source")
+        .assign(p=lambda d: d["n"] / d["n_docs"])
+        .assign(term=lambda d: -d["p"] * np.log(d["p"]))
+        .groupby("source", as_index=False)["term"]
+        .sum()
+        .rename(columns={"term": "lang_entropy"})
+    )
+    out = tot.merge(ent, on="source").merge(dist, on="source")
+    out["mean_chars"] = (out["chars"] / out["n_docs"]).round(6)
+    out["lang_entropy"] = out["lang_entropy"].round(6)
+    out["dup_frac"] = ((out["n_docs"] - out["n_distinct"]) / out["n_docs"]).round(6)
+    for c in ("n_docs", "n_tokens", "n_langs", "n_distinct"):
+        out[c] = out[c].astype(np.int64)
+    out = out.rename(columns={"n_distinct": "n_distinct_texts"})
+    return out[
+        [
+            "source", "n_docs", "n_tokens", "mean_chars",
+            "n_langs", "lang_entropy", "n_distinct_texts", "dup_frac",
+        ]
+    ]
+
+
+SQL_DATA_CARD = r"""
+WITH per AS (
+  SELECT source, lang, COUNT(*) AS n,
+         SUM(coalesce(array_length(regexp_extract_all(text, '\S+')), 0)) AS toks,
+         SUM(len(text)) AS chars
+  FROM documents GROUP BY 1, 2),
+tot AS (
+  SELECT source, SUM(n) AS n_docs, SUM(toks) AS n_tokens, SUM(chars) AS chars,
+         COUNT(*) AS n_langs
+  FROM per GROUP BY 1),
+ent AS (
+  SELECT per.source,
+         -SUM((CAST(n AS DOUBLE) / n_docs) * ln(CAST(n AS DOUBLE) / n_docs)) AS h
+  FROM per JOIN tot USING (source) GROUP BY 1),
+dist AS (SELECT source, COUNT(DISTINCT text) AS n_distinct FROM documents GROUP BY 1)
+SELECT t.source,
+       CAST(t.n_docs AS BIGINT) AS n_docs,
+       CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       round(CAST(t.chars AS DOUBLE) / t.n_docs, 6) AS mean_chars,
+       CAST(t.n_langs AS BIGINT) AS n_langs,
+       round(e.h, 6) AS lang_entropy,
+       CAST(d.n_distinct AS BIGINT) AS n_distinct_texts,
+       round(CAST(t.n_docs - d.n_distinct AS DOUBLE) / t.n_docs, 6) AS dup_frac
+FROM tot t JOIN ent e ON t.source = e.source JOIN dist d ON t.source = d.source
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "bm25_search": q_bm25_search,
     "dsir_select": q_dsir_select,
+    "media_blob_dedup": q_media_blob_dedup,
+    "curriculum_order": q_curriculum_order,
+    "data_card": q_data_card,
     "boilerplate_strip": q_boilerplate_strip,
     "interval_overlap_join": q_interval_overlap_join,
     "attribution_linear": q_attribution_linear,
@@ -18499,6 +18862,9 @@ QUERIES = {
 ORACLE_SQL = {
     "bm25_search": SQL_BM25,
     "dsir_select": SQL_DSIR,
+    "media_blob_dedup": SQL_MEDIA_BLOB_DEDUP,
+    "curriculum_order": SQL_CURRICULUM_ORDER,
+    "data_card": SQL_DATA_CARD,
     "interval_overlap_join": SQL_INTERVAL_OVERLAP,
     "attribution_linear": SQL_ATTRIBUTION_LINEAR,
     "incremental_agg": SQL_INCREMENTAL_AGG,

@@ -221,6 +221,9 @@ BENCH_QUERIES = [
     "length_batching",
     "feature_hashing",
     "oov_rate",
+    "media_blob_dedup",
+    "curriculum_order",
+    "data_card",
 ]
 
 
