@@ -18323,7 +18323,6 @@ def q_curriculum_order(sf_dir: str):
     from .tabular import md5_digest_words
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"], split=True)
-    n_total = int(ds.count())
     rng = ds.aggregate(Min("n_chars"), Max("n_chars"))
     bounds = np.linspace(rng["min(n_chars)"], rng["max(n_chars)"], _CURR_BUCKETS + 1)[1:-1]
 
@@ -18353,6 +18352,7 @@ def q_curriculum_order(sf_dir: str):
     )
     full = counts.reindex(range(_CURR_BUCKETS), fill_value=0).to_numpy()
     offsets = np.concatenate([[0], np.cumsum(full)[:-1]])
+    n_total = int(full.sum())  # total rows fall out of the same fold — no extra job
     # NTILE(k): first n%k tiles get ceil(n/k) rows
     base, rem = divmod(n_total, _CURR_PHASES)
     tile_ends = np.cumsum([base + (1 if t < rem else 0) for t in range(_CURR_PHASES)])
