@@ -18572,6 +18572,121 @@ FROM tot t JOIN ent e ON t.source = e.source JOIN dist d ON t.source = d.source
 """
 
 
+# ---------------------------------------------------------------------------
+# Quality-proportional rejection sampling
+# ---------------------------------------------------------------------------
+
+
+def q_quality_sample(sf_dir: str):
+    """Quality-proportional rejection sampling — the curation op that
+    keeps a document with probability equal to its quality score
+    (FineWeb-style stochastic filtering, instead of a hard threshold
+    that cliff-drops mid-quality content).
+
+    The coin is deterministic: u(doc) = top-52-md5-bits(doc_id) / 2^52
+    (an exactly representable float, the :func:`q_weighted_sample`
+    idiom), accept iff u < quality_score.  No RNG state — any
+    worker/batch layout, retry, or resume draws the same sample, and
+    DuckDB reproduces the identical uniform so the whole sample is
+    value-oracled.  Fused scan: score + coin + filter in one
+    ``map_batches``, zero shuffle, output is accepted rows only."""
+    from ..stages.text_stats import quality_batch
+
+    from .tabular import md5_digest_words
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+
+    def accept(batch: pa.Table) -> pa.Table:
+        scored = quality_batch(batch)
+        hi, _ = md5_digest_words(scored["doc_id"])
+        u = (hi >> np.uint64(12)).astype(np.float64) / np.float64(2**52)
+        keep = u < scored["quality_score"].to_numpy(zero_copy_only=False)
+        return scored.filter(pa.array(keep)).select(["doc_id", "quality_score"])
+
+    return ds.map_batches(accept, batch_format="pyarrow")
+
+
+SQL_QUALITY_SAMPLE = f"""
+WITH q AS ({SQL_QUALITY})
+SELECT doc_id, quality_score
+FROM q
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+        / 4503599627370496.0 < quality_score
+"""
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility per language
+# ---------------------------------------------------------------------------
+
+
+def q_tokenizer_fertility(sf_dir: str):
+    """Tokenizer fertility report per language — tokens-per-word and
+    chars-per-token, the standard multilingual tokenizer-efficiency
+    audit (a language whose fertility is 2× pays 2× the compute per
+    word of content).
+
+    Fertility = BPE-ish tokens (``\\w+|[^\\w\\s]`` runs, the
+    ``token_bpe`` kernel) over whitespace words; both counts come from
+    vectorized Arrow regex kernels in ONE fused scan that reduces each
+    batch to a per-language partial row — the driver folds a table
+    bounded by language count, never rows."""
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"], split=True)
+
+    def partials(batch: pa.Table) -> pd.DataFrame:
+        def cnt(pattern: str) -> np.ndarray:
+            return pc.fill_null(
+                pc.cast(pc.count_substring_regex(batch["text"], pattern), pa.int64()), 0
+            ).to_numpy(zero_copy_only=False)
+
+        df = pd.DataFrame(
+            {
+                "lang": batch["lang"].to_numpy(zero_copy_only=False),
+                "ws": cnt(r"\S+"),
+                "bpe": cnt(r"\w+|[^\w\s]"),
+                "chars": pc.fill_null(
+                    pc.cast(pc.utf8_length(batch["text"]), pa.int64()), 0
+                ).to_numpy(zero_copy_only=False),
+            }
+        )
+        return df.groupby("lang", as_index=False).agg(
+            n_docs=("ws", "size"), ws=("ws", "sum"), bpe=("bpe", "sum"),
+            chars=("chars", "sum"),
+        )
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("lang", as_index=False)
+        .sum()
+    )
+    agg["fertility"] = (agg["bpe"] / agg["ws"]).round(6)
+    agg["chars_per_token"] = (agg["chars"] / agg["bpe"]).round(6)
+    for c in ("n_docs", "ws", "bpe"):
+        agg[c] = agg[c].astype(np.int64)
+    agg = agg.rename(columns={"ws": "n_ws_tokens", "bpe": "n_bpe_tokens"})
+    return agg[["lang", "n_docs", "n_ws_tokens", "n_bpe_tokens", "fertility", "chars_per_token"]]
+
+
+SQL_TOKENIZER_FERTILITY = r"""
+WITH t AS (
+  SELECT lang,
+         coalesce(array_length(regexp_extract_all(text, '\S+')), 0) AS ws,
+         coalesce(array_length(regexp_extract_all(text, '\w+|[^\w\s]')), 0) AS bpe,
+         len(text) AS chars
+  FROM documents)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ws) AS BIGINT) AS n_ws_tokens,
+       CAST(SUM(bpe) AS BIGINT) AS n_bpe_tokens,
+       round(CAST(SUM(bpe) AS DOUBLE) / SUM(ws), 6) AS fertility,
+       round(CAST(SUM(chars) AS DOUBLE) / SUM(bpe), 6) AS chars_per_token
+FROM t GROUP BY lang
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "bm25_search": q_bm25_search,
@@ -18579,6 +18694,8 @@ QUERIES = {
     "media_blob_dedup": q_media_blob_dedup,
     "curriculum_order": q_curriculum_order,
     "data_card": q_data_card,
+    "quality_sample": q_quality_sample,
+    "tokenizer_fertility": q_tokenizer_fertility,
     "boilerplate_strip": q_boilerplate_strip,
     "interval_overlap_join": q_interval_overlap_join,
     "attribution_linear": q_attribution_linear,
@@ -18865,6 +18982,8 @@ ORACLE_SQL = {
     "media_blob_dedup": SQL_MEDIA_BLOB_DEDUP,
     "curriculum_order": SQL_CURRICULUM_ORDER,
     "data_card": SQL_DATA_CARD,
+    "quality_sample": SQL_QUALITY_SAMPLE,
+    "tokenizer_fertility": SQL_TOKENIZER_FERTILITY,
     "interval_overlap_join": SQL_INTERVAL_OVERLAP,
     "attribution_linear": SQL_ATTRIBUTION_LINEAR,
     "incremental_agg": SQL_INCREMENTAL_AGG,

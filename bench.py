@@ -224,6 +224,8 @@ BENCH_QUERIES = [
     "media_blob_dedup",
     "curriculum_order",
     "data_card",
+    "quality_sample",
+    "tokenizer_fertility",
 ]
 
 
