@@ -18687,6 +18687,186 @@ FROM t GROUP BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# kNN label-noise detection over the embeddings table
+# ---------------------------------------------------------------------------
+
+_LND_K = 5
+
+
+def q_label_noise_detect(sf_dir: str):
+    """Label-noise detection (confident-learning-lite): flag every
+    vector whose ``_LND_K`` nearest neighbors by cosine majority-vote a
+    DIFFERENT label — the standard pre-training audit that surfaces
+    mislabeled examples before they poison a classifier.
+
+    Same broadcast-matmul shape as :func:`q_hard_negatives` (ids-only
+    output for float32 ``list_cosine_similarity`` parity): each batch
+    computes its sims block against the broadcast normalized matrix,
+    takes the top-K columns with a stable argsort (equal sims keep
+    ascending vec_id order — the SQL tie rule), folds votes with ONE
+    vectorized 2-D scatter-add (no per-row Python), and emits only the
+    disagreeing rows.  ``knn_ivf``/``knn_lsh_shuffle`` are the in-repo
+    sublinear swaps when the matrix outgrows the broadcast budget."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "label", "embedding"], split=True)
+
+    mat_tbl = (
+        read_table_arrow(sf_dir, "embeddings", columns=["vec_id", "label", "embedding"])
+        .sort_by("vec_id")
+    )
+    ids = mat_tbl["vec_id"].to_numpy()
+    labels = mat_tbl["label"].to_numpy().astype(np.int64)
+    n_labels = int(labels.max()) + 1
+    M = np.stack(mat_tbl["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    bc = Broadcast((ids, labels, n_labels, Mn))
+
+    def flag_noise(batch: pa.Table) -> pd.DataFrame:
+        ids_, labels_, n_labels_, Mn_ = bc.get()
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False)
+        vlab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        V = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        sims = Vn @ Mn_.T
+        sims[vid[:, None] == ids_[None, :]] = -np.inf  # mask self
+        # stable argsort of -sims: ties keep ascending vec_id (matrix is
+        # vec_id-sorted) — identical to SQL's (sim DESC, vec_id) rule
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :_LND_K]
+        top_labels = labels_[order]  # B × K
+        votes = np.zeros((len(vid), n_labels_), dtype=np.int64)
+        rows = np.repeat(np.arange(len(vid)), _LND_K)
+        np.add.at(votes, (rows, top_labels.ravel()), 1)
+        knn_label = votes.argmax(axis=1)  # first max = smallest label on ties
+        n_votes = votes[np.arange(len(vid)), knn_label]
+        bad = knn_label != vlab
+        return pd.DataFrame(
+            {
+                "vec_id": vid.astype(np.int64)[bad],
+                "label": vlab[bad],
+                "knn_label": knn_label.astype(np.int64)[bad],
+                "n_votes": n_votes.astype(np.int64)[bad],
+            }
+        )
+
+    return ds.map_batches(flag_noise, batch_format="pyarrow")
+
+
+SQL_LABEL_NOISE = f"""
+WITH nn AS (
+  SELECT a.vec_id, a.label AS own, b.label AS nlabel,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+                    b.vec_id) AS rk
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id),
+votes AS (
+  SELECT vec_id, own, nlabel, COUNT(*) AS c
+  FROM nn WHERE rk <= {_LND_K} GROUP BY 1, 2, 3),
+best AS (
+  SELECT vec_id, own, nlabel AS knn_label, c
+  FROM votes
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, nlabel) = 1)
+SELECT vec_id,
+       CAST(own AS BIGINT) AS label,
+       CAST(knn_label AS BIGINT) AS knn_label,
+       CAST(c AS BIGINT) AS n_votes
+FROM best WHERE knn_label <> own
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic class-balanced downsampling
+# ---------------------------------------------------------------------------
+
+_CB_BUCKETS = 64
+
+
+def q_class_balance(sf_dir: str):
+    """Class-balanced downsampling: keep exactly ``min(class size)``
+    rows per label, chosen by a deterministic md5 order — the trainer
+    prep that equalizes class frequencies without RNG state (any
+    worker layout, retry, or resume keeps the same rows).
+
+    Geometry is the :func:`q_curriculum_order` pass-2 shape: one
+    bounded fold counts rows per (label, md5-top-bits bucket) — the
+    bucket key is uniform by construction, so the pass is skew-proof
+    even when one class dominates — prefix offsets within each label
+    broadcast back, and each (label, bucket) group sorts locally and
+    keeps the rows whose global in-label md5 rank clears the minimum
+    class size.  Rows cross the wire once; the driver folds only
+    labels × buckets counts."""
+    from .tabular import md5_digest_words
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "label"], split=True)
+
+    def hash_bucket(batch: pa.Table) -> pa.Table:
+        hi, lo = md5_digest_words(batch["vec_id"])
+        hi, lo = hi.astype(np.uint64), lo.astype(np.uint64)
+        lab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hb = (hi >> np.uint64(58)).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                batch["vec_id"],
+                batch["label"],
+                pa.array(hi),
+                pa.array(lo),
+                pa.array(lab * _CB_BUCKETS + hb),
+            ],
+            names=["vec_id", "label", "__hi", "__lo", "__lb"],
+        )
+
+    hb_ds = ds.map_batches(hash_bucket, batch_format="pyarrow")
+    lb_counts = (
+        hb_ds.map_batches(
+            lambda t: pd.DataFrame(
+                {
+                    "__lb": pd.Series(t["__lb"].to_numpy(zero_copy_only=False))
+                    .value_counts()
+                    .index,
+                    "n": pd.Series(t["__lb"].to_numpy(zero_copy_only=False))
+                    .value_counts()
+                    .to_numpy(),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .groupby("__lb")["n"]
+        .sum()
+        .sort_index()
+    )
+    class_sizes: dict[int, int] = {}
+    lb_offsets: dict[int, int] = {}
+    for lb, n in lb_counts.items():
+        lab = int(lb) // _CB_BUCKETS
+        lb_offsets[int(lb)] = class_sizes.get(lab, 0)
+        class_sizes[lab] = lb_offsets[int(lb)] + int(n)
+    m = min(class_sizes.values())
+    state_bc = Broadcast((lb_offsets, m))
+
+    def keep_ranked(df: pd.DataFrame) -> pd.DataFrame:
+        offs, m_ = state_bc.get()
+        lb = int(df["__lb"].iloc[0])
+        df = df.sort_values(["__hi", "__lo", "vec_id"], kind="stable")
+        rank = offs[lb] + np.arange(1, len(df) + 1, dtype=np.int64)
+        out = df.loc[rank <= m_, ["vec_id", "label"]].copy()
+        out["label"] = out["label"].astype(np.int64)
+        return out
+
+    return hb_ds.groupby("__lb").map_groups(keep_ranked, batch_format="pandas")
+
+
+SQL_CLASS_BALANCE = """
+WITH m AS (
+  SELECT MIN(n) AS m FROM (SELECT COUNT(*) AS n FROM embeddings GROUP BY label))
+SELECT vec_id, CAST(label AS BIGINT) AS label
+FROM embeddings, m
+QUALIFY row_number() OVER (
+  PARTITION BY label
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= m.m
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "bm25_search": q_bm25_search,
@@ -18696,6 +18876,8 @@ QUERIES = {
     "data_card": q_data_card,
     "quality_sample": q_quality_sample,
     "tokenizer_fertility": q_tokenizer_fertility,
+    "label_noise_detect": q_label_noise_detect,
+    "class_balance": q_class_balance,
     "boilerplate_strip": q_boilerplate_strip,
     "interval_overlap_join": q_interval_overlap_join,
     "attribution_linear": q_attribution_linear,
@@ -18984,6 +19166,8 @@ ORACLE_SQL = {
     "data_card": SQL_DATA_CARD,
     "quality_sample": SQL_QUALITY_SAMPLE,
     "tokenizer_fertility": SQL_TOKENIZER_FERTILITY,
+    "label_noise_detect": SQL_LABEL_NOISE,
+    "class_balance": SQL_CLASS_BALANCE,
     "interval_overlap_join": SQL_INTERVAL_OVERLAP,
     "attribution_linear": SQL_ATTRIBUTION_LINEAR,
     "incremental_agg": SQL_INCREMENTAL_AGG,

@@ -226,6 +226,8 @@ BENCH_QUERIES = [
     "data_card",
     "quality_sample",
     "tokenizer_fertility",
+    "label_noise_detect",
+    "class_balance",
 ]
 
 
