@@ -1000,3 +1000,125 @@ class TestRound5DegenerateParity:
         got = got.to_pandas() if not isinstance(got, pd.DataFrame) else got
         want = con.execute(SQL_JACCARD_WEEKS).df()
         assert len(got) == len(want) == 0  # nothing crosses the gap
+
+
+class TestRound6Degenerates:
+    """Planted edge cases for the round-6 queries: constant-difficulty
+    curriculum, equal/skewed class sizes, a planted mislabel, a fully
+    duplicated source."""
+
+    _con = staticmethod(TestRound5DegenerateParity._con)
+    _cmp = staticmethod(TestDegenerateGroupParity._cmp)
+
+    def test_curriculum_constant_difficulty(self, ray_session, tmp_path):
+        """All docs the same length: one value bucket holds everything,
+        NTILE must still split exactly by doc_id order."""
+        from article_extraction_ray.pipelines.queries import (
+            SQL_CURRICULUM_ORDER,
+            q_curriculum_order,
+        )
+
+        docs = pd.DataFrame(
+            {"doc_id": np.arange(10, dtype=np.int64),
+             "n_chars": np.full(10, 77, dtype=np.int64),
+             "text": ["x"] * 10, "lang": "en", "source": "s"}
+        )
+        con = self._con(tmp_path, documents=docs)
+        got = q_curriculum_order(str(tmp_path))
+        self._cmp(got, con, SQL_CURRICULUM_ORDER, ["doc_id"])
+        g = (got.to_pandas() if not isinstance(got, pd.DataFrame) else got)
+        # 10 rows / 4 phases → sizes 3,3,2,2 in doc_id order
+        sizes = g.sort_values("doc_id")["phase"].value_counts().sort_index().tolist()
+        assert sizes == [3, 3, 2, 2]
+
+    def test_class_balance_equal_and_skewed(self, ray_session, tmp_path):
+        """Equal class sizes keep every row; a 1-row class forces m=1."""
+        from article_extraction_ray.pipelines.queries import (
+            SQL_CLASS_BALANCE,
+            q_class_balance,
+        )
+
+        emb = pd.DataFrame(
+            {"vec_id": np.arange(9, dtype=np.int64),
+             "label": np.array([0, 0, 0, 1, 1, 1, 2, 2, 2], dtype=np.int32),
+             "embedding": [[1.0, 0.0]] * 9}
+        )
+        con = self._con(tmp_path, embeddings=emb)
+        got = q_class_balance(str(tmp_path))
+        self._cmp(got, con, SQL_CLASS_BALANCE, ["vec_id"])
+        g = got.to_pandas() if not isinstance(got, pd.DataFrame) else got
+        assert len(g) == 9  # equal sizes → nothing dropped
+
+        skew = pd.DataFrame(
+            {"vec_id": np.arange(7, dtype=np.int64),
+             "label": np.array([0, 0, 0, 0, 0, 0, 1], dtype=np.int32),
+             "embedding": [[1.0, 0.0]] * 7}
+        )
+        con2 = self._con(tmp_path, embeddings=skew)
+        got2 = q_class_balance(str(tmp_path))
+        self._cmp(got2, con2, SQL_CLASS_BALANCE, ["vec_id"])
+        g2 = got2.to_pandas() if not isinstance(got2, pd.DataFrame) else got2
+        assert len(g2) == 2 and set(g2["label"]) == {0, 1}
+
+    def test_label_noise_planted_mislabel(self, ray_session, tmp_path):
+        """Two tight clusters; one cluster-0 point carries label 1 —
+        exactly that point must be flagged with knn_label 0."""
+        from article_extraction_ray.pipelines.queries import (
+            SQL_LABEL_NOISE,
+            q_label_noise_detect,
+        )
+
+        rng = np.random.default_rng(5)
+        a = rng.normal((1.0, 0.0), 0.01, size=(8, 2))
+        b = rng.normal((0.0, 1.0), 0.01, size=(8, 2))
+        vecs = np.vstack([a, b]).astype(np.float32)
+        labels = np.array([0] * 8 + [1] * 8, dtype=np.int32)
+        labels[3] = 1  # the mislabel: geometrically cluster 0
+        emb = pd.DataFrame(
+            {"vec_id": np.arange(16, dtype=np.int64),
+             "label": labels,
+             "embedding": [list(map(float, v)) for v in vecs]}
+        )
+        con = self._con(tmp_path, embeddings=emb)
+        got = q_label_noise_detect(str(tmp_path))
+        self._cmp(got, con, SQL_LABEL_NOISE, ["vec_id"])
+        g = got.to_pandas() if not isinstance(got, pd.DataFrame) else got
+        assert 3 in set(g["vec_id"]) and int(g.set_index("vec_id").loc[3, "knn_label"]) == 0
+
+    def test_data_card_fully_duplicated_source(self, ray_session, tmp_path):
+        """One source is a single text repeated: dup_frac must hit
+        (n-1)/n and entropy 0 for its single language."""
+        from article_extraction_ray.pipelines.queries import SQL_DATA_CARD, q_data_card
+
+        docs = pd.DataFrame(
+            {"doc_id": np.arange(12, dtype=np.int64),
+             "text": ["same text here"] * 6 + [f"unique {i} words" for i in range(6)],
+             "lang": ["en"] * 6 + ["en", "fr", "fr", "de", "de", "de"],
+             "source": ["dup"] * 6 + ["mix"] * 6,
+             "n_chars": np.full(12, 14, dtype=np.int64)}
+        )
+        con = self._con(tmp_path, documents=docs)
+        got = q_data_card(str(tmp_path))
+        self._cmp(got, con, SQL_DATA_CARD, ["source"])
+        g = (got.to_pandas() if not isinstance(got, pd.DataFrame) else got).set_index("source")
+        assert abs(g.loc["dup", "dup_frac"] - 5 / 6) < 1e-6  # 6-dp rounded
+        assert g.loc["dup", "lang_entropy"] == 0.0
+        assert g.loc["mix", "n_langs"] == 3
+
+    def test_media_blob_dedup_tiny_corpus(self, ray_session, tmp_path):
+        """Fewer docs than blob groups: every blob unique → zero saved."""
+        from article_extraction_ray.pipelines.queries import (
+            SQL_MEDIA_BLOB_DEDUP,
+            q_media_blob_dedup,
+        )
+
+        docs = pd.DataFrame(
+            {"doc_id": np.arange(10, dtype=np.int64),
+             "text": ["t"] * 10, "lang": "en", "source": "s",
+             "n_chars": np.ones(10, dtype=np.int64)}
+        )
+        con = self._con(tmp_path, documents=docs)
+        got = q_media_blob_dedup(str(tmp_path))
+        self._cmp(got, con, SQL_MEDIA_BLOB_DEDUP, ["canonical_ref"])
+        g = got.to_pandas() if not isinstance(got, pd.DataFrame) else got
+        assert (g["bytes_saved"] == 0).all() and len(g) == 10
