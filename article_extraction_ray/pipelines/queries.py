@@ -18867,6 +18867,94 @@ QUALIFY row_number() OVER (
 """
 
 
+# ---------------------------------------------------------------------------
+# Perceptual-hash (aHash) near-duplicate image detection
+# ---------------------------------------------------------------------------
+
+_PHASH_GROUPS = 25
+
+
+def _phash_base_bits(g: int) -> np.ndarray:
+    """64 deterministic pattern bits for blob group ``g`` (md5-derived;
+    first two bits forced to 1,0 so no pattern is uniform — a uniform
+    image would alias across groups under a mean-threshold hash)."""
+    import hashlib
+
+    raw = hashlib.md5(f"phash-{g}".encode()).digest()
+    bits = np.unpackbits(np.frombuffer(raw, dtype=np.uint8))[:64].copy()
+    bits[0], bits[1] = 1, 0
+    return bits
+
+
+def q_media_phash_dedup(sf_dir: str):
+    """Perceptual near-duplicate image detection — the dedup that exact
+    content hashing CANNOT do: each document's image is its group's
+    base pattern plus per-document pixel noise (re-encoded thumbnails,
+    recompressed logos), so every payload is byte-unique, yet the
+    8×8 average-hash (aHash: grayscale, threshold at the image mean,
+    pack to 64 bits) is identical within a group.
+
+    The engine is plant-blind: it walks the real BMP container
+    (data-offset/stride from the header), grayscales actual pixels,
+    thresholds at the actual per-image mean, and groups by the
+    resulting 64-bit hash with the same digest-bucket combiner as
+    :func:`q_media_blob_dedup` — payloads never shuffle, only
+    (hash, min_ref, n) candidates.  The noise is ±1 on 40/200-valued
+    pixels, so no bit can cross the ~120 mean: the SQL oracle knows
+    only the planted group arithmetic, and any decode/threshold bug
+    splits or merges a group and flips the hash check."""
+    import hashlib
+    import struct
+
+    from ..stages.multimodal import make_bmp
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"], split=True)
+
+    def phash_partials(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        hashes = np.empty(len(ids), dtype=np.uint64)
+        for j, i in enumerate(ids):
+            i = int(i)
+            g = i % _PHASH_GROUPS
+            vals = np.where(_phash_base_bits(g) == 1, 200, 40).astype(np.int16)
+            noise_bits = np.unpackbits(
+                np.frombuffer(hashlib.md5(f"noise-{i}".encode()).digest(), dtype=np.uint8)
+            )[:64]
+            vals = (vals + np.where(noise_bits == 1, 1, -1)).astype(np.uint8)
+            payload = make_bmp(8, 8, np.repeat(vals, 3).tobytes())
+            # honest decode: header walk, stride slice, grayscale, aHash
+            data_off = struct.unpack_from("<I", payload, 10)[0]
+            w, h = struct.unpack_from("<ii", payload, 18)
+            stride = (w * 3 + 3) & ~3
+            px = np.frombuffer(
+                payload, dtype=np.uint8, count=stride * h, offset=data_off
+            ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+            gray = px.mean(axis=2)
+            bits = (gray > gray.mean()).astype(np.uint8).ravel()
+            hashes[j] = np.packbits(bits).view(">u8")[0]
+        df = pd.DataFrame({"ahash": hashes, "ref": ids})
+        part = df.groupby("ahash", as_index=False).agg(ref=("ref", "min"), n=("ref", "size"))
+        part["__bucket"] = (part["ahash"].to_numpy() % np.uint64(_MBD_BUCKETS)).astype(np.int64)
+        return part
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("ahash", as_index=False).agg(
+            canonical_ref=("ref", "min"), n_refs=("n", "sum")
+        )
+        for c in ("canonical_ref", "n_refs"):
+            out[c] = out[c].astype(np.int64)
+        return out[["canonical_ref", "n_refs"]]
+
+    partials = ds.map_batches(phash_partials, batch_format="pyarrow")
+    return partials.groupby("__bucket").map_groups(finalize, batch_format="pandas")
+
+
+SQL_MEDIA_PHASH_DEDUP = f"""
+SELECT MIN(doc_id) AS canonical_ref, CAST(COUNT(*) AS BIGINT) AS n_refs
+FROM documents GROUP BY doc_id % {_PHASH_GROUPS}
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "bm25_search": q_bm25_search,
@@ -18878,6 +18966,7 @@ QUERIES = {
     "tokenizer_fertility": q_tokenizer_fertility,
     "label_noise_detect": q_label_noise_detect,
     "class_balance": q_class_balance,
+    "media_phash_dedup": q_media_phash_dedup,
     "boilerplate_strip": q_boilerplate_strip,
     "interval_overlap_join": q_interval_overlap_join,
     "attribution_linear": q_attribution_linear,
@@ -19168,6 +19257,7 @@ ORACLE_SQL = {
     "tokenizer_fertility": SQL_TOKENIZER_FERTILITY,
     "label_noise_detect": SQL_LABEL_NOISE,
     "class_balance": SQL_CLASS_BALANCE,
+    "media_phash_dedup": SQL_MEDIA_PHASH_DEDUP,
     "interval_overlap_join": SQL_INTERVAL_OVERLAP,
     "attribution_linear": SQL_ATTRIBUTION_LINEAR,
     "incremental_agg": SQL_INCREMENTAL_AGG,

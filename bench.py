@@ -228,6 +228,7 @@ BENCH_QUERIES = [
     "tokenizer_fertility",
     "label_noise_detect",
     "class_balance",
+    "media_phash_dedup",
 ]
 
 

@@ -1122,3 +1122,40 @@ class TestRound6Degenerates:
         self._cmp(got, con, SQL_MEDIA_BLOB_DEDUP, ["canonical_ref"])
         g = got.to_pandas() if not isinstance(got, pd.DataFrame) else got
         assert (g["bytes_saved"] == 0).all() and len(g) == 10
+
+    def test_media_phash_beats_exact_hash(self, ray_session, tmp_path):
+        """The perceptual groups are invisible to exact hashing: every
+        payload is byte-unique (sha256 all distinct) yet aHash groups
+        land exactly on the planted structure."""
+        import hashlib
+
+        from article_extraction_ray.pipelines.queries import (
+            _PHASH_GROUPS,
+            SQL_MEDIA_PHASH_DEDUP,
+            _phash_base_bits,
+            q_media_phash_dedup,
+        )
+        from article_extraction_ray.stages.multimodal import make_bmp
+
+        docs = pd.DataFrame(
+            {"doc_id": np.arange(100, dtype=np.int64),
+             "text": ["t"] * 100, "lang": "en", "source": "s",
+             "n_chars": np.ones(100, dtype=np.int64)}
+        )
+        con = self._con(tmp_path, documents=docs)
+        got = q_media_phash_dedup(str(tmp_path))
+        self._cmp(got, con, SQL_MEDIA_PHASH_DEDUP, ["canonical_ref"])
+        g = got.to_pandas() if not isinstance(got, pd.DataFrame) else got
+        assert len(g) == _PHASH_GROUPS and int(g["n_refs"].sum()) == 100
+
+        # rebuild the payloads the query synthesizes; exact digests must
+        # ALL differ (the noise defeats byte-level dedup)
+        digests = set()
+        for i in range(100):
+            vals = np.where(_phash_base_bits(i % _PHASH_GROUPS) == 1, 200, 40).astype(np.int16)
+            noise = np.unpackbits(
+                np.frombuffer(hashlib.md5(f"noise-{i}".encode()).digest(), dtype=np.uint8)
+            )[:64]
+            vals = (vals + np.where(noise == 1, 1, -1)).astype(np.uint8)
+            digests.add(hashlib.sha256(make_bmp(8, 8, np.repeat(vals, 3).tobytes())).hexdigest())
+        assert len(digests) == 100
