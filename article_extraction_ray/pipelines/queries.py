@@ -18955,6 +18955,114 @@ FROM documents GROUP BY doc_id % {_PHASH_GROUPS}
 """
 
 
+# ---------------------------------------------------------------------------
+# Safety blocklist gate
+# ---------------------------------------------------------------------------
+
+#: whole-word blocklist (stand-in for a safety/brand-risk term list)
+_BLOCKLIST = ("slow", "dup", "error")
+_BLOCKLIST_RE = r"\b(" + "|".join(_BLOCKLIST) + r")\b"
+
+
+def q_blocklist_filter(sf_dir: str):
+    """Safety blocklist gate — the wordlist screen a training-data
+    pipeline runs before any model-based toxicity scorer (cheap, exact,
+    auditable): count whole-word blocklist hits per document and emit
+    the documents the gate removes, with their hit counts, so the drop
+    set is reviewable.
+
+    One fused scan: a single vectorized Arrow regex count per batch
+    (alternation compiled once by RE2), filter to hits > 0, zero
+    shuffle.  The whole-word ``\\b`` semantics are identical in RE2 and
+    DuckDB, so the gate is value-oracled."""
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        hits = pc.fill_null(
+            pc.cast(pc.count_substring_regex(batch["text"], _BLOCKLIST_RE), pa.int64()), 0
+        )
+        keep = pc.greater(hits, 0)
+        return pa.Table.from_arrays(
+            [batch["doc_id"].filter(keep), hits.filter(keep)],
+            names=["doc_id", "n_hits"],
+        )
+
+    return ds.map_batches(gate, batch_format="pyarrow")
+
+
+SQL_BLOCKLIST_FILTER = rf"""
+SELECT doc_id,
+       CAST(array_length(regexp_extract_all(text, '{_BLOCKLIST_RE}')) AS BIGINT) AS n_hits
+FROM documents
+WHERE array_length(regexp_extract_all(text, '{_BLOCKLIST_RE}')) > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Normalization-robust exact dedup
+# ---------------------------------------------------------------------------
+
+
+def q_normalized_dedup(sf_dir: str):
+    """Normalization-robust exact dedup: case-fold, collapse whitespace
+    runs, trim — then dedupe on the canonical form (min doc_id
+    survives) with per-group variant counts.  Catches the
+    trivially-edited duplicates byte-exact dedup misses (re-wrapped
+    lines, case-changed titles, tab-vs-space paste artifacts) without
+    paying MinHash.
+
+    Normalization is three vectorized Arrow kernels; the canonical
+    text itself never shuffles — each batch reduces to one
+    ``(md5(canon), min_id, n)`` candidate per distinct form and only
+    those fixed-width rows cross the digest-bucket reduce (the
+    :func:`..pipelines.tabular.dedup_exact_min` geometry)."""
+    import pyarrow.compute as pc
+
+    from .tabular import md5_digest_words
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+
+    def canon_partials(batch: pa.Table) -> pd.DataFrame:
+        canon = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(pc.utf8_lower(batch["text"]), r"\s+", " ")
+        )
+        hi, lo = md5_digest_words(canon)
+        df = pd.DataFrame(
+            {
+                "hi": hi.astype(np.uint64),
+                "lo": lo.astype(np.uint64),
+                "ref": batch["doc_id"].to_numpy(zero_copy_only=False),
+            }
+        )
+        part = df.groupby(["hi", "lo"], as_index=False).agg(
+            ref=("ref", "min"), n=("ref", "size")
+        )
+        part["__bucket"] = (part["hi"] % np.uint64(_MBD_BUCKETS)).astype(np.int64)
+        return part
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["hi", "lo"], as_index=False).agg(
+            doc_id=("ref", "min"), n_variants=("n", "sum")
+        )
+        out["doc_id"] = out["doc_id"].astype(np.int64)
+        out["n_variants"] = out["n_variants"].astype(np.int64)
+        return out[["doc_id", "n_variants"]]
+
+    partials = ds.map_batches(canon_partials, batch_format="pyarrow")
+    return partials.groupby("__bucket").map_groups(finalize, batch_format="pandas")
+
+
+SQL_NORMALIZED_DEDUP = r"""
+SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_variants
+FROM (SELECT doc_id,
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS k
+      FROM documents)
+GROUP BY k
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "bm25_search": q_bm25_search,
@@ -18967,6 +19075,8 @@ QUERIES = {
     "label_noise_detect": q_label_noise_detect,
     "class_balance": q_class_balance,
     "media_phash_dedup": q_media_phash_dedup,
+    "blocklist_filter": q_blocklist_filter,
+    "normalized_dedup": q_normalized_dedup,
     "boilerplate_strip": q_boilerplate_strip,
     "interval_overlap_join": q_interval_overlap_join,
     "attribution_linear": q_attribution_linear,
@@ -19258,6 +19368,8 @@ ORACLE_SQL = {
     "label_noise_detect": SQL_LABEL_NOISE,
     "class_balance": SQL_CLASS_BALANCE,
     "media_phash_dedup": SQL_MEDIA_PHASH_DEDUP,
+    "blocklist_filter": SQL_BLOCKLIST_FILTER,
+    "normalized_dedup": SQL_NORMALIZED_DEDUP,
     "interval_overlap_join": SQL_INTERVAL_OVERLAP,
     "attribution_linear": SQL_ATTRIBUTION_LINEAR,
     "incremental_agg": SQL_INCREMENTAL_AGG,

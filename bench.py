@@ -229,6 +229,8 @@ BENCH_QUERIES = [
     "label_noise_detect",
     "class_balance",
     "media_phash_dedup",
+    "blocklist_filter",
+    "normalized_dedup",
 ]
 
 

@@ -1159,3 +1159,24 @@ class TestRound6Degenerates:
             vals = (vals + np.where(noise == 1, 1, -1)).astype(np.uint8)
             digests.add(hashlib.sha256(make_bmp(8, 8, np.repeat(vals, 3).tobytes())).hexdigest())
         assert len(digests) == 100
+
+    def test_normalized_dedup_planted_variants(self, ray_session, tmp_path):
+        """Case/whitespace edits of one text collapse to a single
+        survivor (min doc_id) with the right variant count; byte-exact
+        dedup would keep all four."""
+        from article_extraction_ray.pipelines.queries import (
+            SQL_NORMALIZED_DEDUP,
+            q_normalized_dedup,
+        )
+
+        docs = pd.DataFrame(
+            {"doc_id": np.arange(6, dtype=np.int64),
+             "text": ["Hello  World", "hello world", " hello\tWORLD ".lower(),
+                      "hello\nworld", "different doc", "another doc"],
+             "lang": "en", "source": "s", "n_chars": np.full(6, 11, dtype=np.int64)}
+        )
+        con = self._con(tmp_path, documents=docs)
+        got = q_normalized_dedup(str(tmp_path))
+        self._cmp(got, con, SQL_NORMALIZED_DEDUP, ["doc_id"])
+        g = (got.to_pandas() if not isinstance(got, pd.DataFrame) else got).set_index("doc_id")
+        assert len(g) == 3 and int(g.loc[0, "n_variants"]) == 4
