@@ -2333,6 +2333,17 @@ def q_simhash_values(sf_dir: str):
 _EMB_BROADCAST_ROWS = 50_000
 
 
+def _emb_rows(sf_dir: str) -> int:
+    """Embedding-table row count from the parquet footer (no scan) —
+    the routing statistic for every broadcast-vs-blocked decision."""
+    import os
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(
+        os.path.join(sf_dir, "embeddings.parquet")
+    ).metadata.num_rows
+
+
 def q_embedding_dup_pairs(sf_dir: str):
     """Exact cosine near-dup pairs.  Router: broadcast matmul while the
     table fits the broadcast budget (row count from the parquet footer,
@@ -17441,22 +17452,66 @@ JOIN pool phi ON phi.idx = least(CAST(floor(h.h) AS BIGINT) + 1,
 """
 
 
+def _mutual_nn_blocked(ds):
+    """Above-budget mutual-NN: the exact top-1 graph comes from
+    ``knn_graph_blocked`` (block-pair expansion, no driver matrix,
+    same (sim desc, id asc) tie rule), then mutuality is a
+    groupby(min-id) exchange of (lo, hi, fwd) int triples: the pair
+    (a, b) is mutual iff its lo-group holds BOTH directions.  Nothing
+    wider than 3 ints per vector ever moves after the matmuls."""
+    from ..stages.similarity import knn_graph_blocked
+
+    best = knn_graph_blocked(ds, k=1, n_blocks=8)
+
+    def to_key(batch: pa.Table) -> pd.DataFrame:
+        s = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pd.DataFrame(
+            {"lo": np.minimum(s, d), "hi": np.maximum(s, d), "fwd": s < d}
+        )
+
+    def mutual(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("hi")["fwd"].agg(["min", "max"])
+        mut = np.sort(agg.index[(~agg["min"]) & (agg["max"])].to_numpy())
+        return pd.DataFrame(
+            {
+                "vec_a": np.full(len(mut), int(g["lo"].iloc[0]), dtype=np.int64),
+                "vec_b": mut.astype(np.int64),
+            }
+        )
+
+    return (
+        best.map_batches(to_key, batch_format="pyarrow")
+        .groupby("lo")
+        .map_groups(mutual, batch_format="pandas")
+    )
+
+
 def q_mutual_nn(sf_dir: str):
     """Reciprocal best matches (mutual nearest neighbors) over the
     embedding table: pairs where each vector is the OTHER's top-1
     cosine neighbor — the high-precision entity-matching rule (a
     one-directional top-1 is noisy; mutuality filters the noise).
 
-    Per batch, rows matmul against the broadcast normalized matrix
-    (the table is dimension-bounded here; `knn_ivf`/`knn_lsh_shuffle`
-    are the in-repo sublinear swaps at corpus scale); ties break to
-    the smaller vec_id on both engines (argmax returns the first
-    maximum over the id-ordered matrix; SQL orders cos DESC, vec_id).
-    Output: each mutual pair once (vec_a < vec_b) — ids only, since
-    DuckDB's list_cosine_similarity runs in float32 on FLOAT[] columns
-    and the raw similarity would differ in the 7th decimal (the same
-    ids-only convention as knn_graph / embedding_dup_pairs)."""
+    Two-tier router on the parquet footer row count (same shape as
+    `knn_graph`): under the broadcast budget, each batch matmuls
+    against the broadcast normalized matrix and mutuality folds on the
+    driver over the id-bounded best-match table (2 ints/vector).
+    Above it, `stages.similarity.knn_graph_blocked` computes the same
+    exact top-1 with NO driver matrix, and mutuality becomes a
+    groupby(min-id) exchange of (lo, hi, fwd) int triples — a pair is
+    mutual iff its group holds both directions (pytest-equal to the
+    broadcast path).  Ties break to the smaller vec_id on both engines
+    (argmax returns the first maximum over the id-ordered matrix; SQL
+    orders cos DESC, vec_id).  Output: each mutual pair once
+    (vec_a < vec_b) — ids only, since DuckDB's list_cosine_similarity
+    runs in float32 on FLOAT[] columns and the raw similarity would
+    differ in the 7th decimal (the same ids-only convention as
+    knn_graph / embedding_dup_pairs)."""
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"], split=True)
+
+    if _emb_rows(sf_dir) > _EMB_BROADCAST_ROWS:
+        return _mutual_nn_blocked(ds)
 
     mat_tbl = (
         read_table_arrow(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -17516,12 +17571,34 @@ def q_hard_negatives(sf_dir: str):
     vec_id) — the standard way to upgrade random in-batch negatives to
     hard ones (the negative the model most confuses with the anchor).
 
-    Same broadcast-matmul shape as `mutual_nn` with the self-mask
-    widened to a same-LABEL mask; ids only (float32
-    list_cosine_similarity parity, same convention as knn_graph).
-    `knn_ivf`/`knn_lsh_shuffle` are the in-repo sublinear swaps at
-    corpus scale."""
+    Two-tier router on the parquet footer row count: under the
+    broadcast budget, the same broadcast-matmul shape as `mutual_nn`
+    with the self-mask widened to a same-LABEL mask; above it,
+    `knn_graph_blocked(k=1, exclude_same_attr=True)` computes the same
+    exact different-label top-1 via block-pair expansion with NO
+    driver matrix (the label rides the exchange; same-label sims mask
+    to -inf BEFORE the partial top-k so a label-skewed block pair
+    cannot flood the margin; pytest-equal).  Ids only (float32
+    list_cosine_similarity parity, same convention as knn_graph);
+    `knn_ivf`/`knn_lsh_shuffle` remain the sublinear approximate swaps
+    past exact-O(N²) budgets."""
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "label", "embedding"], split=True)
+
+    if _emb_rows(sf_dir) > _EMB_BROADCAST_ROWS:
+        from ..stages.similarity import knn_graph_blocked
+
+        def rename(g: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "vec_id": g["src"].to_numpy().astype(np.int64),
+                    "hard_neg": g["dst"].to_numpy().astype(np.int64),
+                }
+            )
+
+        return knn_graph_blocked(
+            ds, k=1, n_blocks=8, attr_col="label",
+            exclude_same_attr=True, group_finalize=rename,
+        )
 
     mat_tbl = (
         read_table_arrow(sf_dir, "embeddings", columns=["vec_id", "label", "embedding"])
@@ -18706,9 +18783,43 @@ def q_label_noise_detect(sf_dir: str):
     takes the top-K columns with a stable argsort (equal sims keep
     ascending vec_id order — the SQL tie rule), folds votes with ONE
     vectorized 2-D scatter-add (no per-row Python), and emits only the
-    disagreeing rows.  ``knn_ivf``/``knn_lsh_shuffle`` are the in-repo
-    sublinear swaps when the matrix outgrows the broadcast budget."""
+    disagreeing rows.
+
+    Above the broadcast budget (footer row count), the same exact
+    top-K + vote runs with NO driver matrix:
+    ``knn_graph_blocked(attr_col="label")`` carries both labels
+    through the block-pair exchange, and the vote happens inside the
+    per-src merge-reduce (``group_finalize``) while the neighbor group
+    is still atomic — only (ids, labels, sims) triples move after the
+    matmuls (pytest-equal to the broadcast path).
+    ``knn_ivf``/``knn_lsh_shuffle`` remain the sublinear approximate
+    swaps past exact-O(N²) budgets."""
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "label", "embedding"], split=True)
+
+    if _emb_rows(sf_dir) > _EMB_BROADCAST_ROWS:
+        from ..stages.similarity import knn_graph_blocked
+
+        def vote(g: pd.DataFrame) -> pd.DataFrame:
+            own = int(g["src_attr"].iloc[0])
+            vc = g.groupby("dst_attr").size().sort_index()
+            knn_label = int(vc.idxmax())  # first max = smallest label on ties
+            if knn_label == own:
+                return pd.DataFrame(
+                    {c: pd.Series(dtype=np.int64)
+                     for c in ("vec_id", "label", "knn_label", "n_votes")}
+                )
+            return pd.DataFrame(
+                {
+                    "vec_id": [int(g["src"].iloc[0])],
+                    "label": [own],
+                    "knn_label": [knn_label],
+                    "n_votes": [int(vc.max())],
+                }
+            )
+
+        return knn_graph_blocked(
+            ds, k=_LND_K, n_blocks=8, attr_col="label", group_finalize=vote,
+        )
 
     mat_tbl = (
         read_table_arrow(sf_dir, "embeddings", columns=["vec_id", "label", "embedding"])

@@ -316,7 +316,10 @@ def knn_lsh(ds, queries: np.ndarray, query_ids: np.ndarray, *, k: int = 10, plan
 
 
 def knn_graph_blocked(ds, *, k: int = 3, n_blocks: int = 4, margin: int = 8,
-                      id_col: str = "vec_id", vec_col: str = "embedding"):
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      attr_col: str | None = None,
+                      exclude_same_attr: bool = False,
+                      group_finalize=None):
     """EXACT k-NN graph over the whole table with NO driver-side matrix
     and no corpus broadcast — the big-table sibling of the broadcast
     path in ``pipelines.queries.q_knn_graph``.
@@ -331,10 +334,30 @@ def knn_graph_blocked(ds, *, k: int = 3, n_blocks: int = 4, margin: int = 8,
     absorbs sim ties at the cut).  One groupby(src) merge-reduce then
     applies the deterministic (sim desc, id asc) rule exactly as the
     broadcast path does.  Returns Dataset(src, dst, rank).
+
+    Extensions for the attribute-aware queries (`hard_negatives`,
+    `label_noise_detect`, `mutual_nn` above their broadcast budget):
+
+    - ``attr_col`` carries an integer attribute (e.g. a class label)
+      through the exchange; output gains ``src_attr``/``dst_attr``.
+    - ``exclude_same_attr=True`` masks SAME-attribute candidates to
+      -inf BEFORE the partial top-k (post-filtering would be wrong: a
+      block-pair dominated by one label could flood the margin), so
+      the graph becomes "top-k among different-attr rows".  Self is a
+      same-attr pair, so it is excluded too.  Sources with no
+      eligible candidate anywhere emit no row (matching the SQL inner
+      join's semantics).
+    - ``group_finalize(frame) -> frame`` runs INSIDE the per-src
+      merge-reduce on the final deterministic top-k frame (columns
+      src, dst, sim, rank [+ attrs]) — votes/renames happen while the
+      group is still atomic, so no later stage can split a src across
+      blocks.
     """
     import pandas as pd
 
     from .dedup import _key_buckets
+
+    carry = attr_col is not None
 
     def expand(batch: "pa.Table") -> pd.DataFrame:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
@@ -344,22 +367,28 @@ def knn_graph_blocked(ds, *, k: int = 3, n_blocks: int = 4, margin: int = 8,
         for other in range(n_blocks):
             lo = np.minimum(own, other)
             hi = np.maximum(own, other)
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "pair_id": lo.astype(np.int64) * n_blocks + hi,
-                        "block": own,
-                        "vid": ids,
-                        "vec": vecs,
-                    }
+            cols = {
+                "pair_id": lo.astype(np.int64) * n_blocks + hi,
+                "block": own,
+                "vid": ids,
+                "vec": vecs,
+            }
+            if carry:
+                cols["attr"] = (
+                    batch[attr_col].to_numpy(zero_copy_only=False).astype(np.int64)
                 )
-            )
+            frames.append(pd.DataFrame(cols))
         return pd.concat(frames, ignore_index=True).drop_duplicates(["pair_id", "vid"])
 
-    def _partial_topk(src_ids, src_mat, dst_ids, dst_mat, self_pair):
+    def _partial_topk(src_ids, src_mat, dst_ids, dst_mat,
+                      src_attr=None, dst_attr=None):
         if not len(src_ids) or not len(dst_ids):
             return []
         sims = src_mat @ dst_mat.T  # (s, d)
+        if exclude_same_attr:
+            sims[src_attr[:, None] == dst_attr[None, :]] = -np.inf
+        else:
+            sims[src_ids[:, None] == dst_ids[None, :]] = -np.inf  # self
         take = min(k + margin, sims.shape[1])
         if take < sims.shape[1]:
             cand = np.argpartition(-sims, take - 1, axis=1)[:, :take]
@@ -368,16 +397,17 @@ def knn_graph_blocked(ds, *, k: int = 3, n_blocks: int = 4, margin: int = 8,
                 np.arange(sims.shape[1]), (sims.shape[0], sims.shape[1])
             )
         rows = np.repeat(np.arange(len(src_ids)), cand.shape[1])
-        df = pd.DataFrame(
-            {
-                "src": src_ids[rows],
-                "dst": dst_ids[cand.ravel()],
-                "sim": sims[rows, cand.ravel()],
-            }
-        )
-        if self_pair:
-            df = df[df["src"] != df["dst"]]
-        return [df]
+        keep_sim = sims[rows, cand.ravel()]
+        finite = np.isfinite(keep_sim)
+        cols = {
+            "src": src_ids[rows][finite],
+            "dst": dst_ids[cand.ravel()][finite],
+            "sim": keep_sim[finite],
+        }
+        if carry:
+            cols["src_attr"] = src_attr[rows][finite]
+            cols["dst_attr"] = dst_attr[cand.ravel()][finite]
+        return [pd.DataFrame(cols)]
 
     def block_pair(g: pd.DataFrame) -> pd.DataFrame:
         pair_id = int(g["pair_id"].iloc[0])
@@ -387,21 +417,29 @@ def knn_graph_blocked(ds, *, k: int = 3, n_blocks: int = 4, margin: int = 8,
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         mat = mat / np.where(norms == 0, 1, norms)
         ids = g["vid"].to_numpy()
+        attrs = g["attr"].to_numpy() if carry else None
         if lo == hi:
-            frames = _partial_topk(ids, mat, ids, mat, True)
+            frames = _partial_topk(ids, mat, ids, mat, attrs, attrs)
         else:
             side = g["block"].to_numpy() == lo
-            frames = _partial_topk(ids[side], mat[side], ids[~side], mat[~side], False)
-            frames += _partial_topk(ids[~side], mat[~side], ids[side], mat[side], False)
+            a = attrs[side] if carry else None
+            b = attrs[~side] if carry else None
+            frames = _partial_topk(ids[side], mat[side], ids[~side], mat[~side], a, b)
+            frames += _partial_topk(ids[~side], mat[~side], ids[side], mat[side], b, a)
         if not frames:
-            return pd.DataFrame(
-                {"src": pd.Series(dtype=np.int64), "dst": pd.Series(dtype=np.int64),
-                 "sim": pd.Series(dtype=np.float64)}
-            )
+            empty = {"src": pd.Series(dtype=np.int64),
+                     "dst": pd.Series(dtype=np.int64),
+                     "sim": pd.Series(dtype=np.float64)}
+            if carry:
+                empty["src_attr"] = pd.Series(dtype=np.int64)
+                empty["dst_attr"] = pd.Series(dtype=np.int64)
+            return pd.DataFrame(empty)
         return pd.concat(frames, ignore_index=True)
 
     expanded = ds.map_batches(expand, batch_format="pyarrow")
     partials = expanded.groupby("pair_id").map_groups(block_pair, batch_format="pandas")
+
+    out_cols = ["src", "dst", "rank"] + (["src_attr", "dst_attr"] if carry else [])
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(["src", "dst"]).sort_values(
@@ -409,7 +447,9 @@ def knn_graph_blocked(ds, *, k: int = 3, n_blocks: int = 4, margin: int = 8,
         ).head(k)
         g = g.reset_index(drop=True)
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["src", "dst", "rank"]]
+        if group_finalize is not None:
+            return group_finalize(g)
+        return g[out_cols]
 
     return partials.groupby("src").map_groups(merge, batch_format="pandas")
 

@@ -1180,3 +1180,41 @@ class TestRound6Degenerates:
         self._cmp(got, con, SQL_NORMALIZED_DEDUP, ["doc_id"])
         g = (got.to_pandas() if not isinstance(got, pd.DataFrame) else got).set_index("doc_id")
         assert len(g) == 3 and int(g.loc[0, "n_variants"]) == 4
+
+
+class TestEmbeddingBlockedRoutes:
+    """The three attribute-aware embedding queries must produce
+    IDENTICAL results on the broadcast path and on the above-budget
+    ``knn_graph_blocked`` path (block-pair expansion, no driver
+    matrix) — forced by shrinking the broadcast budget to zero."""
+
+    SF = "/root/testdata/sf0.001"
+
+    @staticmethod
+    def _canon(r, keys):
+        df = r.to_pandas() if not isinstance(r, pd.DataFrame) else r
+        return df.sort_values(keys).reset_index(drop=True)[sorted(df.columns)]
+
+    def _route_pair(self, monkeypatch, fn, keys):
+        from article_extraction_ray.pipelines import queries
+
+        a = self._canon(fn(self.SF), keys)
+        monkeypatch.setattr(queries, "_EMB_BROADCAST_ROWS", 0)
+        b = self._canon(fn(self.SF), keys)
+        assert len(a) > 0  # a trivially-empty parity check proves nothing
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    def test_mutual_nn_blocked_route(self, ray_session, monkeypatch):
+        from article_extraction_ray.pipelines.queries import q_mutual_nn
+
+        self._route_pair(monkeypatch, q_mutual_nn, ["vec_a", "vec_b"])
+
+    def test_hard_negatives_blocked_route(self, ray_session, monkeypatch):
+        from article_extraction_ray.pipelines.queries import q_hard_negatives
+
+        self._route_pair(monkeypatch, q_hard_negatives, ["vec_id"])
+
+    def test_label_noise_blocked_route(self, ray_session, monkeypatch):
+        from article_extraction_ray.pipelines.queries import q_label_noise_detect
+
+        self._route_pair(monkeypatch, q_label_noise_detect, ["vec_id"])
