@@ -5517,6 +5517,116 @@ FROM scored GROUP BY doc_id
 """
 
 
+_PPL_BUCKETS = 64
+_PPL_TILES = 3
+_PPL_NAMES = np.array(["head", "middle", "tail"])
+
+
+def q_perplexity_buckets(sf_dir: str):
+    """CCNet-style perplexity bucketing (Wenzek et al., LREC 2020):
+    score every document with the corpus-trained bigram LM
+    (:func:`q_bigram_lm_score`'s exact MLE mean log-prob), then split
+    EACH LANGUAGE into head/middle/tail terciles by score (best mean
+    log-prob = head) — the quality stratification that CCNet-family
+    corpora publish and that downstream samplers draw from
+    (head-heavy mixes for pretraining, tail for filtering studies).
+
+    Geometry: the scored table (doc-bounded ints + floats, the text
+    never re-ships) co-partitions with (doc_id, lang) through ONE
+    ``shuffle_join``; per-(lang, value-bucket) counts fold on the
+    driver (langs × 64 ints) into per-language DESC prefix offsets and
+    NTILE(3) boundaries; one groupby(lang⊗bucket) pass sorts in-bucket
+    (avg_logp DESC, doc_id) and assigns terciles — the
+    :func:`q_curriculum_order` two-level rank shape, so a language that
+    dominates the corpus still spreads over 64 value buckets instead
+    of one giant group.  Cross-bucket ties are impossible (equal
+    rounded scores share a linspace bucket) and in-bucket order is
+    deterministic (doc_id); the 6-dp rounding is shared with the SQL
+    oracle, so the ORDER BY ranks identically on both engines.
+    Documents with no bigram (≤1 token) have no LM score and drop on
+    both sides (inner-join semantics, as in CCNet's own LM gate)."""
+    from ray.data.aggregate import Max, Min
+
+    from .tabular import shuffle_join
+
+    scores = q_bigram_lm_score(sf_dir).map_batches(
+        lambda df: df[["doc_id", "avg_logp"]], batch_format="pandas"
+    )
+    langs = read_table(sf_dir, "documents", columns=["doc_id", "lang"], split=True)
+    joined = shuffle_join(scores, langs, on="doc_id").materialize()
+
+    rng = joined.aggregate(Min("avg_logp"), Max("avg_logp"))
+    bounds = np.linspace(
+        rng["min(avg_logp)"], rng["max(avg_logp)"], _PPL_BUCKETS + 1
+    )[1:-1]
+
+    def bucket_of(df: pd.DataFrame) -> pd.DataFrame:
+        b = np.searchsorted(bounds, df["avg_logp"].to_numpy(), side="right")
+        return df.assign(
+            __b=b.astype(np.int64),
+            __lb=df["lang"].astype(str) + ":" + pd.Series(b.astype(str), index=df.index),
+        )
+
+    bucketed = joined.map_batches(bucket_of, batch_format="pandas")
+    counts = (
+        bucketed.map_batches(
+            lambda df: df.groupby(["lang", "__b"], as_index=False).size(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby(["lang", "__b"])["size"]
+        .sum()
+    )
+    plan: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for lang in counts.index.get_level_values(0).unique():
+        per_b = counts[lang].reindex(range(_PPL_BUCKETS), fill_value=0).to_numpy()
+        # DESC rank: bucket b's rows rank after every row in buckets > b
+        offsets = np.concatenate([np.cumsum(per_b[::-1])[::-1][1:], [0]])
+        n_lang = int(per_b.sum())
+        base, rem = divmod(n_lang, _PPL_TILES)
+        ends = np.cumsum(
+            [base + (1 if t < rem else 0) for t in range(_PPL_TILES)]
+        )
+        plan[str(lang)] = (offsets, ends)
+    plan_bc = Broadcast(plan)
+
+    def rank_tile(g: pd.DataFrame) -> pd.DataFrame:
+        offsets, ends = plan_bc.get()[str(g["lang"].iloc[0])]
+        b = int(g["__b"].iloc[0])
+        g = g.sort_values(["avg_logp", "doc_id"], ascending=[False, True], kind="stable")
+        rank = offsets[b] + np.arange(1, len(g) + 1, dtype=np.int64)
+        tercile = (np.searchsorted(ends, rank - 1, side="right") + 1).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy().astype(np.int64),
+                "lang": g["lang"].to_numpy(),
+                "tercile": tercile,
+                "bucket": _PPL_NAMES[tercile - 1],
+            }
+        )
+
+    return bucketed.groupby("__lb").map_groups(rank_tile, batch_format="pandas")
+
+
+SQL_PERPLEXITY_BUCKETS = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+big AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+        FROM toks, unnest(range(1, len(ts))) AS u(i)),
+cnt AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2),
+uni AS (SELECT w1, sum(c12) AS c1 FROM cnt GROUP BY w1),
+scored AS (SELECT b.doc_id, ln(cnt.c12 / uni.c1) AS lp
+           FROM big b JOIN cnt USING (w1, w2) JOIN uni USING (w1)),
+s AS (SELECT doc_id, round(avg(lp), 6) AS avg_logp FROM scored GROUP BY doc_id),
+t AS (SELECT s.doc_id, d.lang,
+             ntile(3) OVER (PARTITION BY d.lang
+                            ORDER BY s.avg_logp DESC, s.doc_id) AS tercile
+      FROM s JOIN documents d USING (doc_id))
+SELECT doc_id, lang, CAST(tercile AS BIGINT) AS tercile,
+       CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM t
+"""
+
+
 def q_domain_mixture(sf_dir: str):
     """Temperature-scaled domain resampling (multilingual-mixing style,
     α=0.5, target = half the corpus): per-domain keep rate r_d =
@@ -19328,6 +19438,7 @@ QUERIES = {
     "vocab_build": q_vocab_build,
     "inverted_index": q_inverted_index,
     "bigram_lm_score": q_bigram_lm_score,
+    "perplexity_buckets": q_perplexity_buckets,
     "domain_mixture": q_domain_mixture,
     "semantic_dedup": q_semantic_dedup,
     "passage_dedup": q_passage_dedup,
@@ -19624,6 +19735,7 @@ ORACLE_SQL = {
     "vocab_build": SQL_VOCAB,
     "inverted_index": SQL_INVERTED_INDEX,
     "bigram_lm_score": SQL_BIGRAM_LM,
+    "perplexity_buckets": SQL_PERPLEXITY_BUCKETS,
     "domain_mixture": SQL_DOMAIN_MIXTURE,
     "passage_dedup": SQL_PASSAGE_DEDUP,
     "left_join_orders": SQL_LEFT_JOIN,
