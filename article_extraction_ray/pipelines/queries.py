@@ -18476,6 +18476,66 @@ GROUP BY grp
 """
 
 
+_MDG_MIN_SIDE = 16
+_MDG_MAX_ASPECT = 3
+
+
+def q_media_dims_gate(sf_dir: str):
+    """LAION-style image geometry gate: drop images whose shorter side
+    is under ``_MDG_MIN_SIDE`` px or whose aspect ratio exceeds
+    ``_MDG_MAX_ASPECT`` — the first filter every image-text corpus runs
+    (LAION-5B used min-side and aspect cuts before any model scoring),
+    with the verdict kept per ref so the drop set is reviewable.
+
+    Plant-blind like :func:`q_media_blob_dedup`: each document's image
+    is a REAL PNG built at dims that vary with doc_id, and the engine
+    reads width/height by walking the actual IHDR chunk
+    (:func:`..stages.multimodal.probe_png` verifies signature, layout
+    and CRC — a corrupt byte raises rather than emitting garbage);
+    only the SQL oracle uses the planted closed form.  ``too_small``
+    outranks ``bad_aspect`` (a tiny skewed image reports the cheaper
+    check, as the real pipelines short-circuit).  Stateless header
+    probe → fully fused single scan, no shuffle; payload bytes never
+    leave the task."""
+    from ..stages.multimodal import make_png, probe_png
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"], split=True)
+
+    def gate(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        w = np.empty(len(ids), dtype=np.int64)
+        h = np.empty(len(ids), dtype=np.int64)
+        for i, d in enumerate(ids):
+            png = make_png(int(4 * (d % 23 + 1)), int(4 * (d * 7 % 19 + 1)))
+            w[i], h[i], _, _ = probe_png(png)
+        short, long_ = np.minimum(w, h), np.maximum(w, h)
+        verdict = np.where(
+            short < _MDG_MIN_SIDE,
+            "too_small",
+            np.where(long_ > _MDG_MAX_ASPECT * short, "bad_aspect", "ok"),
+        )
+        return pd.DataFrame(
+            {"doc_id": ids.astype(np.int64), "width": w, "height": h,
+             "verdict": verdict}
+        )
+
+    return ds.map_batches(gate, batch_format="pyarrow")
+
+
+SQL_MEDIA_DIMS_GATE = f"""
+WITH d AS (SELECT doc_id,
+                  4 * ((doc_id % 23) + 1) AS width,
+                  4 * (((doc_id * 7) % 19) + 1) AS height
+           FROM documents)
+SELECT doc_id, CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+       CASE WHEN least(width, height) < {_MDG_MIN_SIDE} THEN 'too_small'
+            WHEN greatest(width, height) > {_MDG_MAX_ASPECT} * least(width, height)
+                 THEN 'bad_aspect'
+            ELSE 'ok' END AS verdict
+FROM d
+"""
+
+
 # ---------------------------------------------------------------------------
 # Curriculum ordering: difficulty-phased, in-phase hash-shuffled
 # ---------------------------------------------------------------------------
@@ -19439,6 +19499,7 @@ QUERIES = {
     "inverted_index": q_inverted_index,
     "bigram_lm_score": q_bigram_lm_score,
     "perplexity_buckets": q_perplexity_buckets,
+    "media_dims_gate": q_media_dims_gate,
     "domain_mixture": q_domain_mixture,
     "semantic_dedup": q_semantic_dedup,
     "passage_dedup": q_passage_dedup,
@@ -19736,6 +19797,7 @@ ORACLE_SQL = {
     "inverted_index": SQL_INVERTED_INDEX,
     "bigram_lm_score": SQL_BIGRAM_LM,
     "perplexity_buckets": SQL_PERPLEXITY_BUCKETS,
+    "media_dims_gate": SQL_MEDIA_DIMS_GATE,
     "domain_mixture": SQL_DOMAIN_MIXTURE,
     "passage_dedup": SQL_PASSAGE_DEDUP,
     "left_join_orders": SQL_LEFT_JOIN,

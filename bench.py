@@ -231,6 +231,8 @@ BENCH_QUERIES = [
     "media_phash_dedup",
     "blocklist_filter",
     "normalized_dedup",
+    "perplexity_buckets",
+    "media_dims_gate",
 ]
 
 
