@@ -19344,7 +19344,464 @@ GROUP BY k
 """
 
 
+# ---------------------------------------------------------------------------
+# sketch internals, value-oracled: md5-keyed HLL / SimHash / MinHash
+# (stages/sketch_parity.py) — the register/bit/signature-level SQL
+# parity suite for the production SipHash sketches
+# ---------------------------------------------------------------------------
+
+_HLL_SQL_P = 10  # 1024 registers: bounded output at any corpus size
+
+
+def q_hll_registers(sf_dir: str):
+    """EVERY HyperLogLog register value-checked against SQL: md5-keyed
+    p=10 sketch over events.user_id, output = (register, max rho) rows.
+
+    Where `hll_rank_check` proves the production SipHash sketch lands
+    within tolerance, this proves the register MATH — bucket index from
+    the top p hash bits, rho from the leading-zero scan of the
+    sentinel-planted remainder, max-merge — bit-exactly, because md5 is
+    the one hash both engines expose (`md5_number_upper` ==
+    digest[:8] little-endian, probed).  The rho scan is pure integer
+    work on both sides (unpackbits argmax here, 65 - length(bin(rest))
+    in DuckDB — bin() strips leading zeros), so no float boundary can
+    flip a register.  Scale shape: per-batch distinct → md5 → bounded
+    (≤2**p rows) max-partials, one small_keys max-reduce; the corpus
+    never shuffles."""
+    from ..stages.sketch_parity import hll_md5_partial
+
+    ds = read_table(sf_dir, "events", columns=["user_id"], split=True)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        uid = np.unique(batch["user_id"].to_numpy(zero_copy_only=False))
+        return hll_md5_partial([str(int(u)) for u in uid], _HLL_SQL_P)
+
+    out = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["register"],
+        {"rho": ("max", "rho")},
+        small_keys=True,
+    ).to_pandas()
+    return out.sort_values("register").reset_index(drop=True).astype(
+        {"register": np.int64, "rho": np.int64}
+    )
+
+
+SQL_HLL_REGISTERS = """
+WITH h AS (
+  SELECT md5_number_upper(CAST(user_id AS VARCHAR)) AS h
+  FROM (SELECT DISTINCT user_id FROM events)
+),
+r AS (
+  SELECT CAST(h >> 54 AS BIGINT) AS register,
+         65 - length(bin(((h % 18014398509481984::UBIGINT) * 1024::UBIGINT)
+                         | 512::UBIGINT)) AS rho
+  FROM h
+)
+SELECT register, CAST(max(rho) AS BIGINT) AS rho
+FROM r GROUP BY register ORDER BY register
+"""
+
+
+def q_simhash_md5(sf_dir: str):
+    """Per-document 64-bit SimHash with EVERY bit value-checked: the
+    md5-keyed twin of the rows-only `simhash_values` (production SipHash
+    kernel, stages/dedup.py batch_minhash-era `batch_simhash64`).  Same
+    geometry — distinct whitespace tokens, one batch-wide hash pass,
+    reduceat majority votes — with the fingerprint emitted as a 16-char
+    hex string so the value hash is engine-neutral.  The oracle rebuilds
+    all 64 majority votes as per-bit integer sums (strict majority,
+    ties → 0), so a single flipped bit on 60k documents reds the check."""
+    from ..stages.sketch_parity import simhash_md5_batch
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+
+    def sh(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+                "simhash": simhash_md5_batch(batch["text"].to_pylist()),
+            }
+        )
+
+    return ds.map_batches(sh, batch_format="pyarrow").sort("doc_id")
+
+
+_SIMHASH_BITSUMS = ",\n         ".join(
+    f"sum(CAST((h >> {b}) & 1 AS BIGINT)) AS b{b}" for b in range(64)
+)
+_SIMHASH_ORS = "\n       | ".join(
+    f"(CASE WHEN 2*b{b} > n THEN {1 << b}::UBIGINT ELSE 0::UBIGINT END)"
+    for b in range(64)
+)
+
+SQL_SIMHASH_MD5 = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(string_split_regex(text, '\\s+'),
+                                          x -> x <> ''))) AS tok
+  FROM documents
+),
+h AS (SELECT doc_id, md5_number_upper(tok) AS h FROM toks),
+bits AS (
+  SELECT doc_id, count(*) AS n,
+         {_SIMHASH_BITSUMS}
+  FROM h GROUP BY doc_id
+),
+vals AS (
+  SELECT doc_id,
+         {_SIMHASH_ORS} AS v
+  FROM bits
+)
+SELECT d.doc_id, coalesce(lpad(lower(hex(va.v)), 16, '0'),
+                          '0000000000000000') AS simhash
+FROM documents d LEFT JOIN vals va USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+def q_minhash_sigs(sf_dir: str):
+    """EVERY MinHash signature slot value-checked against SQL: k=8
+    affine permutations over md5-keyed 32-bit hashes of distinct 3-word
+    shingles — the signature math behind `minhash_dedup`'s rows-only
+    LSH pipeline, isolated where DuckDB can recompute it (32-bit hash
+    domain keeps a*h+b under 2**64, the overflow ceiling BOTH engines
+    share — DuckDB UBIGINT raises rather than wraps).  Documents
+    shorter than one shingle emit nothing on both sides.  Scale shape:
+    one streaming pass, per-batch md5 + reduceat minima, no shuffle."""
+    from ..stages.sketch_parity import minhash_md5_batch
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+
+    def mh(batch: pa.Table) -> pd.DataFrame:
+        return minhash_md5_batch(
+            batch["doc_id"].to_numpy(zero_copy_only=False),
+            batch["text"].to_pylist(),
+        )
+
+    return ds.map_batches(mh, batch_format="pyarrow").sort(["doc_id", "perm"])
+
+
+def _minhash_sql() -> str:
+    from ..stages.sketch_parity import MINHASH_A, MINHASH_B, MINHASH_PRIME
+
+    perm_vals = ", ".join(
+        f"({j}, {a}::UBIGINT, {b}::UBIGINT)"
+        for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+s AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+        FROM t WHERE len(toks) >= 3)
+),
+perms(perm, a, b) AS (VALUES {perm_vals}),
+hashed AS (SELECT doc_id, md5_number_upper(sh) % 4294967296::UBIGINT AS h32 FROM s)
+SELECT doc_id, CAST(perm AS BIGINT) AS perm,
+       CAST(min((a * h32 + b) % {MINHASH_PRIME}::UBIGINT) AS BIGINT) AS sig
+FROM hashed CROSS JOIN perms
+GROUP BY doc_id, perm ORDER BY doc_id, perm
+"""
+
+
+SQL_MINHASH_SIGS = _minhash_sql()
+
+
+# ---------------------------------------------------------------------------
+# margin-based bitext mining (Artetxe & Schwenk 2019) — the parallel-pair
+# miner behind CCMatrix-style corpora, over the embeddings table with the
+# two "languages" as the even/odd vec_id halves
+# ---------------------------------------------------------------------------
+
+#: the broadcast kernel materializes the full (nA × nB) margin matrix —
+#: that matrix, not the vectors, is the budget-setter (8192² × 8 B ≈
+#: 512 MiB across both float planes); above it the block-pair path runs
+_BITEXT_MATRIX_ROWS = 8192
+
+
+def q_bitext_mine(sf_dir: str):
+    """Mutual-margin bitext pairs: margin(a,b) = cos / mean of the two
+    rows' top-k cosine averages (ratio margin, Artetxe & Schwenk 2019 —
+    the hubness-robust criterion CCMatrix/LASER mining uses), a pair
+    kept iff each side is the other's argmax and margin > 1.
+
+    Router on the parquet footer row count: under
+    ``_BITEXT_MATRIX_ROWS`` the exact kernel runs in one task
+    (`stages.similarity.bitext_margin_broadcast`); above it the
+    block-pair two-sweep path (`bitext_margin_blocked`) computes the
+    same answer with no driver-side matrix (forced-route pytest).  The
+    argmax is rank-only output (ids, no float column), `knn_cosine`
+    convention; the minimum runner-up margin gap on this corpus is
+    ~1.3e-3, five orders above the engines' float divergence."""
+    from ..stages.similarity import (
+        _as_matrix,
+        _normalize,
+        bitext_margin_blocked,
+        bitext_margin_broadcast,
+    )
+
+    if _emb_rows(sf_dir) > _BITEXT_MATRIX_ROWS:
+        ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"], split=True)
+        out = bitext_margin_blocked(ds, k=4, threshold=1.0, n_blocks=8).to_pandas()
+        return out.sort_values("a_id").reset_index(drop=True)
+    tab = read_table_arrow(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ids = tab["vec_id"].to_numpy()
+    mat = _normalize(_as_matrix(tab["embedding"]))
+    order = np.argsort(ids, kind="stable")
+    ids, mat = ids[order], mat[order]
+    a = ids % 2 == 0
+    return bitext_margin_broadcast(ids[a], mat[a], ids[~a], mat[~a], k=4, threshold=1.0)
+
+
+SQL_BITEXT_MINE = """
+WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+c AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         list_cosine_similarity(a.e, b.e) AS cos
+  FROM n a JOIN n b ON a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+),
+ka AS (SELECT a_id, avg(cos) AS avg_a FROM (
+         SELECT a_id, cos, row_number() OVER (PARTITION BY a_id ORDER BY cos DESC) AS rn
+         FROM c) WHERE rn <= 4 GROUP BY a_id),
+kb AS (SELECT b_id, avg(cos) AS avg_b FROM (
+         SELECT b_id, cos, row_number() OVER (PARTITION BY b_id ORDER BY cos DESC) AS rn
+         FROM c) WHERE rn <= 4 GROUP BY b_id),
+m AS (
+  SELECT c.a_id, c.b_id, c.cos / ((ka.avg_a + kb.avg_b) / 2.0) AS margin
+  FROM c JOIN ka USING (a_id) JOIN kb USING (b_id)
+),
+ba AS (SELECT a_id, b_id, margin FROM (
+         SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY margin DESC, b_id) AS rn
+         FROM m) WHERE rn = 1),
+bb AS (SELECT a_id, b_id FROM (
+         SELECT *, row_number() OVER (PARTITION BY b_id ORDER BY margin DESC, a_id) AS rn
+         FROM m) WHERE rn = 1)
+SELECT ba.a_id, ba.b_id
+FROM ba JOIN bb ON ba.a_id = bb.a_id AND ba.b_id = bb.b_id
+WHERE ba.margin > 1.0 ORDER BY ba.a_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# ROUGE-1 eval + Distinct-n corpus diversity — summarization-eval and
+# generation-diversity metrics over document pairs / sources
+# ---------------------------------------------------------------------------
+
+
+def _token_count_frame(texts, seg_ids) -> pd.DataFrame:
+    """Exploded (seg, tok, c) counts for a batch of texts — one pandas
+    groupby, no per-row Counter in the hot path."""
+    toks, segs = [], []
+    for s, t in zip(seg_ids, texts):
+        tt = (t or "").split()
+        toks.extend(tt)
+        segs.extend([s] * len(tt))
+    if not toks:
+        return pd.DataFrame({"seg": pd.Series(dtype=np.int64), "tok": [],
+                             "c": pd.Series(dtype=np.int64)})
+    return (
+        pd.DataFrame({"seg": np.asarray(segs, dtype=np.int64), "tok": toks})
+        .groupby(["seg", "tok"], as_index=False)
+        .size()
+        .rename(columns={"size": "c"})
+    )
+
+
+def q_rouge_pairs(sf_dir: str):
+    """ROUGE-1 precision/recall/F1 between each document and the NEXT
+    document of the same source (a deterministic candidate/reference
+    pairing with no external data): unigram multiset overlap
+    Σ min(count_cand, count_ref), the Lin 2004 recall-oriented eval
+    every summarization pipeline reports.
+
+    Shape: one groupby(source) builds adjacent pairs with both texts
+    carried (window-lead semantics, group stays atomic); one streaming
+    map scores pairs via vectorized token-count frames merged on
+    (pair, token) — integer arithmetic until the three final divisions,
+    rounded on both engines."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    _EMPTY = {
+        "cand_id": pd.Series(dtype=np.int64), "ref_id": pd.Series(dtype=np.int64),
+        "cand_text": pd.Series(dtype=object), "ref_text": pd.Series(dtype=object),
+    }
+
+    def pair_up(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame(_EMPTY)
+        g = g.sort_values("doc_id", kind="stable")
+        ids = g["doc_id"].to_numpy()
+        txt = g["text"].to_numpy()
+        return pd.DataFrame(
+            {"cand_id": ids[:-1], "ref_id": ids[1:],
+             "cand_text": txt[:-1], "ref_text": txt[1:]}
+        )
+
+    pairs = ds.groupby("source").map_groups(pair_up, batch_format="pandas")
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "cand_id": pd.Series(dtype=np.int64),
+                "ref_id": pd.Series(dtype=np.int64),
+                "rouge1_p": pd.Series(dtype=np.float64),
+                "rouge1_r": pd.Series(dtype=np.float64),
+                "rouge1_f": pd.Series(dtype=np.float64),
+            })
+        seg = np.arange(len(df), dtype=np.int64)
+        c1 = _token_count_frame(df["cand_text"].to_numpy(), seg)
+        c2 = _token_count_frame(df["ref_text"].to_numpy(), seg)
+        ov = (
+            c1.merge(c2, on=["seg", "tok"], suffixes=("_1", "_2"))
+            .assign(m=lambda x: np.minimum(x["c_1"], x["c_2"]))
+            .groupby("seg")["m"].sum()
+        )
+        n1 = c1.groupby("seg")["c"].sum()
+        n2 = c2.groupby("seg")["c"].sum()
+        ovv = ov.reindex(seg).fillna(0).to_numpy(dtype=np.float64)
+        n1v = n1.reindex(seg).fillna(0).to_numpy(dtype=np.float64)
+        n2v = n2.reindex(seg).fillna(0).to_numpy(dtype=np.float64)
+        p = np.divide(ovv, n1v, out=np.zeros_like(ovv), where=n1v > 0)
+        r = np.divide(ovv, n2v, out=np.zeros_like(ovv), where=n2v > 0)
+        f = np.divide(2 * p * r, p + r, out=np.zeros_like(p), where=ovv > 0)
+        return pd.DataFrame(
+            {"cand_id": df["cand_id"].to_numpy(dtype=np.int64),
+             "ref_id": df["ref_id"].to_numpy(dtype=np.int64),
+             "rouge1_p": np.round(p, 6), "rouge1_r": np.round(r, 6),
+             "rouge1_f": np.round(f, 6)}
+        )
+
+    return pairs.map_batches(score, batch_format="pandas").sort("cand_id")
+
+
+SQL_ROUGE_PAIRS = """
+WITH pairs AS (
+  SELECT doc_id AS cand_id,
+         lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS ref_id
+  FROM documents
+),
+tc AS (
+  SELECT doc_id, tok, count(*) AS c FROM (
+    SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+                                      x -> x <> '')) AS tok
+    FROM documents) GROUP BY doc_id, tok
+),
+tl AS (SELECT doc_id, sum(c) AS n FROM tc GROUP BY doc_id),
+ov AS (
+  SELECT p.cand_id, p.ref_id, sum(least(c1.c, c2.c)) AS ov
+  FROM pairs p
+  JOIN tc c1 ON c1.doc_id = p.cand_id
+  JOIN tc c2 ON c2.doc_id = p.ref_id AND c2.tok = c1.tok
+  GROUP BY p.cand_id, p.ref_id
+),
+sc AS (
+  SELECT p.cand_id, p.ref_id, coalesce(ov.ov, 0) AS ov,
+         coalesce(l1.n, 0) AS n1, coalesce(l2.n, 0) AS n2
+  FROM pairs p
+  LEFT JOIN ov ON ov.cand_id = p.cand_id
+  LEFT JOIN tl l1 ON l1.doc_id = p.cand_id
+  LEFT JOIN tl l2 ON l2.doc_id = p.ref_id
+  WHERE p.ref_id IS NOT NULL
+)
+SELECT cand_id, ref_id,
+  round(CASE WHEN n1 > 0 THEN ov / CAST(n1 AS DOUBLE) ELSE 0.0 END, 6) AS rouge1_p,
+  round(CASE WHEN n2 > 0 THEN ov / CAST(n2 AS DOUBLE) ELSE 0.0 END, 6) AS rouge1_r,
+  round(CASE WHEN ov > 0 THEN
+      2.0 * (ov / CAST(n1 AS DOUBLE)) * (ov / CAST(n2 AS DOUBLE))
+          / ((ov / CAST(n1 AS DOUBLE)) + (ov / CAST(n2 AS DOUBLE)))
+    ELSE 0.0 END, 6) AS rouge1_f
+FROM sc ORDER BY cand_id
+"""
+
+
+def q_distinct_ngrams(sf_dir: str):
+    """Distinct-1 / Distinct-2 per source (Li et al. 2016): distinct
+    n-grams over total n-grams — the standard corpus-diversity gate for
+    generated/synthetic training data (a templated source scores low).
+
+    Shape: per-batch exploded (source, n, gram) partial counts (one
+    pandas groupby per batch bounds shuffle volume at the distinct-gram
+    count, not the token count), one distributed per-gram sum, then a
+    bounded per-(source, n) finalize."""
+    ds = read_table(sf_dir, "documents", columns=["source", "text"], split=True)
+
+    def grams(batch: pa.Table) -> pd.DataFrame:
+        srcs = batch["source"].to_pylist()
+        texts = batch["text"].to_pylist()
+        s_out, n_out, g_out = [], [], []
+        for s, t in zip(srcs, texts):
+            toks = (t or "").split()
+            s_out.extend([s] * len(toks))
+            n_out.extend([1] * len(toks))
+            g_out.extend(toks)
+            if len(toks) >= 2:
+                bi = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+                s_out.extend([s] * len(bi))
+                n_out.extend([2] * len(bi))
+                g_out.extend(bi)
+        if not g_out:
+            return pd.DataFrame({"source": [], "n": pd.Series(dtype=np.int64),
+                                 "gram": [], "c": pd.Series(dtype=np.int64)})
+        return (
+            pd.DataFrame({"source": s_out,
+                          "n": np.asarray(n_out, dtype=np.int64), "gram": g_out})
+            .groupby(["source", "n", "gram"], as_index=False)
+            .size()
+            .rename(columns={"size": "c"})
+        )
+
+    per_gram = grouped_aggregate(
+        ds.map_batches(grams, batch_format="pyarrow"),
+        ["source", "n", "gram"],
+        {"c": ("sum", "c")},
+    )
+    out = grouped_aggregate(
+        per_gram,
+        ["source", "n"],
+        {"n_distinct": ("count", None), "n_total": ("sum", "c")},
+        small_keys=True,
+    ).to_pandas()
+    out = out.sort_values(["source", "n"]).reset_index(drop=True)
+    out["distinct_ratio"] = np.round(
+        out["n_distinct"].to_numpy(dtype=np.float64)
+        / out["n_total"].to_numpy(dtype=np.float64),
+        6,
+    )
+    return out.astype({"n": np.int64, "n_distinct": np.int64, "n_total": np.int64})
+
+
+SQL_DISTINCT_NGRAMS = """
+WITH toks AS (
+  SELECT source, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+uni AS (SELECT source, 1 AS n, unnest(t) AS gram FROM toks),
+bi AS (
+  SELECT source, 2 AS n, t[i] || ' ' || t[i+1] AS gram
+  FROM (SELECT source, t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM toks WHERE len(t) >= 2)
+),
+allg AS (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+SELECT source, CAST(n AS BIGINT) AS n,
+       CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct,
+       CAST(count(*) AS BIGINT) AS n_total,
+       round(count(DISTINCT gram) / CAST(count(*) AS DOUBLE), 6) AS distinct_ratio
+FROM allg GROUP BY source, n ORDER BY source, n
+"""
+
+
+
 QUERIES = {
+    "hll_registers": q_hll_registers,
+    "simhash_md5": q_simhash_md5,
+    "minhash_sigs": q_minhash_sigs,
+    "bitext_mine": q_bitext_mine,
+    "rouge_pairs": q_rouge_pairs,
+    "distinct_ngrams": q_distinct_ngrams,
     "pricing_summary": q_pricing_summary,
     "bm25_search": q_bm25_search,
     "dsir_select": q_dsir_select,
@@ -19641,6 +20098,12 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "hll_registers": SQL_HLL_REGISTERS,
+    "simhash_md5": SQL_SIMHASH_MD5,
+    "minhash_sigs": SQL_MINHASH_SIGS,
+    "bitext_mine": SQL_BITEXT_MINE,
+    "rouge_pairs": SQL_ROUGE_PAIRS,
+    "distinct_ngrams": SQL_DISTINCT_NGRAMS,
     "bm25_search": SQL_BM25,
     "dsir_select": SQL_DSIR,
     "media_blob_dedup": SQL_MEDIA_BLOB_DEDUP,

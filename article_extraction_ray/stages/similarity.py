@@ -513,3 +513,208 @@ def knn_graph_lsh(
         )
 
     return res.map_batches(drop_self, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# margin-based bitext mining (Artetxe & Schwenk, ACL 2019 — public method)
+# ---------------------------------------------------------------------------
+
+
+def _avg_topk_asc(vals: np.ndarray, k: int) -> float:
+    """Mean of the top-k values, summed in ascending order (fixed
+    summation order keeps the two exact paths bit-aligned)."""
+    top = np.sort(vals)[-k:] if len(vals) > k else np.sort(vals)
+    return float(top.mean())
+
+
+def bitext_margin_broadcast(a_ids, a_mat, b_ids, b_mat, *, k: int = 4,
+                            threshold: float = 1.0) -> pd.DataFrame:
+    """Exact mutual-argmax margin pairs with both sides in memory — the
+    under-budget kernel (callers route on the parquet footer row count,
+    same budget as `q_embedding_dup_pairs`).
+
+    margin(a,b) = cos(a,b) / ((avgk(a) + avgk(b)) / 2) where avgk is
+    the mean of the row's top-k cosines to the OTHER side — the
+    ratio-margin criterion of Artetxe & Schwenk 2019 that suppresses
+    hubness (rows globally similar to everything).  A pair survives iff
+    each side is the other's margin argmax (ties: lower id) and the
+    margin clears ``threshold``.  Inputs must be L2-normalized and
+    sorted by id so numpy argmax's first-hit tie rule IS the (margin
+    desc, id asc) rule the SQL oracle spells out."""
+    if not len(a_ids) or not len(b_ids):
+        return pd.DataFrame({"a_id": pd.Series(dtype=np.int64),
+                             "b_id": pd.Series(dtype=np.int64)})
+    cos = a_mat @ b_mat.T  # (nA, nB)
+    ka, kb = min(k, cos.shape[1]), min(k, cos.shape[0])
+    avg_a = np.sort(cos, axis=1)[:, -ka:].mean(axis=1)
+    avg_b = np.sort(cos, axis=0)[-kb:, :].mean(axis=0)
+    margin = cos / ((avg_a[:, None] + avg_b[None, :]) / 2.0)
+    best_b = margin.argmax(axis=1)
+    best_a = margin.argmax(axis=0)
+    rows = np.arange(len(a_ids))
+    mutual = best_a[best_b] == rows
+    keep = mutual & (margin[rows, best_b] > threshold)
+    return pd.DataFrame(
+        {"a_id": np.asarray(a_ids)[keep].astype(np.int64),
+         "b_id": np.asarray(b_ids)[best_b[keep]].astype(np.int64)}
+    ).sort_values("a_id").reset_index(drop=True)
+
+
+def bitext_margin_blocked(ds, *, k: int = 4, threshold: float = 1.0,
+                          n_blocks: int = 4, id_col: str = "vec_id",
+                          vec_col: str = "embedding"):
+    """Exact mutual-argmax margin pairs with NO driver-side matrix and
+    no corpus broadcast — the at-scale sibling of
+    :func:`bitext_margin_broadcast` (forced-route pytest proves equal
+    output on the same input).
+
+    Two block-pair sweeps over the :func:`knn_graph_blocked` exchange
+    geometry (ids hash into ``n_blocks`` per side; every vector ships
+    n_blocks× — the unavoidable exact all-pairs cost):
+
+    1. per (a-block, b-block) group: cosine partials → per-row top-k
+       candidates; a groupby(side, id) merge reduces each row's GLOBAL
+       top-k mean (a global top-k member is top-k inside every subset
+       containing it, so block partials cover the exact answer).
+    2. the avgk table re-expands through the SAME id buckets as tiny
+       (id, avg) rows — landing in every group its vector lands in, a
+       map-side join with no extra shuffle primitive — and each group
+       emits its LOCAL margin argmax per row; a groupby(side, id)
+       max-reduce applies the (margin desc, other-id asc) rule
+       globally.  Mutual filtering is one groupby(b_id) holding one
+       best-of-b row plus the a-candidates that chose that b — bounded
+       per group, never a driver drain.
+
+    Vectors travel as float64 ``tobytes()`` blobs (one fixed-width
+    binary column, zero schema ambiguity across the avg/vec union);
+    cosines are recomputed in sweep 2 rather than materialized — an
+    O(N²) float column is exactly what a 100-TB pass cannot keep.
+    """
+    from .dedup import _key_buckets
+
+    def _expand_rows(ids, sides, vb, avg) -> pd.DataFrame:
+        own = _key_buckets(ids, n_blocks)
+        frames = []
+        for other in range(n_blocks):
+            pair = np.where(sides == 0, own * n_blocks + other, other * n_blocks + own)
+            frames.append(pd.DataFrame(
+                {"pair_id": pair, "vid": ids, "side": sides, "vb": vb, "avg": avg}))
+        return pd.concat(frames, ignore_index=True)
+
+    def expand_vecs(batch: "pa.Table") -> pd.DataFrame:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sides = (ids % 2 != 0).astype(np.int64)  # 0 = side A, 1 = side B
+        mat = _as_matrix(batch[vec_col])
+        vb = [r.tobytes() for r in np.ascontiguousarray(mat, dtype=np.float64)]
+        return _expand_rows(ids, sides, vb, np.nan)
+
+    def expand_avgs(batch: "pa.Table") -> pd.DataFrame:
+        ids = batch["vid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sides = batch["side"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return _expand_rows(ids, sides, b"", batch["avg"].to_numpy(zero_copy_only=False))
+
+    def _group_mats(g: pd.DataFrame):
+        """(a_ids, a_mat, b_ids, b_mat) for one pair group, L2-normalized,
+        each side sorted by id (argmax first-hit == lowest id)."""
+        g = g.drop_duplicates("vid").sort_values("vid", kind="stable")
+        a, b = g[g["side"] == 0], g[g["side"] == 1]
+        if not len(a) or not len(b):
+            return None
+
+        def mat(part):
+            m = np.frombuffer(b"".join(part["vb"]), dtype=np.float64).reshape(len(part), -1)
+            n = np.linalg.norm(m, axis=1, keepdims=True)
+            return m / np.where(n == 0, 1, n)
+
+        return a["vid"].to_numpy(), mat(a), b["vid"].to_numpy(), mat(b)
+
+    _EMPTY_TOPK = {"side": pd.Series(dtype=np.int64), "vid": pd.Series(dtype=np.int64),
+                   "cos": pd.Series(dtype=np.float64)}
+
+    def pair_topk(g: pd.DataFrame) -> pd.DataFrame:
+        got = _group_mats(g)
+        if got is None:
+            return pd.DataFrame(_EMPTY_TOPK)
+        aid, am, bid, bm = got
+        cos = am @ bm.T
+        ka, kb = min(k, cos.shape[1]), min(k, cos.shape[0])
+        top_a = np.sort(cos, axis=1)[:, -ka:]
+        top_b = np.sort(cos, axis=0)[-kb:, :]
+        return pd.concat(
+            [pd.DataFrame({"side": 0, "vid": np.repeat(aid, ka), "cos": top_a.ravel()}),
+             pd.DataFrame({"side": 1, "vid": np.repeat(bid, kb), "cos": top_b.T.ravel()})],
+            ignore_index=True,
+        )
+
+    def reduce_avg(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"side": [int(g["side"].iloc[0])], "vid": [int(g["vid"].iloc[0])],
+             "avg": [_avg_topk_asc(g["cos"].to_numpy(), k)]}
+        )
+
+    avgs = (
+        ds.map_batches(expand_vecs, batch_format="pyarrow")
+        .groupby("pair_id").map_groups(pair_topk, batch_format="pandas")
+        .groupby(["side", "vid"]).map_groups(reduce_avg, batch_format="pandas")
+    )
+
+    both = ds.map_batches(expand_vecs, batch_format="pyarrow").union(
+        avgs.map_batches(expand_avgs, batch_format="pyarrow")
+    )
+
+    _EMPTY_BEST = {"side": pd.Series(dtype=np.int64), "vid": pd.Series(dtype=np.int64),
+                   "other": pd.Series(dtype=np.int64), "margin": pd.Series(dtype=np.float64)}
+
+    def pair_margin(g: pd.DataFrame) -> pd.DataFrame:
+        avg_map = g[g["avg"].notna()].drop_duplicates("vid").set_index("vid")["avg"]
+        got = _group_mats(g[g["avg"].isna()])
+        if got is None:
+            return pd.DataFrame(_EMPTY_BEST)
+        aid, am, bid, bm = got
+        cos = am @ bm.T
+        avg_a = avg_map.reindex(aid).to_numpy()
+        avg_b = avg_map.reindex(bid).to_numpy()
+        margin = cos / ((avg_a[:, None] + avg_b[None, :]) / 2.0)
+
+        def best(mat, ids_self, ids_other, side):
+            # columns already id-ascending (_group_mats sorts), so
+            # argmax's first hit applies (margin desc, other asc)
+            pick = mat.argmax(axis=1)
+            return pd.DataFrame(
+                {"side": side, "vid": ids_self, "other": ids_other[pick],
+                 "margin": mat[np.arange(len(ids_self)), pick]})
+
+        return pd.concat(
+            [best(margin, aid, bid, 0), best(margin.T, bid, aid, 1)],
+            ignore_index=True,
+        )
+
+    def reduce_best(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["margin", "other"], ascending=[False, True], kind="stable")
+        return g.iloc[:1][["side", "vid", "other", "margin"]]
+
+    bests = (
+        both.groupby("pair_id").map_groups(pair_margin, batch_format="pandas")
+        .groupby(["side", "vid"]).map_groups(reduce_best, batch_format="pandas")
+    )
+
+    def key_by_b(batch: "pa.Table") -> pd.DataFrame:
+        df = batch.to_pandas()
+        df["b_key"] = np.where(df["side"] == 0, df["other"], df["vid"])
+        return df
+
+    def mutual(g: pd.DataFrame) -> pd.DataFrame:
+        brow = g[g["side"] == 1]
+        arows = g[g["side"] == 0]
+        if not len(brow) or not len(arows):
+            return pd.DataFrame({"a_id": pd.Series(dtype=np.int64),
+                                 "b_id": pd.Series(dtype=np.int64)})
+        chosen_a = int(brow["other"].iloc[0])
+        hit = arows[(arows["vid"] == chosen_a) & (arows["margin"] > threshold)]
+        return pd.DataFrame({"a_id": hit["vid"].to_numpy(dtype=np.int64),
+                             "b_id": hit["other"].to_numpy(dtype=np.int64)})
+
+    return (
+        bests.map_batches(key_by_b, batch_format="pyarrow")
+        .groupby("b_key").map_groups(mutual, batch_format="pandas")
+    )
