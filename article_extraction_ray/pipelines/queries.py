@@ -19794,8 +19794,209 @@ FROM allg GROUP BY source, n ORDER BY source, n
 """
 
 
+# ---------------------------------------------------------------------------
+# interleaved-corpus pairing + sampling mix (MMC4 / OBELICS-style ops the
+# north rule's interleaved text+media payload needs; ref has no media layer)
+# ---------------------------------------------------------------------------
+
+_CAP_W = 20  # tokens per text span (the "sentence" unit of the pairing)
+_CAP_MIN_TOKENS = 5  # MMC4-style minimum caption length gate
+
+
+def _caption_frame(doc_ids: np.ndarray, texts: list[str]) -> pd.DataFrame:
+    """(doc_id, media_idx, cap_idx, caption, cap_tok) rows for one batch
+    under the planted interleave (m = doc_id % 4 media spans, media k
+    attached after text span (doc_id*(k+1)+k) % n_spans).  Mostly
+    vectorized: the per-media fanout is numpy repeat/arange; only the
+    final caption slice walks surviving rows (≤3 per doc)."""
+    toks = [t.split() for t in texts]
+    nt = np.array([len(t) for t in toks], dtype=np.int64)
+    m = doc_ids % 4
+    keep = (nt >= 1) & (m >= 1)
+    if not keep.any():
+        return pd.DataFrame(
+            {"doc_id": pd.Series(dtype=np.int64), "media_idx": pd.Series(dtype=np.int64),
+             "cap_idx": pd.Series(dtype=np.int64), "caption": pd.Series(dtype=object),
+             "cap_tok": pd.Series(dtype=np.int64)}
+        )
+    idx = np.flatnonzero(keep)
+    mm = m[idx]
+    nsp = -(-nt[idx] // _CAP_W)  # ceil
+    rep = np.repeat(np.arange(len(idx)), mm)  # local doc slot per media row
+    k = np.arange(mm.sum(), dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(mm)[:-1])), mm
+    )
+    d_rep = doc_ids[idx][rep]
+    cap_idx = (d_rep * (k + 1) + k) % nsp[rep]
+    df = pd.DataFrame({"doc_id": d_rep, "media_idx": k, "cap_idx": cap_idx,
+                       "slot": idx[rep], "nt": nt[idx][rep]})
+    # one image per span (MMC4's one-per-sentence rule): keep lowest k
+    df = df.drop_duplicates(["doc_id", "cap_idx"], keep="first")
+    df["cap_tok"] = np.minimum(_CAP_W, df["nt"].to_numpy() - df["cap_idx"].to_numpy() * _CAP_W)
+    df = df[df["cap_tok"] >= _CAP_MIN_TOKENS]
+    df["caption"] = [
+        " ".join(toks[s][c * _CAP_W : (c + 1) * _CAP_W])
+        for s, c in zip(df["slot"], df["cap_idx"])
+    ]
+    return df[["doc_id", "media_idx", "cap_idx", "caption", "cap_tok"]]
+
+
+def q_caption_pairs(sf_dir: str):
+    """Image-text pair extraction from an interleaved corpus — the
+    MMC4 / OBELICS pairing step that turns interleaved documents into
+    (media_ref, caption) training pairs: each media span pairs with the
+    text span it follows, one media per span (lowest media index wins),
+    captions under {mn} tokens gated out.  The media positions are
+    planted closed-form (doc_id % 4 spans at (doc_id*(k+1)+k) % n_spans
+    — the testdata documents carry no media column) so the WHOLE
+    pairing — fanout, span arithmetic, per-span dedup, length gate,
+    caption text — is value-oracled; on the real interleaved corpus the
+    positions come from the extracted spans' kind/offset columns.
+
+    Scale shape: one streaming pass, per-doc fanout bounded (≤3), no
+    shuffle; output is pair rows ready for a partitioned sink."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+
+    def pairs(batch: pa.Table) -> pd.DataFrame:
+        df = _caption_frame(
+            batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            batch["text"].to_pylist(),
+        )
+        df["media_ref"] = [
+            f"img://{d}/{k}" for d, k in zip(df["doc_id"], df["media_idx"])
+        ]
+        return df[["doc_id", "media_idx", "media_ref", "cap_idx", "caption"]].astype(
+            {"doc_id": np.int64, "media_idx": np.int64, "cap_idx": np.int64}
+        )
+
+    return ds.map_batches(pairs, batch_format="pyarrow").sort(["doc_id", "media_idx"])
+
+
+q_caption_pairs.__doc__ = q_caption_pairs.__doc__.format(mn=_CAP_MIN_TOKENS)
+
+
+SQL_CAPTION_PAIRS = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+d AS (
+  SELECT doc_id, toks, len(toks) AS nt,
+         CAST(ceil(len(toks) / {_CAP_W}.0) AS BIGINT) AS nsp, doc_id % 4 AS m
+  FROM t WHERE len(toks) >= 1 AND doc_id % 4 >= 1
+),
+k AS (
+  SELECT doc_id, toks, nt, nsp, unnest(generate_series(0, m - 1)) AS k FROM d
+),
+p AS (
+  SELECT doc_id, k, ((doc_id * (k + 1) + k) % nsp) AS cap_idx, toks, nt FROM k
+),
+dedup AS (
+  SELECT doc_id, cap_idx, min(k) AS media_idx FROM p GROUP BY doc_id, cap_idx
+),
+cap AS (
+  SELECT de.doc_id, de.media_idx, de.cap_idx,
+         array_to_string(p.toks[de.cap_idx * {_CAP_W} + 1 : de.cap_idx * {_CAP_W} + {_CAP_W}], ' ') AS caption,
+         least(p.nt - de.cap_idx * {_CAP_W}, {_CAP_W}) AS cap_tok
+  FROM dedup de JOIN p ON p.doc_id = de.doc_id AND p.k = de.media_idx
+)
+SELECT doc_id, media_idx,
+       'img://' || doc_id || '/' || media_idx AS media_ref, cap_idx, caption
+FROM cap WHERE cap_tok >= {_CAP_MIN_TOKENS}
+ORDER BY doc_id, media_idx
+"""
+
+
+def q_span_interleave_stats(sf_dir: str):
+    """Per-source structure report for an interleaved corpus — the
+    table every interleaved-dataset card publishes (OBELICS Table 1
+    shape): document count, documents carrying media, total text
+    spans, total media spans, and media density (media per text span).
+    Same planted interleave as `caption_pairs`; integer sums reduce
+    exactly (order-free), the single density division happens once per
+    source row on both engines."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source", "text"], split=True)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ntok = np.array(
+            [len(t.split()) for t in batch["text"].to_pylist()], dtype=np.int64
+        )
+        m = ids % 4
+        nsp = -(-ntok // _CAP_W)
+        return pd.DataFrame(
+            {"source": batch["source"].to_pandas(), "n_docs": 1,
+             "with_media": ((m >= 1) & (ntok >= 1)).astype(np.int64),
+             "n_spans": nsp, "n_media": np.where(ntok >= 1, m, 0)}
+        ).groupby("source", as_index=False).sum()
+
+    out = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source"],
+        {"n_docs": ("sum", "n_docs"), "docs_with_media": ("sum", "with_media"),
+         "n_spans": ("sum", "n_spans"), "n_media": ("sum", "n_media")},
+        small_keys=True,
+    ).to_pandas()
+    out["media_density"] = out["n_media"].to_numpy(dtype=np.float64) / out[
+        "n_spans"
+    ].to_numpy(dtype=np.float64)
+    return out.sort_values("source").reset_index(drop=True)
+
+
+SQL_SPAN_INTERLEAVE_STATS = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS nt
+  FROM documents
+),
+d AS (
+  SELECT source,
+         CAST(ceil(nt / {_CAP_W}.0) AS BIGINT) AS nsp,
+         CASE WHEN nt >= 1 THEN doc_id % 4 ELSE 0 END AS m,
+         CASE WHEN nt >= 1 AND doc_id % 4 >= 1 THEN 1 ELSE 0 END AS wm
+  FROM t
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(wm) AS BIGINT) AS docs_with_media,
+       CAST(sum(nsp) AS BIGINT) AS n_spans,
+       CAST(sum(m) AS BIGINT) AS n_media,
+       CAST(sum(m) AS DOUBLE) / CAST(sum(nsp) AS DOUBLE) AS media_density
+FROM d GROUP BY source ORDER BY source
+"""
+
+
+def q_temperature_mix(sf_dir: str):
+    """Temperature-scaled sampling mix (α = 0.5, the multilingual
+    up-sampling rule of mT5/XLM-R): per source, the up-sampling factor
+    relative to the LARGEST source, sqrt(n_max / n_i) — how many times
+    each tail domain repeats per head epoch under p_i ∝ n_i^0.5.
+    Expressed pairwise against max(n) so both engines compute ONE
+    sqrt of the same exact-integer ratio — no cross-source float sum
+    whose addition order could differ.  Counts reduce as exact int
+    partials; the domain table is dimension-bounded."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"], split=True)
+    counts = grouped_aggregate(
+        ds, ["source"], {"n_docs": ("count", None)}, small_keys=True
+    ).to_pandas()
+    n = counts["n_docs"].to_numpy(dtype=np.int64)
+    counts["upsample"] = np.sqrt(n.max() / n.astype(np.float64))
+    counts["n_docs"] = counts["n_docs"].astype(np.int64)
+    return counts.sort_values("source").reset_index(drop=True)
+
+
+SQL_TEMPERATURE_MIX = """
+WITH n AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+m AS (SELECT max(n_docs) AS n_max FROM n)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       sqrt(CAST(n_max AS BIGINT) / CAST(n_docs AS DOUBLE)) AS upsample
+FROM n, m ORDER BY source
+"""
+
 
 QUERIES = {
+    "caption_pairs": q_caption_pairs,
+    "span_interleave_stats": q_span_interleave_stats,
+    "temperature_mix": q_temperature_mix,
     "hll_registers": q_hll_registers,
     "simhash_md5": q_simhash_md5,
     "minhash_sigs": q_minhash_sigs,
@@ -20098,6 +20299,9 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "caption_pairs": SQL_CAPTION_PAIRS,
+    "span_interleave_stats": SQL_SPAN_INTERLEAVE_STATS,
+    "temperature_mix": SQL_TEMPERATURE_MIX,
     "hll_registers": SQL_HLL_REGISTERS,
     "simhash_md5": SQL_SIMHASH_MD5,
     "minhash_sigs": SQL_MINHASH_SIGS,
