@@ -1218,3 +1218,79 @@ class TestEmbeddingBlockedRoutes:
         from article_extraction_ray.pipelines.queries import q_label_noise_detect
 
         self._route_pair(monkeypatch, q_label_noise_detect, ["vec_id"])
+
+
+class TestCaptionPairsPlanted:
+    """Planted interleave edge cases for the MMC4-style pairing: the
+    span-boundary caption gate (exactly _CAP_MIN_TOKENS survives, one
+    fewer is dropped), same-span media collapsing to the lowest index,
+    media-less and empty documents emitting nothing — each compared
+    two-engine via the SQL oracle on the same planted table."""
+
+    _con = staticmethod(TestRound5DegenerateParity._con)
+    _cmp = staticmethod(TestDegenerateGroupParity._cmp)
+
+    @staticmethod
+    def _docs():
+        tok = lambda n: " ".join(f"w{i}" for i in range(n))
+        rows = [
+            (0, tok(30)),   # m=0: no media, no pairs
+            (1, tok(25)),   # nsp=2, cap_idx=1, cap_tok=5: survives the >=5 gate exactly
+            (2, tok(25)),   # m=2: spans 0 and 1 both captioned
+            (3, tok(10)),   # m=3, nsp=1: all media collide on span 0 -> keep k=0 only
+            (5, tok(3)),    # nsp=1, cap_tok=3 < 5: gated out
+            (6, ""),        # empty text: emits nothing
+            (9, tok(100)),  # nsp=5, cap_idx=4: full-width caption
+        ]
+        return pd.DataFrame(
+            {"doc_id": np.array([r[0] for r in rows], dtype=np.int64),
+             "text": [r[1] for r in rows],
+             "lang": "en", "source": "s",
+             "n_chars": np.array([len(r[1]) for r in rows], dtype=np.int64)}
+        )
+
+    def test_caption_pairs_planted(self, ray_session, tmp_path):
+        from article_extraction_ray.pipelines.queries import SQL_CAPTION_PAIRS, q_caption_pairs
+
+        con = self._con(tmp_path, documents=self._docs())
+        got = q_caption_pairs(str(tmp_path))
+        got = got.to_pandas() if not isinstance(got, pd.DataFrame) else got
+        self._cmp(got, con, SQL_CAPTION_PAIRS, ["doc_id", "media_idx"])
+        by_doc = got.groupby("doc_id").size().to_dict()
+        assert by_doc == {1: 1, 2: 2, 3: 1, 9: 1}
+        d3 = got[got["doc_id"] == 3]
+        assert list(d3["media_idx"]) == [0]  # same-span collision keeps lowest k
+        d1 = got[got["doc_id"] == 1].iloc[0]
+        assert d1["caption"] == "w20 w21 w22 w23 w24"  # boundary: exactly 5 tokens
+
+    def test_span_interleave_stats_planted(self, ray_session, tmp_path):
+        from article_extraction_ray.pipelines.queries import (
+            SQL_SPAN_INTERLEAVE_STATS,
+            q_span_interleave_stats,
+        )
+
+        con = self._con(tmp_path, documents=self._docs())
+        got = q_span_interleave_stats(str(tmp_path))
+        got = got.to_pandas() if not isinstance(got, pd.DataFrame) else got
+        self._cmp(got, con, SQL_SPAN_INTERLEAVE_STATS, ["source"])
+        row = got.iloc[0]
+        # docs 1,2,3,5,9 carry media (6 is empty, 0 is m=0)
+        assert int(row["docs_with_media"]) == 5
+        # media count zeroes out for the empty doc (6%4=2 not counted)
+        assert int(row["n_media"]) == (1 + 2 + 3 + 1 + 1)
+
+    def test_temperature_mix_exact_ratio(self, ray_session, tmp_path):
+        from article_extraction_ray.pipelines.queries import SQL_TEMPERATURE_MIX, q_temperature_mix
+
+        docs = pd.DataFrame(
+            {"doc_id": np.arange(101, dtype=np.int64),
+             "text": "t", "lang": "en",
+             "source": (["head"] * 100) + ["tail"],
+             "n_chars": np.ones(101, dtype=np.int64)}
+        )
+        con = self._con(tmp_path, documents=docs)
+        got = q_temperature_mix(str(tmp_path))
+        got = got.to_pandas() if not isinstance(got, pd.DataFrame) else got
+        self._cmp(got, con, SQL_TEMPERATURE_MIX, ["source"])
+        m = got.set_index("source")["upsample"]
+        assert m["head"] == 1.0 and m["tail"] == 10.0  # sqrt(100/1) exact
