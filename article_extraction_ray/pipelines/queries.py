@@ -19795,6 +19795,163 @@ FROM allg GROUP BY source, n ORDER BY source, n
 
 
 # ---------------------------------------------------------------------------
+# ExactSubstr REMOVAL (Lee et al. 2022): rewrite documents with
+# cross-document duplicated token spans cut out — the surgery step the
+# audit (`ngram_span_dedup`) only scores
+# ---------------------------------------------------------------------------
+
+_XSR_NGRAM = 8  # duplicated-span unit (tokens), same W as the audit
+
+
+def q_exact_substr_rewrite(sf_dir: str):
+    """ExactSubstr removal: any {w}-token shingle present in ≥2 distinct
+    documents marks its {w} tokens for removal in EVERY document; the
+    rewrite keeps the uncovered tokens in order.  This is the surgical
+    half of Lee et al. 2022 — where `ngram_span_dedup` scores docs and
+    drops whole ones, this emits the cleaned text itself, the variant
+    production corpora actually ship.
+
+    Shape: one shingle-bucket co-partition decides cross-doc df
+    (a shingle lives in one bucket, so in-bucket df is global — same
+    geometry as the audit) and emits the duplicated (doc, start)
+    positions; starts fold per doc into a bounded CSV list on a coarse
+    doc bucket; the size-routed `tabular.join` facade brings start
+    lists and text together (broadcast under budget, hash-shuffle
+    above); the rebuild is a vectorized boundary-diff coverage mask —
+    no per-token Python.  The shuffled keys here are raw shingle
+    strings to keep the DuckDB oracle exact; at 100 TB the key becomes
+    a 128-bit content hash (16 bytes, collision P≪1e-15)."""
+    from .tabular import join as join_route
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+
+    def sh_pos(batch: pa.Table) -> pd.DataFrame:
+        out_doc: list[np.ndarray] = []
+        out_pos: list[np.ndarray] = []
+        out_sh: list[str] = []
+        for did, text in zip(
+            batch["doc_id"].to_numpy(zero_copy_only=False), batch["text"].to_pylist()
+        ):
+            toks = text.split()
+            n = len(toks) - _XSR_NGRAM + 1
+            if n <= 0:
+                continue
+            out_sh.extend(" ".join(toks[i : i + _XSR_NGRAM]) for i in range(n))
+            out_doc.append(np.full(n, did, dtype=np.int64))
+            out_pos.append(np.arange(n, dtype=np.int64))
+        if not out_sh:
+            return pd.DataFrame(
+                {"doc_id": pd.Series(dtype=np.int64), "pos": pd.Series(dtype=np.int64),
+                 "s": pd.Series(dtype=object), "__bucket": pd.Series(dtype=np.int64)}
+            )
+        df = pd.DataFrame(
+            {"doc_id": np.concatenate(out_doc), "pos": np.concatenate(out_pos), "s": out_sh}
+        )
+        df["__bucket"] = (pd.util.hash_array(df["s"].to_numpy(dtype=object)) % 64).astype(
+            np.int64
+        )
+        return df
+
+    def dup_starts(df: pd.DataFrame) -> pd.DataFrame:
+        ndocs = df.groupby("s", sort=False)["doc_id"].transform("nunique")
+        return df.loc[ndocs >= 2, ["doc_id", "pos"]]
+
+    starts = (
+        ds.map_batches(sh_pos, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(lambda df: dup_starts(df.drop(columns=["__bucket"])), batch_format="pandas")
+    )
+
+    def doc_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df["__b2"] = (df["doc_id"].to_numpy() % 64).astype(np.int32)
+        return df
+
+    def fold_lists(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["doc_id", "pos"]).groupby("doc_id", sort=False)["pos"]
+        return g.apply(lambda s: ",".join(map(str, s))).rename("starts").reset_index()
+
+    start_lists = (
+        starts.map_batches(doc_bucket, batch_format="pandas")
+        .groupby("__b2")
+        .map_groups(lambda df: fold_lists(df.drop(columns=["__b2"])), batch_format="pandas")
+    )
+
+    joined, _ = join_route(ds, start_lists, on="doc_id", how="left")
+
+    def rebuild(df: pd.DataFrame) -> pd.DataFrame:
+        n_tok = np.empty(len(df), dtype=np.int64)
+        n_rm = np.empty(len(df), dtype=np.int64)
+        clean: list[str] = []
+        for i, (text, st) in enumerate(zip(df["text"], df["starts"])):
+            toks = text.split()
+            nt = len(toks)
+            n_tok[i] = nt
+            if not isinstance(st, str) or not st:
+                n_rm[i] = 0
+                clean.append(" ".join(toks))
+                continue
+            pos = np.fromstring(st, dtype=np.int64, sep=",")
+            diff = np.zeros(nt + 1, dtype=np.int64)
+            np.add.at(diff, pos, 1)
+            np.add.at(diff, np.minimum(pos + _XSR_NGRAM, nt), -1)
+            covered = np.cumsum(diff[:-1]) > 0
+            n_rm[i] = int(covered.sum())
+            kept = [t for t, c in zip(toks, covered) if not c]
+            clean.append(" ".join(kept))
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy().astype(np.int64),
+             "n_tokens": n_tok, "n_removed": n_rm, "clean_text": clean}
+        )
+
+    return joined.map_batches(rebuild, batch_format="pandas").sort("doc_id")
+
+
+q_exact_substr_rewrite.__doc__ = q_exact_substr_rewrite.__doc__.format(w=_XSR_NGRAM)
+
+
+SQL_EXACT_SUBSTR_REWRITE = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i + {_XSR_NGRAM - 1}], ' ') AS g
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - {_XSR_NGRAM - 1})) AS i
+        FROM t WHERE len(toks) >= {_XSR_NGRAM})
+),
+dup AS (SELECT g FROM sh GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+st AS (SELECT sh.doc_id, sh.pos FROM sh JOIN dup USING (g)),
+tok AS (
+  SELECT doc_id, unnest(generate_series(0, len(toks) - 1)) AS i, toks
+  FROM t WHERE len(toks) >= 1
+),
+flag AS (
+  SELECT tok.doc_id, tok.i, tok.toks[tok.i + 1] AS w,
+         CASE WHEN st.pos IS NOT NULL THEN 1 ELSE 0 END AS f
+  FROM tok LEFT JOIN st ON st.doc_id = tok.doc_id AND st.pos = tok.i
+),
+cov AS (
+  SELECT doc_id, i, w,
+         max(f) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN {_XSR_NGRAM - 1} PRECEDING AND CURRENT ROW) AS c
+  FROM flag
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         sum(c) AS n_removed,
+         coalesce(string_agg(CASE WHEN c = 0 THEN w END, ' ' ORDER BY i), '') AS clean_text
+  FROM cov GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed,
+       coalesce(a.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # interleaved-corpus pairing + sampling mix (MMC4 / OBELICS-style ops the
 # north rule's interleaved text+media payload needs; ref has no media layer)
 # ---------------------------------------------------------------------------
@@ -19994,6 +20151,7 @@ FROM n, m ORDER BY source
 
 
 QUERIES = {
+    "exact_substr_rewrite": q_exact_substr_rewrite,
     "caption_pairs": q_caption_pairs,
     "span_interleave_stats": q_span_interleave_stats,
     "temperature_mix": q_temperature_mix,
@@ -20299,6 +20457,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "exact_substr_rewrite": SQL_EXACT_SUBSTR_REWRITE,
     "caption_pairs": SQL_CAPTION_PAIRS,
     "span_interleave_stats": SQL_SPAN_INTERLEAVE_STATS,
     "temperature_mix": SQL_TEMPERATURE_MIX,

@@ -1294,3 +1294,40 @@ class TestCaptionPairsPlanted:
         self._cmp(got, con, SQL_TEMPERATURE_MIX, ["source"])
         m = got.set_index("source")["upsample"]
         assert m["head"] == 1.0 and m["tail"] == 10.0  # sqrt(100/1) exact
+
+
+class TestExactSubstrRewritePlanted:
+    """Two documents sharing one 8-token run lose exactly those 8
+    tokens each (and nothing else); a unique doc and a short doc pass
+    through untouched; a doc that IS the duplicated run rewrites to
+    empty — each checked two-engine."""
+
+    _con = staticmethod(TestRound5DegenerateParity._con)
+    _cmp = staticmethod(TestDegenerateGroupParity._cmp)
+
+    def test_planted_shared_run(self, ray_session, tmp_path):
+        from article_extraction_ray.pipelines.queries import (
+            SQL_EXACT_SUBSTR_REWRITE,
+            q_exact_substr_rewrite,
+        )
+
+        shared = " ".join(f"d{i}" for i in range(8))
+        docs = pd.DataFrame(
+            {"doc_id": np.array([0, 1, 2, 3, 4], dtype=np.int64),
+             "text": [f"alpha beta {shared} gamma delta",
+                      f"x1 x2 x3 {shared} y1",
+                      "all unique tokens here nothing repeats at all ever",
+                      "short doc",
+                      shared],  # exactly the duplicated run -> rewrites to ''
+             "lang": "en", "source": "s", "n_chars": np.int64(1)}
+        )
+        con = self._con(tmp_path, documents=docs)
+        got = q_exact_substr_rewrite(str(tmp_path))
+        got = got.to_pandas() if not isinstance(got, pd.DataFrame) else got
+        self._cmp(got, con, SQL_EXACT_SUBSTR_REWRITE, ["doc_id"])
+        g = got.set_index("doc_id")
+        assert g.loc[0, "clean_text"] == "alpha beta gamma delta"
+        assert g.loc[1, "clean_text"] == "x1 x2 x3 y1"
+        assert int(g.loc[0, "n_removed"]) == 8 and int(g.loc[1, "n_removed"]) == 8
+        assert int(g.loc[2, "n_removed"]) == 0 and int(g.loc[3, "n_removed"]) == 0
+        assert g.loc[4, "clean_text"] == "" and int(g.loc[4, "n_removed"]) == 8
