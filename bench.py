@@ -233,6 +233,16 @@ BENCH_QUERIES = [
     "normalized_dedup",
     "perplexity_buckets",
     "media_dims_gate",
+    "hll_registers",
+    "simhash_md5",
+    "minhash_sigs",
+    "bitext_mine",
+    "rouge_pairs",
+    "distinct_ngrams",
+    "caption_pairs",
+    "span_interleave_stats",
+    "temperature_mix",
+    "exact_substr_rewrite",
 ]
 
 
