@@ -19795,6 +19795,81 @@ FROM allg GROUP BY source, n ORDER BY source, n
 
 
 # ---------------------------------------------------------------------------
+# weighted reservoir sample (Efraimidis & Spirakis 2006 A-ES), k per group
+# ---------------------------------------------------------------------------
+
+_WRES_K = 5
+
+
+def q_weighted_reservoir(sf_dir: str):
+    """Distributed weighted sampling-without-replacement, k={k} per
+    source (Efraimidis & Spirakis 2006 A-ES): each row draws a
+    deterministic md5 coin u ∈ (0, 1] and ranks by u^(1/w) — computed
+    as ln(u)/w for numerical range — so the top-k per group IS an exact
+    weighted sample, mergeable across any partitioning (max-k of key
+    partials).  The deterministic coin (md5 of the row id — the same
+    resume-safe trick as `quality_sample`) is what makes the sample
+    value-oracled AND re-runnable: both engines draw the identical u,
+    and ln / the integer→double cast round identically (libm on the
+    same doubles).
+
+    Scale shape: per-batch per-group top-k prefilter (bounded
+    groups×k×blocks partial rows), one coalesce, final rank — the
+    corpus never shuffles; weight = n_chars (floor 1)."""
+    from ..stages.sketch_parity import md5_u64
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source", "n_chars"], split=True)
+
+    def keyed_topk(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = np.maximum(batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64), 1.0)
+        h = md5_u64([str(int(i)) for i in ids])
+        # integer halve-then-increment BEFORE the double cast — the same
+        # op order as the SQL's ((h >> 1) + 1) / 2^63, so the one
+        # rounding step happens on the identical integer in both engines
+        u = ((h >> np.uint64(1)) + np.uint64(1)).astype(np.float64) / 9223372036854775808.0
+        df = pd.DataFrame(
+            {"source": batch["source"].to_pandas(), "doc_id": ids, "key": np.log(u) / w}
+        )
+        return (
+            df.sort_values(["source", "key", "doc_id"], ascending=[True, False, True])
+            .groupby("source", sort=False)
+            .head(_WRES_K)
+        )
+
+    partials = ds.map_batches(keyed_topk, batch_format="pyarrow")
+
+    def final_rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["source", "key", "doc_id"], ascending=[True, False, True])
+        df = df.groupby("source", sort=False).head(_WRES_K).reset_index(drop=True)
+        df["rnk"] = df.groupby("source", sort=False).cumcount().astype(np.int64) + 1
+        return df[["source", "rnk", "doc_id", "key"]]
+
+    return partials.repartition(1).map_batches(final_rank, batch_format="pandas")
+
+
+q_weighted_reservoir.__doc__ = q_weighted_reservoir.__doc__.format(k=_WRES_K)
+
+
+SQL_WEIGHTED_RESERVOIR = f"""
+WITH w AS (
+  SELECT source, doc_id,
+         ln(((md5_number_upper(CAST(doc_id AS VARCHAR)) >> 1) + 1)
+            / 9223372036854775808.0)
+           / greatest(n_chars, 1) AS key
+  FROM documents
+),
+r AS (
+  SELECT source, doc_id, key,
+         row_number() OVER (PARTITION BY source ORDER BY key DESC, doc_id) AS rnk
+  FROM w
+)
+SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id, key
+FROM r WHERE rnk <= {_WRES_K} ORDER BY source, rnk
+"""
+
+
+# ---------------------------------------------------------------------------
 # ExactSubstr REMOVAL (Lee et al. 2022): rewrite documents with
 # cross-document duplicated token spans cut out — the surgery step the
 # audit (`ngram_span_dedup`) only scores
@@ -20151,6 +20226,7 @@ FROM n, m ORDER BY source
 
 
 QUERIES = {
+    "weighted_reservoir": q_weighted_reservoir,
     "exact_substr_rewrite": q_exact_substr_rewrite,
     "caption_pairs": q_caption_pairs,
     "span_interleave_stats": q_span_interleave_stats,
@@ -20457,6 +20533,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "weighted_reservoir": SQL_WEIGHTED_RESERVOIR,
     "exact_substr_rewrite": SQL_EXACT_SUBSTR_REWRITE,
     "caption_pairs": SQL_CAPTION_PAIRS,
     "span_interleave_stats": SQL_SPAN_INTERLEAVE_STATS,
