@@ -19795,6 +19795,176 @@ FROM allg GROUP BY source, n ORDER BY source, n
 
 
 # ---------------------------------------------------------------------------
+# content-defined chunking dedup (rsync/LBFS-style rolling-hash cuts) —
+# the storage-layer blob dedup that survives insertions, unlike
+# fixed-offset blocks
+# ---------------------------------------------------------------------------
+
+_CDC_K = 8  # rolling window (chars)
+_CDC_DIV = 64  # boundary condition hv % DIV == 0 → ~64-char expected chunks
+_CDC_BASE = 1_000_003
+_CDC_MOD = 2_147_483_647
+_CDC_POWS = np.array(
+    [pow(_CDC_BASE, _CDC_K - 1 - j, _CDC_MOD) for j in range(_CDC_K)], dtype=np.int64
+)
+
+
+def _cdc_chunks(text: str) -> list[str]:
+    """Content-defined chunks: cut after char i (1-based, i < n)
+    whenever the polynomial hash of chars [i-7..i] ≡ 0 mod {div} —
+    boundaries depend only on local content, so a one-char insertion
+    shifts ONE chunk instead of re-chunking the whole blob (the
+    LBFS/rsync property).  Vectorized: one utf-32 decode, one sliding
+    dot with the power vector, one flatnonzero."""
+    n = len(text)
+    if n < _CDC_K:
+        return [text]
+    codes = np.frombuffer(text.encode("utf-32-le"), dtype="<u4").astype(np.int64)
+    wins = np.lib.stride_tricks.sliding_window_view(codes, _CDC_K) @ _CDC_POWS
+    ends = np.flatnonzero((wins % _CDC_MOD) % _CDC_DIV == 0) + _CDC_K
+    ends = ends[ends < n]
+    out, prev = [], 0
+    for c in ends:
+        out.append(text[prev:c])
+        prev = int(c)
+    out.append(text[prev:])
+    return out
+
+
+_cdc_chunks.__doc__ = _cdc_chunks.__doc__.format(div=_CDC_DIV)
+
+
+def q_cdc_chunk_dedup(sf_dir: str):
+    """Content-defined-chunking dedup report per source — the
+    storage-layer dedup (rsync, LBFS, restic/borg) that splits every
+    blob at content-derived boundaries and stores each distinct chunk
+    once: per source, document/chunk counts, DISTINCT chunk count and
+    bytes, and the dedup ratio (distinct bytes / total bytes).
+
+    Scale shape: chunking streams (zero shuffle); distinctness is an
+    exact chunk-hash-bucket reduce — a chunk lives in one bucket, so
+    in-bucket distinct is global (the `data_card` geometry); the
+    doc/char totals fold as exact int partials with no exchange at
+    all.  Chunks shuffle as raw strings here so the DuckDB oracle can
+    GROUP BY them; a production store ships (md5, nbytes) pairs — 24
+    bytes per chunk — and never moves chunk bodies."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source", "text"], split=True)
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        srcs: list[str] = []
+        chunks: list[str] = []
+        for s, t in zip(batch["source"].to_pylist(), batch["text"].to_pylist()):
+            cs = _cdc_chunks(t)
+            srcs.extend([s] * len(cs))
+            chunks.extend(cs)
+        df = pd.DataFrame({"source": srcs, "chunk": chunks})
+        df["__bucket"] = (
+            pd.util.hash_array(df["chunk"].to_numpy(dtype=object)) % 64
+        ).astype(np.int64)
+        return df
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+
+    def bucket_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["source", "chunk"])
+        return (
+            d.assign(nch=d["chunk"].str.len().astype(np.int64))
+            .groupby("source", as_index=False)
+            .agg(n_distinct=("chunk", "size"), distinct_chars=("nch", "sum"))
+        )
+
+    distinct = grouped_aggregate(
+        exploded.groupby("__bucket").map_groups(
+            lambda df: bucket_distinct(df.drop(columns=["__bucket"])),
+            batch_format="pandas",
+        ),
+        ["source"],
+        {"n_distinct_chunks": ("sum", "n_distinct"),
+         "distinct_chars": ("sum", "distinct_chars")},
+        small_keys=True,
+    ).to_pandas()
+
+    def totals_partial(batch: pa.Table) -> pd.DataFrame:
+        rows = []
+        for s, t in zip(batch["source"].to_pylist(), batch["text"].to_pylist()):
+            rows.append((s, 1, len(_cdc_chunks(t)), len(t)))
+        return (
+            pd.DataFrame(rows, columns=["source", "n_docs", "n_chunks", "total_chars"])
+            .groupby("source", as_index=False)
+            .sum()
+        )
+
+    totals = grouped_aggregate(
+        ds.map_batches(totals_partial, batch_format="pyarrow"),
+        ["source"],
+        {"n_docs": ("sum", "n_docs"), "n_chunks": ("sum", "n_chunks"),
+         "total_chars": ("sum", "total_chars")},
+        small_keys=True,
+    ).to_pandas()
+
+    out = totals.merge(distinct, on="source")
+    out["dedup_ratio"] = out["distinct_chars"].to_numpy(dtype=np.float64) / out[
+        "total_chars"
+    ].to_numpy(dtype=np.float64)
+    cols = ["source", "n_docs", "n_chunks", "n_distinct_chunks",
+            "total_chars", "distinct_chars", "dedup_ratio"]
+    for c in cols[1:-1]:
+        out[c] = out[c].astype(np.int64)
+    return out[cols].sort_values("source").reset_index(drop=True)
+
+
+_CDC_HV_TERMS = "\n        + ".join(
+    f"CAST(unicode(substr(text, i - {_CDC_K - 1 - j}, 1)) AS BIGINT) * {int(_CDC_POWS[j])}"
+    for j in range(_CDC_K)
+)
+
+SQL_CDC_CHUNK_DEDUP = f"""
+WITH t AS (SELECT doc_id, source, text, length(text) AS n FROM documents),
+hv AS (
+  SELECT doc_id, i,
+         ({_CDC_HV_TERMS}) % {_CDC_MOD} AS hv
+  FROM (SELECT doc_id, text, unnest(range({_CDC_K}, n)) AS i FROM t WHERE n >= {_CDC_K})
+),
+cuts AS (SELECT doc_id, i FROM hv WHERE hv % {_CDC_DIV} = 0),
+chars AS (
+  SELECT doc_id, source, unnest(range(1, n + 1)) AS p, text
+  FROM t WHERE n >= 1
+),
+cid AS (
+  SELECT c.doc_id, c.source, c.p, substr(c.text, c.p, 1) AS ch,
+         coalesce(sum(CASE WHEN cu.i IS NOT NULL THEN 1 ELSE 0 END) OVER (
+           PARTITION BY c.doc_id ORDER BY c.p
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+  FROM chars c LEFT JOIN cuts cu ON cu.doc_id = c.doc_id AND cu.i = c.p
+),
+chunks AS (
+  SELECT doc_id, source, chunk_id, string_agg(ch, '' ORDER BY p) AS chunk
+  FROM cid GROUP BY doc_id, source, chunk_id
+),
+allc AS (
+  SELECT * FROM chunks
+  UNION ALL
+  SELECT doc_id, source, 0 AS chunk_id, text AS chunk FROM t WHERE n = 0
+),
+tot AS (
+  SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
+         sum(length(chunk)) AS total_chars
+  FROM allc GROUP BY source
+),
+dis AS (
+  SELECT source, count(*) AS n_distinct_chunks, sum(length(chunk)) AS distinct_chars
+  FROM (SELECT DISTINCT source, chunk FROM allc) GROUP BY source
+)
+SELECT t.source, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_chunks AS BIGINT) AS n_chunks,
+       CAST(n_distinct_chunks AS BIGINT) AS n_distinct_chunks,
+       CAST(total_chars AS BIGINT) AS total_chars,
+       CAST(distinct_chars AS BIGINT) AS distinct_chars,
+       CAST(distinct_chars AS DOUBLE) / CAST(total_chars AS DOUBLE) AS dedup_ratio
+FROM tot t JOIN dis USING (source) ORDER BY t.source
+"""
+
+
+# ---------------------------------------------------------------------------
 # weighted reservoir sample (Efraimidis & Spirakis 2006 A-ES), k per group
 # ---------------------------------------------------------------------------
 
@@ -20226,6 +20396,7 @@ FROM n, m ORDER BY source
 
 
 QUERIES = {
+    "cdc_chunk_dedup": q_cdc_chunk_dedup,
     "weighted_reservoir": q_weighted_reservoir,
     "exact_substr_rewrite": q_exact_substr_rewrite,
     "caption_pairs": q_caption_pairs,
@@ -20533,6 +20704,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "cdc_chunk_dedup": SQL_CDC_CHUNK_DEDUP,
     "weighted_reservoir": SQL_WEIGHTED_RESERVOIR,
     "exact_substr_rewrite": SQL_EXACT_SUBSTR_REWRITE,
     "caption_pairs": SQL_CAPTION_PAIRS,

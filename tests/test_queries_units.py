@@ -1331,3 +1331,55 @@ class TestExactSubstrRewritePlanted:
         assert int(g.loc[0, "n_removed"]) == 8 and int(g.loc[1, "n_removed"]) == 8
         assert int(g.loc[2, "n_removed"]) == 0 and int(g.loc[3, "n_removed"]) == 0
         assert g.loc[4, "clean_text"] == "" and int(g.loc[4, "n_removed"]) == 8
+
+
+class TestCdcChunkDedupPlanted:
+    """The defining CDC property: a one-char prefix insertion shifts
+    every byte offset, yet the content-defined boundaries realign and
+    the two documents share all chunks after the first cut — fixed
+    blocks would share nothing.  Verified two-engine on a planted
+    pair, plus the kernel-level chunk-suffix assertion."""
+
+    _con = staticmethod(TestRound5DegenerateParity._con)
+    _cmp = staticmethod(TestDegenerateGroupParity._cmp)
+
+    def test_insertion_resilience(self, ray_session, tmp_path):
+        from article_extraction_ray.pipelines.queries import (
+            SQL_CDC_CHUNK_DEDUP,
+            _cdc_chunks,
+            q_cdc_chunk_dedup,
+        )
+
+        rng = np.random.default_rng(11)
+        base = "".join(rng.choice(list("abcdefgh ")) for _ in range(400))
+        docs = pd.DataFrame(
+            {"doc_id": np.array([0, 1], dtype=np.int64),
+             "text": [base, "X" + base],
+             "lang": "en", "source": "s", "n_chars": np.int64(1)}
+        )
+        ca, cb = _cdc_chunks(base), _cdc_chunks("X" + base)
+        assert len(ca) > 2  # the planted text must actually cut
+        # all chunks after each side's first cut coincide
+        assert ca[1:] == cb[1:]
+        con = self._con(tmp_path, documents=docs)
+        got = q_cdc_chunk_dedup(str(tmp_path))
+        got = got.to_pandas() if not isinstance(got, pd.DataFrame) else got
+        self._cmp(got, con, SQL_CDC_CHUNK_DEDUP, ["source"])
+        row = got.iloc[0]
+        # the shared suffix chunks dedup away: distinct < total
+        assert int(row["n_distinct_chunks"]) == int(row["n_chunks"]) - (len(ca) - 1)
+
+    def test_short_and_empty_docs(self, ray_session, tmp_path):
+        from article_extraction_ray.pipelines.queries import SQL_CDC_CHUNK_DEDUP, q_cdc_chunk_dedup
+
+        docs = pd.DataFrame(
+            {"doc_id": np.array([0, 1, 2], dtype=np.int64),
+             "text": ["tiny", "", "tiny"],  # sub-window docs are single chunks
+             "lang": "en", "source": "s", "n_chars": np.int64(1)}
+        )
+        con = self._con(tmp_path, documents=docs)
+        got = q_cdc_chunk_dedup(str(tmp_path))
+        got = got.to_pandas() if not isinstance(got, pd.DataFrame) else got
+        self._cmp(got, con, SQL_CDC_CHUNK_DEDUP, ["source"])
+        row = got.iloc[0]
+        assert int(row["n_chunks"]) == 3 and int(row["n_distinct_chunks"]) == 2
