@@ -20395,6 +20395,201 @@ FROM n, m ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# round-4 sketch-parity extensions: every CMS cell and every counting-
+# Bloom cell value-checked in SQL (completing the md5-keyed family that
+# already covers HLL registers, SimHash bits and MinHash slots)
+# ---------------------------------------------------------------------------
+
+_CMS_SQL_D = 4  # rows (depth): error probability delta = e^-d
+_CMS_SQL_W = 1024  # columns (width): overcount epsilon = e/w
+
+
+def q_cms_registers(sf_dir: str):
+    """EVERY Count-Min cell value-checked against SQL: the d×w register
+    matrix of an md5-keyed CMS over documents' whitespace tokens, as
+    (sketch_row, col, cnt) rows for the non-zero cells.
+
+    Where `cms_rank_check` tolerance-gates the production SipHash
+    sketch (stages/sketch.cms_*), this proves the CELL math — salted
+    row hashing, column assignment, count accumulation — bit-exactly
+    in both engines.  Linear-sketch scale shape: per-batch token
+    counts fold into ≤ d·w-row partials that elementwise-sum under one
+    bounded `small_keys` reduce; the corpus never shuffles and merge
+    order cannot matter (CMS is a linear sketch — the property the
+    production kernel's pytest checks directly)."""
+    from ..stages.sketch_parity import cms_md5_partial
+
+    ds = read_table(sf_dir, "documents", columns=["text"], split=True)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        alltoks = " ".join(t or "" for t in batch["text"].to_pylist()).split()
+        u, c = np.unique(np.asarray(alltoks, dtype=object), return_counts=True)
+        return cms_md5_partial(u.tolist(), c, d=_CMS_SQL_D, w=_CMS_SQL_W)
+
+    out = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["sketch_row", "col"],
+        {"cnt": ("sum", "cnt")},
+        small_keys=True,
+    ).to_pandas()
+    return out.sort_values(["sketch_row", "col"]).reset_index(drop=True).astype(
+        {"sketch_row": np.int64, "col": np.int64, "cnt": np.int64}
+    )
+
+
+SQL_CMS_REGISTERS = f"""
+WITH tok AS (
+  SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS tok
+  FROM documents
+),
+cnt AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+r(sketch_row) AS (VALUES {", ".join(f"({r})" for r in range(_CMS_SQL_D))}),
+cells AS (
+  SELECT sketch_row,
+         CAST(md5_number_upper(sketch_row || '|' || tok) % {_CMS_SQL_W} AS BIGINT) AS col,
+         sum(c) AS cnt
+  FROM cnt CROSS JOIN r GROUP BY sketch_row, col
+)
+SELECT CAST(sketch_row AS BIGINT) AS sketch_row, col, CAST(cnt AS BIGINT) AS cnt
+FROM cells ORDER BY sketch_row, col
+"""
+
+
+_BLOOM_SQL_K = 6  # probes per key (optimal k for m/n ≈ 8.7)
+_BLOOM_SQL_M = 1 << 14  # cells
+
+
+def q_bloom_bits(sf_dir: str):
+    """EVERY counting-Bloom cell value-checked against SQL: the k=6
+    md5-keyed probe positions of each DISTINCT orders customer,
+    accumulated as (bit, hits) cells.  The >0 projection is the plain
+    Bloom membership vector (`bloom_point_lookup`'s production twin
+    keys with SipHash and is gated behaviorally); the exact per-cell
+    hit counts additionally expose collision miscounts a bit vector
+    would hide.
+
+    Scale shape: per-batch distinct keys → k md5 probes → ≤ m-row
+    count partials, one bounded reduce.  Key distinctness is enforced
+    globally BEFORE probing (two-level exact distinct), because a
+    Bloom insert is idempotent — re-inserting a key seen in another
+    batch must not double its cells."""
+    from ..stages.sketch_parity import bloom_md5_partial
+
+    ds = read_table(sf_dir, "orders", columns=["o_custkey"], split=True)
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch["o_custkey"].to_numpy(zero_copy_only=False))
+        return pa.Table.from_arrays([pa.array(u, type=pa.int64())], names=["o_custkey"])
+
+    uniq = grouped_aggregate(
+        ds.map_batches(distinct_partial, batch_format="pyarrow"),
+        ["o_custkey"],
+        {"__n": ("count", None)},
+    ).drop_columns(["__n"])
+
+    def probe(batch: pa.Table) -> pd.DataFrame:
+        keys = [str(int(v)) for v in batch["o_custkey"].to_numpy(zero_copy_only=False)]
+        return bloom_md5_partial(keys, k=_BLOOM_SQL_K, m=_BLOOM_SQL_M)
+
+    out = grouped_aggregate(
+        uniq.map_batches(probe, batch_format="pyarrow"),
+        ["bit"],
+        {"hits": ("sum", "hits")},
+        small_keys=True,
+    ).to_pandas()
+    return out.sort_values("bit").reset_index(drop=True).astype(
+        {"bit": np.int64, "hits": np.int64}
+    )
+
+
+SQL_BLOOM_BITS = f"""
+WITH keys AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS key FROM orders),
+probes(i) AS (VALUES {", ".join(f"({i})" for i in range(_BLOOM_SQL_K))}),
+cells AS (
+  SELECT CAST(md5_number_upper(i || '|' || key) % {_BLOOM_SQL_M} AS BIGINT) AS bit,
+         count(*) AS hits
+  FROM keys CROSS JOIN probes GROUP BY bit
+)
+SELECT bit, CAST(hits AS BIGINT) AS hits FROM cells ORDER BY bit
+"""
+
+
+def _simhash_md5_hash64(texts) -> np.ndarray:
+    from ..stages.sketch_parity import simhash_md5_batch
+
+    return np.array([int(h, 16) for h in simhash_md5_batch(texts)], dtype=np.uint64)
+
+
+def q_simhash_md5_pairs(sf_dir: str):
+    """SimHash near-dup PAIRS value-checked against a brute-force SQL
+    oracle: the banded-LSH pair miner (stages/dedup.simhash_dup_pairs —
+    4-quarter pigeonhole buckets, skew-proof representative expansion,
+    cross-bucket min-hamming dedupe) keyed by the md5 fingerprint twin,
+    over the injected-near-dupes corpus.
+
+    The oracle is NOT the same algorithm: DuckDB recomputes every
+    fingerprint from scratch and compares ALL O(n²) pairs with
+    ``bit_count(xor(a, b)) <= 3`` — the pigeonhole completeness claim
+    (hamming ≤ 3 ⇒ at least one intact 16-bit quarter ⇒ the LSH path
+    finds the pair) is what the value hash actually proves, on every
+    scale's full pair matrix.  The rows-only `simhash_pairs` keeps the
+    production SipHash kernel on the identical routing code."""
+    from ..stages.dedup import simhash_dup_pairs
+
+    pairs = simhash_dup_pairs(
+        _with_injected_dupes(sf_dir), max_hamming=3, hash64_fn=_simhash_md5_hash64
+    )
+    out = pairs.to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True).astype(
+        {"id_a": np.int64, "id_b": np.int64, "hamming": np.int64}
+    )
+
+
+_SIMHASH_CORPUS = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+             [1 : greatest(len(list_filter(string_split_regex(text, '\\s+'),
+                                           x -> x <> '')) - 2, 0)],
+           ' ') AS text
+  FROM documents
+)"""
+
+SQL_SIMHASH_MD5_PAIRS = f"""
+WITH {_SIMHASH_CORPUS},
+toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(string_split_regex(text, '\\s+'),
+                                          x -> x <> ''))) AS tok
+  FROM corpus
+),
+h AS (SELECT doc_id, md5_number_upper(tok) AS h FROM toks),
+bits AS (
+  SELECT doc_id, count(*) AS n,
+         {_SIMHASH_BITSUMS}
+  FROM h GROUP BY doc_id
+),
+vals0 AS (
+  SELECT doc_id,
+         {_SIMHASH_ORS} AS v
+  FROM bits
+),
+vals AS (
+  SELECT c.doc_id, coalesce(va.v, 0::UBIGINT) AS v
+  FROM corpus c LEFT JOIN vals0 va USING (doc_id)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.v, b.v)) AS BIGINT) AS hamming
+FROM vals a JOIN vals b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.v, b.v)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES = {
     "cdc_chunk_dedup": q_cdc_chunk_dedup,
     "weighted_reservoir": q_weighted_reservoir,
@@ -20405,6 +20600,9 @@ QUERIES = {
     "hll_registers": q_hll_registers,
     "simhash_md5": q_simhash_md5,
     "minhash_sigs": q_minhash_sigs,
+    "cms_registers": q_cms_registers,
+    "bloom_bits": q_bloom_bits,
+    "simhash_md5_pairs": q_simhash_md5_pairs,
     "bitext_mine": q_bitext_mine,
     "rouge_pairs": q_rouge_pairs,
     "distinct_ngrams": q_distinct_ngrams,
@@ -20713,6 +20911,9 @@ ORACLE_SQL = {
     "hll_registers": SQL_HLL_REGISTERS,
     "simhash_md5": SQL_SIMHASH_MD5,
     "minhash_sigs": SQL_MINHASH_SIGS,
+    "cms_registers": SQL_CMS_REGISTERS,
+    "bloom_bits": SQL_BLOOM_BITS,
+    "simhash_md5_pairs": SQL_SIMHASH_MD5_PAIRS,
     "bitext_mine": SQL_BITEXT_MINE,
     "rouge_pairs": SQL_ROUGE_PAIRS,
     "distinct_ngrams": SQL_DISTINCT_NGRAMS,

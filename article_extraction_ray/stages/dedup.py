@@ -692,16 +692,24 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
     return np.unpackbits(x[:, None].view(np.uint8), axis=1).sum(axis=1, dtype=np.int64)
 
 
-def simhash_dup_pairs(ds, *, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text"):
+def simhash_dup_pairs(ds, *, max_hamming: int = 3, id_col: str = "doc_id",
+                      text_col: str = "text", hash64_fn=None):
     """Near-dup pairs within Hamming distance via the 4-band pigeonhole
     trick: two hashes within distance ≤3 share at least one exact 16-bit
     quarter; co-locate on hash(quarter, qvalue) % _N_SHUFFLE_BUCKETS
     (coarse buckets — one map_groups call per bucket, not per key, the
     same shape as minhash's pair-gen) and verify per key inside the
-    bucket with the blocked vectorized Hamming kernel."""
+    bucket with the blocked vectorized Hamming kernel.
+
+    ``hash64_fn`` (texts → np.uint64 array) swaps the fingerprint
+    kernel: default is the production SipHash ``batch_simhash64``; the
+    md5-parity twin (stages/sketch_parity.simhash_md5_batch) plugs in
+    for the SQL-oracled pair query — band routing, pair generation and
+    Hamming verification are hash-agnostic."""
     def to_bands(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        hs = batch_simhash64(batch[text_col].to_pylist())
+        texts = batch[text_col].to_pylist()
+        hs = batch_simhash64(texts) if hash64_fn is None else hash64_fn(texts)
         quarters = np.tile(np.arange(4, dtype=np.uint64), len(ids))
         qvals = ((np.repeat(hs, 4) >> (np.uint64(16) * quarters)) & np.uint64(0xFFFF)).astype(np.int64)
         bucket = (

@@ -34,6 +34,8 @@ __all__ = [
     "hll_md5_partial",
     "simhash_md5_batch",
     "minhash_md5_batch",
+    "cms_md5_partial",
+    "bloom_md5_partial",
     "MINHASH_A",
     "MINHASH_B",
     "MINHASH_PRIME",
@@ -168,3 +170,62 @@ def minhash_md5_batch(doc_ids, texts, *, shingle: int = 3) -> pd.DataFrame:
             "sig": sigs.ravel(),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch registers (Cormode & Muthukrishnan 2005), md5-keyed
+# ---------------------------------------------------------------------------
+
+
+def cms_md5_partial(keys, counts, *, d: int, w: int) -> pd.DataFrame:
+    """(sketch_row, col, cnt) partial for one batch of (key, count)
+    pairs: cell column = ``md5(r || '|' || key) % w`` for each of the
+    ``d`` rows — the salted-row keying DuckDB reproduces verbatim as
+    ``md5_number_upper(r || '|' || key) % w``, so EVERY non-zero CMS
+    cell is SQL-checkable (the production twin, stages/sketch.cms_*,
+    keys with SipHash×fmix64 and is tolerance-gated instead).
+
+    Linear-sketch shape: partials are (≤ d·w)-row count frames that
+    elementwise-sum under the same grouped reduce as any counter —
+    merge order can't matter, which is the CMS linearity property the
+    pytest suite checks on the production kernel."""
+    keys = list(keys)
+    if not keys:
+        return pd.DataFrame({"sketch_row": pd.Series(dtype=np.int64),
+                             "col": pd.Series(dtype=np.int64),
+                             "cnt": pd.Series(dtype=np.int64)})
+    cnt = np.asarray(counts, dtype=np.int64)
+    frames = []
+    for r in range(d):
+        col = (md5_u64([f"{r}|{k}" for k in keys]) % np.uint64(w)).astype(np.int64)
+        frames.append(pd.DataFrame({"sketch_row": np.int64(r), "col": col, "cnt": cnt}))
+    out = pd.concat(frames, ignore_index=True)
+    return out.groupby(["sketch_row", "col"], as_index=False)["cnt"].sum()
+
+
+# ---------------------------------------------------------------------------
+# Counting Bloom filter cells (Fan et al. 2000), md5-keyed
+# ---------------------------------------------------------------------------
+
+
+def bloom_md5_partial(keys, *, k: int, m: int) -> pd.DataFrame:
+    """(bit, hits) partial for one batch of DISTINCT key strings: the
+    ``k`` probe positions of key are ``md5(i || '|' || key) % m``
+    (i = 0..k-1).  ``hits`` counts (i, key) probes landing on the bit —
+    the counting-Bloom generalization whose >0 projection is the plain
+    Bloom bit vector, and whose exact cell counts make the WHOLE filter
+    state value-checkable in SQL (a bit vector alone would hide
+    collision miscounts).  Callers must pre-dedupe keys batch-locally
+    and globally (a Bloom insert is idempotent; the counting twin here
+    counts each distinct key once)."""
+    keys = list(keys)
+    if not keys:
+        return pd.DataFrame({"bit": pd.Series(dtype=np.int64),
+                             "hits": pd.Series(dtype=np.int64)})
+    frames = []
+    for i in range(k):
+        bit = (md5_u64([f"{i}|{s}" for s in keys]) % np.uint64(m)).astype(np.int64)
+        frames.append(pd.DataFrame({"bit": bit}))
+    out = pd.concat(frames, ignore_index=True)
+    out["hits"] = np.int64(1)
+    return out.groupby("bit", as_index=False)["hits"].sum()
