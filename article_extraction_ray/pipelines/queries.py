@@ -343,26 +343,15 @@ def q_rag_index_search(sf_dir: str):
     return out.map_batches(lambda df: df[["query_id", "vec_id", "rank"]], batch_format="pandas")
 
 
-def q_compact_roundtrip(sf_dir: str):
-    """Small-files compaction, driver-visible (state/compact.py): the
-    orders table rewrites as 24 deliberately small files, compaction
-    bin-packs them into ~target-size outputs, and the summary row
-    (files_in, files_out, rows) proves row preservation.  Deterministic
-    (FFD packing on sizes, fixed input); cached per scale factor."""
+def _ensure_smallfiles_layout(sf_dir: str) -> str:
+    """Cached 24-small-file orders layout under /tmp (private build +
+    atomic publish: a concurrent run at the same scale either wins the
+    rename or reads the winner's complete layout)."""
     import os
     import tempfile
 
-    import ray.data as rd
-
-    from ..state.compact import compact_parquet
-
     tag = os.path.basename(os.path.normpath(sf_dir))
     src = os.path.join(tempfile.gettempdir(), f"ae_smallfiles_{tag}")
-    # compaction output must be private per run: compact_parquet
-    # rewrites dst, and two concurrent runs at the same scale would
-    # race delete-vs-read on a shared fixed path (the snapshot_reads
-    # advice class)
-    dst = tempfile.mkdtemp(prefix=f"ae_compacted_{tag}_")
     if not os.path.isdir(src) or not any(f.endswith(".parquet") for f in os.listdir(src)):
         stage = tempfile.mkdtemp(prefix=f"ae_smallfiles_{tag}_stage_")
         read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"], split=True)\
@@ -373,6 +362,30 @@ def q_compact_roundtrip(sf_dir: str):
             import shutil
 
             shutil.rmtree(stage, ignore_errors=True)
+    return src
+
+
+def q_compact_roundtrip(sf_dir: str):
+    """Small-files compaction, driver-visible (state/compact.py): the
+    orders table rewrites as 24 deliberately small files, compaction
+    bin-packs them into ~target-size outputs, and the summary row
+    (files_in, files_out, rows) proves row preservation.  Deterministic
+    (FFD packing on sizes, fixed input); cached per scale factor.
+    Content preservation is the value-oracled `compact_checksum`."""
+    import os
+    import tempfile
+
+    import ray.data as rd
+
+    from ..state.compact import compact_parquet
+
+    src = _ensure_smallfiles_layout(sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    # compaction output must be private per run: compact_parquet
+    # rewrites dst, and two concurrent runs at the same scale would
+    # race delete-vs-read on a shared fixed path (the snapshot_reads
+    # advice class)
+    dst = tempfile.mkdtemp(prefix=f"ae_compacted_{tag}_")
     try:
         summary = compact_parquet(src, dst, target_bytes=4 * 1024 * 1024)
     finally:
@@ -390,30 +403,22 @@ def q_compact_roundtrip(sf_dir: str):
     )
 
 
-def q_zorder_prune(sf_dir: str):
-    """Z-order layout payoff, measured (sources/zorder.py): lineitem's
-    (l_extendedprice, l_quantity) rewrite as 16 Morton-clustered files,
-    then a 2-D box predicate answers from parquet FOOTERS which files
-    must be read.  Returns one row (files_total, files_read,
-    rows_selected) — deterministic, so the driver's rows-only hash is
-    stable.  The layout write is cached per scale factor under /tmp."""
+def _ensure_zorder_layout(sf_dir: str) -> str:
+    """Cached 16-file Morton-clustered lineitem layout under /tmp
+    (private build + atomic publish, same race discipline as the
+    small-files cache)."""
     import os
     import tempfile
 
-    import pyarrow.parquet as pqt
-    import ray.data as rd
-
-    from ..sources.zorder import prune_files, write_zordered
+    from ..sources.zorder import write_zordered
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     zdir = os.path.join(tempfile.gettempdir(), f"ae_zorder_{tag}")
-    ds = read_table(
-        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_quantity"], split=True
-    )
     if not os.path.isdir(zdir) or not any(f.endswith(".parquet") for f in os.listdir(zdir)):
-        # private build + atomic publish: a concurrent run at the same
-        # scale either wins the rename or reads the winner's complete
-        # layout, never a half-written one
+        ds = read_table(
+            sf_dir, "lineitem",
+            columns=["l_orderkey", "l_extendedprice", "l_quantity"], split=True,
+        )
         stage = tempfile.mkdtemp(prefix=f"ae_zorder_{tag}_stage_")
         write_zordered(ds, stage, "l_extendedprice", "l_quantity", num_files=16)
         try:
@@ -422,6 +427,25 @@ def q_zorder_prune(sf_dir: str):
             import shutil
 
             shutil.rmtree(stage, ignore_errors=True)
+    return zdir
+
+
+def q_zorder_prune(sf_dir: str):
+    """Z-order layout payoff, measured (sources/zorder.py): lineitem's
+    (l_extendedprice, l_quantity) rewrite as 16 Morton-clustered files,
+    then a 2-D box predicate answers from parquet FOOTERS which files
+    must be read.  Returns one row (files_total, files_read,
+    rows_selected) — deterministic, so the driver's rows-only hash is
+    stable.  The layout write is cached per scale factor under /tmp.
+    Pruning completeness is the value-oracled `zorder_box_rows`."""
+    import os
+
+    import pyarrow.parquet as pqt
+    import ray.data as rd
+
+    from ..sources.zorder import prune_files
+
+    zdir = _ensure_zorder_layout(sf_dir)
     x_box, y_box = (1000.0, 20000.0), (5.0, 20.0)
     keep = prune_files(zdir, "l_extendedprice", "l_quantity", x_box, y_box)
     files_total = sum(1 for f in os.listdir(zdir) if f.endswith(".parquet"))
@@ -20515,6 +20539,133 @@ SELECT bit, CAST(hits AS BIGINT) AS hits FROM cells ORDER BY bit
 """
 
 
+def q_zorder_box_rows(sf_dir: str):
+    """The CONTENT half of the Z-order contract, value-oracled: read
+    ONLY the footer-pruned files of the Morton-clustered lineitem
+    layout (same cached layout as `zorder_prune`), apply the 2-D box
+    predicate, and return exact integer aggregates of the surviving
+    rows — count, Σ price (cents), Σ quantity (centi-units).
+
+    The oracle computes the same aggregates from a FULL-TABLE scan, so
+    a pruner that skips any file containing an in-box row reds the
+    value hash — the completeness property `zorder_prune`'s rows-only
+    (files_total, files_read) summary cannot prove.  Scale shape: the
+    pruned read is a plain distributed `read_parquet` over the kept
+    file list; the box filter and cent conversions are vectorized; only
+    three int64 partials per block reach the driver."""
+    import os
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..sources.zorder import prune_files
+
+    zdir = _ensure_zorder_layout(sf_dir)
+    x_box, y_box = (1000.0, 20000.0), (5.0, 20.0)
+    keep = prune_files(zdir, "l_extendedprice", "l_quantity", x_box, y_box)
+    pruned = rd.read_parquet(
+        [os.path.join(zdir, f) for f in keep],
+        columns=["l_extendedprice", "l_quantity"],
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        px = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        qy = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        m = (px >= x_box[0]) & (px <= x_box[1]) & (qy >= y_box[0]) & (qy <= y_box[1])
+        return pd.DataFrame(
+            {
+                "k": np.zeros(1, dtype=np.int64),
+                "n_rows": [np.int64(m.sum())],
+                "sum_price_cents": [np.round(px[m] * 100).astype(np.int64).sum()],
+                "sum_qty_centi": [np.round(qy[m] * 100).astype(np.int64).sum()],
+            }
+        )
+
+    out = grouped_aggregate(
+        pruned.map_batches(partial, batch_format="pyarrow"),
+        ["k"],
+        {
+            "n_rows": ("sum", "n_rows"),
+            "sum_price_cents": ("sum", "sum_price_cents"),
+            "sum_qty_centi": ("sum", "sum_qty_centi"),
+        },
+        small_keys=True,
+    ).to_pandas()
+    return out.drop(columns=["k"]).astype(np.int64).reset_index(drop=True)
+
+
+SQL_ZORDER_BOX_ROWS = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)), 0) AS BIGINT)
+         AS sum_price_cents,
+       CAST(coalesce(sum(CAST(round(l_quantity * 100) AS BIGINT)), 0) AS BIGINT)
+         AS sum_qty_centi
+FROM lineitem
+WHERE l_extendedprice BETWEEN 1000.0 AND 20000.0
+  AND l_quantity BETWEEN 5.0 AND 20.0
+"""
+
+
+def q_compact_checksum(sf_dir: str):
+    """The CONTENT half of the compaction contract, value-oracled: the
+    24-small-file orders layout compacts (same FFD bin-packing as
+    `compact_roundtrip`), the COMPACTED output is read back
+    distributedly, and exact integer aggregates — row count, Σ orderkey,
+    Σ totalprice (cents) — must equal a direct SQL scan of the source
+    table.  Catches a compactor that drops, duplicates or truncates a
+    row group, which the (files_in, files_out, rows) summary alone
+    would miss whenever two mistakes cancel in the count."""
+    import os
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from ..state.compact import compact_parquet
+
+    src = _ensure_smallfiles_layout(sf_dir)
+    dst = tempfile.mkdtemp(prefix="ae_compact_ck_")
+    try:
+        compact_parquet(src, dst, target_bytes=4 * 1024 * 1024)
+        compacted = rd.read_parquet(
+            [os.path.join(dst, f) for f in sorted(os.listdir(dst)) if f.endswith(".parquet")]
+        )
+
+        def partial(batch: pa.Table) -> pd.DataFrame:
+            keys = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+            price = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+            return pd.DataFrame(
+                {
+                    "k": np.zeros(1, dtype=np.int64),
+                    "n_rows": [np.int64(len(keys))],
+                    "sum_orderkey": [keys.astype(np.int64).sum()],
+                    "sum_price_cents": [np.round(price * 100).astype(np.int64).sum()],
+                }
+            )
+
+        out = grouped_aggregate(
+            compacted.map_batches(partial, batch_format="pyarrow"),
+            ["k"],
+            {
+                "n_rows": ("sum", "n_rows"),
+                "sum_orderkey": ("sum", "sum_orderkey"),
+                "sum_price_cents": ("sum", "sum_price_cents"),
+            },
+            small_keys=True,
+        ).to_pandas()
+        return out.drop(columns=["k"]).astype(np.int64).reset_index(drop=True)
+    finally:
+        shutil.rmtree(dst, ignore_errors=True)
+
+
+SQL_COMPACT_CHECKSUM = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(o_orderkey) AS BIGINT) AS sum_orderkey,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+FROM orders
+"""
+
+
 def _simhash_md5_hash64(texts) -> np.ndarray:
     from ..stages.sketch_parity import simhash_md5_batch
 
@@ -20603,6 +20754,8 @@ QUERIES = {
     "cms_registers": q_cms_registers,
     "bloom_bits": q_bloom_bits,
     "simhash_md5_pairs": q_simhash_md5_pairs,
+    "zorder_box_rows": q_zorder_box_rows,
+    "compact_checksum": q_compact_checksum,
     "bitext_mine": q_bitext_mine,
     "rouge_pairs": q_rouge_pairs,
     "distinct_ngrams": q_distinct_ngrams,
@@ -20914,6 +21067,8 @@ ORACLE_SQL = {
     "cms_registers": SQL_CMS_REGISTERS,
     "bloom_bits": SQL_BLOOM_BITS,
     "simhash_md5_pairs": SQL_SIMHASH_MD5_PAIRS,
+    "zorder_box_rows": SQL_ZORDER_BOX_ROWS,
+    "compact_checksum": SQL_COMPACT_CHECKSUM,
     "bitext_mine": SQL_BITEXT_MINE,
     "rouge_pairs": SQL_ROUGE_PAIRS,
     "distinct_ngrams": SQL_DISTINCT_NGRAMS,
