@@ -20539,6 +20539,333 @@ SELECT bit, CAST(hits AS BIGINT) AS hits FROM cells ORDER BY bit
 """
 
 
+# ---------------------------------------------------------------------------
+# round-4 interleaved-corpus operators: referential integrity of media
+# refs, the span-reassembly shuffle value-checked, and token-budget
+# sharding with media costs — all on the same planted interleave as
+# caption_pairs (doc_id % 4 media spans at (doc_id*(k+1)+k) % n_spans)
+# ---------------------------------------------------------------------------
+
+#: planted blob-store membership: blob for (doc_id, k) exists iff
+#: (doc_id + 3k) % 5 != 0 — ~20% orphan refs, deterministic in SQL
+_BLOB_MISSING_MOD = 5
+
+
+def _media_ref_rows(batch: pa.Table) -> pd.DataFrame:
+    """(doc_id, source, k) rows — one per planted media span."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    src = np.asarray(batch["source"].to_pylist(), dtype=object)
+    m = ids % 4
+    rep = np.repeat(np.arange(len(ids)), m)
+    k = np.arange(int(m.sum()), dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(m)[:-1])), m
+    )
+    return pd.DataFrame({"doc_id": ids[rep], "source": src[rep], "k": k})
+
+
+def q_media_ref_integrity(sf_dir: str):
+    """Referential-integrity audit of an interleaved corpus: every
+    media_ref in the span stream must resolve in the blob store.  The
+    refs explode from the planted interleave; the blob manifest is a
+    SECOND dataset (planted membership, ~20% orphans) whose key set
+    reduces through a two-level distributed distinct and broadcasts
+    once — each ref batch then runs a count-only vectorized anti-join
+    (`pc.is_in`), the fk_audit shape: no row materialization, counts
+    fold as fixed-width per-source partials.  Above the broadcast
+    budget the in-repo bucketed anti-join (pipelines/bucketed.py
+    co-partition by ref hash) is the documented swap, exactly as for
+    fk_audit's dimension edges.
+
+    Output per source: refs, resolved, missing, and Σ(4·doc_id+k) of
+    the missing refs — an identity checksum that reds the value hash if
+    the WRONG refs go missing even when the count is right."""
+    import pyarrow.compute as pc
+
+    docs_cols = ["doc_id", "source"]
+    refs = read_table(sf_dir, "documents", columns=docs_cols, split=True)
+    blobs = read_table(sf_dir, "documents", columns=["doc_id"], split=True)
+
+    def blob_keys(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = ids % 4
+        rep = np.repeat(np.arange(len(ids)), m)
+        k = np.arange(int(m.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(m)[:-1])), m
+        )
+        d = ids[rep]
+        exists = (d + 3 * k) % _BLOB_MISSING_MOD != 0
+        return pa.Table.from_arrays(
+            [pa.array(d[exists] * 4 + k[exists], type=pa.int64())], names=["ref_key"]
+        )
+
+    manifest = grouped_aggregate(
+        blobs.map_batches(blob_keys, batch_format="pyarrow"),
+        ["ref_key"],
+        {"__n": ("count", None)},
+    ).drop_columns(["__n"])
+    keys_bc = Broadcast(
+        pa.array(manifest.to_pandas()["ref_key"].to_numpy(), type=pa.int64())
+    )
+
+    def audit(batch: pa.Table) -> pd.DataFrame:
+        df = _media_ref_rows(batch)
+        if df.empty:
+            return pd.DataFrame(
+                {"source": pd.Series(dtype=object),
+                 "n_refs": pd.Series(dtype=np.int64),
+                 "n_resolved": pd.Series(dtype=np.int64),
+                 "n_missing": pd.Series(dtype=np.int64),
+                 "missing_key_sum": pd.Series(dtype=np.int64)}
+            )
+        ref_key = df["doc_id"].to_numpy() * 4 + df["k"].to_numpy()
+        hit = np.asarray(
+            pc.is_in(pa.array(ref_key, type=pa.int64()), value_set=keys_bc.get())
+            .to_numpy(zero_copy_only=False)
+        )
+        df["n_refs"] = np.int64(1)
+        df["n_resolved"] = hit.astype(np.int64)
+        df["n_missing"] = (~hit).astype(np.int64)
+        df["missing_key_sum"] = np.where(~hit, ref_key, 0).astype(np.int64)
+        return df.groupby("source", as_index=False)[
+            ["n_refs", "n_resolved", "n_missing", "missing_key_sum"]
+        ].sum()
+
+    out = grouped_aggregate(
+        refs.map_batches(audit, batch_format="pyarrow"),
+        ["source"],
+        {
+            "n_refs": ("sum", "n_refs"),
+            "n_resolved": ("sum", "n_resolved"),
+            "n_missing": ("sum", "n_missing"),
+            "missing_key_sum": ("sum", "missing_key_sum"),
+        },
+        small_keys=True,
+    ).to_pandas()
+    return out.sort_values("source").reset_index(drop=True).astype(
+        {c: np.int64 for c in ["n_refs", "n_resolved", "n_missing", "missing_key_sum"]}
+    )
+
+
+SQL_MEDIA_REF_INTEGRITY = f"""
+WITH refs AS (
+  SELECT doc_id, source, unnest(generate_series(0, doc_id % 4 - 1)) AS k
+  FROM documents WHERE doc_id % 4 >= 1
+),
+audit AS (
+  SELECT source, doc_id * 4 + k AS ref_key,
+         CASE WHEN (doc_id + 3 * k) % {_BLOB_MISSING_MOD} <> 0 THEN 1 ELSE 0 END AS ok
+  FROM refs
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_refs,
+       CAST(sum(ok) AS BIGINT) AS n_resolved,
+       CAST(sum(1 - ok) AS BIGINT) AS n_missing,
+       CAST(coalesce(sum(CASE WHEN ok = 0 THEN ref_key ELSE 0 END), 0) AS BIGINT)
+         AS missing_key_sum
+FROM audit GROUP BY source ORDER BY source
+"""
+
+
+_SPAN_W = 20  # text-span width; == _CAP_W (the caption family, defined below)
+_RESTORE_BUCKETS = 64
+
+
+def q_span_order_restore(sf_dir: str):
+    """The north-star span-reassembly shuffle, value-oracled: documents
+    explode into per-span rows that arrive in a planted ROTATED order
+    ((s + doc_id) % n_spans), co-locate by doc through a coarse-bucket
+    groupby, re-sort by byte offset inside the group, and reassemble —
+    the reconstructed text's md5 must equal the md5 DuckDB computes
+    from the intact document, so a reassembly that drops, duplicates or
+    misorders even one span reds the value hash on every document.
+
+    This is the flagship's reassembly contract (groupby-doc_id
+    aggregate-sort over span rows) isolated as a value-checked query;
+    the flagship itself proves it against reference fixtures, this
+    proves it against an independent engine at corpus scale.  Scale
+    shape: explode is streaming, the one shuffle is the coarse-bucket
+    exchange every reassembly needs, in-bucket work is vectorized
+    pandas; giant documents ride the flagship's salted two-level
+    variant (stages/extract.py), not re-implemented here."""
+    import hashlib
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = [(t or "").split() for t in batch["text"].to_pylist()]
+        nt = np.array([len(t) for t in toks], dtype=np.int64)
+        keep = np.flatnonzero(nt >= 1)
+        nsp = -(-nt[keep] // _SPAN_W)
+        rep = np.repeat(np.arange(len(keep)), nsp)  # position within keep
+        s = np.arange(int(nsp.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(nsp)[:-1])), nsp
+        )
+        d = ids[keep][rep]
+        span_text = [
+            " ".join(toks[keep[r]][si * _SPAN_W : (si + 1) * _SPAN_W])
+            for r, si in zip(rep, s)
+        ]
+        df = pd.DataFrame(
+            {
+                "doc_id": d,
+                "offset": s * _SPAN_W,
+                "span_text": span_text,
+                "arrive": (s + d) % nsp[rep],
+            }
+        )
+        # planted shuffled arrival: rows leave this stage rotated so no
+        # downstream step can rely on emission order being span order
+        df = df.sort_values(["arrive", "doc_id"], kind="stable")
+        df["bucket"] = (df["doc_id"].to_numpy() % _RESTORE_BUCKETS).astype(np.int32)
+        return df[["doc_id", "offset", "span_text", "bucket"]]
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "offset"], kind="stable")
+        out = g.groupby("doc_id", sort=True).agg(
+            n_spans=("offset", "size"), restored=("span_text", " ".join)
+        ).reset_index()
+        out["restored_md5"] = [
+            hashlib.md5(t.encode("utf-8")).hexdigest() for t in out["restored"]
+        ]
+        return out[["doc_id", "n_spans", "restored_md5"]]
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lambda df: reassemble(df.drop(columns=["bucket"])), batch_format="pandas")
+        .sort("doc_id")
+    )
+
+
+SQL_SPAN_ORDER_RESTORE = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(ceil(len(toks) / {_SPAN_W}.0) AS BIGINT) AS n_spans,
+       md5(array_to_string(toks, ' ')) AS restored_md5
+FROM t WHERE len(toks) >= 1 ORDER BY doc_id
+"""
+
+
+_SHARD_BUDGET = 48  # text tokens per training shard
+_IMG_TOKENS = 32  # planted vision-encoder token cost per media span
+
+
+def q_token_budget_shards(sf_dir: str):
+    """Token-budget sharding of interleaved documents — the
+    sequence-packing precursor that splits a long interleaved document
+    into trainer-sized shards at SPAN boundaries, where a media span
+    costs a fixed {it}-token vision-encoder budget and is glued to the
+    text span it illustrates (the MMC4 pairing rule), so a shard
+    boundary can never separate an image from its caption.
+
+    Deterministic prefix-sum binning (shard = floor(cumulative cost
+    before the span / {b})), not greedy fill: the bin of a span depends
+    only on the doc-local prefix sum, so the assignment is
+    embarrassingly parallel, resumable, and SQL-expressible — the
+    at-scale reason to prefer it over stateful greedy packing (same
+    trade the `pack_sequences` query documents).  Everything is
+    doc-local: one streaming pass, zero shuffle, vectorized numpy +
+    one pandas segment aggregate per batch.
+
+    Output per (doc_id, shard): spans, media spans, total token cost
+    (text + media)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+
+    def shards(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nt = np.array([len((t or "").split()) for t in batch["text"].to_pylist()],
+                      dtype=np.int64)
+        keep = np.flatnonzero(nt >= 1)
+        if not len(keep):
+            return pd.DataFrame(
+                {"doc_id": pd.Series(dtype=np.int64), "shard": pd.Series(dtype=np.int64),
+                 "n_spans": pd.Series(dtype=np.int64), "n_media": pd.Series(dtype=np.int64),
+                 "n_tokens": pd.Series(dtype=np.int64)}
+            )
+        nsp = -(-nt[keep] // _SPAN_W)
+        rep = np.repeat(np.arange(len(keep)), nsp)
+        s = np.arange(int(nsp.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(nsp)[:-1])), nsp
+        )
+        d = ids[keep][rep]
+        tok = np.where(s == nsp[rep] - 1, nt[keep][rep] - (nsp[rep] - 1) * _SPAN_W,
+                       _SPAN_W)
+        sp = pd.DataFrame({"doc_id": d, "s": s, "tok": tok})
+
+        # planted media placement, one per span after the lowest-k rule
+        m = ids[keep] % 4
+        mrep = np.repeat(np.arange(len(keep)), m)
+        k = np.arange(int(m.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(m)[:-1])), m
+        )
+        md = pd.DataFrame(
+            {"doc_id": ids[keep][mrep], "s": (ids[keep][mrep] * (k + 1) + k) % nsp[mrep]}
+        ).drop_duplicates()
+        md["has_m"] = np.int64(1)
+
+        sp = sp.merge(md, on=["doc_id", "s"], how="left")
+        sp["has_m"] = sp["has_m"].fillna(0).astype(np.int64)
+        sp["cost"] = sp["tok"] + _IMG_TOKENS * sp["has_m"]
+        sp = sp.sort_values(["doc_id", "s"], kind="stable")
+        cum_before = sp.groupby("doc_id", sort=False)["cost"].cumsum() - sp["cost"]
+        sp["shard"] = (cum_before // _SHARD_BUDGET).astype(np.int64)
+        out = sp.groupby(["doc_id", "shard"], as_index=False).agg(
+            n_spans=("s", "size"), n_media=("has_m", "sum"), n_tokens=("cost", "sum")
+        )
+        return out.astype({c: np.int64 for c in out.columns})
+
+    return ds.map_batches(shards, batch_format="pyarrow").sort(["doc_id", "shard"])
+
+
+q_token_budget_shards.__doc__ = q_token_budget_shards.__doc__.format(
+    it=_IMG_TOKENS, b=_SHARD_BUDGET
+)
+
+
+SQL_TOKEN_BUDGET_SHARDS = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+d AS (
+  SELECT doc_id, len(toks) AS nt,
+         CAST(ceil(len(toks) / {_SPAN_W}.0) AS BIGINT) AS nsp, doc_id % 4 AS m
+  FROM t WHERE len(toks) >= 1
+),
+sp AS (
+  SELECT doc_id, s,
+         CASE WHEN s = nsp - 1 THEN nt - (nsp - 1) * {_SPAN_W} ELSE {_SPAN_W} END AS tok
+  FROM (SELECT doc_id, nt, nsp, unnest(generate_series(0, nsp - 1)) AS s FROM d)
+),
+media AS (
+  SELECT DISTINCT doc_id, ((doc_id * (k + 1) + k) % nsp) AS s
+  FROM (SELECT doc_id, nsp, unnest(generate_series(0, m - 1)) AS k FROM d WHERE m >= 1)
+),
+cost AS (
+  SELECT sp.doc_id, sp.s,
+         CASE WHEN media.s IS NOT NULL THEN 1 ELSE 0 END AS has_m,
+         sp.tok + {_IMG_TOKENS} * CASE WHEN media.s IS NOT NULL THEN 1 ELSE 0 END AS c
+  FROM sp LEFT JOIN media ON media.doc_id = sp.doc_id AND media.s = sp.s
+),
+w AS (
+  SELECT doc_id, s, has_m, c,
+         coalesce(sum(c) OVER (PARTITION BY doc_id ORDER BY s
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS cb
+  FROM cost
+)
+SELECT doc_id, CAST(cb // {_SHARD_BUDGET} AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(has_m) AS BIGINT) AS n_media,
+       CAST(sum(c) AS BIGINT) AS n_tokens
+FROM w GROUP BY doc_id, shard ORDER BY doc_id, shard
+"""
+
+
 def q_zorder_box_rows(sf_dir: str):
     """The CONTENT half of the Z-order contract, value-oracled: read
     ONLY the footer-pruned files of the Morton-clustered lineitem
@@ -20756,6 +21083,9 @@ QUERIES = {
     "simhash_md5_pairs": q_simhash_md5_pairs,
     "zorder_box_rows": q_zorder_box_rows,
     "compact_checksum": q_compact_checksum,
+    "media_ref_integrity": q_media_ref_integrity,
+    "span_order_restore": q_span_order_restore,
+    "token_budget_shards": q_token_budget_shards,
     "bitext_mine": q_bitext_mine,
     "rouge_pairs": q_rouge_pairs,
     "distinct_ngrams": q_distinct_ngrams,
@@ -21069,6 +21399,9 @@ ORACLE_SQL = {
     "simhash_md5_pairs": SQL_SIMHASH_MD5_PAIRS,
     "zorder_box_rows": SQL_ZORDER_BOX_ROWS,
     "compact_checksum": SQL_COMPACT_CHECKSUM,
+    "media_ref_integrity": SQL_MEDIA_REF_INTEGRITY,
+    "span_order_restore": SQL_SPAN_ORDER_RESTORE,
+    "token_budget_shards": SQL_TOKEN_BUDGET_SHARDS,
     "bitext_mine": SQL_BITEXT_MINE,
     "rouge_pairs": SQL_ROUGE_PAIRS,
     "distinct_ngrams": SQL_DISTINCT_NGRAMS,

@@ -1383,3 +1383,99 @@ class TestCdcChunkDedupPlanted:
         self._cmp(got, con, SQL_CDC_CHUNK_DEDUP, ["source"])
         row = got.iloc[0]
         assert int(row["n_chunks"]) == 3 and int(row["n_distinct_chunks"]) == 2
+
+
+class TestRound4InterleavedPlanted:
+    """Planted edge-case parity for the round-4 interleaved family:
+    media_ref_integrity's checksum pins WHICH refs are orphaned (not
+    just how many), span_order_restore survives single-span and exact
+    multiple-of-W documents, token_budget_shards puts a media-glued
+    span in its caption's shard and lands exact-budget boundaries on
+    the next shard — each compared two-engine via the SQL oracle."""
+
+    _con = staticmethod(TestRound5DegenerateParity._con)
+    _cmp = staticmethod(TestDegenerateGroupParity._cmp)
+
+    @staticmethod
+    def _docs():
+        tok = lambda n: " ".join(f"w{i}" for i in range(n))
+        rows = [
+            (0, tok(40)),   # m=0: no media; exactly 2 full spans (nt % W == 0)
+            (1, tok(20)),   # m=1, single span; blob (1+0)%5 != 0 -> resolved
+            (3, tok(48)),   # m=3, nsp=3; media collapse + budget boundary at 48
+            (4, tok(1)),    # m=0, single 1-token span
+            (5, tok(25)),   # m=1, k=0: (5+0)%5 == 0 -> ORPHAN ref
+            (7, tok(100)),  # m=3, nsp=5: k=1 -> (7+3)%5 == 0 -> one orphan of 3
+        ]
+        return pd.DataFrame(
+            {"doc_id": np.array([r[0] for r in rows], dtype=np.int64),
+             "text": [r[1] for r in rows],
+             "lang": "en", "source": "s",
+             "n_chars": np.array([len(r[1]) for r in rows], dtype=np.int64)}
+        )
+
+    def test_media_ref_integrity_planted(self, ray_session, tmp_path):
+        from article_extraction_ray.pipelines.queries import (
+            SQL_MEDIA_REF_INTEGRITY,
+            q_media_ref_integrity,
+        )
+
+        con = self._con(tmp_path, documents=self._docs())
+        got = q_media_ref_integrity(str(tmp_path))
+        got = got.to_pandas() if not isinstance(got, pd.DataFrame) else got
+        self._cmp(got, con, SQL_MEDIA_REF_INTEGRITY, ["source"])
+        row = got.iloc[0]
+        # refs: doc1 k0, doc3 k0-2, doc5 k0, doc7 k0-2 = 8
+        assert int(row["n_refs"]) == 8
+        # orphans: doc5 k0 (key 20) and doc7 k1 (key 29) only
+        assert int(row["n_missing"]) == 2
+        assert int(row["missing_key_sum"]) == 5 * 4 + 0 + 7 * 4 + 1
+
+    def test_span_order_restore_planted(self, ray_session, tmp_path):
+        import hashlib
+
+        from article_extraction_ray.pipelines.queries import (
+            SQL_SPAN_ORDER_RESTORE,
+            q_span_order_restore,
+        )
+
+        docs = self._docs()
+        con = self._con(tmp_path, documents=docs)
+        got = q_span_order_restore(str(tmp_path))
+        got = got.to_pandas() if not isinstance(got, pd.DataFrame) else got
+        self._cmp(got, con, SQL_SPAN_ORDER_RESTORE, ["doc_id"])
+        by_doc = got.set_index("doc_id")
+        assert int(by_doc.loc[0, "n_spans"]) == 2  # exact multiple of W
+        assert int(by_doc.loc[4, "n_spans"]) == 1  # single-token doc
+        # reassembly hash equals the intact document's md5 for every doc
+        for _, r in docs.iterrows():
+            want = hashlib.md5(" ".join(r["text"].split()).encode()).hexdigest()
+            assert by_doc.loc[r["doc_id"], "restored_md5"] == want
+
+    def test_token_budget_shards_planted(self, ray_session, tmp_path):
+        from article_extraction_ray.pipelines.queries import (
+            _IMG_TOKENS,
+            _SHARD_BUDGET,
+            SQL_TOKEN_BUDGET_SHARDS,
+            q_token_budget_shards,
+        )
+
+        con = self._con(tmp_path, documents=self._docs())
+        got = q_token_budget_shards(str(tmp_path))
+        got = got.to_pandas() if not isinstance(got, pd.DataFrame) else got
+        self._cmp(got, con, SQL_TOKEN_BUDGET_SHARDS, ["doc_id", "shard"])
+        # doc 0 (40 text tokens, no media): spans cost 20+20, cum_before
+        # 0 and 20 -> one shard holds both
+        d0 = got[got["doc_id"] == 0]
+        assert list(d0["shard"]) == [0] and int(d0["n_tokens"].iloc[0]) == 40
+        # doc 3 (48 tokens, nsp=3, media collapse): spans 20,20,8; media
+        # k=0 -> span (3*1+0)%3=0, k=1 -> (3*2+1)%3=1, k=2 -> (3*3+2)%3=2
+        # -> every span carries one media, costs 52,52,40; cum_before
+        # 0,52,104 -> shards 0,1,2 (the 48-boundary puts span 1 in shard 1)
+        d3 = got[got["doc_id"] == 3].sort_values("shard")
+        assert list(d3["shard"]) == [0, 1, 2]
+        assert list(d3["n_tokens"]) == [52, 52, 40]
+        assert int(d3["n_media"].sum()) == 3
+        # token conservation: shard costs sum to text + media budget
+        d7 = got[got["doc_id"] == 7]
+        assert int(d7["n_tokens"].sum()) == 100 + 3 * _IMG_TOKENS
