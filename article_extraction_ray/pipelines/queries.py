@@ -21068,6 +21068,212 @@ ORDER BY id_a, id_b
 """
 
 
+_ND_MD5_BUCKETS = 64
+
+
+def q_near_dedup_md5(sf_dir: str):
+    """END-TO-END near-dup removal, every stage value-checked in SQL —
+    the full MinHash-LSH → exact-Jaccard verify → connected components
+    → keep-min-id pipeline whose production twin (`near_dedup_corpus`)
+    is rows-only because SipHash signatures aren't SQL-reproducible.
+    Here the signatures are the md5-keyed k=8 parity kernel
+    (stages/sketch_parity.minhash_md5_batch), bands are perm pairs
+    (4 bands × 2 rows), and DuckDB replays EVERYTHING: signatures,
+    band-equality candidates, distinct-3-gram Jaccard ≥ 0.5, transitive
+    closure via a recursive CTE, min-id survivors — so the value hash
+    pins the survivor SET (per-origin id sums), not just its size.
+
+    Scale shape matches the production pipeline: banded sig rows
+    bucket-shuffle once, in-bucket pair-gen is an exact-key merge,
+    verify is the hash-partitioned `_verify_pairs_distributed` join
+    (document text never drains to the driver), components run on the
+    pair graph, and the loser filter budget-routes broadcast vs
+    shuffle exactly as `near_dedup_corpus` does."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..stages.dedup import _verify_pairs_distributed
+    from ..stages.graph import connected_components
+    from ..stages.sketch_parity import minhash_md5_batch
+    from .tabular import broadcast_semi_filter, shuffle_semi_filter
+
+    corpus = _with_injected_dupes(sf_dir).materialize()
+
+    def band_rows(batch: pa.Table) -> pd.DataFrame:
+        long = minhash_md5_batch(
+            batch["doc_id"].to_numpy(zero_copy_only=False),
+            batch["text"].to_pylist(),
+        )
+        if long.empty:
+            return pd.DataFrame(
+                {"band": pd.Series(dtype=np.int64), "k0": pd.Series(dtype=np.int64),
+                 "k1": pd.Series(dtype=np.int64), "doc_id": pd.Series(dtype=np.int64),
+                 "bucket": pd.Series(dtype=np.int32)}
+            )
+        wide = long.pivot(index="doc_id", columns="perm", values="sig")
+        frames = []
+        for b in range(4):
+            frames.append(pd.DataFrame(
+                {"band": np.int64(b),
+                 "k0": wide[2 * b].to_numpy(dtype=np.int64),
+                 "k1": wide[2 * b + 1].to_numpy(dtype=np.int64),
+                 "doc_id": wide.index.to_numpy(dtype=np.int64)}
+            ))
+        out = pd.concat(frames, ignore_index=True)
+        out["bucket"] = (
+            ((out["k0"].to_numpy() * 31 + out["k1"].to_numpy()) * 4
+             + out["band"].to_numpy()) % _ND_MD5_BUCKETS
+        ).astype(np.int32)
+        return out
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on=["band", "k0", "k1"])
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        if m.empty:
+            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                                 "id_b": pd.Series(dtype=np.int64)})
+        return (
+            m[["doc_id_x", "doc_id_y"]]
+            .rename(columns={"doc_id_x": "id_a", "doc_id_y": "id_b"})
+            .drop_duplicates()
+        )
+
+    candidates = (
+        corpus.map_batches(band_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lambda df: bucket_pairs(df.drop(columns=["bucket"])),
+                    batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    if candidates.empty:
+        verified = candidates
+    else:
+        v = _verify_pairs_distributed(
+            corpus, candidates, n=3, id_col="doc_id", text_col="text"
+        )
+        verified = v[v["exact_jaccard"] >= 0.5][["id_a", "id_b"]]
+
+    if verified.empty:
+        losers = np.empty(0, dtype=np.int64)
+        survivors = corpus
+    else:
+        edges = rd.from_pandas(
+            verified.rename(columns={"id_a": "src", "id_b": "dst"})
+        )
+        comp = connected_components(edges)
+        losers_ds = comp.map_batches(
+            lambda t: pa.table(
+                {"doc_id": t.filter(pc.not_equal(t["node"], t["component"]))["node"]}
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        if losers_ds.count() <= NEAR_DEDUP_LOSER_BUDGET:
+            losers = losers_ds.to_pandas()["doc_id"].to_numpy().astype(np.int64)
+            survivors = broadcast_semi_filter(corpus, losers, "doc_id", anti=True)
+        else:
+            survivors = shuffle_semi_filter(corpus, losers_ds, "doc_id", anti=True)
+
+    def origin_partial(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame(
+            {"origin": np.where(ids < 1_000_000, "original", "mutant"),
+             "n_survivors": np.int64(1), "survivor_key_sum": ids}
+        )
+        return df.groupby("origin", as_index=False).sum()
+
+    out = grouped_aggregate(
+        survivors.map_batches(origin_partial, batch_format="pyarrow"),
+        ["origin"],
+        {"n_survivors": ("sum", "n_survivors"),
+         "survivor_key_sum": ("sum", "survivor_key_sum")},
+        small_keys=True,
+    ).to_pandas()
+    return out.sort_values("origin").reset_index(drop=True).astype(
+        {"n_survivors": np.int64, "survivor_key_sum": np.int64}
+    )
+
+
+def _near_dedup_md5_sql() -> str:
+    from ..stages.sketch_parity import MINHASH_A, MINHASH_B, MINHASH_PRIME
+
+    perm_vals = ", ".join(
+        f"({j}, {a}::UBIGINT, {b}::UBIGINT)"
+        for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+    band_joins = "\n    UNION\n    ".join(
+        f"SELECT a.doc_id AS ia, b.doc_id AS ib FROM wide a JOIN wide b "
+        f"ON a.s{2*b} = b.s{2*b} AND a.s{2*b+1} = b.s{2*b+1} AND a.doc_id < b.doc_id"
+        for b in range(4)
+    )
+    slot_cols = ",\n         ".join(
+        f"max(CASE WHEN perm = {j} THEN sig END) AS s{j}" for j in range(8)
+    )
+    return f"""
+WITH RECURSIVE {_SIMHASH_CORPUS},
+t AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM corpus
+),
+s AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+        FROM t WHERE len(toks) >= 3)
+),
+perms(perm, a, b) AS (VALUES {perm_vals}),
+hashed AS (SELECT doc_id, md5_number_upper(sh) % 4294967296::UBIGINT AS h32 FROM s),
+sig AS (
+  SELECT doc_id, CAST(perm AS BIGINT) AS perm,
+         CAST(min((a * h32 + b) % {MINHASH_PRIME}::UBIGINT) AS BIGINT) AS sig
+  FROM hashed CROSS JOIN perms GROUP BY doc_id, perm
+),
+wide AS (
+  SELECT doc_id,
+         {slot_cols}
+  FROM sig GROUP BY doc_id
+),
+cand AS (
+  SELECT DISTINCT ia, ib FROM (
+    {band_joins}
+  )
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+inter AS (
+  SELECT c.ia, c.ib, count(*) AS i
+  FROM cand c
+  JOIN s sa ON sa.doc_id = c.ia
+  JOIN s sb ON sb.doc_id = c.ib AND sb.sh = sa.sh
+  GROUP BY c.ia, c.ib
+),
+verified AS (
+  SELECT i.ia, i.ib
+  FROM inter i
+  JOIN sizes na ON na.doc_id = i.ia
+  JOIN sizes nb ON nb.doc_id = i.ib
+  WHERE CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i) >= 0.5
+),
+und AS (SELECT ia AS a, ib AS b FROM verified UNION SELECT ib, ia FROM verified),
+reach(nd, m) AS (
+  SELECT a, a FROM und
+  UNION
+  SELECT r.nd, u.b FROM reach r JOIN und u ON u.a = r.m
+),
+comp AS (SELECT nd AS doc_id, min(m) AS c FROM reach GROUP BY nd),
+losers AS (SELECT doc_id FROM comp WHERE doc_id <> c),
+surv AS (
+  SELECT doc_id FROM corpus
+  WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+)
+SELECT CASE WHEN doc_id < 1000000 THEN 'original' ELSE 'mutant' END AS origin,
+       CAST(count(*) AS BIGINT) AS n_survivors,
+       CAST(sum(doc_id) AS BIGINT) AS survivor_key_sum
+FROM surv GROUP BY origin ORDER BY origin
+"""
+
+
+SQL_NEAR_DEDUP_MD5 = _near_dedup_md5_sql()
+
+
 QUERIES = {
     "cdc_chunk_dedup": q_cdc_chunk_dedup,
     "weighted_reservoir": q_weighted_reservoir,
@@ -21086,6 +21292,7 @@ QUERIES = {
     "media_ref_integrity": q_media_ref_integrity,
     "span_order_restore": q_span_order_restore,
     "token_budget_shards": q_token_budget_shards,
+    "near_dedup_md5": q_near_dedup_md5,
     "bitext_mine": q_bitext_mine,
     "rouge_pairs": q_rouge_pairs,
     "distinct_ngrams": q_distinct_ngrams,
@@ -21402,6 +21609,7 @@ ORACLE_SQL = {
     "media_ref_integrity": SQL_MEDIA_REF_INTEGRITY,
     "span_order_restore": SQL_SPAN_ORDER_RESTORE,
     "token_budget_shards": SQL_TOKEN_BUDGET_SHARDS,
+    "near_dedup_md5": SQL_NEAR_DEDUP_MD5,
     "bitext_mine": SQL_BITEXT_MINE,
     "rouge_pairs": SQL_ROUGE_PAIRS,
     "distinct_ngrams": SQL_DISTINCT_NGRAMS,
