@@ -243,6 +243,15 @@ BENCH_QUERIES = [
     "span_interleave_stats",
     "temperature_mix",
     "exact_substr_rewrite",
+    "cms_registers",
+    "bloom_bits",
+    "simhash_md5_pairs",
+    "zorder_box_rows",
+    "compact_checksum",
+    "media_ref_integrity",
+    "span_order_restore",
+    "token_budget_shards",
+    "near_dedup_md5",
 ]
 
 
