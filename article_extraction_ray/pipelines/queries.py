@@ -21068,6 +21068,87 @@ ORDER BY id_a, id_b
 """
 
 
+_ES_EPOCHS = 2
+_ES_BUCKETS = 64
+
+
+def q_epoch_shuffle(sf_dir: str):
+    """Deterministic global training shuffle, value-oracled: every
+    document's exact position in each epoch's order, where the order is
+    the rank of ``md5(epoch:doc_id)`` — the reproducible-epoch rule
+    (same seed ⇒ same order on any cluster size, no RNG state to ship)
+    that `training_order`'s iterator consumes but whose rows-only check
+    can't pin.  Here DuckDB recomputes every position with
+    ``row_number() OVER (ORDER BY md5, doc_id)``, so one displaced
+    document anywhere in either epoch reds the value hash.
+
+    TeraSort enumeration shape (same as `global_rank`, keyed by hash):
+    the md5 key is uniform so the top-6-bit bucket boundaries are
+    FIXED — no quantile pass needed; per-bucket counts (128 ints)
+    prefix-sum into offsets broadcast back; one shuffle co-locates each
+    bucket and an in-bucket vectorized sort assigns offset + local
+    position.  Rows cross the wire once; the driver sees 128 counts."""
+    from ..stages.sketch_parity import md5_u64
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"], split=True)
+
+    def keyed(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        frames = []
+        for ep in range(_ES_EPOCHS):
+            h = md5_u64([f"{ep}:{d}" for d in ids])
+            frames.append(pd.DataFrame({"epoch": np.int64(ep), "doc_id": ids, "h": h}))
+        out = pd.concat(frames, ignore_index=True)
+        out["bucket"] = (
+            out["epoch"].to_numpy() * _ES_BUCKETS
+            + (out["h"].to_numpy() >> np.uint64(58)).astype(np.int64)
+        ).astype(np.int32)
+        return out
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow")
+    counts = (
+        keyed_ds.map_batches(
+            lambda df: df.groupby("bucket", as_index=False).agg(n=("doc_id", "size")),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("bucket")["n"]
+        .sum()
+        .reindex(range(_ES_EPOCHS * _ES_BUCKETS), fill_value=0)
+        .to_numpy()
+    )
+    per_epoch = counts.reshape(_ES_EPOCHS, _ES_BUCKETS)
+    offsets = np.concatenate(
+        [np.concatenate(([0], np.cumsum(row)[:-1])) for row in per_epoch]
+    )
+    off_bc = Broadcast(offsets)
+
+    def rank_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        b = int(df["bucket"].iloc[0])
+        df = df.sort_values(["h", "doc_id"], kind="stable")
+        df["position"] = off_bc.get()[b] + np.arange(1, len(df) + 1, dtype=np.int64)
+        return df[["epoch", "doc_id", "position"]]
+
+    return (
+        keyed_ds.groupby("bucket")
+        .map_groups(rank_bucket, batch_format="pandas")
+        .sort(["epoch", "position"])
+    )
+
+
+SQL_EPOCH_SHUFFLE = f"""
+WITH e(epoch) AS (VALUES {", ".join(f"({i})" for i in range(_ES_EPOCHS))}),
+h AS (
+  SELECT epoch, doc_id, md5_number_upper(epoch || ':' || doc_id) AS h
+  FROM documents CROSS JOIN e
+)
+SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
+       CAST(row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id) AS BIGINT)
+         AS position
+FROM h ORDER BY epoch, position
+"""
+
+
 _ND_MD5_BUCKETS = 64
 
 
@@ -21293,6 +21374,7 @@ QUERIES = {
     "span_order_restore": q_span_order_restore,
     "token_budget_shards": q_token_budget_shards,
     "near_dedup_md5": q_near_dedup_md5,
+    "epoch_shuffle": q_epoch_shuffle,
     "bitext_mine": q_bitext_mine,
     "rouge_pairs": q_rouge_pairs,
     "distinct_ngrams": q_distinct_ngrams,
@@ -21610,6 +21692,7 @@ ORACLE_SQL = {
     "span_order_restore": SQL_SPAN_ORDER_RESTORE,
     "token_budget_shards": SQL_TOKEN_BUDGET_SHARDS,
     "near_dedup_md5": SQL_NEAR_DEDUP_MD5,
+    "epoch_shuffle": SQL_EPOCH_SHUFFLE,
     "bitext_mine": SQL_BITEXT_MINE,
     "rouge_pairs": SQL_ROUGE_PAIRS,
     "distinct_ngrams": SQL_DISTINCT_NGRAMS,
