@@ -252,6 +252,7 @@ BENCH_QUERIES = [
     "span_order_restore",
     "token_budget_shards",
     "near_dedup_md5",
+    "epoch_shuffle",
 ]
 
 
