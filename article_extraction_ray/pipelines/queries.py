@@ -21068,6 +21068,183 @@ ORDER BY id_a, id_b
 """
 
 
+#: ANN gate: every variant's mean recall@10 over the 5 probe queries
+#: must clear this floor.  Measured on the fixed testdata: 0.42-0.76
+#: across all three scales; a routing/banding/codebook regression that
+#: degrades any variant toward random (~k/n) reds the gate.
+_ANN_GATE_RECALL = 0.3
+_ANN_GATE_K = 10
+_ANN_GATE_QUERIES = 5
+
+
+def q_ann_recall_gates(sf_dir: str):
+    """The ANN accuracy contract at the driver gate (the
+    `hll_rank_check` pattern, applied to similarity search): all five
+    approximate-NN variants — LSH broadcast-probe, LSH shuffle, IVF,
+    PQ, IVF-PQ — must reach mean recall@{k} ≥ {t} against the exact
+    top-k over the same {q} probe queries.  The oracle enumerates the
+    variant grid with ``recall_ok = TRUE``, so a regression in ANY
+    variant's routing, banding, codebook fit or refine stage reds the
+    value hash — converting five rows-only pipelines into
+    driver-checked components.
+
+    The exact baseline is computed distributedly (5 query vectors
+    broadcast once, per-batch top-k partials, bounded driver fold of
+    ≤ 5·k·blocks candidate rows), then each variant's own query
+    callable runs unchanged."""
+    import os
+
+    import pyarrow.parquet as pqt
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pqt.read_table(emb_path, columns=["vec_id", "embedding"])
+    qmask = pa.compute.less(qt["vec_id"], _ANN_GATE_QUERIES)
+    qsel = qt.filter(qmask)
+    qmat = np.stack([np.asarray(v, dtype=np.float64) for v in qsel["embedding"].to_pylist()])
+    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    qids = np.asarray(qsel["vec_id"].to_pylist(), dtype=np.int64)
+    q_bc = Broadcast(qmat)
+    qid_bc = Broadcast(qids)
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"], split=True)
+
+    def topk_partial(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in batch["embedding"].to_pylist()])
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat @ q_bc.get().T  # (batch, nq)
+        frames = []
+        for j, qid in enumerate(qid_bc.get()):
+            s = sims[:, j]
+            keep = ids != qid
+            order = np.argsort(-s[keep], kind="stable")[:_ANN_GATE_K]
+            frames.append(pd.DataFrame(
+                {"query_id": np.int64(qid), "vec_id": ids[keep][order],
+                 "sim": s[keep][order]}
+            ))
+        return pd.concat(frames, ignore_index=True)
+
+    partials = ds.map_batches(topk_partial, batch_format="pyarrow").to_pandas()
+    truth: dict[int, set] = {}
+    for qid, g in partials.groupby("query_id"):
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True], kind="stable")
+        truth[int(qid)] = set(g["vec_id"].head(_ANN_GATE_K).astype(int))
+
+    variants = {
+        "knn_lsh": q_knn_lsh,
+        "knn_lsh_shuffle": q_knn_lsh_shuffle,
+        "knn_ivf": q_knn_ivf,
+        "knn_pq": q_knn_pq,
+        "knn_ivfpq": q_knn_ivfpq,
+    }
+    rows = []
+    for name, fn in sorted(variants.items()):
+        r = fn(sf_dir)
+        df = r if isinstance(r, pd.DataFrame) else r.to_pandas()
+        recalls = []
+        for qid in qids:
+            got = set(df[df["query_id"] == qid]["vec_id"].astype(int)) - {int(qid)}
+            recalls.append(len(got & truth[int(qid)]) / _ANN_GATE_K)
+        rows.append((name, bool(np.mean(recalls) >= _ANN_GATE_RECALL)))
+    return pd.DataFrame(rows, columns=["variant", "recall_ok"])
+
+
+q_ann_recall_gates.__doc__ = q_ann_recall_gates.__doc__.format(
+    k=_ANN_GATE_K, t=_ANN_GATE_RECALL, q=_ANN_GATE_QUERIES
+)
+
+
+SQL_ANN_RECALL_GATES = """
+SELECT variant, TRUE AS recall_ok FROM (VALUES
+  ('knn_ivf'), ('knn_ivfpq'), ('knn_lsh'), ('knn_lsh_shuffle'), ('knn_pq')
+) AS v(variant) ORDER BY variant
+"""
+
+
+#: span-corruption gate band: per-source mean masked-token rate must sit
+#: in [0.10, 0.25] around MASK_FRACTION=0.15 (greedy spans may overshoot
+#: the per-doc budget by at most one span tail; attempts may undershoot)
+_CORRUPT_RATE_LO, _CORRUPT_RATE_HI = 0.10, 0.25
+
+
+def q_span_corruption_gate(sf_dir: str):
+    """The T5 span-corruption contract at the driver gate: for every
+    source, (a) EVERY document must reconstruct losslessly — splicing
+    each sentinel's target span back into the inputs reproduces the
+    original token stream exactly — and (b) the mean masked-token rate
+    must sit inside [{lo}, {hi}] (the greedy draw targets
+    MASK_FRACTION=0.15 per doc).  The oracle enumerates the source grid
+    with both flags TRUE, so a sentinel-numbering bug, a dropped span,
+    or a mask-budget regression anywhere in the corpus reds the value
+    hash — converting the rows-only `span_corruption` into a
+    driver-checked component.  Scale shape: the corruption kernel and
+    the reconstruction check run in the SAME streaming pass; only
+    fixed-width per-source count partials reduce."""
+    import re
+
+    from ..stages.denoise import span_corrupt_batch
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source", "text"], split=True)
+    sent_re = re.compile(r"<extra_id_\d+>")
+
+    def gate_partial(batch: pa.Table) -> pd.DataFrame:
+        out = span_corrupt_batch(batch.select(["doc_id", "text"]))
+        texts = batch["text"].to_pylist()
+        srcs = batch["source"].to_pylist()
+        lossless = np.zeros(len(texts), dtype=np.int64)
+        masked = out["n_masked"].to_numpy()
+        ntok = np.zeros(len(texts), dtype=np.int64)
+        for i, (orig, inp, tgt) in enumerate(
+            zip(texts, out["inputs"], out["targets"])
+        ):
+            otoks = (orig or "").split()
+            ntok[i] = len(otoks)
+            spans: dict[str, list[str]] = {}
+            cur = None
+            for t in (tgt or "").split():
+                if sent_re.fullmatch(t):
+                    cur = t
+                    spans[cur] = []
+                elif cur is not None:
+                    spans[cur].append(t)
+            rebuilt: list[str] = []
+            for t in (inp or "").split():
+                if sent_re.fullmatch(t):
+                    rebuilt.extend(spans.get(t, []))
+                else:
+                    rebuilt.append(t)
+            lossless[i] = np.int64(rebuilt == otoks)
+        return pd.DataFrame(
+            {"source": srcs, "n_docs": np.int64(1), "n_lossless": lossless,
+             "n_masked": masked.astype(np.int64), "n_tokens": ntok}
+        ).groupby("source", as_index=False).sum()
+
+    agg = grouped_aggregate(
+        ds.map_batches(gate_partial, batch_format="pyarrow"),
+        ["source"],
+        {"n_docs": ("sum", "n_docs"), "n_lossless": ("sum", "n_lossless"),
+         "n_masked": ("sum", "n_masked"), "n_tokens": ("sum", "n_tokens")},
+        small_keys=True,
+    ).to_pandas()
+    rate = agg["n_masked"].to_numpy() / np.maximum(agg["n_tokens"].to_numpy(), 1)
+    return pd.DataFrame(
+        {"source": agg["source"],
+         "lossless_ok": (agg["n_lossless"] == agg["n_docs"]).to_numpy(),
+         "rate_ok": (rate >= _CORRUPT_RATE_LO) & (rate <= _CORRUPT_RATE_HI)}
+    ).sort_values("source").reset_index(drop=True)
+
+
+q_span_corruption_gate.__doc__ = q_span_corruption_gate.__doc__.format(
+    lo=_CORRUPT_RATE_LO, hi=_CORRUPT_RATE_HI
+)
+
+
+SQL_SPAN_CORRUPTION_GATE = """
+SELECT source, TRUE AS lossless_ok, TRUE AS rate_ok
+FROM (SELECT DISTINCT source FROM documents) ORDER BY source
+"""
+
+
 _ES_EPOCHS = 2
 _ES_BUCKETS = 64
 
@@ -21375,6 +21552,8 @@ QUERIES = {
     "token_budget_shards": q_token_budget_shards,
     "near_dedup_md5": q_near_dedup_md5,
     "epoch_shuffle": q_epoch_shuffle,
+    "ann_recall_gates": q_ann_recall_gates,
+    "span_corruption_gate": q_span_corruption_gate,
     "bitext_mine": q_bitext_mine,
     "rouge_pairs": q_rouge_pairs,
     "distinct_ngrams": q_distinct_ngrams,
@@ -21693,6 +21872,8 @@ ORACLE_SQL = {
     "token_budget_shards": SQL_TOKEN_BUDGET_SHARDS,
     "near_dedup_md5": SQL_NEAR_DEDUP_MD5,
     "epoch_shuffle": SQL_EPOCH_SHUFFLE,
+    "ann_recall_gates": SQL_ANN_RECALL_GATES,
+    "span_corruption_gate": SQL_SPAN_CORRUPTION_GATE,
     "bitext_mine": SQL_BITEXT_MINE,
     "rouge_pairs": SQL_ROUGE_PAIRS,
     "distinct_ngrams": SQL_DISTINCT_NGRAMS,

@@ -253,6 +253,8 @@ BENCH_QUERIES = [
     "token_budget_shards",
     "near_dedup_md5",
     "epoch_shuffle",
+    "ann_recall_gates",
+    "span_corruption_gate",
 ]
 
 
