@@ -277,25 +277,19 @@ FROM lineitem, m, d
 """
 
 
-def q_rag_index_search(sf_dir: str):
-    """End-to-end RAG index build + search — the vector-pipeline
-    composite: overlap-chunk the corpus (`chunk_documents` kernel) →
-    embed each chunk in an actor-pool stage (deterministic hash
-    encoder stand-in behind the production ``encode(list[str])``
-    protocol; per-actor cache) → fit IVF-PQ on the chunk embeddings →
-    persist the index to parquet (`save_pq_index`) → reload and search
-    3 fixed queries through the compressed-domain scan + exact refine.
-    Every stage is individually tested; this query proves they compose
-    as one pipeline.  Rows-only (ANN + k-means)."""
-    import os
-    import tempfile
+_RAG_DIM = 64
+_RAG_QUERIES = ("the fast key order", "spark window scan", "image token table")
 
+
+def _rag_chunk_vectors(sf_dir: str):
+    """Chunk the corpus and embed every chunk (deterministic hash
+    encoder stand-in, per-actor cache) → materialized Dataset(vec_id,
+    embedding) — the shared front half of `rag_index_search` and
+    `rag_recall_gate`."""
     from ..pipelines.eval import _HashEncoder
-    from ..stages.clustering import kmeans_fit
-    from ..stages.pq import knn_ivfpq, load_pq_index, pq_fit, save_pq_index
 
     chunks = q_chunk_documents(sf_dir)
-    dim = 64
+    dim = _RAG_DIM
 
     class EmbedStage:
         def __init__(self):
@@ -318,9 +312,30 @@ def q_rag_index_search(sf_dir: str):
             emb = pa.FixedSizeListArray.from_arrays(pa.array(mat.ravel()), dim)
             return pa.Table.from_arrays([pa.array(key), emb], names=["vec_id", "embedding"])
 
-    vecs = chunks.map_batches(
+    return chunks.map_batches(
         EmbedStage, concurrency=2, batch_size=512, batch_format="pyarrow"
     ).materialize()
+
+
+def q_rag_index_search(sf_dir: str):
+    """End-to-end RAG index build + search — the vector-pipeline
+    composite: overlap-chunk the corpus (`chunk_documents` kernel) →
+    embed each chunk in an actor-pool stage (deterministic hash
+    encoder stand-in behind the production ``encode(list[str])``
+    protocol; per-actor cache) → fit IVF-PQ on the chunk embeddings →
+    persist the index to parquet (`save_pq_index`) → reload and search
+    3 fixed queries through the compressed-domain scan + exact refine.
+    Every stage is individually tested; this query proves they compose
+    as one pipeline.  Rows-only at the driver, with retrieval accuracy
+    value-gated by `rag_recall_gate`."""
+    import os
+    import tempfile
+
+    from ..pipelines.eval import _HashEncoder
+    from ..stages.clustering import kmeans_fit
+    from ..stages.pq import knn_ivfpq, load_pq_index, pq_fit, save_pq_index
+
+    vecs = _rag_chunk_vectors(sf_dir)
     coarse = kmeans_fit(vecs, 8, iters=3, cache=False)
     books = pq_fit(vecs, m=8, ksub=16, iters=3, coarse=coarse)
     # private per-run index path: a fixed per-scale file would race
@@ -335,8 +350,8 @@ def q_rag_index_search(sf_dir: str):
     finally:
         os.unlink(idx_path)
 
-    enc = _HashEncoder(dim)
-    queries = enc.encode(["the fast key order", "spark window scan", "image token table"])
+    enc = _HashEncoder(_RAG_DIM)
+    queries = enc.encode(list(_RAG_QUERIES))
     out = knn_ivfpq(
         vecs, queries, np.arange(3), k=5, nprobe=4, index=(coarse2, books2), refine=4
     )
@@ -13948,6 +13963,36 @@ def _quality_features(batch: pa.Table) -> np.ndarray:
     return np.column_stack([np.log1p(chars), mean_tok, ttr])
 
 
+def _quality_feature_standardizer(ds):
+    """One streaming moment pass over the three quality features → a
+    z-scoring feature fn.  Raw scale matters: log-length / mean-token
+    features have ‖x‖² ≈ 50, so full-batch GD at lr 0.5 sits far above
+    the 2/L stability bound and DIVERGES (observed: train log-loss 4×
+    the zero-weight chance loss at sf0.1 before this pass existed);
+    standardized features put the Lipschitz constant near (d+1)/4 and
+    the same lr converges monotonically."""
+
+    def mom(batch: pa.Table) -> pd.DataFrame:
+        x = _quality_features(batch)
+        return pd.DataFrame(
+            [{"n": float(len(x)), "s": x.sum(axis=0), "ss": (x * x).sum(axis=0)}]
+        )
+
+    parts = ds.map_batches(mom, batch_format="pyarrow").take_all()
+    n = sum(p["n"] for p in parts)
+    s = np.sum([np.asarray(p["s"]) for p in parts], axis=0)
+    ss = np.sum([np.asarray(p["ss"]) for p in parts], axis=0)
+    mean = s / n
+    sd = np.sqrt(np.maximum(ss / n - mean * mean, 1e-12))
+    bc = Broadcast((mean, sd))
+
+    def fn(batch: pa.Table) -> np.ndarray:
+        m, d = bc.get()
+        return (_quality_features(batch) - m) / d
+
+    return fn
+
+
 def q_quality_classifier(sf_dir: str):
     """Train-then-filter quality gate (stages/logreg.py): a distributed
     full-batch logistic regression learns to separate ``lang='en'``
@@ -13967,10 +14012,12 @@ def q_quality_classifier(sf_dir: str):
 
         return pc.equal(batch["lang"], "en").to_numpy(zero_copy_only=False).astype(np.float64)
 
-    # 24 sweeps: decisions are stable well before this (each sweep is
-    # one plan launch, the dominant cost at bench scale)
-    w = logreg_fit(ds, _quality_features, labels, d=3, iters=24, lr=0.5)
-    scored = logreg_score(ds, w, _quality_features)
+    # standardized features (see _quality_feature_standardizer: the raw
+    # scale diverges at lr 0.5); 24 sweeps — decisions are stable well
+    # before this (each sweep is one plan launch, the dominant bench cost)
+    feats = _quality_feature_standardizer(ds)
+    w = logreg_fit(ds, feats, labels, d=3, iters=24, lr=0.5)
+    scored = logreg_score(ds, w, feats)
 
     def gate_counts(batch: pa.Table) -> pd.DataFrame:
         df = pd.DataFrame(
@@ -16811,6 +16858,22 @@ def q_isotonic_calibration(sf_dir: str):
     rate).  Rows-only at the driver gate; the PAV properties
     (monotonicity, mass conservation, mean preservation, parity with
     the textbook per-row algorithm) are pytest-verified."""
+    buckets = _isotonic_buckets(sf_dir)
+    blocks = pav_blocks(
+        buckets["s"].to_numpy(np.int64),
+        buckets["n"].to_numpy(np.int64),
+        buckets["pos"].to_numpy(np.int64),
+    )
+    out = pd.DataFrame(blocks, columns=["score_lo", "score_hi", "n", "n_pos"])
+    out = out.astype(np.int64)
+    out["rate"] = np.round(out["n_pos"] / out["n"], 6)
+    return out
+
+
+def _isotonic_buckets(sf_dir: str) -> pd.DataFrame:
+    """The distributed half of isotonic calibration: exact (cent score →
+    n, n_pos) buckets over events, sorted by score — a support-bounded
+    table (shared by `isotonic_calibration` and `isotonic_gate`)."""
     ds = read_table(sf_dir, "events", columns=["event_type", "value"], split=True)
 
     def partial(batch: pa.Table) -> pd.DataFrame:
@@ -16822,7 +16885,7 @@ def q_isotonic_calibration(sf_dir: str):
             .agg(n=("n", "sum"), pos=("pos", "sum"))
         )
 
-    buckets = (
+    return (
         grouped_aggregate(
             ds.map_batches(partial, batch_format="pyarrow"),
             ["s"],
@@ -16832,15 +16895,6 @@ def q_isotonic_calibration(sf_dir: str):
         .sort_values("s")
         .reset_index(drop=True)
     )
-    blocks = pav_blocks(
-        buckets["s"].to_numpy(np.int64),
-        buckets["n"].to_numpy(np.int64),
-        buckets["pos"].to_numpy(np.int64),
-    )
-    out = pd.DataFrame(blocks, columns=["score_lo", "score_hi", "n", "n_pos"])
-    out = out.astype(np.int64)
-    out["rate"] = np.round(out["n_pos"] / out["n"], 6)
-    return out
 
 
 def pav_blocks(scores: np.ndarray, n: np.ndarray, pos: np.ndarray):
@@ -21532,6 +21586,936 @@ FROM surv GROUP BY origin ORDER BY origin
 SQL_NEAR_DEDUP_MD5 = _near_dedup_md5_sql()
 
 
+# ---------------------------------------------------------------------------
+# Round-4 gates: convert the remaining rows-only families into
+# driver-checked components (the `ann_recall_gates` /
+# `span_corruption_gate` pattern), plus one genuinely new exact
+# operator (`reach_pairs`, the horizon-bounded transitive closure that
+# also serves as HyperBall's exact yardstick).
+# ---------------------------------------------------------------------------
+
+_REACH_T = 6
+
+
+def _doc_graph_edges(sf_dir: str, *, names: tuple[str, str] = ("src", "dst")):
+    """The deterministic SQL-derivable doc graph shared by
+    `sssp_weighted` / `graph_diameter` / `random_walks`: chain edges
+    i→i+1 plus md5-coin long jumps i→i+13.  Returns a Dataset with the
+    requested column names."""
+    from .tabular import md5_lt_mask
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"], split=True)
+    n_docs = read_table_arrow(sf_dir, "documents", columns=["doc_id"]).num_rows
+    a, b = names
+
+    def gen_edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        k1 = ids[ids + 1 < n_docs]
+        coin = md5_lt_mask(batch["doc_id"], "c" + "0" * 31) & (ids + 13 < n_docs)
+        k2 = ids[coin]
+        return pa.table(
+            {
+                a: pa.array(np.concatenate([k1, k2])),
+                b: pa.array(np.concatenate([k1 + 1, k2 + 13])),
+            }
+        )
+
+    return ds.map_batches(gen_edges, batch_format="pyarrow")
+
+
+def q_reach_pairs(sf_dir: str):
+    """Horizon-bounded transitive closure: the exact count of reachable
+    (src, dst) pairs within t hops, t = 0..{T} — the neighborhood
+    function HyperBall approximates, computed exactly with the textbook
+    distributed semi-naive iteration: reach ∪ (reach ⨝ edges) per hop,
+    deduped by a src-hash co-partition (all rows of one src land in one
+    group, so an in-group ``drop_duplicates`` is globally exact).
+
+    Scale shape: pairs only ever move through ONE hash exchange per
+    hop; nothing is driver-resident but the (T+1) counts.  At web scale
+    the pair set is bounded by Σ|ball(v, T)| — the quantity a bounded
+    horizon exists to keep sub-quadratic.  Value-oracled against a
+    chained-CTE unroll of the same closure in DuckDB."""
+    from .tabular import shuffle_join
+
+    edges = _doc_graph_edges(sf_dir, names=("node", "nxt")).materialize()
+    ds = read_table(sf_dir, "documents", columns=["doc_id"], split=True)
+
+    def self_pairs(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"src": pa.array(ids), "node": pa.array(ids)})
+
+    reach = ds.map_batches(self_pairs, batch_format="pyarrow").materialize()
+    counts = [(0, reach.count())]
+
+    def step_cols(batch: pa.Table) -> pa.Table:
+        return pa.table({"src": batch["src"], "node": batch["nxt"]})
+
+    def tag(batch: pa.Table) -> pa.Table:
+        h = (batch["src"].to_numpy(zero_copy_only=False) % 64).astype(np.int32)
+        return batch.append_column("__b", pa.array(h))
+
+    def distinct_group(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["src", "node"]].drop_duplicates()
+
+    for t in range(1, _REACH_T + 1):
+        stepped = shuffle_join(reach, edges, "node").map_batches(
+            step_cols, batch_format="pyarrow"
+        )
+        reach = (
+            reach.union(stepped)
+            .map_batches(tag, batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(distinct_group, batch_format="pandas")
+            .materialize()
+        )
+        counts.append((t, reach.count()))
+    return pd.DataFrame(counts, columns=["t", "n_pairs"]).astype(np.int64)
+
+
+q_reach_pairs.__doc__ = q_reach_pairs.__doc__.format(T=_REACH_T)
+
+
+def _reach_pairs_sql() -> str:
+    parts = [
+        """
+WITH e0 AS MATERIALIZED (
+  SELECT doc_id AS src, doc_id + 1 AS dst FROM documents
+  WHERE doc_id + 1 < (SELECT count(*) FROM documents)
+  UNION ALL
+  SELECT doc_id, doc_id + 13 FROM documents
+  WHERE md5(CAST(doc_id AS VARCHAR)) < 'c'
+    AND doc_id + 13 < (SELECT count(*) FROM documents)
+),
+r0 AS MATERIALIZED (SELECT doc_id AS src, doc_id AS nd FROM documents)"""
+    ]
+    for k in range(1, _REACH_T + 1):
+        parts.append(
+            f""",
+r{k} AS MATERIALIZED (
+  SELECT DISTINCT src, nd FROM (
+    SELECT src, nd FROM r{k - 1}
+    UNION ALL
+    SELECT r.src, e.dst FROM r{k - 1} r JOIN e0 e ON e.src = r.nd
+  ) AS u
+)"""
+        )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS BIGINT) AS t,"
+        f" (SELECT CAST(count(*) AS BIGINT) FROM r{k}) AS n_pairs"
+        for k in range(_REACH_T + 1)
+    )
+    parts.append("\n" + selects + "\nORDER BY t")
+    return "".join(parts)
+
+
+SQL_REACH_PAIRS = _reach_pairs_sql()
+
+
+_HB_GATE_RELERR = 0.25
+
+
+def q_hyperball_gate(sf_dir: str):
+    """HyperBall accuracy at the driver gate: the sketch's
+    neighborhood-function estimate must sit within {e:.0%} of the EXACT
+    reachable-pair count at every horizon t = 0..{T}, where the exact
+    side is the distributed `reach_pairs` closure (itself value-oracled
+    against DuckDB).  A regression in register init, the max-merge
+    sweep, or the bias-corrected estimator reds the value hash —
+    converting the rows-only `graph_diameter` family into a
+    driver-checked component."""
+    from ..stages.hyperball import hyperball
+
+    exact = q_reach_pairs(sf_dir).set_index("t")["n_pairs"]
+    est = hyperball(
+        _doc_graph_edges(sf_dir).materialize(), t_max=_REACH_T, p=8
+    ).set_index("t")["n_pairs_est"]
+    rows = []
+    for t in range(_REACH_T + 1):
+        ok = abs(float(est[t]) - float(exact[t])) <= _HB_GATE_RELERR * float(exact[t])
+        rows.append((t, bool(ok)))
+    return pd.DataFrame(rows, columns=["t", "est_ok"]).astype({"t": np.int64})
+
+
+q_hyperball_gate.__doc__ = q_hyperball_gate.__doc__.format(
+    e=_HB_GATE_RELERR, T=_REACH_T
+)
+
+
+SQL_HYPERBALL_GATE = f"""
+SELECT CAST(t AS BIGINT) AS t, TRUE AS est_ok
+FROM (VALUES {", ".join(f"({t})" for t in range(_REACH_T + 1))}) AS v(t)
+ORDER BY t
+"""
+
+
+_BPE_GATE_MERGES = 12
+
+
+class _BpeRoundtripGateStage:
+    """Per-actor BPE roundtrip checker: the trained merge table arrives
+    once via Broadcast, encodes memoize per distinct word, and every
+    word's token sequence must concatenate back to word + '</w>'."""
+
+    def __init__(self, merges_bc: Broadcast):
+        from ..stages.bpe import _END, BpeEncodeStage
+
+        self._st = BpeEncodeStage(merges_bc)
+        self._end = _END
+        self._word_ok: dict[str, bool] = {}
+
+    def _ok(self, w: str) -> bool:
+        got = self._word_ok.get(w)
+        if got is None:
+            got = "".join(self._st._encode_word(w)) == w + self._end
+            self._word_ok[w] = got
+        return got
+
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        texts = batch["text"].to_pylist()
+        ok = np.fromiter(
+            (all(self._ok(w) for w in (t or "").split()) for t in texts),
+            dtype=np.int64,
+            count=len(texts),
+        )
+        return (
+            pd.DataFrame(
+                {"source": batch["source"].to_pylist(), "n_docs": np.int64(1), "n_ok": ok}
+            )
+            .groupby("source", as_index=False)
+            .sum()
+        )
+
+
+def q_bpe_roundtrip_gate(sf_dir: str):
+    """The BPE losslessness contract at the driver gate: train the
+    merge table distributedly ({m} merges, `stages/bpe.bpe_train`),
+    then EVERY document must tokenize reversibly — each word's token
+    sequence concatenates back to the word + end marker — and the
+    learned table must hold exactly {m} merges.  The oracle enumerates
+    the source grid with per-source SQL-exact doc counts and TRUE
+    flags, so a merge-application bug, a dropped merge round, or a
+    word-splitting regression anywhere in the corpus reds the value
+    hash — converting the rows-only `bpe_train`/`bpe_encode` pair into
+    driver-checked components."""
+    from ..stages.bpe import bpe_train
+
+    ds = read_table(sf_dir, "documents", columns=["source", "text"], split=True)
+    merges = bpe_train(ds, num_merges=_BPE_GATE_MERGES)
+    merges_ok = len(merges) == _BPE_GATE_MERGES
+    mbc = Broadcast(list(zip(merges["left"].astype(str), merges["right"].astype(str))))
+
+    agg = grouped_aggregate(
+        ds.map_batches(
+            _BpeRoundtripGateStage,
+            fn_constructor_args=(mbc,),
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        ),
+        ["source"],
+        {"n_docs": ("sum", "n_docs"), "n_ok": ("sum", "n_ok")},
+        small_keys=True,
+    ).to_pandas()
+    return (
+        pd.DataFrame(
+            {
+                "source": agg["source"],
+                "n_docs": agg["n_docs"].astype(np.int64),
+                "lossless_ok": (agg["n_ok"] == agg["n_docs"]).to_numpy(),
+                "merges_ok": np.full(len(agg), bool(merges_ok)),
+            }
+        )
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+
+
+q_bpe_roundtrip_gate.__doc__ = q_bpe_roundtrip_gate.__doc__.format(m=_BPE_GATE_MERGES)
+
+
+SQL_BPE_ROUNDTRIP_GATE = """
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       TRUE AS lossless_ok, TRUE AS merges_ok
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+_UNI_GATE_MAXLEN = 5
+
+
+class _UnigramRoundtripGateStage:
+    """Per-actor unigram-LM checker: Viterbi segmentation of every
+    distinct word must (a) concatenate back to the word and (b) score
+    at least as high as the greedy longest-match segmentation (Viterbi
+    optimality witnessed against a concrete rival)."""
+
+    def __init__(self, logp_bc: Broadcast, max_len: int):
+        self._logp: dict[str, float] = dict(logp_bc.get())
+        self._max_len = max_len
+        self._memo: dict[str, tuple[bool, bool]] = {}
+
+    def _greedy(self, w: str):
+        out, i = [], 0
+        while i < len(w):
+            for L in range(min(self._max_len, len(w) - i), 0, -1):
+                if w[i : i + L] in self._logp:
+                    out.append(w[i : i + L])
+                    i += L
+                    break
+            else:
+                return None
+        return out
+
+    def _check(self, w: str) -> tuple[bool, bool]:
+        got = self._memo.get(w)
+        if got is None:
+            from ..stages.unigram_lm import viterbi_segment
+
+            pieces = viterbi_segment(w, self._logp, self._max_len)
+            lossless = "".join(pieces) == w
+            score = sum(self._logp.get(p, -1e18) for p in pieces)
+            rival = self._greedy(w)
+            opt = rival is None or score >= sum(self._logp[p] for p in rival) - 1e-9
+            got = (lossless, opt)
+            self._memo[w] = got
+        return got
+
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        texts = batch["text"].to_pylist()
+        loss = np.zeros(len(texts), dtype=np.int64)
+        opt = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            checks = [self._check(w) for w in (t or "").split()]
+            loss[i] = np.int64(all(c[0] for c in checks))
+            opt[i] = np.int64(all(c[1] for c in checks))
+        return (
+            pd.DataFrame(
+                {
+                    "source": batch["source"].to_pylist(),
+                    "n_docs": np.int64(1),
+                    "n_lossless": loss,
+                    "n_opt": opt,
+                }
+            )
+            .groupby("source", as_index=False)
+            .sum()
+        )
+
+
+def q_unigram_roundtrip_gate(sf_dir: str):
+    """The unigram-LM tokenizer contract at the driver gate: train the
+    SentencePiece-style vocabulary distributedly
+    (`stages/unigram_lm.unigram_lm_train`), then for EVERY document (a)
+    the Viterbi segmentation of each word must concatenate back to the
+    word (losslessness) and (b) its total log-prob must be ≥ the greedy
+    longest-match segmentation's (optimality, witnessed against a
+    concrete rival segmentation).  Per-source doc counts are SQL-exact;
+    a pruning bug that drops a needed char piece, a DP off-by-one, or a
+    tie-rule regression reds the value hash — converting the rows-only
+    `unigram_train`/`unigram_encode` pair into driver-checked
+    components."""
+    from ..stages.unigram_lm import unigram_lm_train
+
+    ds = read_table(sf_dir, "documents", columns=["source", "text"], split=True)
+    vocab = unigram_lm_train(ds, vocab_size=120, rounds=3, max_len=_UNI_GATE_MAXLEN)
+    lbc = Broadcast(list(zip(vocab["piece"], vocab["logp"])))
+
+    agg = grouped_aggregate(
+        ds.map_batches(
+            _UnigramRoundtripGateStage,
+            fn_constructor_args=(lbc, _UNI_GATE_MAXLEN),
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        ),
+        ["source"],
+        {
+            "n_docs": ("sum", "n_docs"),
+            "n_lossless": ("sum", "n_lossless"),
+            "n_opt": ("sum", "n_opt"),
+        },
+        small_keys=True,
+    ).to_pandas()
+    return (
+        pd.DataFrame(
+            {
+                "source": agg["source"],
+                "n_docs": agg["n_docs"].astype(np.int64),
+                "lossless_ok": (agg["n_lossless"] == agg["n_docs"]).to_numpy(),
+                "viterbi_opt_ok": (agg["n_opt"] == agg["n_docs"]).to_numpy(),
+            }
+        )
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+
+
+SQL_UNIGRAM_ROUNDTRIP_GATE = """
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       TRUE AS lossless_ok, TRUE AS viterbi_opt_ok
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def _embedding_moment_fold(sf_dir: str):
+    """One streaming pass over embeddings → (n, Σx (d,), Σx² (d,)) in
+    float64 — the fixed-width partial every second-moment gate shares.
+    Products are computed element-exact from the stored float32 values
+    promoted to float64 (both engines do the same), so only the
+    addition order differs between Ray and DuckDB."""
+    from ..stages.similarity import _as_matrix
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"], split=True)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        X = _as_matrix(batch["embedding"])
+        return pd.DataFrame(
+            [{"n": float(X.shape[0]), "sx": X.sum(axis=0), "sxx": (X * X).sum(axis=0)}]
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    n = sum(p["n"] for p in parts)
+    sx = np.sum([np.asarray(p["sx"]) for p in parts], axis=0)
+    sxx = np.sum([np.asarray(p["sxx"]) for p in parts], axis=0)
+    return n, sx, sxx
+
+
+def _kmeans_inertia(ds, cents: np.ndarray) -> float:
+    """Σ min-squared-distance to ``cents`` — one streaming pass, one
+    float per batch on the wire."""
+    from ..stages.similarity import _as_matrix
+
+    bc = Broadcast(cents)
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        X = _as_matrix(batch["embedding"])
+        c = bc.get()
+        d2 = ((X[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return pd.DataFrame({"s": [float(d2.min(axis=1).sum())]})
+
+    return float(ds.map_batches(part, batch_format="pyarrow").to_pandas()["s"].sum())
+
+
+_KMG_K, _KMG_ITERS, _KMG_SEED = 8, 8, 17
+
+
+def q_kmeans_quality_gate(sf_dir: str):
+    """The Lloyd's-iteration contract at the driver gate: the fitted
+    k-means objective must (a) not exceed the inertia at the seeded
+    initial centroids (each Lloyd sweep is non-increasing) and (b) beat
+    the trivial one-cluster solution, whose inertia — the corpus' total
+    sum of squared deviations — DuckDB recomputes EXACTLY from the
+    embeddings table (per-dim Σv² − (Σv)²/n, identical float64 algebra
+    on both engines, rounded to 2 dp).  A centroid-update bug, a wrong
+    assignment kernel, or a seeding regression reds the value hash —
+    converting the rows-only `kmeans_clusters` family into a
+    driver-checked component."""
+    from ..stages.clustering import _init_centroids, kmeans_fit
+
+    ds = read_table(
+        sf_dir, "embeddings", columns=["vec_id", "embedding"], split=True
+    ).materialize()
+    n, sx, sxx = _embedding_moment_fold(sf_dir)
+    one_cluster_ss = float((sxx - sx * sx / n).sum())
+    cents0 = _init_centroids(ds, _KMG_K, id_col="vec_id", vec_col="embedding", seed=_KMG_SEED)
+    cents = kmeans_fit(ds, _KMG_K, iters=_KMG_ITERS, seed=_KMG_SEED, cache=False)
+    inertia0 = _kmeans_inertia(ds, cents0)
+    inertia = _kmeans_inertia(ds, cents)
+    return pd.DataFrame(
+        [
+            {
+                "n_vecs": np.int64(n),
+                "one_cluster_ss": round(one_cluster_ss, 2),
+                "monotone_ok": bool(inertia <= inertia0 + 1e-6),
+                "beats_single_cluster_ok": bool(inertia <= one_cluster_ss + 1e-6),
+            }
+        ]
+    )
+
+
+SQL_KMEANS_QUALITY_GATE = """
+WITH ud AS (
+  SELECT CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS d
+  FROM embeddings
+),
+p AS (SELECT d, sum(v * v) - sum(v) * sum(v) / count(*) AS ss FROM ud GROUP BY d)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_vecs,
+       round((SELECT sum(ss) FROM p), 2) AS one_cluster_ss,
+       TRUE AS monotone_ok, TRUE AS beats_single_cluster_ok
+"""
+
+
+def q_pca_gate(sf_dir: str):
+    """The PCA spectral contract at the driver gate: the fitted top-2
+    components must be (a) orthonormal (‖CCᵀ − I‖∞ < 1e-8), (b)
+    variance-ordered (λ₁ ≥ λ₂ ≥ 0), and (c) DOMINANT — their explained
+    variance must be at least the best any 2 RAW coordinates achieve
+    (the Rayleigh-quotient optimality of eigenvectors, witnessed
+    against the top-2 diagonal entries of the covariance).  A sign/
+    normalization bug, a moment-pass error, or a sorted-eigenvalue
+    regression reds the value hash — converting the rows-only
+    `pca_project` into a driver-checked component."""
+    from ..stages.clustering import pca_fit
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"], split=True)
+    mean, comps = pca_fit(ds, n_components=2)
+    n, sx, sxx_diag = _embedding_moment_fold(sf_dir)
+    # full second-moment matrix for the quadratic forms (d×d, one pass)
+    from ..stages.similarity import _as_matrix
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        X = _as_matrix(batch["embedding"])
+        d = X.shape[1]
+        return pd.DataFrame([{"n": float(X.shape[0]), "sum_xxt": (X.T @ X).reshape(d * d)}])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    sum_xxt = np.sum([np.asarray(p["sum_xxt"]) for p in parts], axis=0)
+    d = sx.shape[0]
+    cov = sum_xxt.reshape(d, d) / n - np.outer(mean, mean)
+    gram = comps @ comps.T
+    orthonormal_ok = bool(np.abs(gram - np.eye(2)).max() < 1e-8)
+    ev = np.diag(comps @ cov @ comps.T)
+    ordered_ok = bool(ev[0] >= ev[1] - 1e-12 and ev[1] >= -1e-9)
+    coord_top2 = np.sort(np.diag(cov))[-2:].sum()
+    dominance_ok = bool(ev.sum() >= coord_top2 - 1e-9)
+    return pd.DataFrame(
+        [
+            {
+                "n_vecs": np.int64(n),
+                "orthonormal_ok": orthonormal_ok,
+                "ordered_ok": ordered_ok,
+                "dominance_ok": dominance_ok,
+            }
+        ]
+    )
+
+
+SQL_PCA_GATE = """
+SELECT CAST(count(*) AS BIGINT) AS n_vecs, TRUE AS orthonormal_ok,
+       TRUE AS ordered_ok, TRUE AS dominance_ok
+FROM embeddings
+"""
+
+
+_SDG_K, _SDG_THR = 8, 0.97
+
+
+def q_semantic_dedup_gate(sf_dir: str):
+    """The SemDeDup output contract at the driver gate, checked
+    per-cluster against the raw vectors: (a) PARTITION — every vector
+    gets exactly one keep/drop verdict (count is SQL-exact), (b)
+    INDEPENDENCE — no two KEPT vectors in the same cluster exceed the
+    cosine threshold, and (c) COVER — every DROPPED vector has a kept
+    same-cluster vector above it.  The check co-partitions verdicts
+    with vectors on vec_id and re-derives the cosines inside each
+    cluster group — same geometry as the dedup itself, nothing
+    driver-resident but three counters.  A greedy-order bug, a
+    normalization slip, or a cluster-assignment drift reds the value
+    hash — converting the rows-only `semantic_dedup` into a
+    driver-checked component."""
+    from ..stages.clustering import semantic_dedup
+    from .tabular import shuffle_join
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"], split=True)
+    n_vecs = read_table_arrow(sf_dir, "embeddings", columns=["vec_id"]).num_rows
+    verdicts = semantic_dedup(ds, k=_SDG_K, threshold=_SDG_THR, iters=8, seed=17)
+    joined = shuffle_join(ds, verdicts, "vec_id")
+
+    def check(g: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in g["embedding"]])
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.where(norms == 0, 1, norms)
+        keep = g["keep"].to_numpy(dtype=bool)
+        km, dm = mat[keep], mat[~keep]
+        iv = 0
+        if km.shape[0] >= 2:
+            s = km @ km.T
+            np.fill_diagonal(s, 0.0)
+            iv = int((s > _SDG_THR).sum() // 2)
+        if dm.shape[0]:
+            cv = (
+                int((np.max(dm @ km.T, axis=1) <= _SDG_THR).sum())
+                if km.shape[0]
+                else len(dm)
+            )
+        else:
+            cv = 0
+        return pd.DataFrame([{"n": len(g), "iv": iv, "cv": cv}])
+
+    parts = (
+        joined.groupby("cluster").map_groups(check, batch_format="pandas").to_pandas()
+    )
+    return pd.DataFrame(
+        [
+            {
+                "n_vecs": np.int64(n_vecs),
+                "partition_ok": bool(parts["n"].sum() == n_vecs),
+                "independent_ok": bool(parts["iv"].sum() == 0),
+                "cover_ok": bool(parts["cv"].sum() == 0),
+            }
+        ]
+    )
+
+
+SQL_SEMANTIC_DEDUP_GATE = """
+SELECT CAST(count(*) AS BIGINT) AS n_vecs, TRUE AS partition_ok,
+       TRUE AS independent_ok, TRUE AS cover_ok
+FROM embeddings
+"""
+
+
+def q_isotonic_gate(sf_dir: str):
+    """The PAV contract at the driver gate: the pooled isotonic fit
+    must (a) be strictly increasing across blocks (exact
+    cross-multiplied integer rates), (b) conserve mass — block (n,
+    n_pos) totals equal the SQL-EXACT event and purchase counts — and
+    (c) not fit worse than the best constant predictor (SSE refinement
+    bound, exact integer algebra).  A pooling-order bug, a lost bucket,
+    or a rate-comparison float slip reds the value hash — converting
+    the rows-only `isotonic_calibration` into a driver-checked
+    component."""
+    buckets = _isotonic_buckets(sf_dir)
+    blocks = pav_blocks(
+        buckets["s"].to_numpy(np.int64),
+        buckets["n"].to_numpy(np.int64),
+        buckets["pos"].to_numpy(np.int64),
+    )
+    bn = np.array([b[2] for b in blocks], dtype=np.int64)
+    bp = np.array([b[3] for b in blocks], dtype=np.int64)
+    monotone_ok = bool(
+        all(
+            bp[i] * bn[i + 1] < bp[i + 1] * bn[i]
+            for i in range(len(blocks) - 1)
+        )
+    )
+    total_n = int(buckets["n"].sum())
+    total_pos = int(buckets["pos"].sum())
+    mass_ok = bool(bn.sum() == total_n and bp.sum() == total_pos)
+    # SSE over 0/1 outcomes: per block pos − pos²/n; constant predictor
+    # P − P²/N.  The isotonic fit refines the constant fit ⇒ ≤.
+    sse_fit = float((bp - bp.astype(np.float64) ** 2 / bn).sum())
+    sse_const = float(total_pos - total_pos**2 / total_n)
+    return pd.DataFrame(
+        [
+            {
+                "total_n": np.int64(total_n),
+                "total_pos": np.int64(total_pos),
+                "monotone_ok": monotone_ok,
+                "mass_ok": mass_ok,
+                "sse_ok": bool(sse_fit <= sse_const + 1e-9),
+            }
+        ]
+    )
+
+
+SQL_ISOTONIC_GATE = """
+SELECT CAST(count(*) AS BIGINT) AS total_n,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS total_pos,
+       TRUE AS monotone_ok, TRUE AS mass_ok, TRUE AS sse_ok
+FROM events
+"""
+
+
+def q_training_order_gate(sf_dir: str):
+    """The training-iterator contract at the driver gate: one full
+    epoch of `pipelines/training.iter_training_batches` must visit
+    EVERY document exactly once (permutation over the SQL-exact corpus
+    count), the same seed must reproduce the identical order, and a
+    different seed must produce a different one.  A shuffle-buffer
+    off-by-one, a dropped trailing batch, or a seed-plumbing bug reds
+    the value hash — converting the rows-only `training_order` into a
+    driver-checked component (the ORDER itself is already value-pinned
+    by `epoch_shuffle`)."""
+    from .training import iter_training_batches
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"], split=True)
+    all_ids = np.sort(
+        read_table_arrow(sf_dir, "documents", columns=["doc_id"])["doc_id"].to_numpy()
+    )
+
+    def epoch_ids(seed: int) -> list[int]:
+        out: list[int] = []
+        for b in iter_training_batches(
+            ds, batch_size=256, seed=seed, epochs=1, shuffle_buffer=512
+        ):
+            out.extend(b["doc_id"].to_pylist())
+        return out
+
+    a, b, c = epoch_ids(42), epoch_ids(42), epoch_ids(43)
+    return pd.DataFrame(
+        [
+            {
+                "n_docs": np.int64(len(all_ids)),
+                "permutation_ok": bool(np.array_equal(np.sort(np.asarray(a)), all_ids)),
+                "reproducible_ok": bool(a == b),
+                "seeds_differ_ok": bool(a != c),
+            }
+        ]
+    )
+
+
+SQL_TRAINING_ORDER_GATE = """
+SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS permutation_ok,
+       TRUE AS reproducible_ok, TRUE AS seeds_differ_ok
+FROM documents
+"""
+
+
+def q_quality_classifier_gate(sf_dir: str):
+    """The trained-classifier contract at the driver gate: the
+    distributed full-batch logistic fit must (a) end with lower
+    log-loss than the zero-weight start (n·ln 2 — convex descent
+    actually descended) and (b) classify the training corpus at least
+    as well as the majority-class baseline.  Label counts are
+    SQL-exact.  A gradient-sign bug, a feature-scaling regression, or
+    a broadcast-weights mixup reds the value hash — converting the
+    rows-only `quality_classifier` into a driver-checked component.
+
+    This gate caught a real bug when written: the fit originally ran on
+    RAW features, where lr 0.5 exceeds the GD stability bound and the
+    loss DIVERGED to 4× chance (accuracy below the majority baseline at
+    sf0.1) — the standardizer pass now shared with
+    `q_quality_classifier` is the fix."""
+    import pyarrow.compute as pc
+
+    from ..stages.logreg import logreg_fit, logreg_score
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"], split=True)
+
+    def labels(batch: pa.Table) -> np.ndarray:
+        return pc.equal(batch["lang"], "en").to_numpy(zero_copy_only=False).astype(np.float64)
+
+    feats = _quality_feature_standardizer(ds)
+    w = logreg_fit(ds, feats, labels, d=3, iters=24, lr=0.5)
+    scored = logreg_score(ds, w, feats)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        p = np.clip(batch["p"].to_numpy(zero_copy_only=False), 1e-12, 1 - 1e-12)
+        y = pc.equal(batch["lang"], "en").to_numpy(zero_copy_only=False).astype(np.float64)
+        loss = float(-(y * np.log(p) + (1 - y) * np.log(1 - p)).sum())
+        correct = int(((p >= 0.5) == (y == 1.0)).sum())
+        return pd.DataFrame(
+            [{"n": len(p), "n_en": float(y.sum()), "correct": correct, "loss": loss}]
+        )
+
+    parts = scored.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n = int(parts["n"].sum())
+    n_en = int(parts["n_en"].sum())
+    correct = int(parts["correct"].sum())
+    loss = float(parts["loss"].sum())
+    baseline = max(n_en, n - n_en)
+    return pd.DataFrame(
+        [
+            {
+                "n_docs": np.int64(n),
+                "n_en": np.int64(n_en),
+                "loss_ok": bool(loss <= n * np.log(2.0) + 1e-6),
+                "acc_ok": bool(correct >= baseline),
+            }
+        ]
+    )
+
+
+SQL_QUALITY_CLASSIFIER_GATE = """
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS n_en,
+       TRUE AS loss_ok, TRUE AS acc_ok
+FROM documents
+"""
+
+
+_RAG_GATE_K = 5
+
+
+def q_rag_recall_gate(sf_dir: str):
+    """The RAG known-item retrieval contract at the driver gate: three
+    probe queries are the EXACT texts of indexed chunks (the first
+    three in (doc_id, chunk_idx) order), so each query's embedding is
+    identical to its chunk's (deterministic encoder, cosine 1 against
+    near-orthogonal hash-vector noise) — the IVF-PQ search MUST return
+    the chunk's own vec_id in its top-{k}.  A routing bug (query probes
+    the wrong coarse list), a codebook/LUT sign error, or a vec_id
+    plumbing slip reds the value hash — converting the rows-only
+    `rag_index_search` composite into a driver-checked component.
+
+    (Rank-based recall vs an exact baseline is deliberately NOT the
+    contract here: the stand-in hash encoder gives near-orthogonal
+    chunk vectors, so non-identical neighbors are statistical ties that
+    no quantized index can rank stably at corpus scale.)"""
+    from ..pipelines.eval import _HashEncoder
+    from ..stages.clustering import kmeans_fit
+    from ..stages.pq import knn_ivfpq, pq_fit
+
+    probes = (
+        q_chunk_documents(sf_dir)
+        .sort(["doc_id", "chunk_idx"])
+        .limit(3)
+        .to_pandas()
+    )
+    targets = (
+        probes["doc_id"].to_numpy(dtype=np.int64) * 1_000_000
+        + probes["chunk_idx"].to_numpy(dtype=np.int64)
+    )
+    vecs = _rag_chunk_vectors(sf_dir)
+    coarse = kmeans_fit(vecs, 8, iters=3, cache=False)
+    books = pq_fit(vecs, m=8, ksub=16, iters=3, coarse=coarse)
+    enc = _HashEncoder(_RAG_DIM)
+    queries = enc.encode(list(probes["chunk_text"]))
+    got = knn_ivfpq(
+        vecs, queries, np.arange(3), k=_RAG_GATE_K, nprobe=4,
+        index=(coarse, books), refine=4,
+    ).to_pandas()
+    rows = []
+    for qid in range(3):
+        hits = set(got[got["query_id"] == qid]["vec_id"].astype(int))
+        rows.append((qid, bool(int(targets[qid]) in hits)))
+    return pd.DataFrame(rows, columns=["query_id", "self_hit_ok"]).astype(
+        {"query_id": np.int64}
+    )
+
+
+q_rag_recall_gate.__doc__ = q_rag_recall_gate.__doc__.format(k=_RAG_GATE_K)
+
+
+SQL_RAG_RECALL_GATE = """
+SELECT CAST(q AS BIGINT) AS query_id, TRUE AS self_hit_ok
+FROM (VALUES (0), (1), (2)) AS v(q) ORDER BY query_id
+"""
+
+
+def q_incremental_dedup_gate(sf_dir: str):
+    """The incremental-index completeness contract at the driver gate:
+    the persisted-minhash-index path (`write_minhash_index` →
+    `minhash_dedup_incremental`, hive-pruned partitions, new×old only)
+    must surface EXACTLY the cross-snapshot candidate pairs the
+    one-shot `minhash_candidates` finds on the full corpus with the
+    same (k, bands, seed) — the index can neither lose a band collision
+    (pruning too hard) nor invent one.  The new-snapshot doc count is
+    SQL-exact.  Converts the rows-only `incremental_dedup` into a
+    driver-checked component."""
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from ..stages.dedup import (
+        minhash_candidates,
+        minhash_dedup_incremental,
+        write_minhash_index,
+    )
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+
+    def parity(p: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), p))
+
+        return f
+
+    hist = ds.map_batches(parity(0), batch_format="pyarrow")
+    new = ds.map_batches(parity(1), batch_format="pyarrow")
+    idx = tempfile.mkdtemp(prefix="ae_mh_gate_idx_")
+    try:
+        write_minhash_index(hist, idx)
+        inc = minhash_dedup_incremental(new, idx, threshold=0.0)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    inc_pairs = {
+        (min(int(a), int(b)), max(int(a), int(b)))
+        for a, b in zip(inc["id_new"], inc["id_old"])
+    }
+    cands = minhash_candidates(ds)
+    cross = {
+        (min(int(a), int(b)), max(int(a), int(b)))
+        for a, b in zip(cands["id_a"], cands["id_b"])
+        if (int(a) ^ int(b)) & 1
+    }
+    n_new = int(
+        pc.sum(
+            pc.bit_wise_and(
+                read_table_arrow(sf_dir, "documents", columns=["doc_id"])["doc_id"], 1
+            )
+        ).as_py()
+        or 0
+    )
+    return pd.DataFrame(
+        [{"n_new_docs": np.int64(n_new), "candidates_equal_ok": bool(inc_pairs == cross)}]
+    )
+
+
+SQL_INCREMENTAL_DEDUP_GATE = """
+SELECT CAST(count(*) FILTER (doc_id % 2 = 1) AS BIGINT) AS n_new_docs,
+       TRUE AS candidates_equal_ok
+FROM documents
+"""
+
+
+def q_boilerplate_gate(sf_dir: str):
+    """The boilerplate-classifier contract at the driver gate, checked
+    against PLANTED ground truth in the synthetic interleaved corpus
+    (sources/synth._BOILER): the nav bar ('home about x') and the
+    footer ('© site …') must NEVER classify as content, and every
+    long anchor-free block must NEVER classify as boilerplate —
+    end-to-end through segmentation, link-density scoring and
+    short-block inheritance.  One streaming pass, three counters on
+    the wire.  Converts the rows-only `boilerplate_strip` into a
+    driver-checked component."""
+    import os
+
+    import ray.data as rd
+
+    from ..sources.synth import ensure_corpus_parquet
+    from ..stages.boilerplate import SHORT_BLOCK_CHARS, classify_blocks, segment_blocks
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        sf = float(name.replace("sf", ""))
+    except ValueError:
+        sf = 0.001
+    n_docs = max(500, int(sf * _BOILER_DOCS_PER_SF))
+    corpus = ensure_corpus_parquet("/tmp/ae_corpora", n_docs, 42)
+    ds = rd.read_parquet(str(corpus), columns=["doc_id", "spans"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        nav_viol = footer_viol = plain_viol = 0
+        for spans in batch["spans"].to_pylist():
+            for sp in spans or []:
+                if sp.get("kind") != "html":
+                    continue
+                for blk in classify_blocks(segment_blocks(sp.get("text") or "")):
+                    content = blk["label"] == "content"
+                    if blk["text"] == "home about x" and content:
+                        nav_viol += 1
+                    if "© site" in blk["text"] and content:
+                        footer_viol += 1
+                    if (
+                        blk["n_chars"] >= SHORT_BLOCK_CHARS
+                        and blk["link_density"] == 0.0
+                        and not content
+                    ):
+                        plain_viol += 1
+        return pd.DataFrame(
+            [{"nav_viol": nav_viol, "footer_viol": footer_viol, "plain_viol": plain_viol}]
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame(
+        [
+            {
+                "nav_boiler_ok": bool(parts["nav_viol"].sum() == 0),
+                "footer_boiler_ok": bool(parts["footer_viol"].sum() == 0),
+                "long_plain_content_ok": bool(parts["plain_viol"].sum() == 0),
+            }
+        ]
+    )
+
+
+SQL_BOILERPLATE_GATE = """
+SELECT TRUE AS nav_boiler_ok, TRUE AS footer_boiler_ok,
+       TRUE AS long_plain_content_ok
+"""
+
+
 QUERIES = {
     "cdc_chunk_dedup": q_cdc_chunk_dedup,
     "weighted_reservoir": q_weighted_reservoir,
@@ -21554,6 +22538,19 @@ QUERIES = {
     "epoch_shuffle": q_epoch_shuffle,
     "ann_recall_gates": q_ann_recall_gates,
     "span_corruption_gate": q_span_corruption_gate,
+    "reach_pairs": q_reach_pairs,
+    "hyperball_gate": q_hyperball_gate,
+    "bpe_roundtrip_gate": q_bpe_roundtrip_gate,
+    "unigram_roundtrip_gate": q_unigram_roundtrip_gate,
+    "kmeans_quality_gate": q_kmeans_quality_gate,
+    "pca_gate": q_pca_gate,
+    "semantic_dedup_gate": q_semantic_dedup_gate,
+    "isotonic_gate": q_isotonic_gate,
+    "training_order_gate": q_training_order_gate,
+    "quality_classifier_gate": q_quality_classifier_gate,
+    "rag_recall_gate": q_rag_recall_gate,
+    "incremental_dedup_gate": q_incremental_dedup_gate,
+    "boilerplate_gate": q_boilerplate_gate,
     "bitext_mine": q_bitext_mine,
     "rouge_pairs": q_rouge_pairs,
     "distinct_ngrams": q_distinct_ngrams,
@@ -21874,6 +22871,19 @@ ORACLE_SQL = {
     "epoch_shuffle": SQL_EPOCH_SHUFFLE,
     "ann_recall_gates": SQL_ANN_RECALL_GATES,
     "span_corruption_gate": SQL_SPAN_CORRUPTION_GATE,
+    "reach_pairs": SQL_REACH_PAIRS,
+    "hyperball_gate": SQL_HYPERBALL_GATE,
+    "bpe_roundtrip_gate": SQL_BPE_ROUNDTRIP_GATE,
+    "unigram_roundtrip_gate": SQL_UNIGRAM_ROUNDTRIP_GATE,
+    "kmeans_quality_gate": SQL_KMEANS_QUALITY_GATE,
+    "pca_gate": SQL_PCA_GATE,
+    "semantic_dedup_gate": SQL_SEMANTIC_DEDUP_GATE,
+    "isotonic_gate": SQL_ISOTONIC_GATE,
+    "training_order_gate": SQL_TRAINING_ORDER_GATE,
+    "quality_classifier_gate": SQL_QUALITY_CLASSIFIER_GATE,
+    "rag_recall_gate": SQL_RAG_RECALL_GATE,
+    "incremental_dedup_gate": SQL_INCREMENTAL_DEDUP_GATE,
+    "boilerplate_gate": SQL_BOILERPLATE_GATE,
     "bitext_mine": SQL_BITEXT_MINE,
     "rouge_pairs": SQL_ROUGE_PAIRS,
     "distinct_ngrams": SQL_DISTINCT_NGRAMS,
