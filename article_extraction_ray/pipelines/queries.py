@@ -21623,19 +21623,77 @@ def _doc_graph_edges(sf_dir: str, *, names: tuple[str, str] = ("src", "dst")):
     return ds.map_batches(gen_edges, batch_format="pyarrow")
 
 
+#: edge rows under which the reach closure broadcasts the adjacency
+#: once (CSR) and each SOURCE batch runs its own bounded BFS locally —
+#: zero shuffles, (T+1) ints per batch on the wire.  Above it the
+#: semi-naive iterate-shuffle path runs (one hash exchange per hop).
+_REACH_BCAST_EDGES = 5_000_000
+
+
 def q_reach_pairs(sf_dir: str):
     """Horizon-bounded transitive closure: the exact count of reachable
     (src, dst) pairs within t hops, t = 0..{T} — the neighborhood
-    function HyperBall approximates, computed exactly with the textbook
-    distributed semi-naive iteration: reach ∪ (reach ⨝ edges) per hop,
-    deduped by a src-hash co-partition (all rows of one src land in one
-    group, so an in-group ``drop_duplicates`` is globally exact).
+    function HyperBall approximates, computed exactly.
 
-    Scale shape: pairs only ever move through ONE hash exchange per
-    hop; nothing is driver-resident but the (T+1) counts.  At web scale
-    the pair set is bounded by Σ|ball(v, T)| — the quantity a bounded
-    horizon exists to keep sub-quadratic.  Value-oracled against a
-    chained-CTE unroll of the same closure in DuckDB."""
+    Two-tier router on the edge count (the `embedding_dup_pairs`
+    shape): under {B:,} edges the adjacency broadcasts once as CSR and
+    every batch of SOURCES expands its own ≤T-hop balls locally — the
+    only traffic is (T+1) partial counts per batch; above it,
+    `_reach_pairs_shuffle` runs the textbook distributed semi-naive
+    iteration (reach ∪ (reach ⨝ edges) per hop, deduped in a src-hash
+    co-partition) where nothing is driver-resident.  Both paths are
+    value-oracled against a chained-CTE unroll in DuckDB; the shuffle
+    path is additionally forced in pytest for parity."""
+    edges_ds = _doc_graph_edges(sf_dir)
+    n_docs = read_table_arrow(sf_dir, "documents", columns=["doc_id"]).num_rows
+    # chain+jump out-degree ≤ 2 ⇒ edge count ≤ 2·n_docs, known pre-scan
+    if 2 * n_docs > _REACH_BCAST_EDGES:
+        return _reach_pairs_shuffle(sf_dir)
+
+    import ray
+
+    tabs = [t for t in ray.get(edges_ds.to_arrow_refs()) if t.num_rows]
+    et = pa.concat_tables(tabs)
+    src = et["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = et["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(src, kind="stable")
+    src, dst = src[order], dst[order]
+    indptr = np.searchsorted(src, np.arange(n_docs + 1))
+    csr = Broadcast((indptr, dst))
+
+    def balls(batch: pa.Table) -> pd.DataFrame:
+        indp, nbr = csr.get()
+        sizes = np.zeros(_REACH_T + 1, dtype=np.int64)
+        for s in batch["doc_id"].to_numpy(zero_copy_only=False):
+            visited = {int(s)}
+            frontier = [int(s)]
+            sizes[0] += 1
+            for t in range(1, _REACH_T + 1):
+                nxt = []
+                for u in frontier:
+                    for v in nbr[indp[u] : indp[u + 1]]:
+                        vi = int(v)
+                        if vi not in visited:
+                            visited.add(vi)
+                            nxt.append(vi)
+                frontier = nxt
+                sizes[t] += len(visited)
+        return pd.DataFrame({"t": np.arange(_REACH_T + 1, dtype=np.int64), "n": sizes})
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"], split=True)
+    parts = ds.map_batches(balls, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("t", as_index=False)["n"].sum().rename(columns={"n": "n_pairs"})
+    return out.sort_values("t").reset_index(drop=True).astype(np.int64)
+
+
+q_reach_pairs.__doc__ = q_reach_pairs.__doc__.format(T=_REACH_T, B=_REACH_BCAST_EDGES)
+
+
+def _reach_pairs_shuffle(sf_dir: str, t_max: int = _REACH_T):
+    """The above-budget reach closure: one hash exchange per hop, pair
+    set never driver-resident (see `q_reach_pairs`).  ``t_max`` is
+    parameterized so the forced-route parity pytest can bound the
+    per-hop plan-floor cost."""
     from .tabular import shuffle_join
 
     edges = _doc_graph_edges(sf_dir, names=("node", "nxt")).materialize()
@@ -21658,7 +21716,7 @@ def q_reach_pairs(sf_dir: str):
     def distinct_group(df: pd.DataFrame) -> pd.DataFrame:
         return df[["src", "node"]].drop_duplicates()
 
-    for t in range(1, _REACH_T + 1):
+    for t in range(1, t_max + 1):
         stepped = shuffle_join(reach, edges, "node").map_batches(
             step_cols, batch_format="pyarrow"
         )
@@ -21671,9 +21729,6 @@ def q_reach_pairs(sf_dir: str):
         )
         counts.append((t, reach.count()))
     return pd.DataFrame(counts, columns=["t", "n_pairs"]).astype(np.int64)
-
-
-q_reach_pairs.__doc__ = q_reach_pairs.__doc__.format(T=_REACH_T)
 
 
 def _reach_pairs_sql() -> str:

@@ -1479,3 +1479,87 @@ class TestRound4InterleavedPlanted:
         # token conservation: shard costs sum to text + media budget
         d7 = got[got["doc_id"] == 7]
         assert int(d7["n_tokens"].sum()) == 100 + 3 * _IMG_TOKENS
+
+
+class TestRound4Gates:
+    """Non-vacuity of the round-4 driver gates (their SQL oracles
+    enumerate TRUE, so these prove the Ray side can actually turn red)
+    plus forced-route parity for the reach closure."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_reach_pairs_shuffle_route_parity(self, ray_session):
+        from article_extraction_ray.pipelines.queries import (
+            _reach_pairs_shuffle,
+            q_reach_pairs,
+        )
+
+        fast = q_reach_pairs(self.SF)
+        slow = _reach_pairs_shuffle(self.SF, t_max=2)
+        pd.testing.assert_frame_equal(
+            fast.head(3).reset_index(drop=True), slow.reset_index(drop=True)
+        )
+
+    def test_bpe_gate_detects_symbol_drop(self, ray_session):
+        """A mutant encoder that loses the end-of-word marker must fail
+        the roundtrip — the gate is not vacuously TRUE."""
+        import pyarrow as pa
+
+        from article_extraction_ray.pipelines.queries import _BpeRoundtripGateStage
+        from article_extraction_ray.stages.bpe import bpe_train_local
+        from article_extraction_ray.state.broadcast import Broadcast
+
+        merges = bpe_train_local(["the cat sat on the mat"], num_merges=4)
+        mbc = Broadcast(list(zip(merges["left"].astype(str), merges["right"].astype(str))))
+        batch = pa.table({"source": ["s0", "s0"], "text": ["the cat", "sat mat"]})
+
+        stage = _BpeRoundtripGateStage(mbc)
+        ok = stage(batch)
+        assert int(ok["n_ok"].sum()) == 2
+
+        bad = _BpeRoundtripGateStage(mbc)
+        real = bad._st._encode_word
+        bad._st._encode_word = lambda w: real(w)[:-1]  # drop the last token
+        out = bad(batch)
+        assert int(out["n_ok"].sum()) == 0
+
+    def test_unigram_gate_detects_piece_drop(self, ray_session, monkeypatch):
+        """A mutant Viterbi that drops the final piece must fail the
+        lossless check."""
+        import pyarrow as pa
+
+        import article_extraction_ray.stages.unigram_lm as ul
+        from article_extraction_ray.pipelines.queries import _UnigramRoundtripGateStage
+        from article_extraction_ray.state.broadcast import Broadcast
+
+        logp = {c: -2.0 for c in "thecatsm "} | {"the": -1.0, "cat": -1.0}
+        lbc = Broadcast(list(logp.items()))
+        batch = pa.table({"source": ["s0"], "text": ["the cat"]})
+
+        ok = _UnigramRoundtripGateStage(lbc, 3)(batch)
+        assert int(ok["n_lossless"].sum()) == 1 and int(ok["n_opt"].sum()) == 1
+
+        real = ul.viterbi_segment
+        monkeypatch.setattr(ul, "viterbi_segment", lambda w, lp, m: real(w, lp, m)[:-1])
+        bad = _UnigramRoundtripGateStage(lbc, 3)(batch)
+        assert int(bad["n_lossless"].sum()) == 0
+
+    def test_training_order_gate_detects_dropped_batch(self, ray_session, monkeypatch):
+        """If the iterator silently loses rows, permutation_ok must go
+        False."""
+        import article_extraction_ray.pipelines.training as tr
+        from article_extraction_ray.pipelines import queries as Q
+
+        real = tr.iter_training_batches
+
+        def lossy(ds, **kw):
+            it = iter(list(real(ds, **kw))[:-1])  # drop the last batch
+            return it
+
+        monkeypatch.setattr(tr, "iter_training_batches", lossy)
+        # q imports from .training at call time via module attribute
+        monkeypatch.setattr(
+            "article_extraction_ray.pipelines.training.iter_training_batches", lossy
+        )
+        out = Q.q_training_order_gate(self.SF)
+        assert not bool(out["permutation_ok"].iloc[0])
