@@ -255,6 +255,19 @@ BENCH_QUERIES = [
     "epoch_shuffle",
     "ann_recall_gates",
     "span_corruption_gate",
+    "reach_pairs",
+    "hyperball_gate",
+    "bpe_roundtrip_gate",
+    "unigram_roundtrip_gate",
+    "kmeans_quality_gate",
+    "pca_gate",
+    "semantic_dedup_gate",
+    "isotonic_gate",
+    "training_order_gate",
+    "quality_classifier_gate",
+    "rag_recall_gate",
+    "incremental_dedup_gate",
+    "boilerplate_gate",
 ]
 
 
