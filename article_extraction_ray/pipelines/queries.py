@@ -9983,9 +9983,13 @@ def q_mmr_select(sf_dir: str):
     distributed (same per-batch prefilter as `topk`); the greedy MMR
     loop — inherently sequential, O(k·pool·d) — runs on the driver
     over the pool only, which is the standard shape (pool size, not
-    corpus size, bounds driver work).  Rows-only (greedy argmax
-    recursion is not SQL-expressible); the greedy invariant is
-    property-tested in tests/test_queries_units.py."""
+    corpus size, bounds driver work).  The probe document itself is
+    EXCLUDED from the candidates (self-retrieval is useless for a
+    diversifier, and with λ=0.5 it degenerates every later score to
+    0.5·rel − 0.5·sim-to-probe ≡ 0, making selection float-noise).
+    Rows-only (greedy argmax recursion is not SQL-expressible); the
+    greedy invariant is property-tested in tests/test_queries_units.py
+    and the selection is parity-gated by `mmr_gate`."""
     import pyarrow.compute as pc
 
     from ..stages.similarity import _as_matrix, _normalize
@@ -10000,11 +10004,12 @@ def q_mmr_select(sf_dir: str):
     q_bc = Broadcast(qv)
 
     def rel(batch: pa.Table) -> pd.DataFrame:
+        batch = batch.filter(pc.not_equal(batch["vec_id"], 0))  # drop the probe
         m = _normalize(_as_matrix(batch["embedding"]))
         return pd.DataFrame(
             {
                 "vec_id": batch["vec_id"].to_numpy(zero_copy_only=False),
-                "rel": m @ q_bc.get(),
+                "rel": m @ q_bc.get() if len(batch) else np.zeros(0),
             }
         )
 
@@ -22571,6 +22576,335 @@ SELECT TRUE AS nav_boiler_ok, TRUE AS footer_boiler_ok,
 """
 
 
+def q_pretokenize_gate(sf_dir: str):
+    """The make-a-training-set composition at the driver gate: the
+    per-source SURVIVOR COUNTS of `pretokenize_corpus`'s curation
+    prefix are recomputed EXACTLY in SQL (the `curate_corpus` CTE chain
+    up to the per-source cap), and the distributed prefix scan's
+    ``cum_before`` must equal a driver-side per-source cumsum of the
+    same (doc_id-ordered) BPE token counts.  A lost survivor anywhere
+    in the four curation stages, or a mis-bucketed scan partial, reds
+    the value hash — converting the rows-only `pretokenize_corpus`
+    composite into a driver-checked component."""
+    out = q_pretokenize_corpus(sf_dir)
+    df = out.to_pandas() if not isinstance(out, pd.DataFrame) else out
+    df = df.sort_values(["source", "doc_id"]).reset_index(drop=True)
+    prefix_ok = True
+    for _, g in df.groupby("source", sort=False):
+        want = g["n_tok"].cumsum().shift(fill_value=0).to_numpy()
+        if not np.array_equal(want, g["cum_before"].to_numpy()):
+            prefix_ok = False
+            break
+    agg = df.groupby("source", as_index=False).agg(n_docs=("doc_id", "size"))
+    return pd.DataFrame(
+        {
+            "source": agg["source"],
+            "n_docs": agg["n_docs"].astype(np.int64),
+            "prefix_ok": np.full(len(agg), bool(prefix_ok)),
+        }
+    ).sort_values("source").reset_index(drop=True)
+
+
+SQL_PRETOKENIZE_GATE = (
+    SQL_CURATE[: SQL_CURATE.index("packed AS")]
+    + """surv AS (SELECT source FROM capped)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs, TRUE AS prefix_ok
+FROM surv GROUP BY source ORDER BY source
+"""
+)
+
+
+def q_qa_extract_gate(sf_dir: str):
+    """The QA extraction plumbing contract at the driver gate: for both
+    QA variants — the char-window first-hit extractor (`qa_extract`)
+    and the token-sub-window joint-argmax head (`qa_token_extract`) —
+    every produced answer must be a SUBSTRING of its own source
+    document (window offsets recovered correctly ⇒ text can only come
+    from the doc; a char-offset or sentinel bug yields out-of-document
+    text).  Per-source doc counts are SQL-exact."""
+    char_df = q_qa_extract(sf_dir).to_pandas()
+    tok_df = q_qa_token_extract(sf_dir).to_pandas()
+    docs = read_table_arrow(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    dd = docs.to_pandas().set_index("doc_id")
+
+    def in_doc(frame: pd.DataFrame) -> pd.Series:
+        ok = []
+        for did, ans in zip(frame["doc_id"], frame["answer"]):
+            t = dd.loc[did, "text"] or ""
+            ok.append(ans is None or ans == "" or ans in t)
+        return pd.Series(ok, index=frame["doc_id"].to_numpy())
+
+    char_ok = in_doc(char_df)
+    tok_ok = in_doc(tok_df)
+    src = dd["source"]
+    out = pd.DataFrame(
+        {
+            "source": src.loc[char_ok.index].to_numpy(),
+            "n_docs": np.int64(1),
+            "c_ok": char_ok.to_numpy().astype(np.int64),
+            "t_ok": tok_ok.reindex(char_ok.index).to_numpy().astype(np.int64),
+        }
+    ).groupby("source", as_index=False).sum()
+    return pd.DataFrame(
+        {
+            "source": out["source"],
+            "n_docs": out["n_docs"].astype(np.int64),
+            "char_answers_ok": (out["c_ok"] == out["n_docs"]).to_numpy(),
+            "token_answers_ok": (out["t_ok"] == out["n_docs"]).to_numpy(),
+        }
+    ).sort_values("source").reset_index(drop=True)
+
+
+SQL_QA_EXTRACT_GATE = """
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       TRUE AS char_answers_ok, TRUE AS token_answers_ok
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def q_eval_semantic_gate(sf_dir: str):
+    """The semantic-eval scoring contract at the driver gate, with
+    PLANTED identical pairs: even doc_ids get predicted == true (the
+    encoder must score cosine distance exactly 0 — per-actor cache and
+    all), odd doc_ids get a truncated prediction (distance must be
+    strictly positive for differing strings), and every distance must
+    sit in [0, 2].  Doc count is SQL-exact.  Converts the rows-only
+    `eval_semantic` family into a driver-checked component.  Only the
+    encoder stage runs (char metrics are value-oracled separately by
+    `eval_char_metrics` — recomputing Levenshtein on full documents
+    here would be O(len²) dead weight)."""
+    from .eval import EvalEncoderStage
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"], split=True)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = [t or "" for t in batch["text"].to_pylist()]
+        preds = [
+            t if i % 2 == 0 else " ".join(t.split()[:-1])
+            for i, t in zip(ids, texts)
+        ]
+        return pa.Table.from_arrays(
+            [
+                pa.array(["m1"] * len(ids)),
+                batch["lang"],
+                pa.array(ids),
+                pa.array(texts, type=pa.string()),
+                pa.array(preds, type=pa.string()),
+            ],
+            names=["model", "category", "idx", "true", "predicted"],
+        )
+
+    scored = ds.map_batches(pairs, batch_format="pyarrow").map_batches(
+        EvalEncoderStage,
+        fn_constructor_kwargs={"backend": "fake"},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+    def check(batch: pa.Table) -> pd.DataFrame:
+        d = batch["cosine_distance"].to_numpy(zero_copy_only=False)
+        same = np.array(
+            [a == b for a, b in zip(batch["true"].to_pylist(), batch["predicted"].to_pylist())]
+        )
+        return pd.DataFrame(
+            [
+                {
+                    "n": len(d),
+                    "ident_viol": int((np.abs(d[same]) > 1e-12).sum()),
+                    "diff_viol": int((d[~same] <= 1e-12).sum()),
+                    "bound_viol": int(((d < -1e-9) | (d > 2.0 + 1e-9)).sum()),
+                }
+            ]
+        )
+
+    parts = scored.map_batches(check, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame(
+        [
+            {
+                "n_docs": np.int64(parts["n"].sum()),
+                "ident_zero_ok": bool(parts["ident_viol"].sum() == 0),
+                "nonident_pos_ok": bool(parts["diff_viol"].sum() == 0),
+                "bounds_ok": bool(parts["bound_viol"].sum() == 0),
+            }
+        ]
+    )
+
+
+SQL_EVAL_SEMANTIC_GATE = """
+SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS ident_zero_ok,
+       TRUE AS nonident_pos_ok, TRUE AS bounds_ok
+FROM documents
+"""
+
+
+def q_incremental_ingest_gate(sf_dir: str):
+    """The incremental-ingestion ledger contract at the driver gate:
+    across the two drops + noop replay of `incremental_ingest`, (a) the
+    noop step must ingest nothing, (b) snapshot versions must advance
+    only when new shards arrive, and (c) the cumulative snapshot row
+    count must equal the sum of the ingested deltas (nothing dropped,
+    nothing double-counted by the manifest resume).  Converts the
+    rows-only `incremental_ingest` lifecycle into a driver-checked
+    component (bit-exact final-state parity vs a from-scratch run is
+    pytest-verified)."""
+    led = q_incremental_ingest(sf_dir)
+    led = led if isinstance(led, pd.DataFrame) else led.to_pandas()
+    led = led.set_index("step")
+    noop_ok = bool(
+        led.loc["noop", "new_shards"] == 0 and led.loc["noop", "delta_rows"] == 0
+    )
+    version_ok = bool(
+        led.loc["drop2", "version"] == led.loc["drop1", "version"] + 1
+        and led.loc["noop", "version"] == led.loc["drop2", "version"]
+    )
+    additive_ok = bool(
+        led.loc["drop2", "snapshot_rows"]
+        == led.loc["drop1", "delta_rows"] + led.loc["drop2", "delta_rows"]
+        and led.loc["noop", "snapshot_rows"] == led.loc["drop2", "snapshot_rows"]
+    )
+    return pd.DataFrame(
+        [{"noop_ok": noop_ok, "version_monotone_ok": version_ok, "rows_additive_ok": additive_ok}]
+    )
+
+
+SQL_INCREMENTAL_INGEST_GATE = """
+SELECT TRUE AS noop_ok, TRUE AS version_monotone_ok, TRUE AS rows_additive_ok
+"""
+
+
+def q_cluster_topterms_gate(sf_dir: str):
+    """Independent-implementation parity for cluster labeling: the
+    distributed `cluster_topterms` (co-partitioned join + per-batch
+    token combiners + grouped sum + per-cluster top-5) must equal a
+    single-process pandas recomputation over the same deterministic
+    k-means assignment — frame-exact, including the (count desc, token
+    asc) tie rule.  A combiner that loses a partial, a join that drops
+    a doc, or a tie-rule drift reds the value hash."""
+    from ..stages.clustering import kmeans_assign, kmeans_fit
+
+    got = q_cluster_topterms(sf_dir)
+    got = (got if isinstance(got, pd.DataFrame) else got.to_pandas()).sort_values(
+        ["cluster", "rank"]
+    ).reset_index(drop=True)
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"], split=True)
+    cents = kmeans_fit(emb, 4, iters=5, cache=False)
+    assign = kmeans_assign(emb, cents).select_columns(["vec_id", "cluster"]).to_pandas()
+    docs = read_table_arrow(sf_dir, "documents", columns=["doc_id", "text"]).to_pandas()
+    j = docs.merge(assign.rename(columns={"vec_id": "doc_id"}), on="doc_id")
+    rows = []
+    for cl, g in j.groupby("cluster"):
+        cnt: dict[str, int] = {}
+        for t in g["text"]:
+            for w in (t or "").split():
+                cnt[w] = cnt.get(w, 0) + 1
+        top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        for r, (tok, n) in enumerate(top, 1):
+            rows.append({"cluster": int(cl), "rank": r, "token": tok, "n": n})
+    want = pd.DataFrame(rows).sort_values(["cluster", "rank"]).reset_index(drop=True)
+    parity_ok = bool(
+        len(got) == len(want)
+        and (got["cluster"].to_numpy() == want["cluster"].to_numpy()).all()
+        and (got["rank"].to_numpy() == want["rank"].to_numpy()).all()
+        and (got["token"].to_numpy() == want["token"].to_numpy()).all()
+        and (got["n"].to_numpy().astype(np.int64) == want["n"].to_numpy().astype(np.int64)).all()
+    )
+    return pd.DataFrame([{"parity_ok": parity_ok}])
+
+
+SQL_CLUSTER_TOPTERMS_GATE = """
+SELECT TRUE AS parity_ok
+"""
+
+
+def q_mmr_gate(sf_dir: str):
+    """Independent-implementation parity for MMR selection: the greedy
+    loop of `mmr_select` must equal a vectorized numpy re-derivation
+    (per step: one masked argmax over λ·rel − (1−λ)·max-sim, ties to
+    the smallest id) over the same distributed relevance pool, and the
+    first pick must be the pure-relevance argmax.  Selection size is
+    pinned."""
+    from ..stages.similarity import _as_matrix, _normalize
+
+    got = q_mmr_select(sf_dir)
+    got = got if isinstance(got, pd.DataFrame) else got.to_pandas()
+
+    import pyarrow.compute as pc
+
+    from .tabular import topk
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"], split=True)
+    probe_row = ds.filter(expr="vec_id == 0").take(1)[0]
+    qv = np.asarray(probe_row["embedding"], dtype=np.float64)
+    qv /= np.linalg.norm(qv)
+    q_bc = Broadcast(qv)
+
+    def rel(batch: pa.Table) -> pd.DataFrame:
+        batch = batch.filter(pc.not_equal(batch["vec_id"], 0))  # probe excluded
+        m = _normalize(_as_matrix(batch["embedding"]))
+        return pd.DataFrame(
+            {
+                "vec_id": batch["vec_id"].to_numpy(zero_copy_only=False),
+                "rel": m @ q_bc.get() if len(batch) else np.zeros(0),
+            }
+        )
+
+    pool = topk(
+        ds.map_batches(rel, batch_format="pyarrow"), ["rel", "vec_id"], _MMR_POOL,
+        descending=[True, False],
+    ).to_pandas()
+    ids = pool["vec_id"].to_numpy(dtype=np.int64)
+    id_bc = Broadcast(pa.array(ids, type=pa.int64()))
+
+    def grab(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch["vec_id"], value_set=id_bc.get()))
+
+    vec_df = ds.map_batches(grab, batch_format="pyarrow").to_pandas()
+    order = {int(v): i for i, v in enumerate(vec_df["vec_id"])}
+    mat = _normalize(np.array([np.asarray(e) for e in vec_df["embedding"]], dtype=np.float64))
+    rels = pool.set_index("vec_id")["rel"]
+
+    # vectorized greedy: per step one masked argmax, ids ascending so
+    # np.argmax's first-max rule IS the smallest-id tie-break
+    sort_ix = np.argsort(ids, kind="stable")
+    sids = ids[sort_ix]
+    rvec = rels.loc[sids].to_numpy()
+    pmat = mat[[order[int(v)] for v in sids]]
+    alive = np.ones(len(sids), dtype=bool)
+    # -inf init: max-sim-to-selected may be NEGATIVE (cosines), a zero
+    # floor silently over-penalizes nothing and under-penalizes
+    # negative-sim candidates; step 0 uses the explicit 0.0 default
+    max_sim = np.full(len(sids), -np.inf)
+    picks: list[int] = []
+    for step in range(min(_MMR_K, len(sids))):
+        score = _MMR_LAMBDA * rvec - (1.0 - _MMR_LAMBDA) * (max_sim if picks else 0.0)
+        score = np.where(alive, score, -np.inf)
+        i = int(np.argmax(score))
+        picks.append(int(sids[i]))
+        alive[i] = False
+        max_sim = np.maximum(max_sim, pmat @ pmat[i])
+    parity_ok = bool(list(got["vec_id"].astype(int)) == picks)
+    first_pick_ok = bool(
+        int(got["vec_id"].iloc[0])
+        == int(sids[np.argmax(np.where(np.ones_like(rvec, dtype=bool), rvec, -np.inf))])
+    )
+    return pd.DataFrame(
+        [
+            {
+                "n_selected": np.int64(len(got)),
+                "parity_ok": parity_ok,
+                "first_pick_ok": first_pick_ok,
+            }
+        ]
+    )
+
+
+SQL_MMR_GATE = f"""
+SELECT CAST({_MMR_K} AS BIGINT) AS n_selected, TRUE AS parity_ok, TRUE AS first_pick_ok
+"""
+
+
 QUERIES = {
     "cdc_chunk_dedup": q_cdc_chunk_dedup,
     "weighted_reservoir": q_weighted_reservoir,
@@ -22606,6 +22940,12 @@ QUERIES = {
     "rag_recall_gate": q_rag_recall_gate,
     "incremental_dedup_gate": q_incremental_dedup_gate,
     "boilerplate_gate": q_boilerplate_gate,
+    "pretokenize_gate": q_pretokenize_gate,
+    "qa_extract_gate": q_qa_extract_gate,
+    "eval_semantic_gate": q_eval_semantic_gate,
+    "incremental_ingest_gate": q_incremental_ingest_gate,
+    "cluster_topterms_gate": q_cluster_topterms_gate,
+    "mmr_gate": q_mmr_gate,
     "bitext_mine": q_bitext_mine,
     "rouge_pairs": q_rouge_pairs,
     "distinct_ngrams": q_distinct_ngrams,
@@ -22939,6 +23279,12 @@ ORACLE_SQL = {
     "rag_recall_gate": SQL_RAG_RECALL_GATE,
     "incremental_dedup_gate": SQL_INCREMENTAL_DEDUP_GATE,
     "boilerplate_gate": SQL_BOILERPLATE_GATE,
+    "pretokenize_gate": SQL_PRETOKENIZE_GATE,
+    "qa_extract_gate": SQL_QA_EXTRACT_GATE,
+    "eval_semantic_gate": SQL_EVAL_SEMANTIC_GATE,
+    "incremental_ingest_gate": SQL_INCREMENTAL_INGEST_GATE,
+    "cluster_topterms_gate": SQL_CLUSTER_TOPTERMS_GATE,
+    "mmr_gate": SQL_MMR_GATE,
     "bitext_mine": SQL_BITEXT_MINE,
     "rouge_pairs": SQL_ROUGE_PAIRS,
     "distinct_ngrams": SQL_DISTINCT_NGRAMS,

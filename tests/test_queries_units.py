@@ -352,7 +352,10 @@ class TestMmrGreedyInvariant:
         idx = {int(v): i for i, v in enumerate(t["vec_id"])}
         q = mat[idx[0]]
         rel = mat @ q
-        pool = sorted(range(len(mat)), key=lambda i: (-rel[i], t["vec_id"][i]))[:_MMR_POOL]
+        pool = sorted(
+            (i for i in range(len(mat)) if int(t["vec_id"][i]) != 0),
+            key=lambda i: (-rel[i], t["vec_id"][i]),
+        )[:_MMR_POOL]
         pool_ids = [int(t["vec_id"][i]) for i in pool]
 
         chosen = []
