@@ -268,6 +268,12 @@ BENCH_QUERIES = [
     "rag_recall_gate",
     "incremental_dedup_gate",
     "boilerplate_gate",
+    "pretokenize_gate",
+    "qa_extract_gate",
+    "eval_semantic_gate",
+    "incremental_ingest_gate",
+    "cluster_topterms_gate",
+    "mmr_gate",
 ]
 
 
