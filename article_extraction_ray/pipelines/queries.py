@@ -20623,26 +20623,39 @@ def _media_ref_rows(batch: pa.Table) -> pd.DataFrame:
 
 
 def q_media_ref_integrity(sf_dir: str):
+    return _media_ref_integrity(sf_dir)
+
+
+def _media_ref_integrity(sf_dir: str, *, dim_budget: int = FK_DIM_BUDGET):
     """Referential-integrity audit of an interleaved corpus: every
     media_ref in the span stream must resolve in the blob store.  The
     refs explode from the planted interleave; the blob manifest is a
     SECOND dataset (planted membership, ~20% orphans) whose key set
-    reduces through a two-level distributed distinct and broadcasts
-    once — each ref batch then runs a count-only vectorized anti-join
-    (`pc.is_in`), the fk_audit shape: no row materialization, counts
-    fold as fixed-width per-source partials.  Above the broadcast
-    budget the in-repo bucketed anti-join (pipelines/bucketed.py
-    co-partition by ref hash) is the documented swap, exactly as for
-    fk_audit's dimension edges.
+    reduces through a two-level distributed distinct.
+
+    Routing (the `_validate_orders` FK shape): at or under
+    ``dim_budget`` manifest keys (bounded by 3× the doc count, known
+    from footer metadata) the keyset broadcasts once and each ref
+    batch runs a count-only vectorized anti-join (`pc.is_in`) — no row
+    materialization, fixed-width per-source partials.  Above it the
+    manifest STAYS a Dataset and the orphans come from the
+    co-partitioned `shuffle_semi_filter` anti-join — both sides cross
+    the wire exactly once (``dim_budget=0`` parity pytest).
 
     Output per source: refs, resolved, missing, and Σ(4·doc_id+k) of
     the missing refs — an identity checksum that reds the value hash if
     the WRONG refs go missing even when the count is right."""
+    import os
+
     import pyarrow.compute as pc
+
+    from ..sources.io import corpus_num_rows
 
     docs_cols = ["doc_id", "source"]
     refs = read_table(sf_dir, "documents", columns=docs_cols, split=True)
     blobs = read_table(sf_dir, "documents", columns=["doc_id"], split=True)
+    n_docs = corpus_num_rows(os.path.join(sf_dir, "documents.parquet"))
+    use_broadcast = n_docs is not None and 3 * n_docs <= dim_budget
 
     def blob_keys(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -20662,44 +20675,84 @@ def q_media_ref_integrity(sf_dir: str):
         ["ref_key"],
         {"__n": ("count", None)},
     ).drop_columns(["__n"])
-    keys_bc = Broadcast(
-        pa.array(manifest.to_pandas()["ref_key"].to_numpy(), type=pa.int64())
-    )
 
-    def audit(batch: pa.Table) -> pd.DataFrame:
-        df = _media_ref_rows(batch)
-        if df.empty:
-            return pd.DataFrame(
-                {"source": pd.Series(dtype=object),
-                 "n_refs": pd.Series(dtype=np.int64),
-                 "n_resolved": pd.Series(dtype=np.int64),
-                 "n_missing": pd.Series(dtype=np.int64),
-                 "missing_key_sum": pd.Series(dtype=np.int64)}
-            )
-        ref_key = df["doc_id"].to_numpy() * 4 + df["k"].to_numpy()
-        hit = np.asarray(
-            pc.is_in(pa.array(ref_key, type=pa.int64()), value_set=keys_bc.get())
-            .to_numpy(zero_copy_only=False)
+    if use_broadcast:
+        keys_bc = Broadcast(
+            pa.array(manifest.to_pandas()["ref_key"].to_numpy(), type=pa.int64())
         )
-        df["n_refs"] = np.int64(1)
-        df["n_resolved"] = hit.astype(np.int64)
-        df["n_missing"] = (~hit).astype(np.int64)
-        df["missing_key_sum"] = np.where(~hit, ref_key, 0).astype(np.int64)
-        return df.groupby("source", as_index=False)[
-            ["n_refs", "n_resolved", "n_missing", "missing_key_sum"]
-        ].sum()
 
-    out = grouped_aggregate(
-        refs.map_batches(audit, batch_format="pyarrow"),
-        ["source"],
-        {
-            "n_refs": ("sum", "n_refs"),
-            "n_resolved": ("sum", "n_resolved"),
-            "n_missing": ("sum", "n_missing"),
-            "missing_key_sum": ("sum", "missing_key_sum"),
-        },
-        small_keys=True,
-    ).to_pandas()
+        def audit(batch: pa.Table) -> pd.DataFrame:
+            df = _media_ref_rows(batch)
+            if df.empty:
+                return pd.DataFrame(
+                    {"source": pd.Series(dtype=object),
+                     "n_refs": pd.Series(dtype=np.int64),
+                     "n_resolved": pd.Series(dtype=np.int64),
+                     "n_missing": pd.Series(dtype=np.int64),
+                     "missing_key_sum": pd.Series(dtype=np.int64)}
+                )
+            ref_key = df["doc_id"].to_numpy() * 4 + df["k"].to_numpy()
+            hit = np.asarray(
+                pc.is_in(pa.array(ref_key, type=pa.int64()), value_set=keys_bc.get())
+                .to_numpy(zero_copy_only=False)
+            )
+            df["n_refs"] = np.int64(1)
+            df["n_resolved"] = hit.astype(np.int64)
+            df["n_missing"] = (~hit).astype(np.int64)
+            df["missing_key_sum"] = np.where(~hit, ref_key, 0).astype(np.int64)
+            return df.groupby("source", as_index=False)[
+                ["n_refs", "n_resolved", "n_missing", "missing_key_sum"]
+            ].sum()
+
+        out = grouped_aggregate(
+            refs.map_batches(audit, batch_format="pyarrow"),
+            ["source"],
+            {
+                "n_refs": ("sum", "n_refs"),
+                "n_resolved": ("sum", "n_resolved"),
+                "n_missing": ("sum", "n_missing"),
+                "missing_key_sum": ("sum", "missing_key_sum"),
+            },
+            small_keys=True,
+        ).to_pandas()
+    else:
+        from .tabular import shuffle_semi_filter
+
+        def explode(batch: pa.Table) -> pa.Table:
+            df = _media_ref_rows(batch)
+            return pa.table(
+                {
+                    "source": pa.array(df["source"], type=pa.string()),
+                    "ref_key": pa.array(
+                        df["doc_id"].to_numpy() * 4 + df["k"].to_numpy(), type=pa.int64()
+                    ),
+                }
+            )
+
+        refs_x = refs.map_batches(explode, batch_format="pyarrow").materialize()
+        totals = grouped_aggregate(
+            refs_x, ["source"], {"n_refs": ("count", None)}, small_keys=True
+        ).to_pandas()
+        orphans = shuffle_semi_filter(refs_x, manifest, "ref_key", anti=True)
+
+        def miss_partial(batch: pa.Table) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "source": batch["source"].to_pylist(),
+                    "n_missing": np.int64(1),
+                    "missing_key_sum": batch["ref_key"].to_numpy(zero_copy_only=False),
+                }
+            ).groupby("source", as_index=False).sum()
+
+        miss = grouped_aggregate(
+            orphans.map_batches(miss_partial, batch_format="pyarrow"),
+            ["source"],
+            {"n_missing": ("sum", "n_missing"), "missing_key_sum": ("sum", "missing_key_sum")},
+            small_keys=True,
+        ).to_pandas()
+        out = totals.merge(miss, on="source", how="left").fillna(0)
+        out["n_resolved"] = out["n_refs"] - out["n_missing"]
+        out = out[["source", "n_refs", "n_resolved", "n_missing", "missing_key_sum"]]
     return out.sort_values("source").reset_index(drop=True).astype(
         {c: np.int64 for c in ["n_refs", "n_resolved", "n_missing", "missing_key_sum"]}
     )

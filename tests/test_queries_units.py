@@ -1566,3 +1566,12 @@ class TestRound4Gates:
         )
         out = Q.q_training_order_gate(self.SF)
         assert not bool(out["permutation_ok"].iloc[0])
+
+    def test_media_ref_integrity_shuffle_route_parity(self, ray_session):
+        from article_extraction_ray.pipelines.queries import _media_ref_integrity
+
+        bc = _media_ref_integrity(self.SF)
+        sh = _media_ref_integrity(self.SF, dim_budget=0)
+        pd.testing.assert_frame_equal(
+            bc.reset_index(drop=True), sh.reset_index(drop=True)
+        )
