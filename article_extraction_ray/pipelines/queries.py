@@ -22958,6 +22958,227 @@ SELECT CAST({_MMR_K} AS BIGINT) AS n_selected, TRUE AS parity_ok, TRUE AS first_
 """
 
 
+# ---------------------------------------------------------------------------
+# Strongly connected components over a planted cyclic doc graph
+# ---------------------------------------------------------------------------
+
+#: SCC block width: the doc graph chains i→i+1 and, when
+#: md5(block) < '8' (≈ half the blocks), adds a back edge from the
+#: block's last node to its first — turning that block into one
+#: {B}-cycle SCC; other blocks stay singletons.  The planted structure
+#: is SQL-derivable, so the oracle checks GENERIC SCC output against
+#: algorithm-independent ground truth.
+_SCC_BLOCK = 16
+#: nodes under which both CSR directions broadcast and every batch of
+#: nodes resolves its own component locally; above it the Dataset
+#: doubling-closure path runs (log₂ horizon shuffle rounds)
+_SCC_NODE_BUDGET = 2_000_000
+
+
+def _scc_edges(sf_dir: str):
+    """Chain + coin-back-edge doc graph → Dataset(src, dst)."""
+    from .tabular import md5_lt_mask
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"], split=True)
+    n_docs = read_table_arrow(sf_dir, "documents", columns=["doc_id"]).num_rows
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        chain = ids[ids + 1 < n_docs]
+        ends = ids[(ids % _SCC_BLOCK == _SCC_BLOCK - 1)]
+        blocks = ends // _SCC_BLOCK
+        coin = (
+            md5_lt_mask(pa.array(blocks), "8" + "0" * 31)
+            if len(blocks)
+            else np.zeros(0, dtype=bool)
+        )
+        back = ends[coin]
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([chain, back])),
+                "dst": pa.array(
+                    np.concatenate([chain + 1, back - (_SCC_BLOCK - 1)])
+                ),
+            }
+        )
+
+    return ds.map_batches(gen, batch_format="pyarrow")
+
+
+def q_scc_members(sf_dir: str):
+    """Strongly connected components of a directed graph — the
+    condensation primitive (web-graph spam loops, dependency cycles,
+    currency-arbitrage rings).  The kernel is GENERIC: node v's
+    component is min(fwd-ball(v) ∩ bwd-ball(v)) under a bounded
+    component diameter (horizon = {B} here; the standard FW-BW
+    observation that the intersection of descendants and ancestors IS
+    the SCC).  The graph is planted so the oracle knows ground truth
+    WITHOUT running any SCC algorithm: md5-coin blocks are {B}-cycles
+    (scc_id = block start), the rest singletons — a regression in edge
+    building, either ball sweep, or the intersection reds the value
+    hash at every node.
+
+    Two-tier router (the `reach_pairs` shape): under {N:,} nodes both
+    CSR directions broadcast once and each node batch resolves locally
+    (zero shuffles); above it `_scc_members_pairs` runs the doubling
+    transitive closure (log₂ horizon co-partitioned self-joins per
+    direction, pairs never driver-resident) — forced in pytest on a
+    planted mini corpus for parity."""
+    n_docs = read_table_arrow(sf_dir, "documents", columns=["doc_id"]).num_rows
+    if n_docs > _SCC_NODE_BUDGET:
+        return _scc_members_pairs(sf_dir)
+    import ray
+
+    et = pa.concat_tables(
+        [t for t in ray.get(_scc_edges(sf_dir).to_arrow_refs()) if t.num_rows]
+    )
+    src = et["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = et["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def csr(s: np.ndarray, d: np.ndarray):
+        order = np.argsort(s, kind="stable")
+        s, d = s[order], d[order]
+        return np.searchsorted(s, np.arange(n_docs + 1)), d
+
+    fwd = csr(src, dst)
+    bwd = csr(dst, src)
+    graph = Broadcast((fwd, bwd))
+
+    def ball(indp, nbr, s: int) -> set:
+        visited = {s}
+        frontier = [s]
+        for _ in range(_SCC_BLOCK):
+            nxt = []
+            for u in frontier:
+                for v in nbr[indp[u] : indp[u + 1]]:
+                    vi = int(v)
+                    if vi not in visited:
+                        visited.add(vi)
+                        nxt.append(vi)
+            if not nxt:
+                break
+            frontier = nxt
+        return visited
+
+    def members(batch: pa.Table) -> pd.DataFrame:
+        (fip, fnb), (bip, bnb) = graph.get()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = np.empty(len(ids), dtype=np.int64)
+        for i, u in enumerate(ids):
+            out[i] = min(ball(fip, fnb, int(u)) & ball(bip, bnb, int(u)))
+        return pd.DataFrame({"node": ids, "scc_id": out})
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"], split=True)
+    return (
+        ds.map_batches(members, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+        .astype(np.int64)
+    )
+
+
+q_scc_members.__doc__ = q_scc_members.__doc__.format(
+    B=_SCC_BLOCK, N=_SCC_NODE_BUDGET
+)
+
+
+def _closure_doubling(pairs, t_max: int):
+    """Bounded transitive closure of a (src, nd) reflexive pair Dataset
+    by repeated squaring: r ← r ∪ (r ∘ r) reaches horizon 2^k after k
+    rounds — log₂(t_max) co-partitioned self-joins instead of t_max
+    hop joins (each hop pays a full exchange; see `reach_pairs`' 62 s →
+    0.5 s lesson).  Dedup rides a src-hash co-partition."""
+    import math
+
+    from .tabular import shuffle_join
+
+    def tag(batch: pa.Table) -> pa.Table:
+        h = (batch["src"].to_numpy(zero_copy_only=False) % 64).astype(np.int32)
+        return batch.append_column("__b", pa.array(h))
+
+    def distinct_group(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["src", "nd"]].drop_duplicates()
+
+    def mid_left(batch: pa.Table) -> pa.Table:
+        return pa.table({"src": batch["src"], "mid": batch["nd"]})
+
+    def mid_right(batch: pa.Table) -> pa.Table:
+        return pa.table({"mid": batch["src"], "nd2": batch["nd"]})
+
+    def step_cols(batch: pa.Table) -> pa.Table:
+        return pa.table({"src": batch["src"], "nd": batch["nd2"]})
+
+    r = pairs.materialize()
+    for _ in range(max(1, math.ceil(math.log2(t_max)))):
+        stepped = shuffle_join(
+            r.map_batches(mid_left, batch_format="pyarrow"),
+            r.map_batches(mid_right, batch_format="pyarrow"),
+            "mid",
+        ).map_batches(step_cols, batch_format="pyarrow")
+        r = (
+            r.union(stepped)
+            .map_batches(tag, batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(distinct_group, batch_format="pandas")
+            # union + join triple the block count per round (observed
+            # 48 → 1296 tiny blocks by round 3, 78 s of pure task
+            # scheduling for 10k rows) — coalesce before the next round
+            .repartition(16)
+            .materialize()
+        )
+    return r
+
+
+def _scc_members_pairs(sf_dir: str):
+    """Above-budget SCC: doubling closure of the reflexive edge
+    relation in BOTH directions, then one co-partitioned join of
+    fwd-reach with bwd-reach on (src, nd) — the surviving pairs are
+    exactly the same-SCC pairs — and a grouped min per node."""
+    from .tabular import grouped_aggregate, shuffle_join
+
+    edges = _scc_edges(sf_dir)
+    ds = read_table(sf_dir, "documents", columns=["doc_id"], split=True)
+
+    def self_pairs(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"src": pa.array(ids), "nd": pa.array(ids)})
+
+    ident = ds.map_batches(self_pairs, batch_format="pyarrow")
+
+    def fwd_cols(batch: pa.Table) -> pa.Table:
+        return pa.table({"src": batch["src"], "nd": batch["dst"]})
+
+    def bwd_cols(batch: pa.Table) -> pa.Table:
+        return pa.table({"src": batch["dst"], "nd": batch["src"]})
+
+    r_f = _closure_doubling(
+        ident.union(edges.map_batches(fwd_cols, batch_format="pyarrow")), _SCC_BLOCK
+    )
+    r_b = _closure_doubling(
+        ident.union(edges.map_batches(bwd_cols, batch_format="pyarrow")), _SCC_BLOCK
+    )
+    both = shuffle_join(r_f, r_b, ["src", "nd"])
+    out = grouped_aggregate(both, ["src"], {"scc_id": ("min", "nd")}).to_pandas()
+    return (
+        out.rename(columns={"src": "node"})
+        .sort_values("node")
+        .reset_index(drop=True)
+        .astype(np.int64)
+    )
+
+
+SQL_SCC_MEMBERS = f"""
+SELECT doc_id AS node,
+       CASE WHEN md5(CAST(doc_id // {_SCC_BLOCK} AS VARCHAR)) < '8'
+             AND (doc_id // {_SCC_BLOCK}) * {_SCC_BLOCK} + {_SCC_BLOCK - 1}
+                 < (SELECT count(*) FROM documents)
+            THEN (doc_id // {_SCC_BLOCK}) * {_SCC_BLOCK}
+            ELSE doc_id END AS scc_id
+FROM documents ORDER BY node
+"""
+
+
 QUERIES = {
     "cdc_chunk_dedup": q_cdc_chunk_dedup,
     "weighted_reservoir": q_weighted_reservoir,
@@ -22999,6 +23220,7 @@ QUERIES = {
     "incremental_ingest_gate": q_incremental_ingest_gate,
     "cluster_topterms_gate": q_cluster_topterms_gate,
     "mmr_gate": q_mmr_gate,
+    "scc_members": q_scc_members,
     "bitext_mine": q_bitext_mine,
     "rouge_pairs": q_rouge_pairs,
     "distinct_ngrams": q_distinct_ngrams,
@@ -23338,6 +23560,7 @@ ORACLE_SQL = {
     "incremental_ingest_gate": SQL_INCREMENTAL_INGEST_GATE,
     "cluster_topterms_gate": SQL_CLUSTER_TOPTERMS_GATE,
     "mmr_gate": SQL_MMR_GATE,
+    "scc_members": SQL_SCC_MEMBERS,
     "bitext_mine": SQL_BITEXT_MINE,
     "rouge_pairs": SQL_ROUGE_PAIRS,
     "distinct_ngrams": SQL_DISTINCT_NGRAMS,

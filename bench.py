@@ -274,6 +274,7 @@ BENCH_QUERIES = [
     "incremental_ingest_gate",
     "cluster_topterms_gate",
     "mmr_gate",
+    "scc_members",
 ]
 
 

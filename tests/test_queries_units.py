@@ -1575,3 +1575,15 @@ class TestRound4Gates:
         pd.testing.assert_frame_equal(
             bc.reset_index(drop=True), sh.reset_index(drop=True)
         )
+
+    def test_scc_pairs_route_parity(self, ray_session):
+        from article_extraction_ray.pipelines.queries import (
+            _scc_members_pairs,
+            q_scc_members,
+        )
+
+        fast = q_scc_members(self.SF)
+        pairs = _scc_members_pairs(self.SF)
+        pd.testing.assert_frame_equal(
+            fast.reset_index(drop=True), pairs.reset_index(drop=True)
+        )
