@@ -23168,6 +23168,105 @@ def _scc_members_pairs(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# Edit-distance similarity self-join (FastSS deletion neighborhoods)
+# ---------------------------------------------------------------------------
+
+_EDJ_BUCKETS = 64
+
+
+def q_edit_distance_join(sf_dir: str):
+    """Edit-distance ≤ 1 similarity self-join over supplier names —
+    the typo-tolerant record-matching primitive (entity resolution,
+    query spelling, near-key audits), via FastSS deletion
+    neighborhoods (Bocek et al. 2007; SymSpell's index): two strings
+    are within edit distance 1 iff their {self ∪ single-deletion
+    variants} sets intersect, for ALL edit types with no length or
+    alphabet assumptions.  LSH-shaped plan: each name emits len+1
+    compact (variant, key, name) rows, ONE variant-hash co-partition
+    collides candidates in-bucket, and the exact verify runs where the
+    collision happened (equal-length pairs vectorize as a byte-compare
+    hamming count, which for equal lengths decides distance ≤ 1
+    exactly; unequal lengths fall back to the DP kernel) — names never
+    broadcast, pairs dedupe through the grouped fold.  Candidate FPs
+    (distance-2 pairs sharing a variant) are disposed by the verify,
+    so the output is EXACT and the DuckDB oracle is the quadratic
+    ``levenshtein`` cross-join."""
+    import pyarrow.compute as pc  # noqa: F401  (module import locality)
+
+    from ..functions.strings import levenshtein_distance
+
+    ds = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_name"], split=True)
+
+    def variants(batch: pa.Table) -> pd.DataFrame:
+        keys = batch["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        names = batch["s_name"].to_pylist()
+        vk, vkey, vname = [], [], []
+        for k, s in zip(keys, names):
+            s = s or ""
+            vk.append(s)
+            vkey.append(k)
+            vname.append(s)
+            for i in range(len(s)):
+                vk.append(s[:i] + s[i + 1 :])
+                vkey.append(k)
+                vname.append(s)
+        out = pd.DataFrame({"variant": vk, "key": vkey, "name": vname})
+        out["bucket"] = pd.util.hash_array(
+            out["variant"].to_numpy(dtype=object)
+        ).astype(np.int64) % _EDJ_BUCKETS
+        return out
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["variant", "key"])
+        m = g.merge(g, on="variant", suffixes=("_a", "_b"))
+        m = m[m["key_a"] < m["key_b"]].drop_duplicates(["key_a", "key_b"])
+        if m.empty:
+            return pd.DataFrame(
+                {"key_a": pd.Series(dtype=np.int64), "key_b": pd.Series(dtype=np.int64),
+                 "dist": pd.Series(dtype=np.int64)}
+            )
+        na = m["name_a"].to_numpy(dtype=object)
+        nb = m["name_b"].to_numpy(dtype=object)
+        dist = np.empty(len(m), dtype=np.int64)
+        for i, (a, b) in enumerate(zip(na, nb)):
+            if len(a) == len(b):
+                # equal lengths: levenshtein ≤ 1 ⟺ hamming ≤ 1 (a
+                # single edit keeping length is a substitution), and
+                # the distances agree on every kept pair
+                dist[i] = sum(x != y for x, y in zip(a, b))
+                if dist[i] > 1:
+                    dist[i] = 2  # any value > 1 — dropped below
+            else:
+                dist[i] = levenshtein_distance(a, b)
+        m = m.assign(dist=dist)
+        m = m[m["dist"] <= 1]
+        return m[["key_a", "key_b", "dist"]]
+
+    pairs = (
+        ds.map_batches(variants, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lambda g: bucket_pairs(g.drop(columns="bucket")), batch_format="pandas")
+    )
+    # a pair can collide in several variant buckets: one grouped fold
+    # dedupes (dist is identical wherever the pair verified)
+    out = grouped_aggregate(
+        pairs, ["key_a", "key_b"], {"dist": ("min", "dist")}
+    ).to_pandas()
+    return (
+        out.sort_values(["key_a", "key_b"]).reset_index(drop=True).astype(np.int64)
+    )
+
+
+SQL_EDIT_DISTANCE_JOIN = """
+SELECT a.s_suppkey AS key_a, b.s_suppkey AS key_b,
+       CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= 1
+ORDER BY key_a, key_b
+"""
+
+
 SQL_SCC_MEMBERS = f"""
 SELECT doc_id AS node,
        CASE WHEN md5(CAST(doc_id // {_SCC_BLOCK} AS VARCHAR)) < '8'
@@ -23221,6 +23320,7 @@ QUERIES = {
     "cluster_topterms_gate": q_cluster_topterms_gate,
     "mmr_gate": q_mmr_gate,
     "scc_members": q_scc_members,
+    "edit_distance_join": q_edit_distance_join,
     "bitext_mine": q_bitext_mine,
     "rouge_pairs": q_rouge_pairs,
     "distinct_ngrams": q_distinct_ngrams,
@@ -23561,6 +23661,7 @@ ORACLE_SQL = {
     "cluster_topterms_gate": SQL_CLUSTER_TOPTERMS_GATE,
     "mmr_gate": SQL_MMR_GATE,
     "scc_members": SQL_SCC_MEMBERS,
+    "edit_distance_join": SQL_EDIT_DISTANCE_JOIN,
     "bitext_mine": SQL_BITEXT_MINE,
     "rouge_pairs": SQL_ROUGE_PAIRS,
     "distinct_ngrams": SQL_DISTINCT_NGRAMS,

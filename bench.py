@@ -275,6 +275,7 @@ BENCH_QUERIES = [
     "cluster_topterms_gate",
     "mmr_gate",
     "scc_members",
+    "edit_distance_join",
 ]
 
 
