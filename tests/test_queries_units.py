@@ -1587,3 +1587,97 @@ class TestRound4Gates:
         pd.testing.assert_frame_equal(
             fast.reset_index(drop=True), pairs.reset_index(drop=True)
         )
+
+    def test_pca_gate_detects_unnormalized_components(self, ray_session, monkeypatch):
+        import article_extraction_ray.stages.clustering as cl
+        from article_extraction_ray.pipelines import queries as Q
+
+        real = cl.pca_fit
+
+        def scaled(ds, **kw):
+            mean, comps = real(ds, **kw)
+            return mean, comps * 1.1
+
+        monkeypatch.setattr(cl, "pca_fit", scaled)
+        out = Q.q_pca_gate(self.SF)
+        assert not bool(out["orthonormal_ok"].iloc[0])
+
+    def test_semantic_gate_detects_all_dropped(self, ray_session, monkeypatch):
+        """If the dedup drops EVERY vector, no dropped vector has a kept
+        cover — cover_ok must go False."""
+        import article_extraction_ray.stages.clustering as cl
+        from article_extraction_ray.pipelines import queries as Q
+
+        real = cl.semantic_dedup
+
+        def drop_all(ds, **kw):
+            out = real(ds, **kw)
+
+            def flip(df):
+                df = df.copy()
+                df["keep"] = False
+                return df
+
+            return out.map_batches(flip, batch_format="pandas")
+
+        monkeypatch.setattr(cl, "semantic_dedup", drop_all)
+        out = Q.q_semantic_dedup_gate(self.SF)
+        assert not bool(out["cover_ok"].iloc[0])
+
+    def test_isotonic_gate_detects_lost_block(self, ray_session, monkeypatch):
+        from article_extraction_ray.pipelines import queries as Q
+
+        real = Q.pav_blocks
+        monkeypatch.setattr(Q, "pav_blocks", lambda s, n, p: real(s, n, p)[1:])
+        out = Q.q_isotonic_gate(self.SF)
+        assert not bool(out["mass_ok"].iloc[0])
+
+    def test_hyperball_gate_detects_biased_estimator(self, ray_session, monkeypatch):
+        import article_extraction_ray.stages.hyperball as hb
+        from article_extraction_ray.pipelines import queries as Q
+
+        real = hb.hyperball
+
+        def doubled(edges, **kw):
+            out = real(edges, **kw)
+            out = out.copy()
+            out["n_pairs_est"] = out["n_pairs_est"] * 2.0
+            return out
+
+        monkeypatch.setattr(hb, "hyperball", doubled)
+        out = Q.q_hyperball_gate(self.SF)
+        assert not out["est_ok"].any()
+
+    def test_rag_gate_detects_id_plumbing_slip(self, ray_session, monkeypatch):
+        import article_extraction_ray.stages.pq as pq
+        from article_extraction_ray.pipelines import queries as Q
+
+        real = pq.knn_ivfpq
+
+        def shifted(*a, **kw):
+            out = real(*a, **kw)
+
+            def bump(df):
+                df = df.copy()
+                df["vec_id"] = df["vec_id"] + 1
+                return df
+
+            return out.map_batches(bump, batch_format="pandas")
+
+        monkeypatch.setattr(pq, "knn_ivfpq", shifted)
+        out = Q.q_rag_recall_gate(self.SF)
+        assert not out["self_hit_ok"].any()
+
+    def test_incremental_dedup_gate_detects_lost_candidates(self, ray_session, monkeypatch):
+        import pandas as _pd
+
+        import article_extraction_ray.stages.dedup as dd
+        from article_extraction_ray.pipelines import queries as Q
+
+        empty = _pd.DataFrame(
+            {"id_new": _pd.Series(dtype="int64"), "id_old": _pd.Series(dtype="int64"),
+             "n_bands": _pd.Series(dtype="int64"), "est_jaccard": _pd.Series(dtype="float64")}
+        )
+        monkeypatch.setattr(dd, "minhash_dedup_incremental", lambda *a, **kw: empty)
+        out = Q.q_incremental_dedup_gate(self.SF)
+        assert not bool(out["candidates_equal_ok"].iloc[0])
