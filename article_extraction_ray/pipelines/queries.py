@@ -23267,6 +23267,199 @@ ORDER BY key_a, key_b
 """
 
 
+# ---------------------------------------------------------------------------
+# End-to-end training-mix composite: temperature-weighted domain
+# downsampling → sequence packing → deterministic epoch order
+# ---------------------------------------------------------------------------
+
+_TM_BUCKETS = 64
+_TM_BUDGET = 512
+
+
+def q_training_mix(sf_dir: str):
+    """The make-a-training-mix composition a multi-domain run actually
+    executes, value-oracled END TO END: (1) α=0.5 temperature
+    downsampling per domain — keep exactly ⌈√(n_min·n_dom)⌉ docs
+    (integer-exact, no float thresholds) chosen by deterministic md5
+    rank, the no-RNG-state equalizer that up-weights rare domains
+    relative to their share; (2) concat-pack the survivors into
+    {budget}-token sequences per domain (distributed prefix scan);
+    (3) a deterministic global epoch position per survivor (md5-rank
+    TeraSort enumeration, the `epoch_shuffle` contract).  Domains are
+    derived skewed on purpose (⌊√(doc_id % 100)⌋ → sizes 1:19) so the
+    downsampling rule actually fires at every scale.
+
+    Shapes: the rank selection is the `class_balance` geometry (one
+    bounded (domain × md5-bucket) count fold, offsets broadcast, rows
+    cross the wire once); packing is the `pack_sequences` prefix scan;
+    the epoch rank is one fixed-boundary bucket exchange.  DuckDB
+    replays all three stages in one CTE chain, so a lost survivor, a
+    mis-packed sequence, or one displaced epoch position reds the
+    value hash."""
+    import pyarrow.compute as pc
+
+    from ..stages.scan import pack_sequences
+    from .tabular import md5_digest_words, shuffle_join
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"], split=True)
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dom = np.floor(np.sqrt((ids % 100).astype(np.float64))).astype(np.int64)
+        n_tok = pc.cast(
+            pc.list_value_length(pc.split_pattern(batch["text"], " ")), pa.int64()
+        )
+        hi, lo = md5_digest_words(batch["doc_id"])
+        hb = (hi.astype(np.uint64) >> np.uint64(58)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "dom": pa.array(dom),
+                "n_tok": n_tok,
+                "__hi": pa.array(hi.astype(np.uint64)),
+                "__lo": pa.array(lo.astype(np.uint64)),
+                "__db": pa.array(dom * _TM_BUCKETS + hb),
+            }
+        )
+
+    kd = ds.map_batches(keyed, batch_format="pyarrow").materialize()
+    db_counts = (
+        kd.map_batches(
+            lambda t: pd.DataFrame(
+                pd.Series(t["__db"].to_numpy(zero_copy_only=False)).value_counts()
+            ).reset_index().set_axis(["__db", "n"], axis=1),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .groupby("__db")["n"]
+        .sum()
+        .sort_index()
+    )
+    dom_sizes: dict[int, int] = {}
+    db_offsets: dict[int, int] = {}
+    for db, n in db_counts.items():
+        d = int(db) // _TM_BUCKETS
+        db_offsets[int(db)] = dom_sizes.get(d, 0)
+        dom_sizes[d] = db_offsets[int(db)] + int(n)
+    import math
+
+    n_min = min(dom_sizes.values())
+    keep_k = {}
+    for d, n_d in dom_sizes.items():
+        p = n_min * n_d
+        r = math.isqrt(p)
+        keep_k[d] = r if r * r == p else r + 1  # integer-exact ⌈√(n_min·n_d)⌉
+    sel_bc = Broadcast((db_offsets, keep_k))
+
+    def keep_ranked(df: pd.DataFrame) -> pd.DataFrame:
+        offs, kk = sel_bc.get()
+        db = int(df["__db"].iloc[0])
+        df = df.sort_values(["__hi", "__lo", "doc_id"], kind="stable")
+        rank = offs[db] + np.arange(1, len(df) + 1, dtype=np.int64)
+        return df.loc[rank <= kk[db // _TM_BUCKETS], ["doc_id", "dom", "n_tok"]]
+
+    surv = kd.groupby("__db").map_groups(keep_ranked, batch_format="pandas").materialize()
+
+    import os as _os
+
+    import pyarrow.parquet as pqt
+
+    meta = pqt.ParquetFile(_os.path.join(sf_dir, "documents.parquet")).metadata
+    max_id = max(
+        meta.row_group(i).column(0).statistics.max for i in range(meta.num_row_groups)
+    )
+    packed = pack_sequences(
+        surv, _TM_BUDGET, order_col="doc_id", group_col="dom", tokens_col="n_tok",
+        max_order=int(max_id),
+    )
+
+    # deterministic epoch position over the SURVIVORS: md5-rank TeraSort
+    # enumeration with fixed top-bit boundaries (the epoch_shuffle shape)
+    from ..stages.sketch_parity import md5_u64
+
+    def ekeys(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = md5_u64([f"0:{d}" for d in ids])
+        return pd.DataFrame(
+            {"doc_id": ids, "h": h,
+             "b": (h >> np.uint64(58)).astype(np.int64)}
+        )
+
+    ek = surv.map_batches(ekeys, batch_format="pyarrow").materialize()
+    bc_counts = (
+        ek.map_batches(
+            lambda df: df.groupby("b", as_index=False).agg(n=("doc_id", "size")),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("b")["n"]
+        .sum()
+        .reindex(range(_TM_BUCKETS), fill_value=0)
+        .to_numpy()
+    )
+    off_bc = Broadcast(np.concatenate(([0], np.cumsum(bc_counts)[:-1])))
+
+    def rank_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        b = int(df["b"].iloc[0])
+        df = df.sort_values(["h", "doc_id"], kind="stable")
+        df["position"] = off_bc.get()[b] + np.arange(1, len(df) + 1, dtype=np.int64)
+        return df[["doc_id", "position"]]
+
+    pos = ek.groupby("b").map_groups(rank_bucket, batch_format="pandas")
+
+    out = shuffle_join(packed, pos, "doc_id").to_pandas()
+    out["seq_id"] = out["cum_before"].to_numpy() // _TM_BUDGET
+    out = out[["doc_id", "dom", "n_tok", "seq_id", "position"]].astype(np.int64)
+    return out.sort_values("position").reset_index(drop=True)
+
+
+q_training_mix.__doc__ = q_training_mix.__doc__.format(budget=_TM_BUDGET)
+
+
+SQL_TRAINING_MIX = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(floor(sqrt(CAST(doc_id % 100 AS DOUBLE))) AS BIGINT) AS dom,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+counts AS (SELECT dom, count(*) AS n_d FROM t GROUP BY dom),
+mn AS (SELECT min(n_d) AS n_min FROM counts),
+k AS (
+  SELECT dom, CAST(ceil(sqrt(CAST(n_min * n_d AS DOUBLE))) AS BIGINT) AS k_d
+  FROM counts, mn
+),
+ranked AS (
+  SELECT t.*, row_number() OVER (PARTITION BY dom ORDER BY h, doc_id) AS r
+  FROM t
+),
+surv AS (
+  SELECT ranked.doc_id, ranked.dom, ranked.n_tok
+  FROM ranked JOIN k USING (dom) WHERE r <= k_d
+),
+packed AS (
+  SELECT doc_id, dom, n_tok,
+         CAST(COALESCE(SUM(n_tok) OVER (
+           PARTITION BY dom ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM surv
+),
+pos AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (
+           ORDER BY md5_number_upper('0:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS BIGINT) AS position
+  FROM surv
+)
+SELECT p.doc_id, p.dom, p.n_tok,
+       CAST(p.cum_before // {_TM_BUDGET} AS BIGINT) AS seq_id, pos.position
+FROM packed p JOIN pos USING (doc_id)
+ORDER BY position
+"""
+
+
 SQL_SCC_MEMBERS = f"""
 SELECT doc_id AS node,
        CASE WHEN md5(CAST(doc_id // {_SCC_BLOCK} AS VARCHAR)) < '8'
@@ -23321,6 +23514,7 @@ QUERIES = {
     "mmr_gate": q_mmr_gate,
     "scc_members": q_scc_members,
     "edit_distance_join": q_edit_distance_join,
+    "training_mix": q_training_mix,
     "bitext_mine": q_bitext_mine,
     "rouge_pairs": q_rouge_pairs,
     "distinct_ngrams": q_distinct_ngrams,
@@ -23662,6 +23856,7 @@ ORACLE_SQL = {
     "mmr_gate": SQL_MMR_GATE,
     "scc_members": SQL_SCC_MEMBERS,
     "edit_distance_join": SQL_EDIT_DISTANCE_JOIN,
+    "training_mix": SQL_TRAINING_MIX,
     "bitext_mine": SQL_BITEXT_MINE,
     "rouge_pairs": SQL_ROUGE_PAIRS,
     "distinct_ngrams": SQL_DISTINCT_NGRAMS,

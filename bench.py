@@ -276,6 +276,7 @@ BENCH_QUERIES = [
     "mmr_gate",
     "scc_members",
     "edit_distance_join",
+    "training_mix",
 ]
 
 
