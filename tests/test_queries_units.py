@@ -1681,3 +1681,42 @@ class TestRound4Gates:
         monkeypatch.setattr(dd, "minhash_dedup_incremental", lambda *a, **kw: empty)
         out = Q.q_incremental_dedup_gate(self.SF)
         assert not bool(out["candidates_equal_ok"].iloc[0])
+
+
+class TestTrainingMixPlanted:
+    """Planted edge cases for the training-mix composite: exact
+    ceil(sqrt(n_min*n_dom)) keep counts on a tiny skewed corpus, and
+    the all-domains-equal corpus where the mix must keep EVERYTHING."""
+
+    _con = staticmethod(TestRound5DegenerateParity._con)
+    _cmp = staticmethod(TestDegenerateGroupParity._cmp)
+
+    def test_skewed_keep_counts(self, ray_session, tmp_path):
+        from article_extraction_ray.pipelines.queries import SQL_TRAINING_MIX, q_training_mix
+
+        # doms: 0×1 (id 0), 1×4 (ids ≡1), 2×4 (ids ≡5) → n_min=1,
+        # k = ceil(sqrt(1·n)) → 1, 2, 2 → exactly 5 survivors
+        ids = [0, 1, 101, 201, 301, 5, 105, 205, 305]
+        docs = pd.DataFrame(
+            {"doc_id": ids, "source": "s", "lang": "en",
+             "text": [f"w{i} " * (i % 4 + 1) for i in range(len(ids))]}
+        )
+        con = self._con(tmp_path, documents=docs)
+        got = q_training_mix(str(tmp_path))
+        self._cmp(got, con, SQL_TRAINING_MIX, ["position"])
+        assert len(got) == 5
+        assert sorted(got["position"]) == [1, 2, 3, 4, 5]
+        assert got.groupby("dom")["doc_id"].size().to_dict() == {0: 1, 1: 2, 2: 2}
+
+    def test_equal_domains_keep_everything(self, ray_session, tmp_path):
+        from article_extraction_ray.pipelines.queries import SQL_TRAINING_MIX, q_training_mix
+
+        ids = [1, 101, 201, 5, 105, 205]  # dom 1 ×3, dom 2 ×3
+        docs = pd.DataFrame(
+            {"doc_id": ids, "source": "s", "lang": "en",
+             "text": ["alpha beta gamma"] * len(ids)}
+        )
+        con = self._con(tmp_path, documents=docs)
+        got = q_training_mix(str(tmp_path))
+        self._cmp(got, con, SQL_TRAINING_MIX, ["position"])
+        assert len(got) == len(ids)  # n_min == n_dom → no downsampling
