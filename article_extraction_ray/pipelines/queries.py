@@ -2220,15 +2220,16 @@ NEAR_DEDUP_LOSER_BUDGET = 8_000_000
 
 def _near_dedup_counts(sf_dir: str, *, loser_budget: int = NEAR_DEDUP_LOSER_BUDGET):
     import pyarrow.compute as pc
-    import ray.data as rd
 
-    from ..stages.dedup import minhash_dup_pairs
+    from ..stages.dedup import near_dedup_edges
     from ..stages.graph import connected_components
     from .tabular import broadcast_semi_filter, grouped_aggregate, shuffle_semi_filter
 
     corpus = _with_injected_dupes(sf_dir).materialize()
-    pairs = minhash_dup_pairs(corpus, threshold=0.5)
-    edges = rd.from_pandas(pairs[["id_a", "id_b"]].rename(columns={"id_a": "src", "id_b": "dst"}))
+    # exact-dup pre-pass + budget-routed LSH pairs: identical-content
+    # groups cost O(g) edges and the pair list only collapses to the
+    # driver while it fits PAIR_BUDGET (see stages/dedup.near_dedup_edges)
+    edges = near_dedup_edges(corpus, threshold=0.5, loser_budget=loser_budget)
     comp = connected_components(edges)
     # drop every clustered doc that is not its component's minimum
     losers_ds = comp.map_batches(

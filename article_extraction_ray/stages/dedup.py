@@ -292,20 +292,17 @@ def _band_rows_fn(batch: pa.Table, cfg: tuple) -> pa.Table:
     return stage(batch)
 
 
-def minhash_candidates(ds, *, k: int = _DEFAULT_K, bands: int = _DEFAULT_BANDS, n: int = 3,
-                       seed: int = 7, id_col: str = "doc_id", text_col: str = "text",
-                       concurrency=None) -> pd.DataFrame:
-    """Dataset(id, text) → pandas DataFrame(id_a, id_b, n_bands) of
-    distinct candidate pairs.
+def minhash_pairs_raw(ds, *, k: int = _DEFAULT_K, bands: int = _DEFAULT_BANDS, n: int = 3,
+                      seed: int = 7, id_col: str = "doc_id", text_col: str = "text",
+                      concurrency=None):
+    """Dataset(id, text) → Dataset(id_a, id_b) of per-band LSH collision
+    pairs — the shared distributed front half of both candidate routes.
 
-    Band-row generation runs as elastic stateless tasks (per-worker stage
-    cache, see _STAGE_CACHE); pass ``concurrency`` to force an actor pool
-    instead.  The distributed part ends at per-bucket pair generation; the
-    pair list is small by construction (near-dup rate × corpus), so the
-    cross-band dedupe (value_counts on pair keys) runs on the driver —
-    a Ray groupby over it would pay a full sort for kilobytes of data.
-    n_bands = number of bands in which the pair collided (the LSH
-    confidence signal)."""
+    One row per (pair, colliding band); NOT globally deduped (the two
+    routes dedupe differently: the driver route with one pandas groupby,
+    the Dataset route with a pair-bucket shuffle).  Band-row generation
+    runs as elastic stateless tasks (per-worker stage cache, see
+    _STAGE_CACHE); pass ``concurrency`` to force an actor pool instead."""
     cfg = (k, bands, n, seed, id_col, text_col)
     if concurrency is None:
         band_rows = ds.map_batches(
@@ -324,7 +321,59 @@ def minhash_candidates(ds, *, k: int = _DEFAULT_K, bands: int = _DEFAULT_BANDS, 
         return batch.append_column("bucket", pa.array(b))
 
     bucketed = band_rows.map_batches(coarse_bucket, batch_format="pyarrow")
-    pairs = bucketed.groupby("bucket").map_groups(_bucket_pair_gen, batch_format="pandas").to_pandas()
+    return bucketed.groupby("bucket").map_groups(_bucket_pair_gen, batch_format="pandas")
+
+
+def _pair_count_fold(df: pd.DataFrame) -> pd.DataFrame:
+    out = df.groupby(["id_a", "id_b"], sort=False).size().rename("n_bands").reset_index()
+    return out.astype({"id_a": np.int64, "id_b": np.int64, "n_bands": np.int64})
+
+
+def pair_dedupe_dataset(pairs_raw, *, num_buckets: int = _N_SHUFFLE_BUCKETS):
+    """Dataset(id_a, id_b) with duplicates → Dataset(id_a, id_b, n_bands)
+    globally distinct, WITHOUT touching the driver.
+
+    One coarse pair-bucket shuffle: every copy of a pair lands in the
+    same bucket (bucket is a pure function of the pair key), so one
+    in-bucket pandas groupby-size is an EXACT global dedupe + band
+    count.  The pair list never becomes a driver object — this is the
+    scale route for dup-heavy crawls where near-dup pairs are
+    corpus-order (30-50% at CommonCrawl scale)."""
+
+    def pair_bucket(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pb = ((a * np.int64(1000003) + b) % num_buckets).astype(np.int32)
+        return pa.table({"id_a": pa.array(a), "id_b": pa.array(b),
+                         "bucket": pa.array(pb)})
+
+    return (
+        pairs_raw.map_batches(pair_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lambda df: _pair_count_fold(df.drop(columns=["bucket"])),
+                    batch_format="pandas")
+    )
+
+
+def minhash_candidates(ds, *, k: int = _DEFAULT_K, bands: int = _DEFAULT_BANDS, n: int = 3,
+                       seed: int = 7, id_col: str = "doc_id", text_col: str = "text",
+                       concurrency=None) -> pd.DataFrame:
+    """Dataset(id, text) → pandas DataFrame(id_a, id_b, n_bands) of
+    distinct candidate pairs — the DRIVER route.
+
+    The distributed part ends at per-bucket pair generation
+    (:func:`minhash_pairs_raw`); the cross-band dedupe (value_counts on
+    pair keys) runs on the driver — right while the pair list is small
+    (clean corpora), where a Ray groupby over it would pay a full sort
+    for kilobytes of data.  For dup-heavy corpora use
+    :func:`minhash_candidates_dataset` (or the budget router in
+    :func:`minhash_dup_pairs_routed`), which keeps pairs a Dataset
+    end-to-end.  n_bands = number of bands in which the pair collided
+    (the LSH confidence signal)."""
+    pairs = minhash_pairs_raw(
+        ds, k=k, bands=bands, n=n, seed=seed, id_col=id_col, text_col=text_col,
+        concurrency=concurrency,
+    ).to_pandas()
     if pairs.empty:
         return pd.DataFrame(
             {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
@@ -333,6 +382,18 @@ def minhash_candidates(ds, *, k: int = _DEFAULT_K, bands: int = _DEFAULT_BANDS, 
     return (
         pairs.groupby(["id_a", "id_b"], sort=False).size().rename("n_bands").reset_index()
     )
+
+
+def minhash_candidates_dataset(ds, *, k: int = _DEFAULT_K, bands: int = _DEFAULT_BANDS,
+                               n: int = 3, seed: int = 7, id_col: str = "doc_id",
+                               text_col: str = "text", concurrency=None):
+    """Dataset(id, text) → Dataset(id_a, id_b, n_bands) of distinct
+    candidate pairs, fully distributed (see :func:`pair_dedupe_dataset`)."""
+    raw = minhash_pairs_raw(
+        ds, k=k, bands=bands, n=n, seed=seed, id_col=id_col, text_col=text_col,
+        concurrency=concurrency,
+    )
+    return pair_dedupe_dataset(raw)
 
 
 def _key_buckets(vals: np.ndarray, nb: int) -> np.ndarray:
@@ -460,6 +521,262 @@ def minhash_dup_pairs(ds, *, threshold: float = 0.5, k: int = _DEFAULT_K,
         .reset_index(drop=True)
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Dataset-native pair path (the 100-TB route: pairs never hit the driver)
+# ---------------------------------------------------------------------------
+
+#: candidate pairs above which the near-dup pipeline stops collapsing the
+#: pair list to driver pandas (≈48 MB of (id_a, id_b, n_bands) rows —
+#: comfortably a driver object, but past it a dup-heavy crawl's pair list
+#: grows with corpus dirtiness, so it must stay a Dataset)
+PAIR_BUDGET = 2_000_000
+
+
+def _join_score_pairs_dataset(ds, cand_ds, *, value_col: str, id_col: str,
+                              score_name: str, score_fn, num_buckets: int = 64):
+    """Dataset-native twin of :func:`_join_score_pairs`: score a candidate
+    pair DATASET against a per-id value column with ZERO driver
+    materialization of pairs or values.
+
+    Shape: the corpus projects to (id, value) and semi-filters against
+    the pair-id set (one co-partitioned exchange — only candidate values
+    survive, and only they move further); the surviving small side
+    materializes ONCE into the object store and resolves each pair's two
+    sides via two hash-partitioned ``shuffle_join`` exchanges; scoring is
+    a per-bucket vectorized pass.  Every stage is a bounded exchange —
+    nothing scales with driver heap."""
+    from ..pipelines.tabular import shuffle_join, shuffle_semi_filter
+
+    cand = cand_ds.materialize()
+
+    def pair_ids(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({id_col: pa.array(np.unique(np.r_[a, b]))})
+
+    needed = cand.map_batches(pair_ids, batch_format="pyarrow")
+    docs = shuffle_semi_filter(
+        ds.select_columns([id_col, value_col]), needed, id_col,
+        num_buckets=num_buckets,
+    ).materialize()
+
+    a_side = docs.rename_columns({id_col: "id_a", value_col: "__val_a"})
+    b_side = docs.rename_columns({id_col: "id_b", value_col: "__val_b"})
+    half = shuffle_join(cand, a_side, on="id_a", num_buckets=num_buckets)
+    full = shuffle_join(half, b_side, on="id_b", num_buckets=num_buckets)
+
+    def score(batch: pa.Table) -> pa.Table:
+        va = batch["__val_a"].to_pylist()
+        vb = batch["__val_b"].to_pylist()
+        s = np.fromiter((score_fn(a, b) for a, b in zip(va, vb)),
+                        dtype=np.float64, count=len(va))
+        keep = [c for c in batch.column_names if c not in ("__val_a", "__val_b")]
+        return batch.select(keep).append_column(score_name, pa.array(s))
+
+    return full.map_batches(score, batch_format="pyarrow")
+
+
+def minhash_dup_pairs_dataset(ds, *, threshold: float = 0.5, k: int = _DEFAULT_K,
+                              bands: int = _DEFAULT_BANDS, n: int = 3, seed: int = 7,
+                              id_col: str = "doc_id", text_col: str = "text",
+                              concurrency=None, candidates=None):
+    """Fully distributed :func:`minhash_dup_pairs`: Dataset(id, text) →
+    Dataset(id_a, id_b, n_bands, exact_jaccard) of verified near-dup
+    pairs that NEVER collapse to the driver — the route for corpora
+    whose near-dup pair list is itself big data.  ``candidates``
+    (a Dataset from :func:`minhash_candidates_dataset`) lets a router
+    that already counted the pairs pass them through."""
+    if candidates is None:
+        candidates = minhash_candidates_dataset(
+            ds, k=k, bands=bands, n=n, seed=seed, id_col=id_col,
+            text_col=text_col, concurrency=concurrency,
+        )
+    scored = _join_score_pairs_dataset(
+        ds, candidates, value_col=text_col, id_col=id_col,
+        score_name="exact_jaccard",
+        score_fn=lambda a, b: exact_jaccard(a or "", b or "", n),
+    )
+    import pyarrow.compute as pc
+
+    return scored.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["exact_jaccard"], pa.scalar(threshold))),
+        batch_format="pyarrow",
+    )
+
+
+def minhash_dup_pairs_routed(ds, *, threshold: float = 0.5, k: int = _DEFAULT_K,
+                             bands: int = _DEFAULT_BANDS, n: int = 3, seed: int = 7,
+                             id_col: str = "doc_id", text_col: str = "text",
+                             pair_budget: int = PAIR_BUDGET, force_route: str | None = None,
+                             concurrency=None):
+    """Budget-routed verified near-dup pairs: ``(route, pairs)`` where
+    ``route`` ∈ {"driver", "dataset"}.
+
+    The distinct candidate-pair count (a Dataset count — the pair list
+    is NOT collapsed to measure it) picks the route: under
+    ``pair_budget`` the driver route's pandas fold + broadcast verify is
+    strictly cheaper (no second shuffle for kilobytes of pairs); above
+    it the pair list stays a Dataset end-to-end
+    (:func:`minhash_dup_pairs_dataset`).  ``force_route`` pins a route
+    for parity tests.  Driver route returns pandas; dataset route
+    returns a Dataset (same columns)."""
+    if force_route not in (None, "driver", "dataset"):
+        raise ValueError(f"unknown route {force_route!r}")
+    route = force_route
+    cand_ds = None
+    if route is None:
+        cand_ds = minhash_candidates_dataset(
+            ds, k=k, bands=bands, n=n, seed=seed, id_col=id_col,
+            text_col=text_col, concurrency=concurrency,
+        ).materialize()
+        route = "driver" if cand_ds.count() <= pair_budget else "dataset"
+    if route == "driver":
+        if cand_ds is not None:
+            candidates = cand_ds.to_pandas()
+        else:
+            candidates = minhash_candidates(
+                ds, k=k, bands=bands, n=n, seed=seed, id_col=id_col,
+                text_col=text_col, concurrency=concurrency,
+            )
+        if candidates.empty:
+            return route, pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+                 "n_bands": pd.Series(dtype="int64"),
+                 "exact_jaccard": pd.Series(dtype="float64")}
+            )
+        verified = _verify_pairs_distributed(
+            ds, candidates, n=n, id_col=id_col, text_col=text_col
+        )
+        out = (
+            verified[verified["exact_jaccard"] >= threshold]
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+        return route, out
+    return route, minhash_dup_pairs_dataset(
+        ds, threshold=threshold, k=k, bands=bands, n=n, seed=seed,
+        id_col=id_col, text_col=text_col, concurrency=concurrency,
+        candidates=cand_ds,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact-dedupe pre-pass (identical-doc groups cost O(g) edges, not O(g²) pairs)
+# ---------------------------------------------------------------------------
+
+
+def exact_dup_assign(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                     num_buckets: int = 64):
+    """Dataset(id, text) → Dataset(doc_id, rep_id): every doc labeled
+    with the MIN doc id sharing its exact text content.
+
+    Map-side: each batch reduces to (doc_id, content-hash) — text never
+    shuffles.  One coarse hash-bucket exchange groups identical contents
+    (identical text ⇒ identical crc64-style key ⇒ same bucket) and a
+    vectorized in-bucket groupby-min labels each member.  Hash is the
+    fixed-key siphash of the full text (pd.util.hash_array) — collisions
+    across DIFFERENT contents are ~2⁻⁶⁴ per pair; a belt-and-braces
+    deployment would verify members against their rep, which the
+    near-dup verify stage downstream effectively does."""
+
+    def hash_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = np.asarray(
+            ["" if t is None else t for t in batch[text_col].to_pylist()],
+            dtype=object,
+        )
+        h = pd.util.hash_array(texts).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "__h": pa.array(h),
+            "bucket": pa.array((h % num_buckets).astype(np.int32)),
+        })
+
+    def label(df: pd.DataFrame) -> pd.DataFrame:
+        rep = df.groupby("__h")["doc_id"].transform("min")
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "rep_id": rep.to_numpy(np.int64),
+        })
+
+    return (
+        ds.map_batches(hash_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lambda df: label(df.drop(columns=["bucket"])),
+                    batch_format="pandas")
+    )
+
+
+def near_dedup_edges(ds, *, threshold: float = 0.5, k: int = _DEFAULT_K,
+                     bands: int = _DEFAULT_BANDS, n: int = 3, seed: int = 7,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     exact_prepass: bool = True, pair_budget: int = PAIR_BUDGET,
+                     loser_budget: int = 8_000_000, force_route: str | None = None,
+                     concurrency=None):
+    """The full near-dup EDGE pipeline as one Dataset: exact-dup pre-pass
+    edges ∪ budget-routed MinHash-LSH verified edges over the
+    exact-representative corpus → Dataset(src, dst).
+
+    The pre-pass folds identical-content groups (verbatim boilerplate,
+    mirrored pages, empty docs — the O(g²) LSH pathology) into O(g)
+    rep→member edges and runs LSH on REPRESENTATIVES only; exact dups
+    have Jaccard 1 ≥ any threshold, so components (and min-id survivors)
+    are provably identical to the LSH-only result — pytest pins this on
+    an adversarial high-dup corpus.  Feed the result straight to
+    :func:`..stages.graph.connected_components`, whose own size routing
+    picks the driver kernel or iterative distributed propagation."""
+    import ray.data as rd
+
+    from ..pipelines.tabular import broadcast_semi_filter, shuffle_semi_filter
+
+    corpus = ds
+    edge_parts = []
+    if exact_prepass:
+        assign = exact_dup_assign(
+            ds, id_col=id_col, text_col=text_col
+        ).materialize()
+
+        def member_edges(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            dup = t.filter(pc.not_equal(t["doc_id"], t["rep_id"]))
+            return pa.table({"src": dup["rep_id"], "dst": dup["doc_id"]})
+
+        exact_edges = assign.map_batches(member_edges, batch_format="pyarrow").materialize()
+        n_exact_losers = exact_edges.count()
+        if n_exact_losers:
+            edge_parts.append(exact_edges)
+            losers_ds = exact_edges.map_batches(
+                lambda t: pa.table({id_col: t["dst"]}), batch_format="pyarrow"
+            )
+            if n_exact_losers <= loser_budget:
+                loser_ids = losers_ds.to_pandas()[id_col].to_numpy(np.int64)
+                corpus = broadcast_semi_filter(ds, loser_ids, id_col, anti=True)
+            else:
+                corpus = shuffle_semi_filter(ds, losers_ds, id_col, anti=True)
+            corpus = corpus.materialize()
+
+    route, pairs = minhash_dup_pairs_routed(
+        corpus, threshold=threshold, k=k, bands=bands, n=n, seed=seed,
+        id_col=id_col, text_col=text_col, pair_budget=pair_budget,
+        force_route=force_route, concurrency=concurrency,
+    )
+    if route == "driver":
+        near_edges = rd.from_pandas(
+            pairs[["id_a", "id_b"]].rename(columns={"id_a": "src", "id_b": "dst"})
+            if len(pairs)
+            else pd.DataFrame({"src": pd.Series(dtype=np.int64),
+                               "dst": pd.Series(dtype=np.int64)})
+        )
+    else:
+        near_edges = pairs.map_batches(
+            lambda t: pa.table({"src": t["id_a"], "dst": t["id_b"]}),
+            batch_format="pyarrow",
+        )
+    edge_parts.append(near_edges)
+    return edge_parts[0] if len(edge_parts) == 1 else edge_parts[0].union(*edge_parts[1:])
 
 
 # ---------------------------------------------------------------------------

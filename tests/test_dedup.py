@@ -283,3 +283,106 @@ class TestSsjoinExact:
         got = ssjoin_exact(rd.from_pandas(df), threshold=0.5)
         assert got.empty
         assert list(got.columns) == ["id_a", "id_b", "jaccard"]
+
+
+class TestDatasetPairRoute:
+    """The Dataset-native pair path (dedup.py scale route): forced-route
+    parity on an adversarial high-dup corpus, and the exact-dedupe
+    pre-pass turning identical-doc groups from O(g²) pairs into O(g)
+    edges with an IDENTICAL survivor set."""
+
+    @staticmethod
+    def _adversarial_corpus():
+        """60% dup rate: 40 base texts, each with one exact copy and one
+        near-dup mutant (last two words dropped) — the CommonCrawl shape
+        where the pair list is corpus-order."""
+        rng = np.random.default_rng(11)
+        vocab = [f"tok{i}" for i in range(300)]
+        rows = []
+        for i in range(40):
+            text = " ".join(rng.choice(vocab, size=40))
+            rows.append({"doc_id": i, "text": text})
+            rows.append({"doc_id": 1000 + i, "text": text})  # exact copy
+            rows.append({"doc_id": 2000 + i, "text": " ".join(text.split()[:-2])})
+        return pd.DataFrame(rows)
+
+    @staticmethod
+    def _survivors(edges_ds, all_ids):
+        from article_extraction_ray.stages.graph import connected_components
+
+        comp = connected_components(edges_ds).to_pandas()
+        losers = set(comp.loc[comp["node"] != comp["component"], "node"].astype(int))
+        return set(all_ids) - losers
+
+    def test_forced_route_parity(self, ray_session):
+        import ray.data as rd
+        from article_extraction_ray.stages.dedup import (
+            minhash_dup_pairs,
+            minhash_dup_pairs_routed,
+            near_dedup_edges,
+        )
+
+        df = self._adversarial_corpus()
+        ds = rd.from_pandas(df).repartition(4)
+
+        # 1) pair-level parity: dataset route == driver route, exactly
+        route_a, pd_pairs = minhash_dup_pairs_routed(ds, threshold=0.5, force_route="driver")
+        route_b, ds_pairs = minhash_dup_pairs_routed(ds, threshold=0.5, force_route="dataset")
+        assert (route_a, route_b) == ("driver", "dataset")
+        got = ds_pairs.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        want = pd_pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[["id_a", "id_b", "n_bands"]].astype(np.int64),
+            want[["id_a", "id_b", "n_bands"]].astype(np.int64),
+        )
+        np.testing.assert_allclose(got["exact_jaccard"], want["exact_jaccard"])
+
+        # 2) survivor-level parity: pre-pass + either route == plain LSH
+        all_ids = df["doc_id"].astype(int).tolist()
+        plain = minhash_dup_pairs(ds, threshold=0.5)
+        plain_edges = rd.from_pandas(
+            plain[["id_a", "id_b"]].rename(columns={"id_a": "src", "id_b": "dst"})
+        )
+        want_surv = self._survivors(plain_edges, all_ids)
+        for force in ("driver", "dataset"):
+            edges = near_dedup_edges(ds, threshold=0.5, force_route=force)
+            assert self._survivors(edges, all_ids) == want_surv
+        # tiny budget forces the auto router onto the dataset path
+        edges_auto = near_dedup_edges(ds, threshold=0.5, pair_budget=3)
+        assert self._survivors(edges_auto, all_ids) == want_surv
+
+    def test_identical_doc_groups_are_linear(self, ray_session):
+        """5k identical docs: the pre-pass emits g-1 rep edges instead of
+        LSH's ~g²/2 pairs; survivors = {min id} plus the singletons."""
+        import time
+
+        import ray.data as rd
+        from article_extraction_ray.stages.dedup import near_dedup_edges
+
+        n = 5000
+        rows = [{"doc_id": i, "text": "boiler plate legal footer repeated verbatim on every page"}
+                for i in range(n)]
+        rows += [{"doc_id": n + i, "text": f"unique document number {i} with distinct words w{i} x{i} y{i} z{i}"}
+                 for i in range(20)]
+        ds = rd.from_pandas(pd.DataFrame(rows)).repartition(8)
+        t0 = time.monotonic()
+        edges = near_dedup_edges(ds, threshold=0.5).materialize()
+        elapsed = time.monotonic() - t0
+        surv = self._survivors(edges, [r["doc_id"] for r in rows])
+        assert surv == {0} | {n + i for i in range(20)}
+        # O(g) edge count: g-1 exact edges (+ maybe a few LSH pairs among
+        # the 21 representatives), nowhere near the ~12.5M all-pairs blowup
+        assert edges.count() < n + 100
+        assert elapsed < 60
+
+    def test_exact_dup_assign(self, ray_session):
+        import ray.data as rd
+        from article_extraction_ray.stages.dedup import exact_dup_assign
+
+        df = pd.DataFrame({
+            "doc_id": [5, 3, 9, 1, 7],
+            "text": ["aa", "bb", "aa", "bb", "cc"],
+        })
+        out = exact_dup_assign(rd.from_pandas(df).repartition(3)).to_pandas()
+        got = dict(zip(out["doc_id"].astype(int), out["rep_id"].astype(int)))
+        assert got == {5: 5, 9: 5, 3: 1, 1: 1, 7: 7}
