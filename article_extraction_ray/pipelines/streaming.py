@@ -45,6 +45,16 @@ import pyarrow as pa
 
 SESSION_GAP_SEC = 1800  # same rule as pipelines/queries.py:_SESSION_GAP_SEC
 
+#: window row count under which a micro-batch runs as a DRIVER kernel
+#: instead of a Ray job — the same size routing as the CC driver tier
+#: (stages/graph.py): a 5-job loop over toy windows pays ~0.9 s of fixed
+#: plan + sort-exchange floor PER WINDOW for kilobytes of work, while a
+#: production window (billions of events) is far past this budget and
+#: always takes the distributed bucket-groupby path.  2M rows × 4 int64
+#: cols ≈ 64 MB driver heap, bounded by construction.  The kernel is the
+#: SAME `_sessionize_group` either way, so output is identical.
+DRIVER_WINDOW_BUDGET = 2_000_000
+
 _STATE_COLS = ["user_id", "sess_idx", "start_us", "last_us", "n_events", "cents"]
 _EMIT_COLS = ["user_id", "session_id", "n_events", "cents", "start_us", "end_us"]
 
@@ -113,6 +123,99 @@ def _empty_state() -> pd.DataFrame:
     return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in _STATE_COLS})
 
 
+def ensure_time_partitioned(
+    path: str,
+    *,
+    step_us: int,
+    lo_us: int,
+    ts_col: str = "ts",
+    cache_root: str = "/tmp/ae_stream_parts",
+) -> Path:
+    """Re-materialize an event table TIME-BUCKETED: one hive partition
+    per micro-batch window (``wk = (ts - lo) // step``), written once and
+    cached by (source identity, grid).
+
+    This is the corpus layout a production event stream already has
+    (ingest writes hourly/daily directories); the sandbox's single-file
+    testdata lacks it, so micro-batch jobs re-scanned the full file per
+    window.  One distributed pass fixes the layout; every later window
+    read prunes to its own shards via parquet footer min/max
+    (:func:`shards_for_window`).  The write is atomic (temp dir +
+    rename) so concurrent callers race safely."""
+    import ray.data as rd
+
+    st = os.stat(path)
+    key_src = f"{os.path.abspath(path)}|{st.st_mtime_ns}|{st.st_size}|{step_us}|{lo_us}|{ts_col}"
+    import hashlib
+
+    key = hashlib.md5(key_src.encode()).hexdigest()[:16]
+    dest = Path(cache_root) / key
+    if (dest / "_DONE").exists():
+        return dest
+    tmp = dest.with_name(f"{dest.name}.tmp-{uuid.uuid4().hex[:6]}")
+
+    def assign_window(batch: pa.Table) -> pa.Table:
+        us = (
+            batch[ts_col]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .view("int64")
+        )
+        wk = ((us - lo_us) // step_us).astype(np.int64)
+        return batch.append_column("wk", pa.array(wk))
+
+    # modest read-block count: every block emits one file per window it
+    # touches, so files-per-window ≈ blocks — the read heuristic's 2×-CPU
+    # count would shatter each window into dozens of tiny shards whose
+    # per-file open cost then dominates the pruned micro-batch reads this
+    # layout exists to speed up.  At production scale the 128 MiB target
+    # block size governs instead and this floor is irrelevant.
+    (
+        rd.read_parquet(path, override_num_blocks=8)
+        .map_batches(assign_window, batch_format="pyarrow")
+        .write_parquet(str(tmp), partition_cols=["wk"])
+    )
+    dest.parent.mkdir(parents=True, exist_ok=True)
+    try:
+        os.rename(tmp, dest)
+        (dest / "_DONE").touch()
+    except OSError:
+        # lost the publish race — another writer finished first
+        shutil.rmtree(tmp, ignore_errors=True)
+    return dest
+
+
+def shards_for_window(part_dir: Path, t0_us: int, t1_us: int, *, ts_col: str = "ts") -> list[str]:
+    """Parquet shards whose footer [min, max] of ``ts_col`` overlaps
+    ``[t0_us, t1_us)`` — a pure metadata scan (no data decode), the
+    min/max pruning a lakehouse reader does per predicate.  Shards
+    without statistics are conservatively included."""
+    import pyarrow.parquet as pq
+
+    out: list[str] = []
+    for f in sorted(Path(part_dir).rglob("*.parquet")):
+        keep = True
+        try:
+            meta = pq.ParquetFile(f).metadata
+            names = [meta.schema.column(i).name for i in range(meta.num_columns)]
+            i = names.index(ts_col)
+            mins, maxs = [], []
+            for g in range(meta.num_row_groups):
+                stats = meta.row_group(g).column(i).statistics
+                if stats is None or stats.min is None:
+                    raise ValueError("no stats")
+                mins.append(stats.min)
+                maxs.append(stats.max)
+            lo = int(pd.Timestamp(min(mins)).value // 1_000)
+            hi = int(pd.Timestamp(max(maxs)).value // 1_000)
+            keep = hi >= t0_us and lo < t1_us
+        except Exception:
+            keep = True  # unknown metadata → cannot prune
+        if keep:
+            out.append(str(f))
+    return out
+
+
 def run_sessionized_stream(
     sf_dir: str,
     out_dir: str | os.PathLike,
@@ -120,13 +223,25 @@ def run_sessionized_stream(
     batch_hours: int = 168,
     gap_sec: int = SESSION_GAP_SEC,
     resume: bool = True,
+    partition_reads: bool = True,
+    driver_window_budget: int = DRIVER_WINDOW_BUDGET,
 ) -> dict:
     """Process the events table as arrival-time micro-batches; emit
     watermark-closed sessions per batch; checkpoint carried state.
 
-    Returns ``{"batches", "resumed_from", "sessions"}`` where
-    ``sessions`` counts sessions emitted BY THIS RUN (a resumed run
-    re-emits nothing for completed batches)."""
+    ``partition_reads=True`` (default) first ensures a time-bucketed
+    shard layout (:func:`ensure_time_partitioned`, one distributed pass,
+    cached) and then reads each window through footer min/max pruning
+    (:func:`shards_for_window`) — each micro-batch touches ONLY its own
+    shards instead of re-scanning the whole table, the layout a
+    production ingest directory already has.  Output is byte-identical
+    either way (the same time predicate applies on top).
+
+    Returns ``{"batches", "resumed_from", "sessions", "shards_read"}``
+    where ``sessions`` counts sessions emitted BY THIS RUN (a resumed
+    run re-emits nothing for completed batches) and ``shards_read``
+    lists the per-batch pruned shard counts (empty when
+    ``partition_reads=False``)."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
     import ray
@@ -150,6 +265,11 @@ def run_sessionized_stream(
     step_us = batch_hours * 3_600_000_000
     bounds = list(range(lo_us, hi_us + 1, step_us)) + [hi_us + 1]
     n_batches = len(bounds) - 1
+
+    part_dir = None
+    shards_read: list[int] = []
+    if partition_reads:
+        part_dir = ensure_time_partitioned(path, step_us=step_us, lo_us=lo_us)
 
     # resume: restore carried state + completed-batch index
     done_batch = -1
@@ -179,9 +299,7 @@ def run_sessionized_stream(
         flt = (pc.field("ts") >= pa.scalar(t0_us * 1000, type=pa.timestamp("ns"))) & (
             pc.field("ts") < pa.scalar(t1_us * 1000, type=pa.timestamp("ns"))
         )
-        ds = rd.read_parquet(
-            path, columns=["user_id", "ts", "event_id", "value"], filter=flt
-        )
+        cols = ["user_id", "ts", "event_id", "value"]
 
         def prep(batch: pa.Table) -> pd.DataFrame:
             us = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view("int64")
@@ -194,19 +312,52 @@ def run_sessionized_stream(
                  "bucket": (uid % 32).astype(np.int32)}
             )
 
-        def per_group(df: pd.DataFrame, t1=t1_us) -> pd.DataFrame:
-            import ray as _ray
+        files = None
+        window_rows = None
+        if part_dir is not None:
+            files = shards_for_window(part_dir, t0_us, t1_us)
+            shards_read.append(len(files))
+            # footer row counts decide the route — no data read yet
+            window_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
-            return _sessionize_group(
-                df.drop(columns=["bucket"]), _ray.get(state_ref), t1, gap_sec
+        if window_rows is not None and window_rows <= driver_window_budget:
+            # small window: one driver kernel call, zero Ray jobs (see
+            # DRIVER_WINDOW_BUDGET) — same kernel, same output
+            if files:
+                import pyarrow.dataset as pads
+
+                tbl = pads.dataset(files, format="parquet").to_table(
+                    columns=cols, filter=flt
+                )
+            else:  # silent window: no events, but carried state still ages
+                tbl = pa.table({
+                    "user_id": pa.array([], type=pa.int64()),
+                    "ts": pa.array([], type=pa.timestamp("ns")),
+                    "event_id": pa.array([], type=pa.int64()),
+                    "value": pa.array([], type=pa.float64()),
+                })
+            both = _sessionize_group(
+                prep(tbl).drop(columns=["bucket"]), state_map, t1_us, gap_sec
             )
+        else:
+            if files is not None:
+                ds = rd.read_parquet(files, columns=cols, filter=flt)
+            else:
+                ds = rd.read_parquet(path, columns=cols, filter=flt)
 
-        both = (
-            ds.map_batches(prep, batch_format="pyarrow")
-            .groupby("bucket")
-            .map_groups(per_group, batch_format="pandas")
-            .to_pandas()
-        )
+            def per_group(df: pd.DataFrame, t1=t1_us) -> pd.DataFrame:
+                import ray as _ray
+
+                return _sessionize_group(
+                    df.drop(columns=["bucket"]), _ray.get(state_ref), t1, gap_sec
+                )
+
+            both = (
+                ds.map_batches(prep, batch_format="pyarrow")
+                .groupby("bucket")
+                .map_groups(per_group, batch_format="pandas")
+                .to_pandas()
+            )
         if len(both) == 0:
             both = pd.DataFrame({c: pd.Series(dtype=np.int64) for c in _EMIT_COLS}
                                 ).assign(kind=pd.Series(dtype=str))
@@ -286,7 +437,8 @@ def run_sessionized_stream(
                         final_sub / "part-0.parquet")
         total_sessions += len(flush)
 
-    return {"batches": n_batches, "resumed_from": resumed_from, "sessions": total_sessions}
+    return {"batches": n_batches, "resumed_from": resumed_from,
+            "sessions": total_sessions, "shards_read": shards_read}
 
 
 def read_emitted_sessions(out_dir: str | os.PathLike) -> pd.DataFrame:

@@ -100,3 +100,62 @@ def test_stream_parity_across_window_sizes(ray_session, tmp_path, hours):
 
     run_sessionized_stream(SF, tmp_path / f"out{hours}", batch_hours=hours)
     _assert_same(read_emitted_sessions(tmp_path / f"out{hours}"), _batch_sessions())
+
+
+def test_partitioned_reads_prune_and_match(ray_session, tmp_path):
+    """The time-bucketed layout: each micro-batch must read ONLY its own
+    window's shards (footer min/max pruning), and the emitted sessions
+    must be byte-identical to the full-scan path."""
+    from pathlib import Path
+
+    from article_extraction_ray.pipelines.streaming import (
+        ensure_time_partitioned,
+        read_emitted_sessions,
+        run_sessionized_stream,
+        shards_for_window,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    full = run_sessionized_stream(sf, tmp_path / "full", batch_hours=168,
+                                  partition_reads=False)
+    part = run_sessionized_stream(sf, tmp_path / "part", batch_hours=168,
+                                  partition_reads=True)
+    assert part["shards_read"], "partitioned run must record pruned reads"
+    assert part["sessions"] == full["sessions"]
+    pd.testing.assert_frame_equal(
+        read_emitted_sessions(tmp_path / "part"),
+        read_emitted_sessions(tmp_path / "full"),
+    )
+
+    # budget=0 forces every window onto the distributed bucket-groupby
+    # path; output must not move (same kernel, different execution)
+    dist = run_sessionized_stream(sf, tmp_path / "dist", batch_hours=168,
+                                  partition_reads=True, driver_window_budget=0)
+    assert dist["sessions"] == full["sessions"]
+    pd.testing.assert_frame_equal(
+        read_emitted_sessions(tmp_path / "dist"),
+        read_emitted_sessions(tmp_path / "full"),
+    )
+
+    # pruning is exact: batch k touches exactly the files of its wk dir
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf, "events.parquet")
+    meta = pq.ParquetFile(path).metadata
+    names = [meta.schema.column(i).name for i in range(meta.num_columns)]
+    ts_i = names.index("ts")
+    lo = min(meta.row_group(g).column(ts_i).statistics.min
+             for g in range(meta.num_row_groups))
+    lo_us = int(pd.Timestamp(lo).value // 1_000)
+    step_us = 168 * 3_600_000_000
+    part_dir = ensure_time_partitioned(path, step_us=step_us, lo_us=lo_us)
+    per_window = {
+        int(d.name.split("=")[1]): sorted(str(f) for f in d.glob("*.parquet"))
+        for d in Path(part_dir).iterdir() if d.is_dir() and d.name.startswith("wk=")
+    }
+    for k in range(part["batches"]):
+        got = shards_for_window(part_dir, lo_us + k * step_us, lo_us + (k + 1) * step_us)
+        assert sorted(got) == per_window.get(k, []), f"window {k} read wrong shards"
+        assert part["shards_read"][k] == len(per_window.get(k, []))
