@@ -13727,6 +13727,24 @@ FROM keyed ORDER BY k DESC, doc_id LIMIT {_DSIR_K}
 _BOILER_DOCS_PER_SF = 20_000
 
 
+def _boiler_corpus_docs(sf_dir: str) -> int:
+    """Boiler-demo corpus size derived from the supplied CORPUS (the
+    documents table's row count), not from parsing the directory name —
+    a non-'sfX' path used to silently fall back to the fixed 500-doc
+    fixture while appearing to honor the input (round-4 advice).  A
+    missing documents table now raises instead of being ignored.  The
+    2/5 ratio reproduces the historical sf→docs mapping at every
+    shipped scale (500→500, 5000→2000)."""
+    import os
+
+    from ..sources.io import corpus_num_rows
+
+    n = corpus_num_rows(os.path.join(sf_dir, "documents.parquet"))
+    if not n:
+        raise FileNotFoundError(f"no documents table under {sf_dir!r}")
+    return max(500, n * 2 // 5)
+
+
 def q_boilerplate_strip(sf_dir: str):
     """Generic density-based main-content extraction
     (stages/boilerplate.DensityExtractStage): jusText/Boilerpipe-style
@@ -13746,12 +13764,7 @@ def q_boilerplate_strip(sf_dir: str):
     from ..sources.synth import ensure_corpus_parquet
     from ..stages.boilerplate import DensityExtractStage
 
-    name = os.path.basename(os.path.normpath(sf_dir))
-    try:
-        sf = float(name.replace("sf", ""))
-    except ValueError:
-        sf = 0.001
-    n_docs = max(500, int(sf * _BOILER_DOCS_PER_SF))
+    n_docs = _boiler_corpus_docs(sf_dir)
     corpus = ensure_corpus_parquet("/tmp/ae_corpora", n_docs, 42)
     ds = rd.read_parquet(str(corpus), columns=["doc_id", "spans"])
     out = ds.map_batches(
@@ -22117,12 +22130,15 @@ def q_kmeans_quality_gate(sf_dir: str):
     k-means objective must (a) not exceed the inertia at the seeded
     initial centroids (each Lloyd sweep is non-increasing) and (b) beat
     the trivial one-cluster solution, whose inertia — the corpus' total
-    sum of squared deviations — DuckDB recomputes EXACTLY from the
-    embeddings table (per-dim Σv² − (Σv)²/n, identical float64 algebra
-    on both engines, rounded to 2 dp).  A centroid-update bug, a wrong
-    assignment kernel, or a seeding regression reds the value hash —
-    converting the rows-only `kmeans_clusters` family into a
-    driver-checked component."""
+    sum of squared deviations — DuckDB recomputes independently from the
+    embeddings table (per-dim Σv² − (Σv)²/n) and the gate checks against
+    with a RELATIVE tolerance folded into a boolean (`ss_agree_ok`):
+    the Ray per-batch fold and DuckDB's unnest-sum add float64 in
+    different orders, so shipping a rounded float into the bit-exact
+    hash could flip spuriously at a 0.005 boundary (round-4 advice).
+    A centroid-update bug, a wrong assignment kernel, or a seeding
+    regression reds the value hash — converting the rows-only
+    `kmeans_clusters` family into a driver-checked component."""
     from ..stages.clustering import _init_centroids, kmeans_fit
 
     ds = read_table(
@@ -22130,6 +22146,22 @@ def q_kmeans_quality_gate(sf_dir: str):
     ).materialize()
     n, sx, sxx = _embedding_moment_fold(sf_dir)
     one_cluster_ss = float((sxx - sx * sx / n).sum())
+    # independent recompute with DuckDB's own addition order, compared
+    # under a relative tolerance ON THE DRIVER — the boolean crosses the
+    # bit-exact hash, the float never does
+    import os
+
+    import duckdb
+
+    sql_ss = float(
+        duckdb.sql(
+            "WITH ud AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS v, "
+            "generate_subscripts(embedding, 1) AS d FROM "
+            f"read_parquet('{os.path.join(sf_dir, 'embeddings.parquet')}')) "
+            "SELECT sum(ss) FROM (SELECT d, sum(v*v) - sum(v)*sum(v)/count(*) AS ss "
+            "FROM ud GROUP BY d)"
+        ).fetchone()[0]
+    )
     cents0 = _init_centroids(ds, _KMG_K, id_col="vec_id", vec_col="embedding", seed=_KMG_SEED)
     cents = kmeans_fit(ds, _KMG_K, iters=_KMG_ITERS, seed=_KMG_SEED, cache=False)
     inertia0 = _kmeans_inertia(ds, cents0)
@@ -22138,7 +22170,9 @@ def q_kmeans_quality_gate(sf_dir: str):
         [
             {
                 "n_vecs": np.int64(n),
-                "one_cluster_ss": round(one_cluster_ss, 2),
+                "ss_agree_ok": bool(
+                    abs(one_cluster_ss - sql_ss) <= 1e-9 * max(abs(sql_ss), 1.0)
+                ),
                 "monotone_ok": bool(inertia <= inertia0 + 1e-6),
                 "beats_single_cluster_ok": bool(inertia <= one_cluster_ss + 1e-6),
             }
@@ -22147,15 +22181,9 @@ def q_kmeans_quality_gate(sf_dir: str):
 
 
 SQL_KMEANS_QUALITY_GATE = """
-WITH ud AS (
-  SELECT CAST(unnest(embedding) AS DOUBLE) AS v,
-         generate_subscripts(embedding, 1) AS d
-  FROM embeddings
-),
-p AS (SELECT d, sum(v * v) - sum(v) * sum(v) / count(*) AS ss FROM ud GROUP BY d)
-SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_vecs,
-       round((SELECT sum(ss) FROM p), 2) AS one_cluster_ss,
+SELECT CAST(count(*) AS BIGINT) AS n_vecs, TRUE AS ss_agree_ok,
        TRUE AS monotone_ok, TRUE AS beats_single_cluster_ok
+FROM embeddings
 """
 
 
@@ -22362,7 +22390,9 @@ def q_training_order_gate(sf_dir: str):
                 "n_docs": np.int64(len(all_ids)),
                 "permutation_ok": bool(np.array_equal(np.sort(np.asarray(a)), all_ids)),
                 "reproducible_ok": bool(a == b),
-                "seeds_differ_ok": bool(a != c),
+                # degenerate corpora can't witness seed divergence: n<2
+                # has ONE permutation, so a != c would red with no bug
+                "seeds_differ_ok": bool(len(all_ids) < 2 or a != c),
             }
         ]
     )
@@ -22581,12 +22611,7 @@ def q_boilerplate_gate(sf_dir: str):
     from ..sources.synth import ensure_corpus_parquet
     from ..stages.boilerplate import SHORT_BLOCK_CHARS, classify_blocks, segment_blocks
 
-    name = os.path.basename(os.path.normpath(sf_dir))
-    try:
-        sf = float(name.replace("sf", ""))
-    except ValueError:
-        sf = 0.001
-    n_docs = max(500, int(sf * _BOILER_DOCS_PER_SF))
+    n_docs = _boiler_corpus_docs(sf_dir)
     corpus = ensure_corpus_parquet("/tmp/ae_corpora", n_docs, 42)
     ds = rd.read_parquet(str(corpus), columns=["doc_id", "spans"])
 
@@ -22696,7 +22721,16 @@ def q_qa_extract_gate(sf_dir: str):
             "source": src.loc[char_ok.index].to_numpy(),
             "n_docs": np.int64(1),
             "c_ok": char_ok.to_numpy().astype(np.int64),
-            "t_ok": tok_ok.reindex(char_ok.index).to_numpy().astype(np.int64),
+            # a doc_id coverage mismatch between the two extractors must
+            # RED the gate (fillna(False)), not crash an opaque astype
+            # on NaN; duplicated ids are collapsed before the reindex
+            "t_ok": (
+                tok_ok[~tok_ok.index.duplicated()]
+                .reindex(char_ok.index)
+                .fillna(False)
+                .to_numpy()
+                .astype(np.int64)
+            ),
         }
     ).groupby("source", as_index=False).sum()
     return pd.DataFrame(
