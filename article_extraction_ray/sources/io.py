@@ -80,6 +80,27 @@ def read_corpus(
     return rd.read_parquet(path, columns=columns, override_num_blocks=blocks, filter=filter)
 
 
+def write_corpus(ds, path: str, **kwargs):
+    """Write a Dataset as an interleaved-documents table, dispatching on
+    the path like :func:`read_corpus`: ``.lance`` → ``Dataset.write_lance``
+    (the production sink per BASELINE.json input_hint), else partitioned
+    Parquet.  Keyword args pass through to the underlying writer.
+
+    The two branches share one schema contract (DOCUMENT_SCHEMA): a
+    corpus written by either branch must round-trip through
+    ``read_corpus`` identically — pinned by tests/test_lance_contract.py
+    with a fake lance backend, since ``pylance`` is absent here."""
+    if str(path).rstrip("/").endswith(".lance"):
+        try:
+            return ds.write_lance(path, **kwargs)
+        except ImportError as exc:  # pragma: no cover - no pylance in sandbox
+            raise RuntimeError(
+                "writing .lance requires the pylance package; write parquet "
+                "instead or install pylance"
+            ) from exc
+    return ds.write_parquet(path, **kwargs)
+
+
 def corpus_num_rows(path: str) -> int | None:
     """Row count from parquet metadata only (no data decode); None when
     the format can't answer cheaply (e.g. lance without pylance)."""
