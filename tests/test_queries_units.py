@@ -1720,3 +1720,44 @@ class TestTrainingMixPlanted:
         got = q_training_mix(str(tmp_path))
         self._cmp(got, con, SQL_TRAINING_MIX, ["position"])
         assert len(got) == len(ids)  # n_min == n_dom → no downsampling
+
+
+class TestRegistryCompanions:
+    """Registry invariants for the rows-only/companion pairing."""
+
+    def test_every_companion_adjacent_and_green_checkable(self):
+        from article_extraction_ray.pipelines.queries import (
+            COMPANION_OF,
+            ORACLE_SQL,
+            QUERIES,
+        )
+
+        ks = list(QUERIES)
+        for base, gate in COMPANION_OF.items():
+            assert base in QUERIES, base
+            assert gate in QUERIES, gate
+            assert ks.index(gate) == ks.index(base) + 1, (base, gate)
+            # the companion's whole point is a driver-checkable oracle
+            assert gate in ORACLE_SQL, gate
+
+    def test_rows_only_budget(self):
+        """Round-5 target: fewer than 35 rows-only queries, and every
+        one of them is either covered by a companion or documented in
+        the ORACLE_SQL trailer comment."""
+        from article_extraction_ray.pipelines.queries import (
+            COMPANION_OF,
+            ORACLE_SQL,
+            QUERIES,
+        )
+
+        rows_only = [k for k in QUERIES if k not in ORACLE_SQL]
+        assert len(rows_only) < 35, rows_only
+        paired = set(COMPANION_OF) | {
+            "unigram_encode",  # shares unigram_roundtrip_gate with _train
+            "bpe_encode",  # shares bpe_roundtrip_gate with _train
+            "qa_token_extract",  # shares qa_extract_gate
+            "media_frames", "media_features",  # share media_dims_gate
+            "knn_lsh_shuffle", "knn_ivf", "knn_pq", "knn_ivfpq",  # ann_recall_gates
+        }
+        uncovered = [k for k in rows_only if k not in paired]
+        assert not uncovered, uncovered
