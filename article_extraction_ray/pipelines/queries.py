@@ -6330,8 +6330,12 @@ def q_zscore_normalize(sf_dir: str):
         .to_pandas()
     )
     s, ss, c = (stats[k].to_numpy(dtype=np.float64) for k in ("s", "ss", "c"))
-    mean = s / c
-    sd = np.sqrt((ss - s * s / c) / (c - 1))
+    # n==1 groups go NaN here BY DESIGN (DuckDB stddev_samp parity, see
+    # the z() comment); errstate keeps the intentional NaN quiet so real
+    # warnings stay visible in the suite
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mean = s / c
+        sd = np.sqrt((ss - s * s / c) / (c - 1))
     table = {g: (m, d) for g, m, d in zip(stats["o_orderpriority"], mean, sd)}
     bc = Broadcast(table)
 
