@@ -553,6 +553,17 @@ def _join_score_pairs_dataset(ds, cand_ds, *, value_col: str, id_col: str,
     from ..pipelines.tabular import shuffle_join, shuffle_semi_filter
 
     cand = cand_ds.materialize()
+    if cand.count() == 0:
+        # an empty Dataset has no schema for the join to reason about —
+        # short-circuit with the canonical empty result
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "id_a": pa.array([], type=pa.int64()),
+            "id_b": pa.array([], type=pa.int64()),
+            "n_bands": pa.array([], type=pa.int64()),
+            score_name: pa.array([], type=pa.float64()),
+        }))
 
     def pair_ids(batch: pa.Table) -> pa.Table:
         a = batch["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
