@@ -294,7 +294,6 @@ def run_sessionized_stream(
                              int(r.n_events), int(r.cents))
             for r in state_df.itertuples()
         }
-        state_ref = ray.put(state_map)
 
         flt = (pc.field("ts") >= pa.scalar(t0_us * 1000, type=pa.timestamp("ns"))) & (
             pc.field("ts") < pa.scalar(t1_us * 1000, type=pa.timestamp("ns"))
@@ -344,6 +343,10 @@ def run_sessionized_stream(
                 ds = rd.read_parquet(files, columns=cols, filter=flt)
             else:
                 ds = rd.read_parquet(path, columns=cols, filter=flt)
+
+            # carried state ships once per DISTRIBUTED window only — the
+            # driver route reads state_map in-process
+            state_ref = ray.put(state_map)
 
             def per_group(df: pd.DataFrame, t1=t1_us) -> pd.DataFrame:
                 import ray as _ray
