@@ -159,3 +159,44 @@ def test_partitioned_reads_prune_and_match(ray_session, tmp_path):
         got = shards_for_window(part_dir, lo_us + k * step_us, lo_us + (k + 1) * step_us)
         assert sorted(got) == per_window.get(k, []), f"window {k} read wrong shards"
         assert part["shards_read"][k] == len(per_window.get(k, []))
+
+
+def test_time_partition_publish_race(ray_session, tmp_path):
+    """Two builders racing the same layout: one wins the atomic rename,
+    the loser discards its stage; both callers must see one complete,
+    identical layout (the shared atomic-publish discipline of every
+    /tmp cache in this repo)."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    from article_extraction_ray.pipelines.streaming import ensure_time_partitioned
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    meta = pq.ParquetFile(src).metadata
+    names = [meta.schema.column(i).name for i in range(meta.num_columns)]
+    ts_i = names.index("ts")
+    lo = min(meta.row_group(g).column(ts_i).statistics.min
+             for g in range(meta.num_row_groups))
+    lo_us = int(pd.Timestamp(lo).value // 1_000)
+    step_us = 24 * 3_600_000_000  # daily grid → a cache key no other test uses
+    cache = str(tmp_path / "parts")
+
+    with ThreadPoolExecutor(2) as ex:
+        futs = [
+            ex.submit(ensure_time_partitioned, src, step_us=step_us,
+                      lo_us=lo_us, cache_root=cache)
+            for _ in range(2)
+        ]
+        a, b = (f.result() for f in futs)
+    assert a == b
+    assert (Path(a) / "_DONE").exists()
+    # no leftover half-built stage dirs
+    leftovers = [d for d in Path(cache).iterdir() if ".tmp-" in d.name]
+    assert not leftovers
+    # the published layout is complete: row count matches the source
+    total = sum(pq.ParquetFile(f).metadata.num_rows
+                for f in Path(a).rglob("*.parquet"))
+    assert total == meta.num_rows
