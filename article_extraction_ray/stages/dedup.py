@@ -793,6 +793,52 @@ def near_dedup_edges(ds, *, threshold: float = 0.5, k: int = _DEFAULT_K,
     return edge_parts[0] if len(edge_parts) == 1 else edge_parts[0].union(*edge_parts[1:])
 
 
+def near_dedup_keep_min(ds, *, threshold: float = 0.5, k: int = _DEFAULT_K,
+                        bands: int = _DEFAULT_BANDS, n: int = 3, seed: int = 7,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        exact_prepass: bool = True, pair_budget: int = PAIR_BUDGET,
+                        loser_budget: int = 8_000_000, force_route: str | None = None,
+                        concurrency=None):
+    """One-call near-dup REMOVAL: Dataset(…, id, text, …) → the same
+    Dataset with every non-minimum member of each near-dup cluster
+    dropped — the operator a corpus pipeline actually composes
+    (``corpus |> near_dedup_keep_min |> …``), assembled from the
+    budget-routed pieces:
+
+    :func:`near_dedup_edges` (exact pre-pass + routed LSH pairs) →
+    :func:`..stages.graph.connected_components` (size-routed driver
+    kernel / distributed propagation) → loser anti-filter (broadcast
+    under ``loser_budget`` ids, else one co-partitioned
+    ``shuffle_semi_filter`` exchange).  Every stage stays a Dataset;
+    nothing driver-side grows with corpus dirtiness.  Payload columns
+    pass through untouched (only the loser FILTER touches the corpus).
+    Deterministic: survivors are exactly the per-cluster minimum ids.
+    """
+    import pyarrow.compute as pc
+
+    from ..pipelines.tabular import broadcast_semi_filter, shuffle_semi_filter
+    from .graph import connected_components
+
+    edges = near_dedup_edges(
+        ds.select_columns([id_col, text_col]),
+        threshold=threshold, k=k, bands=bands, n=n, seed=seed,
+        id_col=id_col, text_col=text_col, exact_prepass=exact_prepass,
+        pair_budget=pair_budget, loser_budget=loser_budget,
+        force_route=force_route, concurrency=concurrency,
+    )
+    comp = connected_components(edges)
+    losers_ds = comp.map_batches(
+        lambda t: pa.table(
+            {id_col: t.filter(pc.not_equal(t["node"], t["component"]))["node"]}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    if losers_ds.count() <= loser_budget:
+        loser_ids = losers_ds.to_pandas()[id_col].to_numpy(np.int64)
+        return broadcast_semi_filter(ds, loser_ids, id_col, anti=True)
+    return shuffle_semi_filter(ds, losers_ds, id_col, anti=True)
+
+
 # ---------------------------------------------------------------------------
 # Exact set-similarity self-join (n-gram Jaccard with prefix filtering)
 # ---------------------------------------------------------------------------

@@ -417,3 +417,28 @@ class TestDatasetPairRoute:
                 ds, threshold=0.5, exact_prepass=prepass, force_route="dataset"
             )
             assert edges.count() == 0
+
+    def test_keep_min_operator(self, ray_session):
+        """The one-call removal operator: survivors = per-cluster min
+        ids, payload columns untouched, identical on both routes and
+        both loser-filter paths."""
+        import ray.data as rd
+        from article_extraction_ray.stages.dedup import near_dedup_keep_min
+
+        df = self._adversarial_corpus()
+        df["payload"] = df["doc_id"].astype(str) + "-extra"
+        ds = rd.from_pandas(df).repartition(4)
+
+        base = near_dedup_keep_min(ds, threshold=0.5).to_pandas()
+        # every mutant/copy loses to its original (smaller id)
+        assert (base["doc_id"] < 1000).all()
+        # payload survives the filter untouched
+        assert (base["payload"] == base["doc_id"].astype(str) + "-extra").all()
+        want_ids = set(base["doc_id"].astype(int))
+        for kwargs in (
+            {"force_route": "dataset"},
+            {"loser_budget": 0},            # force the shuffle anti-filter
+            {"exact_prepass": False},
+        ):
+            got = near_dedup_keep_min(ds, threshold=0.5, **kwargs).to_pandas()
+            assert set(got["doc_id"].astype(int)) == want_ids, kwargs
