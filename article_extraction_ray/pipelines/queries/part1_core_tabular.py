@@ -2246,31 +2246,16 @@ NEAR_DEDUP_LOSER_BUDGET = 8_000_000
 
 
 def _near_dedup_counts(sf_dir: str, *, loser_budget: int = NEAR_DEDUP_LOSER_BUDGET):
-    import pyarrow.compute as pc
-
-    from ...stages.dedup import near_dedup_edges
-    from ...stages.graph import connected_components
-    from ..tabular import broadcast_semi_filter, grouped_aggregate, shuffle_semi_filter
+    from ...stages.dedup import near_dedup_keep_min
+    from ..tabular import grouped_aggregate
 
     corpus = _with_injected_dupes(sf_dir).materialize()
-    # exact-dup pre-pass + budget-routed LSH pairs: identical-content
-    # groups cost O(g) edges and the pair list only collapses to the
-    # driver while it fits PAIR_BUDGET (see stages/dedup.near_dedup_edges)
-    edges = near_dedup_edges(corpus, threshold=0.5, loser_budget=loser_budget)
-    comp = connected_components(edges)
-    # drop every clustered doc that is not its component's minimum
-    losers_ds = comp.map_batches(
-        lambda t: pa.table(
-            {"doc_id": t.filter(pc.not_equal(t["node"], t["component"]))["node"]}
-        ),
-        batch_format="pyarrow",
-    ).materialize()
-    n_losers = losers_ds.count()
-    if n_losers <= loser_budget:
-        losers = losers_ds.to_pandas()["doc_id"].to_numpy().astype(np.int64)
-        survivors = broadcast_semi_filter(corpus, losers, "doc_id", anti=True)
-    else:
-        survivors = shuffle_semi_filter(corpus, losers_ds, "doc_id", anti=True)
+    # the one-call removal operator owns the whole routed pipeline:
+    # exact-content pre-pass, PAIR_BUDGET-routed LSH pairs, size-routed
+    # connected components, loser_budget-routed anti-filter
+    survivors = near_dedup_keep_min(
+        corpus, threshold=0.5, loser_budget=loser_budget
+    )
 
     def src_of(batch: pa.Table) -> pd.DataFrame:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
